@@ -1,0 +1,100 @@
+"""Calendar-anchored bucket assignment + gap-filled spines.
+
+Reference semantics ("daterange2", vegindex.py:22-64): n-day buckets are
+anchored at day-of-year 1, 1+n, 1+2n, ... per calendar year; buckets
+RESTART at Jan 1 every year, so the last bucket of a year may be short.
+The bucket-center label is start + floor(n/2) days (the reference's
+``date + timedelta(nday/2)`` truncates fractional days,
+generate_summary_timeseries.py:276-277), and the "noon anchor" used for
+the representative-row argmin is 12:00 of the center date
+(generate_summary_timeseries.py:297-300).
+
+Graft tiers:
+* hourly — clock-anchored ``date_trunc('hour')``; anchor = start + 30 min
+* daily  — nday=1 doy-anchored (== date_trunc('day')); anchor = 12:00
+* weekly — nday=7 doy-anchored with yearly restart (NOT ISO weeks);
+  anchor = noon of start+3d
+
+Everything here is a pure column expression — whole-stage codegen,
+no UDFs, no shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config import TIER_NDAY
+
+
+def bucket_start(ts: Column, tier: str) -> Column:
+    """Bucket start for a timestamp. DateType for day tiers, TimestampType for hourly."""
+    if tier == "hourly":
+        return F.date_trunc("hour", ts)
+    n = TIER_NDAY[tier]
+    if n == 1:
+        return F.to_date(ts)
+    # Jan 1 of ts's year + floor((doy-1)/n)*n days  (vegindex.py:34-58)
+    jan1 = F.trunc(ts, "year")
+    return F.date_add(jan1, (F.floor((F.dayofyear(ts) - 1) / n) * n).cast("int"))
+
+
+def bucket_center(start: Column, tier: str) -> Column:
+    """Center label: start + floor(n/2) units (truncating fractional days,
+    generate_summary_timeseries.py:276-277)."""
+    if tier == "hourly":
+        return start  # hourly buckets are labeled by their start
+    n = TIER_NDAY[tier]
+    return F.date_add(start, n // 2)
+
+
+def midpoint_anchor(start: Column, tier: str) -> Column:
+    """Timestamp the representative row is nearest to (the "noon" anchor,
+    generate_summary_timeseries.py:297-300)."""
+    if tier == "hourly":
+        return start + F.expr("INTERVAL 30 MINUTES")
+    center = bucket_center(start, tier)
+    return F.to_timestamp(center) + F.expr("INTERVAL 12 HOURS")
+
+
+def _bucket_seq(min_b: Column, max_b: Column, tier: str) -> Column:
+    """Array of every bucket start between two bucket starts, inclusive.
+
+    For doy-anchored tiers we generate the daily sequence and keep days
+    where (doy-1) % n == 0 — this restarts the lattice at Jan 1 of each
+    year for free, reproducing the short-final-bucket behavior of
+    vegindex.py:50-58 without per-year logic.
+    """
+    if tier == "hourly":
+        return F.sequence(min_b, max_b, F.expr("INTERVAL 1 HOUR"))
+    n = TIER_NDAY[tier]
+    days = F.sequence(min_b, max_b, F.expr("INTERVAL 1 DAY"))
+    if n == 1:
+        return days
+    return F.filter(days, lambda d: (F.dayofyear(d) - 1) % n == 0)
+
+
+def bucket_spine(
+    df: DataFrame,
+    tier: str,
+    series_cols: list[str],
+    bucket_col: str = "bucket_start",
+) -> DataFrame:
+    """Gap-filled spine: one row per (series, bucket) from the bucket
+    containing each series' first datum to the one containing its last —
+    the loop-over-all-periods behavior of generate_summary_timeseries.py:295-301
+    (every bucket emitted even with zero rows).
+
+    One aggregation (min/max per series) + explode; the spine is tiny
+    relative to the input (counts buckets, not rows), so the later
+    left-join against aggregates broadcasts naturally under AQE.
+    """
+    bounds = df.groupBy(*series_cols).agg(
+        F.min(bucket_col).alias("_min_b"), F.max(bucket_col).alias("_max_b")
+    )
+    return bounds.select(
+        *series_cols,
+        F.explode(_bucket_seq(F.col("_min_b"), F.col("_max_b"), tier)).alias(
+            bucket_col
+        ),
+    )

@@ -1,0 +1,110 @@
+"""Tier-0 -> tier-1: per-turn feature extraction.
+
+The Spark analog of the reference's per-image ROI statistics
+(get_roi_stats, roitimeseries.py:97-227; row assembly
+roitimeseries.py:394-553). One row per (conv_id, turn_idx), pure column
+expressions + one window (lag) — no Python UDFs.
+
+Measure mapping (FIXTURES.md §2):
+* r_dn / g_dn / b_dn — raw "digital number" measures: text length,
+  scaled word count, latency delta. ``fcc = g_dn / dnsum`` is the gcc
+  analog (gcc = g/(r+g+b), roitimeseries.py:486-491); ``rcc_like =
+  r_dn / dnsum`` is the rcc analog, which the rollup RECOMPUTES from the
+  raw measures rather than trusting the stored column
+  (generate_summary_timeseries.py:326-336).
+* gate_value — solar-elevation analog: peaks at 12:00 UTC, so the
+  select_rows-style QC gate (roitimeseries.py:809-841) has real
+  time-of-day semantics.
+* quality_flag — awbflag analog: rows with flag == 1 are skipped during
+  aggregation (generate_summary_timeseries.py:309-315).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# columns produced on top of the carried keys
+FEATURE_COLS = [
+    "latency_delta_s",
+    "text_len",
+    "word_count",
+    "tool_call",
+    "r_dn",
+    "g_dn",
+    "b_dn",
+    "dnsum",
+    "fcc",
+    "rcc_like",
+    "gate_value",
+    "quality_flag",
+]
+
+
+def turn_features(turns: DataFrame, lag_via_join: bool = False) -> DataFrame:
+    """Compute tier-1 features for every turn.
+
+    ``lag_via_join=True`` computes the latency delta with an equi-join on
+    (conv_id, turn_idx-1) instead of a window. The window is faster for
+    typical conversations, but it forces each conv into a single task; at
+    10^12-turn scale a pathological multi-billion-turn conv would bottleneck
+    one executor, and the join variant hash-distributes by (conv, idx).
+    """
+    if lag_via_join:
+        prev = turns.select(
+            F.col("conv_id").alias("_pc"),
+            (F.col("turn_idx") + 1).alias("_pi"),
+            F.col("ts").alias("_prev_ts"),
+        )
+        df = turns.join(
+            prev,
+            on=[turns.conv_id == F.col("_pc"), turns.turn_idx == F.col("_pi")],
+            how="left",
+        ).drop("_pc", "_pi")
+        df = df.withColumn(
+            "latency_delta_s",
+            (F.unix_micros("ts") - F.unix_micros("_prev_ts")) / 1e6,
+        ).drop("_prev_ts")
+    else:
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        df = turns.withColumn(
+            "latency_delta_s",
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) / 1e6,
+        )
+
+    df = (
+        df.withColumn("text_len", F.length("text").cast("double"))
+        .withColumn(
+            "word_count",
+            F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
+                F.size(F.split(F.trim("text"), r"\s+"))
+            ).cast("double"),
+        )
+        .withColumn("tool_call", (F.col("tool") != "").cast("int"))
+    )
+
+    # raw DN-style measures -> composite features
+    df = (
+        df.withColumn("r_dn", F.col("text_len"))
+        .withColumn("g_dn", F.col("word_count") * 8.0)
+        .withColumn("b_dn", F.coalesce(F.col("latency_delta_s"), F.lit(0.0)))
+        .withColumn("dnsum", F.col("r_dn") + F.col("g_dn") + F.col("b_dn"))
+    )
+    safe = F.col("dnsum") > 0
+    df = df.withColumn(
+        "fcc", F.when(safe, F.col("g_dn") / F.col("dnsum"))
+    ).withColumn("rcc_like", F.when(safe, F.col("r_dn") / F.col("dnsum")))
+
+    # solar-elevation analog: 90 deg at 12:00 UTC, -90 at midnight
+    secs = (
+        F.hour("ts") * 3600 + F.minute("ts") * 60 + F.second("ts")
+    ).cast("double")
+    df = df.withColumn(
+        "gate_value", 90.0 - F.abs(secs - 43200.0) / 43200.0 * 180.0
+    )
+    # awbflag analog: degenerate ultra-short turns are flagged
+    df = df.withColumn("quality_flag", (F.col("text_len") < 10).cast("int"))
+
+    return df.select(
+        "conv_id", "turn_idx", "role", "tool", "ts", *FEATURE_COLS
+    )

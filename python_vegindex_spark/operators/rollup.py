@@ -1,0 +1,172 @@
+"""Tier-1 -> tier-2: the continuous-aggregate rollup (the engine core).
+
+Re-expresses the reference's generate_summary_timeseries pipeline
+(generate_summary_timeseries.py:229-461) as one declarative Spark plan::
+
+    QC filter -> bucket assignment -> groupBy(series, bucket).agg(...)
+      -> right-join gap-fill spine -> count-threshold tier projection
+
+Semantics preserved exactly:
+* QC gate = select_rows (roitimeseries.py:809-841): time-of-day window,
+  brightness (dnsum) bounds, gate >= min, primary measure not null.
+* awbflag skip (generate_summary_timeseries.py:309-315): quality_flag==1
+  rows never enter a bucket.
+* dnsum<=0 guard (generate_summary_timeseries.py:324-336): such rows do
+  NOT increment turn_count and contribute NULL fcc/rcc, but their raw DN
+  values still feed the DN means.
+* rcc recomputed from raw measures, not reused
+  (generate_summary_timeseries.py:326-336).
+* mean = nanmean; std = POPULATION std, ddof=0
+  (generate_summary_timeseries.py:438-457) -> stddev_pop, never Spark's
+  default sample stddev.
+* exact HF type-7 percentiles p50/p75/p90; fcc_90 is the gcc90 estimator
+  (quantile.py:42-76, generate_summary_timeseries.py:448-455).
+* representative "midday" row = argmin |ts - bucket anchor|, first-in-time
+  tie-break (generate_summary_timeseries.py:393-400) -> min(struct(...)).
+* gap-fill: every bucket between a series' first and last datum is
+  emitted, zero-row buckets as all-null rows with turn_count=0
+  (generate_summary_timeseries.py:295-301,355-385).
+* 3-way count tiering vs nmin (generate_summary_timeseries.py:354-461):
+  0 -> all null; (0, nmin) -> midpoint cols + max_gate only; >= nmin -> full.
+
+Scale notes (100 TB design point):
+* One shuffle: the groupBy on (series, bucket). Because the key includes
+  the time bucket, a hot conv_id is automatically split across buckets —
+  per-group size is bounded by bucket length, which is the skew story for
+  the aggregate stage (plus AQE skew handling). ``salt`` optionally
+  spreads the *input* of giant (series,bucket) groups before the agg.
+* The spine is O(buckets), orders of magnitude smaller than the input;
+  AQE broadcasts the aggregate side of the gap-fill join when small.
+* Aggregations are all JVM-side (hash aggregate + percentile), fully
+  inside whole-stage codegen; no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config import RollupConfig
+from ..functions.buckets import bucket_center, bucket_spine, bucket_start, midpoint_anchor
+
+# measure families rolled up with mean/std (reference A3)
+MEAN_STD_MEASURES = ["text_len", "latency_delta_s", "fcc", "rcc_like", "r_dn", "g_dn", "b_dn"]
+# measure families with exact percentiles (reference A4)
+PCT_MEASURES = ["fcc", "rcc_like"]
+
+
+def qc_filter(features: DataFrame, cfg: RollupConfig) -> DataFrame:
+    """select_rows-equivalent conjunctive predicate (roitimeseries.py:809-841).
+
+    Pure filter -> Catalyst pushes it into the parquet scan.
+    """
+    qc = cfg.qc
+    tod = F.date_format("ts", "HH:mm:ss")
+    return features.filter(
+        (tod >= qc.tod_min)
+        & (tod <= qc.tod_max)
+        & F.col("dnsum").between(qc.brt_min, qc.brt_max)
+        & (F.col("gate_value") >= qc.gate_min)
+        & F.col("r_dn").isNotNull()
+    )
+
+
+def _agg_exprs(cfg: RollupConfig) -> list[Column]:
+    ok = F.col("dnsum") > 0  # the image-count guard
+    exprs: list[Column] = [
+        F.count(F.when(ok, 1)).alias("turn_count"),
+        F.max("gate_value").alias("max_gate_value"),
+    ]
+    # recomputed composites (A10): derive from raw DN columns in the agg input
+    for m in MEAN_STD_MEASURES:
+        exprs.append(F.avg(m).alias(f"{m}_mean"))
+        exprs.append(F.stddev_pop(m).alias(f"{m}_std"))
+    for m in PCT_MEASURES:
+        for q in cfg.percentiles:
+            exprs.append(
+                F.percentile(F.col(m), F.lit(q)).alias(f"{m}_{int(round(q * 100))}")
+            )
+    # representative row: lexicographic min over (|delta|, ts, payload)
+    payload = F.struct(
+        F.abs(F.unix_micros("ts") - F.unix_micros("_anchor")).alias("d"),
+        F.col("ts").alias("mid_ts"),
+        F.col("turn_idx").alias("mid_turn_idx"),
+        F.col("text_len").alias("mid_text_len"),
+        F.col("fcc").alias("mid_fcc"),
+    )
+    exprs.append(F.min(payload).alias("_mid"))
+    return exprs
+
+
+def _stat_cols(cfg: RollupConfig) -> list[str]:
+    cols = []
+    for m in MEAN_STD_MEASURES:
+        cols += [f"{m}_mean", f"{m}_std"]
+    for m in PCT_MEASURES:
+        cols += [f"{m}_{int(round(q * 100))}" for q in cfg.percentiles]
+    return cols
+
+
+MID_COLS = ["mid_ts", "mid_turn_idx", "mid_text_len", "mid_fcc"]
+
+
+def rollup(
+    features: DataFrame,
+    cfg: RollupConfig,
+    series_cols: list[str] | None = None,
+    salt: int = 0,
+    gap_fill: bool = True,
+) -> DataFrame:
+    """Roll tier-1 features into the tier-2 continuous aggregate for ``cfg.tier``.
+
+    ``salt > 0`` pre-spreads rows of the same (series, bucket) across
+    ``salt`` input partitions before the aggregate (two-phase for the
+    algebraic part happens automatically via Spark's partial aggregation;
+    exact percentiles still need the full group, so salting here is a
+    repartition of the *scan* side to even out task input sizes).
+    """
+    series_cols = series_cols or ["conv_id"]
+    tier = cfg.tier
+
+    df = qc_filter(features, cfg).filter(F.col("quality_flag") != 1)
+    df = df.withColumn("bucket_start", bucket_start(F.col("ts"), tier))
+    df = df.withColumn("_anchor", midpoint_anchor(F.col("bucket_start"), tier))
+
+    if salt > 0:
+        df = df.repartition(
+            *[F.col(c) for c in series_cols],
+            F.col("bucket_start"),
+            F.pmod(F.xxhash64("ts"), F.lit(salt)),
+        )
+
+    agg = df.groupBy(*series_cols, "bucket_start").agg(*_agg_exprs(cfg))
+
+    if gap_fill:
+        spine = bucket_spine(df, tier, series_cols)
+        agg = spine.join(agg, on=[*series_cols, "bucket_start"], how="left")
+
+    # ---- count tiering + labels -----------------------------------------
+    cnt = F.coalesce(F.col("turn_count"), F.lit(0))
+    full = cnt >= cfg.nmin
+    some = cnt > 0
+
+    out_cols: list[Column] = [F.col(c) for c in series_cols]
+    out_cols.append(F.col("bucket_start"))
+    center = bucket_center(F.col("bucket_start"), tier)
+    out_cols.append(center.alias("bucket_center"))
+    out_cols.append(F.year(center).alias("year"))
+    if tier == "hourly":
+        out_cols.append(F.dayofyear(center).alias("doy"))
+        out_cols.append(F.hour("bucket_start").alias("hour"))
+    else:
+        out_cols.append(F.dayofyear(center).alias("doy"))
+    out_cols.append(cnt.cast("int").alias("turn_count"))
+    for c in MID_COLS:
+        out_cols.append(F.when(some, F.col("_mid")[c]).alias(c))
+    # max_gate_value survives the sub-threshold tier
+    # (generate_summary_timeseries.py:419,456)
+    out_cols.append(F.when(some, F.col("max_gate_value")).alias("max_gate_value"))
+    for c in _stat_cols(cfg):
+        out_cols.append(F.when(full, F.col(c)).alias(c))
+
+    return agg.select(*out_cols)

@@ -1,0 +1,101 @@
+"""End-to-end rollup vs the pure-pandas oracle, cell-by-cell.
+
+The Spark engine (operators/rollup.py) and the oracle
+(oracle/pandas_oracle.py) are independent implementations of the
+reference semantics (generate_summary_timeseries.py:229-461); agreement
+across all tiers on skewed, gappy synthetic data is the correctness gate.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from python_vegindex_spark.config import RollupConfig
+from python_vegindex_spark.operators.features import turn_features
+from python_vegindex_spark.operators.rollup import rollup
+from python_vegindex_spark.oracle.pandas_oracle import oracle_features, oracle_rollup
+from python_vegindex_spark.sources.synth import synth_turns
+
+
+@pytest.fixture(scope="module")
+def turns_pdf(spark):
+    return synth_turns(spark, n_convs=40, seed=42, span_days=480).toPandas()
+
+
+@pytest.fixture(scope="module")
+def turns_sdf(spark, turns_pdf):
+    return spark.createDataFrame(turns_pdf)
+
+
+def _norm(df: pd.DataFrame, keys) -> pd.DataFrame:
+    df = df.copy()
+    for c in df.columns:
+        if c in ("bucket_start", "bucket_center", "mid_ts"):
+            df[c] = pd.to_datetime(df[c])
+    return df.sort_values(keys, kind="stable").reset_index(drop=True)
+
+
+def _assert_frames_match(got: pd.DataFrame, exp: pd.DataFrame, keys):
+    got = _norm(got, keys)
+    exp = _norm(exp, keys)
+    assert len(got) == len(exp), f"row count {len(got)} != {len(exp)}"
+    assert set(exp.columns) <= set(got.columns), set(exp.columns) - set(got.columns)
+    for c in exp.columns:
+        g, e = got[c], exp[c]
+        if e.dtype.kind == "f" or g.dtype.kind == "f":
+            g = pd.to_numeric(g, errors="coerce").astype(float)
+            e = pd.to_numeric(e, errors="coerce").astype(float)
+            bad = ~(np.isclose(g, e, rtol=1e-9, atol=1e-9, equal_nan=True))
+            assert not bad.any(), f"{c}: {got.loc[bad, keys + [c]].head()}\nvs\n{exp.loc[bad, keys + [c]].head()}"
+        else:
+            bad = ~((g == e) | (g.isna() & e.isna()))
+            assert not bad.any(), f"{c}: {got.loc[bad].head()}\nvs\n{exp.loc[bad].head()}"
+
+
+def test_features_match_oracle(spark, turns_sdf, turns_pdf):
+    got = turn_features(turns_sdf).toPandas()
+    exp = oracle_features(turns_pdf)
+    keys = ["conv_id", "turn_idx"]
+    _assert_frames_match(got, exp[[c for c in got.columns]], keys)
+
+
+def test_features_lag_via_join_equivalent(spark, turns_sdf):
+    a = turn_features(turns_sdf, lag_via_join=False).toPandas()
+    b = turn_features(turns_sdf, lag_via_join=True).toPandas()
+    _assert_frames_match(a, b, ["conv_id", "turn_idx"])
+
+
+@pytest.mark.parametrize("tier", ["hourly", "daily", "weekly"])
+def test_rollup_matches_oracle(spark, turns_sdf, turns_pdf, tier):
+    cfg = RollupConfig(tier=tier, nmin=2)
+    got = rollup(turn_features(turns_sdf), cfg).toPandas()
+    exp = oracle_rollup(oracle_features(turns_pdf), cfg)
+    keys = ["conv_id", "bucket_start"]
+    _assert_frames_match(got, exp, keys)
+
+
+def test_rollup_salted_equivalent(spark, turns_sdf):
+    cfg = RollupConfig(tier="daily")
+    a = rollup(turn_features(turns_sdf), cfg, salt=0).toPandas()
+    b = rollup(turn_features(turns_sdf), cfg, salt=8).toPandas()
+    _assert_frames_match(a, b, ["conv_id", "bucket_start"])
+
+
+def test_tiering_thresholds(spark, turns_sdf):
+    """count==0 -> all-null gap row; 0<count<nmin -> midpoint+max_gate only."""
+    cfg = RollupConfig(tier="daily", nmin=5)
+    out = rollup(turn_features(turns_sdf), cfg).toPandas()
+    gaps = out[out.turn_count == 0]
+    assert len(gaps) > 0, "synthetic data should contain gap buckets"
+    assert gaps["fcc_mean"].isna().all() and gaps["mid_turn_idx"].isna().all()
+    sub = out[(out.turn_count > 0) & (out.turn_count < 5)]
+    assert len(sub) > 0
+    assert sub["fcc_mean"].isna().all()
+    assert sub["mid_turn_idx"].notna().all()
+    assert sub["max_gate_value"].notna().all()
+    full = out[out.turn_count >= 5]
+    assert full["fcc_mean"].notna().all()
