@@ -1,38 +1,452 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry runs an engine operator from SURVEY.md §2 over
+the driver's parquet tables; ``oracle_sql()`` gives the DuckDB-runnable
+equivalent. Float aggregates are rounded to fixed decimals on BOTH sides
+so the driver's value hash is stable across engines.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from python_vegindex_spark.functions.timeutil import epoch_us
+
+from python_vegindex_spark.functions.buckets import bucket_start
+from python_vegindex_spark.functions.text import token_count
+from python_vegindex_spark.operators.asof import asof_join
+from python_vegindex_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash64,
+)
+from python_vegindex_spark.operators.generic_rollup import (
+    representative_rows,
+    rollup_series,
+)
+from python_vegindex_spark.operators.similarity import cosine_topk
+from python_vegindex_spark.operators.upsert import merge_upsert
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# queries (Spark side)
+# --------------------------------------------------------------------------
+
+def q_hourly_rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A4+A2 over events: hourly continuous aggregate per event_type,
+    gap-filled, exact HF-7 percentiles."""
+    ev = _t(spark, sf_dir, "events")
+    return rollup_series(
+        ev, tier="hourly", series_cols=["event_type"], value_col="value"
+    ).orderBy("event_type", "bucket_start")
+
+
+def q_daily_user_rollup_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 count tiering (nmin=3) per user_id, daily buckets, gap-filled."""
+    ev = _t(spark, sf_dir, "events")
+    out = rollup_series(
+        ev, tier="daily", series_cols=["user_id"], value_col="value", nmin=3
+    )
+    return out.select(
+        "user_id", F.col("bucket_start").cast("timestamp").alias("bucket_start"),
+        "n", "v_mean", "v_std", "v_min", "v_max", "v_50", "v_75", "v_90",
+    ).orderBy("user_id", "bucket_start")
+
+
+def q_weekly_anchored_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 doy-anchored weekly buckets (yearly restart) per event_type."""
+    ev = _t(spark, sf_dir, "events")
+    out = rollup_series(
+        ev, tier="weekly", series_cols=["event_type"], value_col="value",
+        gap_fill=False,
+    )
+    return out.withColumn(
+        "bucket_start", F.col("bucket_start").cast("timestamp")
+    ).orderBy("event_type", "bucket_start")
+
+
+def q_midpoint_rep_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 argmin-to-anchor representative row per (event_type, day)."""
+    ev = _t(spark, sf_dir, "events")
+    out = representative_rows(
+        ev, tier="daily", series_cols=["event_type"], ts_col="ts",
+        tie_break_cols=["event_id"], payload_cols=["event_id", "value"],
+    )
+    return out.select(
+        "event_type",
+        F.col("bucket_start").cast("timestamp").alias("bucket_start"),
+        F.col("event_id").alias("mid_event_id"),
+        F.round("value", 6).alias("mid_value"),
+    ).orderBy("event_type", "bucket_start")
+
+
+def q_latency_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 per-series latency deltas (lag window) + rollup per user."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.withColumn(
+        "gap_s", (epoch_us(F.col("ts")) - epoch_us(F.lag("ts").over(w))) / 1e6
+    ).filter(F.col("gap_s").isNotNull())
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.round(F.avg("gap_s"), 6).alias("gap_mean"),
+            F.round(F.percentile("gap_s", F.lit(0.9)), 6).alias("gap_p90"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_asof_backward_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 as-of join: each click paired with the latest view <= 30 min back."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    out = asof_join(
+        clicks, views, on=["user_id"], direction="backward",
+        tolerance_s=1800, payload_cols=["value"],
+    )
+    return out.select(
+        "event_id", "user_id", F.col("r_ts").alias("view_ts"),
+        F.round("r_value", 6).alias("view_value"),
+    ).orderBy("event_id")
+
+
+def q_interval_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 interval-predicate join: lineitems shipped within 30 days of
+    their order's date, per priority."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") < F.date_add(F.col("o_orderdate"), 30))
+    )
+    return (
+        j.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("priority")
+    )
+
+
+def q_merge_upsert_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 keyed upsert: update every 7th event's value (+100), then checksum."""
+    ev = _t(spark, sf_dir, "events")
+    updates = ev.filter(F.col("event_id") % 7 == 0).withColumn(
+        "value", F.col("value") + 100.0
+    )
+    merged = merge_upsert(ev, updates, keys=["event_id"])
+    return (
+        merged.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg("value"), 6).alias("value_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a 16-char normalized prefix (forces collisions on
+    this corpus; md5 keys so DuckDB can reproduce the fingerprint)."""
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.withColumn(
+        "fp", F.md5(F.lower(F.substring(F.regexp_replace(F.trim("text"), r"\s+", " "), 1, 16)))
+    )
+    return (
+        keyed.groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").cast("long").alias("dup_count"))
+        .orderBy("fp")
+    )
+
+
+def q_text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + length stats per doc."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        token_count(F.col("text")).cast("long").alias("tokens"),
+        F.length("text").cast("long").alias("chars"),
+        F.round(
+            token_count(F.col("text")) * 100.0 / F.greatest(F.length("text"), F.lit(1)), 6
+        ).alias("tokens_per_100_chars"),
+    ).orderBy("doc_id")
+
+
+def q_lang_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-level quality rollup (length-band share, token stats)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = token_count(F.col("text"))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg(toks), 6).alias("tokens_mean"),
+            F.round(F.percentile(toks.cast("double"), F.lit(0.9)), 6).alias("tokens_p90"),
+            F.round(F.avg((toks >= 50).cast("int")), 6).alias("share_long"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for query vectors {0,1,2}."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    return cosine_topk(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic flag/status pricing rollup over lineitem (scan+agg shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---- non-SQL-expressible (rows-only checks) ------------------------------
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs verified by exact n-gram Jaccard."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=64, shingle_n=3)
+    pairs = minhash_lsh_pairs(sigs, bands=16, rows_per_band=4)
+    return (
+        ngram_jaccard(pairs, docs, n=3)
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signatures (near-dup fingerprints)."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash64(docs).orderBy("id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "hourly_rollup_gapfill": q_hourly_rollup_gapfill,
+        "daily_user_rollup_tiered": q_daily_user_rollup_tiered,
+        "weekly_anchored_rollup": q_weekly_anchored_rollup,
+        "midpoint_rep_rows": q_midpoint_rep_rows,
+        "latency_lag_stats": q_latency_lag_stats,
+        "asof_backward_join": q_asof_backward_join,
+        "interval_join_agg": q_interval_join_agg,
+        "merge_upsert_checksum": q_merge_upsert_checksum,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "text_stats_docs": q_text_stats_docs,
+        "lang_quality_summary": q_lang_quality_summary,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "tpch_pricing_summary": q_tpch_pricing_summary,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_docs": q_simhash_docs,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: gap-filled hourly continuous aggregate at sf0.001."""
+    return q_hourly_rollup_gapfill(spark, "/root/testdata/sf0.001")
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+_ROLLUP_STATS = """
+        count(*) AS n,
+        round(avg(value), 6) AS v_mean,
+        round(stddev_pop(value), 6) AS v_std,
+        round(min(value), 6) AS v_min,
+        round(max(value), 6) AS v_max,
+        round(quantile_cont(value, 0.5), 6) AS v_50,
+        round(quantile_cont(value, 0.75), 6) AS v_75,
+        round(quantile_cont(value, 0.9), 6) AS v_90
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "hourly_rollup_gapfill": f"""
+WITH base AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_start, value FROM events
+), agg AS (
+  SELECT event_type, bucket_start, {_ROLLUP_STATS}
+  FROM base GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(bucket_start) AS mn, max(bucket_start) AS mx FROM base GROUP BY 1
+), spine AS (
+  SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket_start FROM bounds
+)
+SELECT s.event_type, s.bucket_start,
+       coalesce(a.n, 0) AS n, a.v_mean, a.v_std, a.v_min, a.v_max, a.v_50, a.v_75, a.v_90
+FROM spine s LEFT JOIN agg a USING (event_type, bucket_start)
+ORDER BY 1, 2
+""",
+        "daily_user_rollup_tiered": f"""
+WITH base AS (
+  SELECT user_id, date_trunc('day', ts) AS bucket_start, value FROM events
+), agg AS (
+  SELECT user_id, bucket_start, {_ROLLUP_STATS}
+  FROM base GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, min(bucket_start) AS mn, max(bucket_start) AS mx FROM base GROUP BY 1
+), spine AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS bucket_start FROM bounds
+)
+SELECT s.user_id, s.bucket_start, coalesce(a.n, 0) AS n,
+       CASE WHEN a.n >= 3 THEN a.v_mean END AS v_mean,
+       CASE WHEN a.n >= 3 THEN a.v_std END AS v_std,
+       CASE WHEN a.n >= 3 THEN a.v_min END AS v_min,
+       CASE WHEN a.n >= 3 THEN a.v_max END AS v_max,
+       CASE WHEN a.n >= 3 THEN a.v_50 END AS v_50,
+       CASE WHEN a.n >= 3 THEN a.v_75 END AS v_75,
+       CASE WHEN a.n >= 3 THEN a.v_90 END AS v_90
+FROM spine s LEFT JOIN agg a USING (user_id, bucket_start)
+ORDER BY 1, 2
+""",
+        "weekly_anchored_rollup": f"""
+WITH base AS (
+  SELECT event_type,
+         date_trunc('year', ts) + CAST(floor((dayofyear(ts) - 1) / 7) * 7 AS INT) * INTERVAL 1 DAY AS bucket_start,
+         value
+  FROM events
+)
+SELECT event_type, bucket_start, {_ROLLUP_STATS}
+FROM base GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "midpoint_rep_rows": """
+WITH base AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket_start, event_id, value, ts,
+         abs(epoch_us(ts) - epoch_us(date_trunc('day', ts) + INTERVAL 12 HOUR)) AS d
+  FROM events
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type, bucket_start ORDER BY d, ts, event_id) AS rn
+  FROM base
+)
+SELECT event_type, bucket_start, event_id AS mid_event_id, round(value, 6) AS mid_value
+FROM ranked WHERE rn = 1 ORDER BY 1, 2
+""",
+        "latency_lag_stats": """
+WITH gaps AS (
+  SELECT user_id,
+         (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) / 1e6 AS gap_s
+  FROM events
+)
+SELECT user_id, count(*) AS n_gaps,
+       round(avg(gap_s), 6) AS gap_mean,
+       round(quantile_cont(gap_s, 0.9), 6) AS gap_p90
+FROM gaps WHERE gap_s IS NOT NULL
+GROUP BY 1 ORDER BY 1
+""",
+        "asof_backward_join": """
+SELECT c.event_id, c.user_id,
+       CASE WHEN v.ts IS NOT NULL AND epoch_us(c.ts) - epoch_us(v.ts) <= 1800 * 1000000
+            THEN v.ts END AS view_ts,
+       CASE WHEN v.ts IS NOT NULL AND epoch_us(c.ts) - epoch_us(v.ts) <= 1800 * 1000000
+            THEN round(v.value, 6) END AS view_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+ORDER BY c.event_id
+""",
+        "interval_join_agg": """
+SELECT o.o_orderpriority AS priority,
+       count(*) AS n_items,
+       round(avg(l.l_extendedprice), 4) AS avg_price,
+       round(sum(l.l_quantity), 2) AS sum_qty
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= o.o_orderdate
+  AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+GROUP BY 1 ORDER BY 1
+""",
+        "merge_upsert_checksum": """
+SELECT event_type, count(*) AS n,
+       round(avg(CASE WHEN event_id % 7 = 0 THEN value + 100.0 ELSE value END), 6) AS value_mean
+FROM events GROUP BY 1 ORDER BY 1
+""",
+        "dedup_exact_docs": """
+SELECT md5(lower(substr(regexp_replace(trim(text), '\\s+', ' ', 'g'), 1, 16))) AS fp,
+       min(doc_id) AS keep_id, count(*) AS dup_count
+FROM documents GROUP BY 1 ORDER BY 1
+""",
+        "text_stats_docs": """
+SELECT doc_id, lang,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tokens,
+       length(text) AS chars,
+       round(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END * 100.0
+             / greatest(length(text), 1), 6) AS tokens_per_100_chars
+FROM documents ORDER BY doc_id
+""",
+        "lang_quality_summary": """
+WITH t AS (
+  SELECT lang,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tokens
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       round(avg(tokens), 6) AS tokens_mean,
+       round(quantile_cont(CAST(tokens AS DOUBLE), 0.9), 6) AS tokens_p90,
+       round(avg(CASE WHEN tokens >= 50 THEN 1 ELSE 0 END), 6) AS share_long
+FROM t GROUP BY 1 ORDER BY 1
+""",
+        "ann_cosine_topk": """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS cs
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+""",
+        "tpch_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-09-01'
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    }

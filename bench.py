@@ -1,0 +1,100 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Runs the engine's headline workloads on ``local[$SPARK_GRAFT_CPUS]``
+(default local[32]) against ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) plus a synthetic transcript table (the engine's
+native input shape), and prints::
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., ...extra}
+
+Scaling-efficiency evidence (north_rule: >=0.8 from N to 4N cores) is
+produced by scripts/scale_bench.py, which runs this same workload at
+local[8] and local[32]; results recorded in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+TURNS_PATH = os.environ.get(
+    "SPARK_GRAFT_TURNS", f"/tmp/vxs_bench_turns_{os.getuid()}"
+)
+N_CONVS = int(os.environ.get("SPARK_GRAFT_NCONVS", "40000"))
+
+
+def main() -> None:
+    from python_vegindex_spark.config import RollupConfig
+    from python_vegindex_spark.operators.features import turn_features
+    from python_vegindex_spark.operators.rollup import rollup
+    from python_vegindex_spark.session import get_spark
+    from python_vegindex_spark.sources.synth import synth_turns
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench", master=f"local[{CPUS}]")
+
+    # --- synthetic transcript table (generated once, cached on disk) ------
+    marker = os.path.join(TURNS_PATH, "_SUCCESS_MARKER")
+    if not os.path.exists(marker):
+        synth_turns(spark, n_convs=N_CONVS, seed=42).write.mode(
+            "overwrite"
+        ).parquet(TURNS_PATH)
+        open(marker, "w").write("ok")
+    turns = spark.read.parquet(TURNS_PATH)
+    n_turns = turns.count()
+
+    timings: dict[str, float] = {}
+
+    def run(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        df = fn()
+        n = df.count()  # forces full execution
+        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[f"{name}_rows"] = n
+
+    feats = turn_features(turns)
+    for tier in ("hourly", "daily", "weekly"):
+        run(
+            f"rollup_{tier}",
+            lambda tier=tier: rollup(feats, RollupConfig(tier=tier, nmin=2)),
+        )
+
+    # driver-table workloads (sf dir)
+    qs = entrymod.queries()
+    for name in (
+        "hourly_rollup_gapfill",
+        "asof_backward_join",
+        "minhash_near_dups",
+        "ann_cosine_topk",
+        "tpch_pricing_summary",
+    ):
+        run(name, lambda name=name: qs[name](spark, SF_DIR))
+
+    query_secs = {k: v for k, v in timings.items() if not k.endswith("_rows")}
+    total = round(sum(query_secs.values()), 3)
+    rollup_secs = sum(v for k, v in query_secs.items() if k.startswith("rollup_"))
+    out = {
+        "metric": "engine_bench_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": query_secs,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "n_turns": n_turns,
+        "turns_per_sec_3tier": round(3 * n_turns / rollup_secs, 1) if rollup_secs else None,
+        "rows": {k[:-5]: v for k, v in timings.items() if k.endswith("_rows")},
+        "cpus": int(CPUS),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,186 @@
+"""As-of join: pair each left row with the temporally nearest right row.
+
+The reference pairs each RGB image with the nearest-in-time IR image
+within a +/-10 min tolerance via ``pd.merge_asof(..., direction=
+'nearest', tolerance=10min)`` (generate_ndvi_timeseries.py:138-149) —
+single-node pandas. Spark has no as-of primitive, so this module
+provides two distributed strategies with identical semantics:
+
+* ``asof_join`` (union + window): tag both sides, union, and per equi-key
+  take the running ``last``/``first`` non-null right payload around each
+  left row. One shuffle-sort per equi-key partition. Best when no
+  tolerance bounds the search or keys are well-distributed.
+* ``asof_join_bucketed`` (range join): bucketize ts by the tolerance,
+  explode the right side into the 3 adjacent buckets, equi-join on
+  (key, bucket), keep |delta| <= tolerance, pick the best match per left
+  row with one ``min(struct)`` aggregate. Shuffles on (key, bucket) so a
+  hot key is split across time — the scale path for skewed keys.
+
+Tie semantics (both): equal distance before/after -> the earlier
+(backward) right row wins, matching pandas' searchsorted behavior; equal
+ts on the right -> smallest right tie-break column wins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from ..functions.timeutil import epoch_us
+
+
+def _prep(right: DataFrame, right_ts: str, payload_cols: list[str]) -> DataFrame:
+    return right.select(
+        *[F.col(c) for c in right.columns]
+    ).withColumnRenamed(right_ts, right_ts)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    direction: str = "nearest",
+    tolerance_s: float | None = None,
+    payload_cols: list[str] | None = None,
+    prefix: str = "r_",
+) -> DataFrame:
+    """Union+window as-of join. Returns all left columns plus
+    ``{prefix}{payload}`` columns and ``{prefix}ts`` (null if no match)."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"bad direction {direction!r}")
+    payload_cols = payload_cols or [
+        c for c in right.columns if c not in on and c != right_ts
+    ]
+
+    lcols = left.columns
+    lrow_type = left.select(
+        F.struct(*[F.col(c) for c in lcols]).alias("s")
+    ).schema["s"].dataType
+    rrow_type = right.select(
+        F.struct(
+            F.col(right_ts).alias("_rts"), *[F.col(c) for c in payload_cols]
+        ).alias("s")
+    ).schema["s"].dataType
+    l_tag = left.select(
+        *on,
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*[F.col(c) for c in lcols]).alias("_lrow"),
+        F.lit(None).cast(rrow_type).alias("_rrow"),
+    )
+    r_tag = right.select(
+        *on,
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(lrow_type).alias("_lrow"),
+        F.struct(
+            F.col(right_ts).alias("_rts"), *[F.col(c) for c in payload_cols]
+        ).alias("_rrow"),
+    )
+    u = l_tag.unionByName(r_tag)
+
+    # right rows sort before left rows at equal ts so a same-instant right
+    # row is visible "backward" (merge_asof allow_exact_matches=True)
+    w_back = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_t"), F.col("_is_left"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_t"), F.col("_is_left"))
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    u = u.withColumn("_prev", F.last(F.col("_rrow"), ignorenulls=True).over(w_back))
+    u = u.withColumn("_next", F.first(F.col("_rrow"), ignorenulls=True).over(w_fwd))
+
+    lt = F.col("_t")
+    prev_d = epoch_us(lt) - epoch_us(F.col("_prev._rts"))
+    next_d = epoch_us(F.col("_next._rts")) - epoch_us(lt)
+    tol_us = None if tolerance_s is None else int(tolerance_s * 1_000_000)
+
+    prev_ok = F.col("_prev").isNotNull() & (
+        F.lit(True) if tol_us is None else (prev_d <= tol_us)
+    )
+    next_ok = F.col("_next").isNotNull() & (
+        F.lit(True) if tol_us is None else (next_d <= tol_us)
+    )
+    if direction == "backward":
+        best = F.when(prev_ok, F.col("_prev"))
+    elif direction == "forward":
+        best = F.when(next_ok, F.col("_next"))
+    else:  # nearest; tie -> backward
+        best = (
+            F.when(prev_ok & next_ok, F.when(next_d < prev_d, F.col("_next")).otherwise(F.col("_prev")))
+            .when(prev_ok, F.col("_prev"))
+            .when(next_ok, F.col("_next"))
+        )
+    u = u.filter(F.col("_is_left") == 1).withColumn("_best", best)
+    out_cols = [F.col("_lrow")[c].alias(c) for c in lcols]
+    out_cols.append(F.col("_best._rts").alias(f"{prefix}ts"))
+    out_cols += [F.col("_best")[c].alias(f"{prefix}{c}") for c in payload_cols]
+    return u.select(*out_cols)
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_keys: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    direction: str = "nearest",
+    tolerance_s: float = 600.0,
+    payload_cols: list[str] | None = None,
+    prefix: str = "r_",
+) -> DataFrame:
+    """Bucketed range-join as-of (requires a finite tolerance).
+
+    ``left_keys`` must uniquely identify left rows (used to regroup
+    candidate matches). Scale path: shuffles on (equi-key, ts-bucket),
+    so hot keys are split across time buckets.
+    """
+    if tolerance_s is None or tolerance_s <= 0:
+        raise ValueError("bucketed as-of needs a positive tolerance")
+    payload_cols = payload_cols or [
+        c for c in right.columns if c not in on and c != right_ts
+    ]
+    tol_us = int(tolerance_s * 1_000_000)
+
+    lb = left.withColumn("_b", (epoch_us(F.col(left_ts)) / tol_us).cast("long"))
+    rb = right.select(
+        *on,
+        F.col(right_ts).alias("_rts_in"),
+        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+    ).withColumn(
+        "_b0", (epoch_us(F.col("_rts_in")) / tol_us).cast("long")
+    ).withColumn("_b", F.explode(F.array(F.col("_b0") - 1, F.col("_b0"), F.col("_b0") + 1)))
+
+    j = lb.join(rb.drop("_b0"), on=[*on, "_b"], how="left")
+    delta = epoch_us(F.col(left_ts)) - epoch_us(F.col("_rts_in"))
+    if direction == "backward":
+        ok = (delta >= 0) & (delta <= tol_us)
+    elif direction == "forward":
+        ok = (delta <= 0) & (-delta <= tol_us)
+    else:
+        ok = F.abs(delta) <= tol_us
+    # rank candidates: |delta|, then backward-preferred, then right ts
+    cand = F.when(
+        ok & F.col("_rts_in").isNotNull(),
+        F.struct(
+            F.abs(delta).alias("_d"),
+            F.when(delta >= 0, F.lit(0)).otherwise(F.lit(1)).alias("_fwd"),
+            F.col("_rts_in").alias("_rts"),
+            *[F.col(f"_p_{c}").alias(c) for c in payload_cols],
+        ),
+    )
+    lcols = [c for c in left.columns]
+    agg = j.groupBy(*[F.col(c) for c in left_keys]).agg(
+        *[F.first(F.col(c)).alias(c) for c in lcols if c not in left_keys],
+        F.min(cand).alias("_best"),
+    )
+    out_cols = [F.col(c) for c in lcols]
+    out_cols.append(F.col("_best._rts").alias(f"{prefix}ts"))
+    out_cols += [F.col("_best")[c].alias(f"{prefix}{c}") for c in payload_cols]
+    return agg.select(*out_cols)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..functions.timeutil import epoch_us
 
 # columns produced on top of the carried keys
 FEATURE_COLS = [
@@ -63,13 +64,13 @@ def turn_features(turns: DataFrame, lag_via_join: bool = False) -> DataFrame:
         ).drop("_pc", "_pi")
         df = df.withColumn(
             "latency_delta_s",
-            (F.unix_micros("ts") - F.unix_micros("_prev_ts")) / 1e6,
+            (epoch_us(F.col("ts")) - epoch_us(F.col("_prev_ts"))) / 1e6,
         ).drop("_prev_ts")
     else:
         w = Window.partitionBy("conv_id").orderBy("turn_idx")
         df = turns.withColumn(
             "latency_delta_s",
-            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) / 1e6,
+            (epoch_us(F.col("ts")) - epoch_us(F.lag("ts").over(w))) / 1e6,
         )
 
     df = (

@@ -1,0 +1,115 @@
+"""Generic continuous-aggregate rollup over any (series, ts, value) table.
+
+The transcript rollup (operators/rollup.py) is the full-fidelity port of
+the reference summary pipeline over the tier-1 feature schema; this
+module is the same operator family generalized to arbitrary tables —
+what a user points at any time-series DataFrame (here: the driver's
+``events`` table). Shares the bucket/spine/percentile machinery and the
+same plan shape: one shuffle, JVM-only aggregates, gap-fill via a tiny
+spine join.
+
+Semantics per the reference:
+* buckets/gap-fill: vegindex.py:22-64 + generate_summary_timeseries.py:295-301
+* mean/stddev_pop/exact HF-7 percentiles: generate_summary_timeseries.py:438-457
+* count tiering vs nmin: generate_summary_timeseries.py:354-461
+* argmin-to-anchor representative row: generate_summary_timeseries.py:393-400
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from ..functions.timeutil import epoch_us
+
+from ..functions.buckets import bucket_center, bucket_spine, bucket_start, midpoint_anchor
+
+
+def rollup_series(
+    df: DataFrame,
+    tier: str,
+    series_cols: list[str],
+    value_col: str = "value",
+    ts_col: str = "ts",
+    percentiles: tuple[float, ...] = (0.5, 0.75, 0.9),
+    nmin: int = 1,
+    gap_fill: bool = True,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Roll one value column into tier buckets per series.
+
+    Output: series..., bucket_start, n (rows with non-null value),
+    v_mean, v_std (population), v_{q} exact percentiles, v_min, v_max —
+    nulled below ``nmin`` per the reference tiering. ``round_to`` rounds
+    float aggregates for stable cross-engine comparison.
+    """
+    ts = F.col(ts_col)
+    v = F.col(value_col)
+    d = df.withColumn("bucket_start", bucket_start(ts, tier))
+
+    def _r(c: Column) -> Column:
+        return F.round(c, round_to) if round_to is not None else c
+
+    aggs = [
+        F.count(F.when(v.isNotNull(), 1)).alias("n"),
+        _r(F.avg(v)).alias("v_mean"),
+        _r(F.stddev_pop(v)).alias("v_std"),
+        _r(F.min(v)).alias("v_min"),
+        _r(F.max(v)).alias("v_max"),
+    ]
+    for q in percentiles:
+        aggs.append(
+            _r(F.percentile(v, F.lit(q))).alias(f"v_{int(round(q * 100))}")
+        )
+    agg = d.groupBy(*series_cols, "bucket_start").agg(*aggs)
+
+    if gap_fill:
+        spine = bucket_spine(d, tier, series_cols)
+        agg = spine.join(agg, on=[*series_cols, "bucket_start"], how="left")
+
+    cnt = F.coalesce(F.col("n"), F.lit(0))
+    full = cnt >= nmin
+    stat_cols = ["v_mean", "v_std", "v_min", "v_max"] + [
+        f"v_{int(round(q * 100))}" for q in percentiles
+    ]
+    out = agg.select(
+        *series_cols,
+        "bucket_start",
+        cnt.cast("long").alias("n"),
+        *[F.when(full, F.col(c)).alias(c) for c in stat_cols],
+    )
+    return out
+
+
+def representative_rows(
+    df: DataFrame,
+    tier: str,
+    series_cols: list[str],
+    ts_col: str = "ts",
+    tie_break_cols: list[str] | None = None,
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """The "midday image" operator: per (series, bucket), the row nearest
+    the bucket anchor; ties broken by earliest ts then ``tie_break_cols``
+    (generate_summary_timeseries.py:393-400). Single hash aggregate via
+    lexicographic min(struct) — no window shuffle-sort needed.
+    """
+    tie_break_cols = tie_break_cols or []
+    payload_cols = payload_cols or [
+        c for c in df.columns if c not in series_cols
+    ]
+    ts = F.col(ts_col)
+    d = df.withColumn("bucket_start", bucket_start(ts, tier)).withColumn(
+        "_anchor", midpoint_anchor(F.col("bucket_start"), tier)
+    )
+    payload = F.struct(
+        F.abs(epoch_us(ts) - epoch_us(F.col("_anchor"))).alias("_d"),
+        ts.alias("_ts"),
+        *[F.col(c).alias(f"_tb_{c}") for c in tie_break_cols],
+        *[F.col(c).alias(c) for c in payload_cols],
+    )
+    agg = d.groupBy(*series_cols, "bucket_start").agg(F.min(payload).alias("_m"))
+    return agg.select(
+        *series_cols,
+        "bucket_start",
+        *[F.col("_m")[c].alias(c) for c in payload_cols],
+    )

@@ -45,6 +45,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..functions.timeutil import epoch_us
 
 from ..config import RollupConfig
 from ..functions.buckets import bucket_center, bucket_spine, bucket_start, midpoint_anchor
@@ -88,7 +89,7 @@ def _agg_exprs(cfg: RollupConfig) -> list[Column]:
             )
     # representative row: lexicographic min over (|delta|, ts, payload)
     payload = F.struct(
-        F.abs(F.unix_micros("ts") - F.unix_micros("_anchor")).alias("d"),
+        F.abs(epoch_us(F.col("ts")) - epoch_us(F.col("_anchor"))).alias("d"),
         F.col("ts").alias("mid_ts"),
         F.col("turn_idx").alias("mid_turn_idx"),
         F.col("text_len").alias("mid_text_len"),

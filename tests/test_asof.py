@@ -1,0 +1,79 @@
+"""As-of join vs pandas merge_asof (the reference's exact primitive,
+generate_ndvi_timeseries.py:138-149), plus window/bucketed equivalence."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from python_vegindex_spark.operators.asof import asof_join, asof_join_bucketed
+
+
+@pytest.fixture(scope="module")
+def streams():
+    rng = np.random.default_rng(11)
+    keys = ["a", "b", "c"]
+    rows_l, rows_r = [], []
+    t0 = pd.Timestamp("2024-03-01")
+    for k in keys:
+        lts = np.sort(rng.uniform(0, 86400 * 3, size=80))
+        rts = np.sort(rng.uniform(0, 86400 * 3, size=60))
+        for i, s in enumerate(lts):
+            rows_l.append({"k": k, "lid": f"{k}{i}", "ts": t0 + pd.Timedelta(seconds=float(s)), "lv": float(i)})
+        for i, s in enumerate(rts):
+            rows_r.append({"k": k, "ts": t0 + pd.Timedelta(seconds=float(s)), "rv": float(i * 10)})
+    l, r = pd.DataFrame(rows_l), pd.DataFrame(rows_r)
+    # Spark timestamps are microsecond precision; truncate the fixture
+    l["ts"] = l["ts"].dt.floor("us")
+    r["ts"] = r["ts"].dt.floor("us")
+    return l, r
+
+
+def _expected(left, right, direction, tol_s):
+    out = []
+    for k, lg in left.groupby("k"):
+        rg = right[right.k == k]
+        m = pd.merge_asof(
+            lg.sort_values("ts"),
+            rg.sort_values("ts")[["ts", "rv"]].rename(columns={"ts": "r_ts"}),
+            left_on="ts",
+            right_on="r_ts",
+            direction=direction,
+            tolerance=pd.Timedelta(seconds=tol_s) if tol_s else None,
+        )
+        out.append(m)
+    return pd.concat(out).sort_values(["k", "ts"]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("direction,tol", [("backward", None), ("backward", 1800), ("forward", 3600), ("nearest", 1800), ("nearest", None)])
+def test_asof_matches_pandas(spark, streams, direction, tol):
+    lpdf, rpdf = streams
+    l, r = spark.createDataFrame(lpdf), spark.createDataFrame(rpdf)
+    got = (
+        asof_join(l, r, on=["k"], direction=direction, tolerance_s=tol, payload_cols=["rv"])
+        .toPandas()
+        .sort_values(["k", "ts"])
+        .reset_index(drop=True)
+    )
+    exp = _expected(lpdf, rpdf, direction, tol)
+    pd.testing.assert_series_equal(got["r_rv"], exp["rv"].rename("r_rv"), check_exact=True)
+    pd.testing.assert_series_equal(got["r_ts"], exp["r_ts"].rename("r_ts"))
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_bucketed_equivalent(spark, streams, direction):
+    lpdf, rpdf = streams
+    l, r = spark.createDataFrame(lpdf), spark.createDataFrame(rpdf)
+    a = (
+        asof_join(l, r, on=["k"], direction=direction, tolerance_s=900, payload_cols=["rv"])
+        .toPandas().sort_values(["k", "lid"]).reset_index(drop=True)
+    )
+    b = (
+        asof_join_bucketed(
+            l, r, on=["k"], left_keys=["lid"], direction=direction,
+            tolerance_s=900, payload_cols=["rv"],
+        )
+        .toPandas().sort_values(["k", "lid"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a[["k", "lid", "r_ts", "r_rv"]], b[["k", "lid", "r_ts", "r_rv"]])
