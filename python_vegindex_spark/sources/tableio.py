@@ -1,0 +1,82 @@
+"""TableIO — format adapter with MERGE-like semantics on plain parquet.
+
+The engine's logic is format-agnostic; in production these tables are
+Iceberg and upserts are ``MERGE INTO`` / ``replaceWhere``. This sandbox
+has no Iceberg runtime jar, so TableIO emulates the same surface on
+parquet directories:
+
+* ``upsert``   — MERGE on keys: read target, anti-join, union, rewrite.
+  At scale the rewrite is confined to affected partitions via dynamic
+  partition overwrite (spark.sql.sources.partitionOverwriteMode=dynamic),
+  exactly the partitions the update keys touch.
+* ``append``   — plain append.
+* ``read``     — schema-stable read that tolerates a missing table.
+
+Keeping this adapter thin means a real Iceberg catalog is a config
+change, not a refactor (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def exists(path: str) -> bool:
+    return os.path.exists(path) and any(
+        n.endswith(".parquet") or n == "_SUCCESS" or not n.startswith(".")
+        for n in os.listdir(path)
+    )
+
+
+def read(spark: SparkSession, path: str) -> DataFrame | None:
+    if not exists(path):
+        return None
+    return spark.read.parquet(path)
+
+
+def append(df: DataFrame, path: str) -> None:
+    df.write.mode("append").parquet(path)
+
+
+def overwrite(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def upsert(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_by: list[str] | None = None,
+) -> int:
+    """MERGE-equivalent: replace target rows matching update keys, insert
+    the rest. Returns the number of upserted rows.
+
+    With ``partition_by``, only partitions present in ``updates`` are
+    rewritten (dynamic partition overwrite) — the parquet emulation of
+    Iceberg's ``replaceWhere``/MERGE write amplification profile.
+    """
+    n_up = updates.count()
+    existing = read(spark, path)
+    if existing is None:
+        overwrite(updates, path, partition_by)
+        return n_up
+
+    if partition_by:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        touched = updates.select(*partition_by).distinct()
+        base = existing.join(F.broadcast(touched), on=partition_by, how="left_semi")
+        kept = base.join(updates.select(*keys), on=keys, how="left_anti")
+        out = kept.unionByName(updates).localCheckpoint(eager=True)
+        out.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    else:
+        kept = existing.join(updates.select(*keys), on=keys, how="left_anti")
+        out = kept.unionByName(updates).localCheckpoint(eager=True)
+        overwrite(out, path)
+    return n_up

@@ -1,0 +1,234 @@
+"""Checkpoint-resumable incremental rollup + retention + lineage.
+
+The batch-incremental contract of the reference ``update_*`` scripts,
+re-expressed over tables:
+
+* watermark — resume from the max ingested ``ts`` recorded in a
+  checkpoint table (update_roi_timeseries.py:134-139 resumes from the
+  last CSV row's timestamp).
+* bucket invalidation — a series' LAST summary bucket is always
+  recomputed because new data may extend an open period
+  (update_summary_timeseries.py:246-256). Here per-conv: recompute from
+  min(conv's last gold bucket, conv's first new-turn bucket) through the
+  conv's last new bucket — gap buckets in between are (re)emitted.
+* lag-correctness — per-turn latency deltas need each conv's last turn
+  BEFORE the invalidation window; fetched as one max-struct aggregate
+  over the old slice (bounded by #affected convs), unioned in, then
+  dropped after feature computation.
+* upsert — recomputed rows MERGE into gold on (conv_id, bucket_start)
+  via TableIO (Iceberg MERGE in production).
+* lineage/metrics — one append-only row per (run, tier): rows in/out,
+  watermarks, wall time (north_rule).
+* retention — raw day-partitions older than a horizon are dropped only
+  after chunk row-counts verify the day is fully represented in the
+  compressed tier (north_rule "drop raw turns while preserving rollups").
+
+Invariant (tested): initial-load + N incremental runs == one full
+recompute, cell-for-cell, for every tier.
+"""
+
+from __future__ import annotations
+
+import shutil
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import RollupConfig
+from ..functions.buckets import bucket_start
+from ..operators.features import turn_features
+from ..operators.rollup import rollup
+from ..sources import tableio
+
+
+@dataclass
+class RollupStore:
+    """Directory layout for one engine instance."""
+
+    root: str
+
+    @property
+    def checkpoint(self) -> str:
+        return f"{self.root}/checkpoints"
+
+    @property
+    def lineage(self) -> str:
+        return f"{self.root}/lineage"
+
+    def gold(self, tier: str) -> str:
+        return f"{self.root}/gold_{tier}"
+
+
+def _high_water(spark: SparkSession, store: RollupStore, tier: str):
+    ck = tableio.read(spark, store.checkpoint)
+    if ck is None:
+        return None
+    row = (
+        ck.filter(F.col("tier") == tier)
+        .agg(F.max("high_water_ts").alias("hw"))
+        .collect()[0]
+    )
+    return row["hw"]
+
+
+def incremental_rollup(
+    spark: SparkSession,
+    turns: DataFrame,
+    store: RollupStore,
+    cfg: RollupConfig,
+    run_id: str | None = None,
+) -> dict:
+    """Ingest all turns with ts > checkpoint watermark into the gold tier.
+
+    ``turns`` is the bronze table (possibly already pruned by the caller
+    with read_turns bounds). Returns a metrics dict (also appended to the
+    lineage table).
+    """
+    t0 = time.perf_counter()
+    run_id = run_id or uuid.uuid4().hex[:12]
+    tier = cfg.tier
+    hw = _high_water(spark, store, tier)
+
+    new = turns if hw is None else turns.filter(F.col("ts") > F.lit(hw))
+    affected = new.select("conv_id").distinct()
+
+    gold_path = store.gold(tier)
+    existing = tableio.read(spark, gold_path)
+
+    if hw is None or existing is None:
+        slice_turns = new
+        invalid = None
+    else:
+        # per-conv invalidation start: min(last gold bucket, first new bucket)
+        last_gold = (
+            existing.join(F.broadcast(affected), on="conv_id", how="left_semi")
+            .groupBy("conv_id")
+            .agg(F.max("bucket_start").alias("_lgb"))
+        )
+        first_new = (
+            new.withColumn("_b", bucket_start(F.col("ts"), tier))
+            .groupBy("conv_id")
+            .agg(F.min("_b").alias("_fnb"))
+        )
+        invalid = first_new.join(last_gold, on="conv_id", how="left").select(
+            "conv_id",
+            F.least(
+                F.col("_fnb"), F.coalesce(F.col("_lgb"), F.col("_fnb"))
+            ).alias("invalid_from"),
+        )
+        # raw turns for all invalidated buckets of affected convs
+        slice_turns = (
+            turns.join(F.broadcast(invalid), on="conv_id")
+            .filter(bucket_start(F.col("ts"), tier) >= F.col("invalid_from"))
+            .drop("invalid_from")
+        )
+        # each conv's last turn BEFORE the slice, for lag correctness
+        older = turns.join(F.broadcast(invalid), on="conv_id").filter(
+            bucket_start(F.col("ts"), tier) < F.col("invalid_from")
+        )
+        prev_payload = F.struct(
+            F.col("ts").alias("_o"), *[F.col(c) for c in turns.columns]
+        )
+        prev_rows = (
+            older.groupBy("conv_id")
+            .agg(F.max(prev_payload).alias("_m"))
+            .select(*[F.col("_m")[c].alias(c) for c in turns.columns])
+        )
+        slice_turns = slice_turns.unionByName(prev_rows)
+
+    rows_in = slice_turns.count()
+    if rows_in == 0:
+        metrics = {
+            "run_id": run_id, "tier": tier, "rows_in": 0, "rows_out": 0,
+            "hw_old": hw, "hw_new": hw, "wall_ms": int((time.perf_counter() - t0) * 1000),
+        }
+        _append_lineage(spark, store, metrics)
+        return metrics
+
+    feats = turn_features(slice_turns)
+    if invalid is not None:
+        # drop the lag-helper rows (anything before the invalidation start)
+        feats = feats.join(F.broadcast(invalid), on="conv_id").filter(
+            bucket_start(F.col("ts"), tier) >= F.col("invalid_from")
+        ).drop("invalid_from")
+
+    out = rollup(feats, cfg)
+    rows_out = tableio.upsert(
+        spark, out, gold_path, keys=["conv_id", "bucket_start"]
+    )
+
+    hw_new = new.agg(F.max("ts")).collect()[0][0] or hw
+    ck_row = spark.createDataFrame(
+        [(tier, hw_new, run_id)], "tier string, high_water_ts timestamp, run_id string"
+    )
+    tableio.append(ck_row, store.checkpoint)
+
+    metrics = {
+        "run_id": run_id, "tier": tier, "rows_in": rows_in, "rows_out": rows_out,
+        "hw_old": hw, "hw_new": hw_new,
+        "wall_ms": int((time.perf_counter() - t0) * 1000),
+    }
+    _append_lineage(spark, store, metrics)
+    return metrics
+
+
+def _append_lineage(spark: SparkSession, store: RollupStore, m: dict) -> None:
+    row = spark.createDataFrame(
+        [
+            (
+                m["run_id"], m["tier"], m["rows_in"], m["rows_out"],
+                m["hw_old"], m["hw_new"], m["wall_ms"],
+            )
+        ],
+        "run_id string, tier string, rows_in long, rows_out long, "
+        "hw_old timestamp, hw_new timestamp, wall_ms long",
+    ).withColumn("logged_at", F.current_timestamp())
+    tableio.append(row, store.lineage)
+
+
+# ---------------------------------------------------------------------------
+# retention compaction
+# ---------------------------------------------------------------------------
+
+def compact_retention(
+    spark: SparkSession,
+    turns_path: str,
+    chunks: DataFrame,
+    older_than: str,
+) -> dict:
+    """Drop raw day-partitions (``ts_date=YYYY-MM-DD`` dirs) strictly older
+    than ``older_than`` IF the chunk table fully accounts for that day's
+    rows (sum of n_points == raw count). Days failing verification are
+    kept and reported. Local-FS directory delete here; Iceberg
+    ``DELETE WHERE`` + snapshot expiry in production.
+    """
+    import os
+
+    raw_counts = (
+        spark.read.parquet(turns_path)
+        .filter(F.col("ts_date") < F.lit(older_than))
+        .groupBy("ts_date")
+        .count()
+        .collect()
+    )
+    chunk_counts = {
+        r["d"]: r["n"]
+        for r in chunks.filter(F.to_date("first_ts") < F.lit(older_than))
+        .groupBy(F.to_date("first_ts").alias("d"))
+        .agg(F.sum("n_points").alias("n"))
+        .collect()
+    }
+    dropped, kept = [], []
+    for r in raw_counts:
+        day, n_raw = r["ts_date"], r["count"]
+        if chunk_counts.get(day, 0) == n_raw:
+            part_dir = os.path.join(turns_path, f"ts_date={day.isoformat()}")
+            if os.path.isdir(part_dir):
+                shutil.rmtree(part_dir)
+                dropped.append(str(day))
+        else:
+            kept.append(str(day))
+    return {"dropped_days": sorted(dropped), "kept_unverified": sorted(kept)}

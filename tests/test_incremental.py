@@ -1,0 +1,97 @@
+"""Checkpoint-resume equivalence + retention compaction.
+
+The engine invariant from the reference update scripts: an initial load
+followed by any number of incremental runs must equal one full recompute
+(update_summary_timeseries.py re-opens the last bucket and upserts —
+here per conv, per tier).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from python_vegindex_spark.config import RollupConfig
+from python_vegindex_spark.operators.features import turn_features
+from python_vegindex_spark.operators.rollup import rollup
+from python_vegindex_spark.sources import tableio
+from python_vegindex_spark.sources.synth import synth_turns
+from python_vegindex_spark.streaming.incremental import (
+    RollupStore,
+    compact_retention,
+    incremental_rollup,
+)
+
+
+@pytest.fixture(scope="module")
+def turns(spark):
+    return synth_turns(spark, n_convs=60, seed=13, span_days=200).cache()
+
+
+def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
+    return (
+        pdf.sort_values(["conv_id", "bucket_start"], kind="stable")
+        .reset_index(drop=True)
+        .sort_index(axis=1)
+    )
+
+
+@pytest.mark.parametrize("tier", ["daily", "weekly"])
+def test_resume_equivalence(spark, turns, tier, tmp_path):
+    from pyspark.sql import functions as F
+
+    cfg = RollupConfig(tier=tier, nmin=2)
+    store = RollupStore(str(tmp_path / f"store_{tier}"))
+
+    cut1, cut2 = "2024-01-15", "2024-03-15"
+    m1 = incremental_rollup(spark, turns.filter(F.col("ts") < cut1), store, cfg)
+    m2 = incremental_rollup(spark, turns.filter(F.col("ts") < cut2), store, cfg)
+    m3 = incremental_rollup(spark, turns, store, cfg)
+    assert m1["rows_in"] > 0 and m2["rows_in"] > 0 and m3["rows_in"] > 0
+
+    got = tableio.read(spark, store.gold(tier)).toPandas()
+    exp = rollup(turn_features(turns), cfg).toPandas()
+    g, e = _norm(got), _norm(exp)
+    assert len(g) == len(e)
+    pd.testing.assert_frame_equal(g, e[g.columns.tolist()], check_exact=False, rtol=1e-12)
+
+    # idempotency: running again with no new data is a no-op
+    m4 = incremental_rollup(spark, turns, store, cfg)
+    assert m4["rows_in"] == 0
+
+    # lineage recorded one row per run
+    lin = tableio.read(spark, store.lineage).toPandas()
+    assert len(lin) == 4
+    assert set(lin["tier"]) == {tier}
+
+
+def test_retention_compaction(spark, turns, tmp_path):
+    from pyspark.sql import functions as F
+
+    from python_vegindex_spark.codecs.chunks import encode_chunks
+    from python_vegindex_spark.sources.synth import write_turns
+
+    raw_path = str(tmp_path / "bronze")
+    write_turns(turns, raw_path, partition_by_day=True)
+    bronze = spark.read.parquet(raw_path)
+    n0 = bronze.count()
+
+    horizon = "2024-03-01"  # inside the data span: some days drop, some stay
+    chunks = encode_chunks(
+        bronze.withColumn("value", F.length("text").cast("double")),
+        tier="hourly",
+        series_cols=["conv_id"],
+    ).cache()
+    report = compact_retention(spark, raw_path, chunks, older_than=horizon)
+    assert report["dropped_days"], "should drop verified old partitions"
+    assert not report["kept_unverified"], report
+
+    after = spark.read.parquet(raw_path)
+    assert after.filter(F.col("ts_date") < horizon).count() == 0
+    kept = after.count()
+    dropped = n0 - kept
+    assert dropped > 0 and kept > 0
+    # every dropped row is still represented in chunk points
+    total_points = chunks.agg(F.sum("n_points")).collect()[0][0]
+    assert total_points == n0
