@@ -5,13 +5,18 @@ delta-of-delta-compressed timestamps and Gorilla-XOR-compressed values
 as binary columns, with chunk stats (n_points, first/last ts) for
 pruning. FIXTURES.md §4 schema.
 
-Execution shape:
-* encode — one shuffle on (series, bucket) into grouped applyInPandas;
-  each Arrow batch is encoded with vectorized numpy (codecs/gorilla.py).
-  Group size is bounded by the bucket length, so executor memory is
-  bounded regardless of how hot a series is.
-* decode — mapInPandas: each chunk row explodes independently; no
-  shuffle at all. Decoded rows feed the rollup operators unchanged.
+Execution shape — chosen after measuring the naive grouped
+applyInPandas at ~10 ms/group of fixed overhead (arrow roundtrip +
+per-group pandas frame), catastrophic for small chunks:
+
+* encode — ``repartition(series, bucket)`` + ``sortWithinPartitions`` +
+  ``mapInPandas``. Each Arrow batch carries MANY groups; groups are
+  contiguous after the sort, so the encoder slices them with one
+  factorize pass and stitches the (possibly split) trailing group into
+  the next batch. Hash partitioning guarantees a group never spans
+  partitions. One shuffle; per-group cost is just the two numpy encodes.
+* decode — ``mapInPandas``: each chunk row explodes independently; no
+  shuffle. Decoded rows feed the rollup operators unchanged.
 """
 
 from __future__ import annotations
@@ -66,29 +71,68 @@ def encode_chunks(
         F.col(value_col).cast("double").alias("_v"),
     ).withColumn("bucket_start", bucket_start(F.col("_ts"), tier))
 
+    keys = [*series_cols, "bucket_start"]
     series_fields = [d.schema[c] for c in series_cols]
     bucket_type = d.schema["bucket_start"].dataType
     schema = _chunk_schema(series_fields, bucket_type)
-    keys = [*series_cols, "bucket_start"]
 
-    def encode_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("_ts", kind="stable")
+    d = d.repartition(*[F.col(k) for k in keys]).sortWithinPartitions(
+        *[F.col(k) for k in keys], F.col("_ts")
+    )
+
+    def _encode_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Encode a frame of WHOLE groups (already key-sorted)."""
+        codes, _ = pd.factorize(
+            pd.MultiIndex.from_frame(pdf[keys]) if len(keys) > 1 else pdf[keys[0]]
+        )
+        # groups are contiguous: boundaries where code changes
+        starts = np.flatnonzero(np.diff(codes, prepend=codes[0] - 1))
+        ends = np.append(starts[1:], len(pdf))
         ts_us = pdf["_ts"].astype("datetime64[us]").astype("int64").to_numpy()
         vals = pdf["_v"].to_numpy(dtype=np.float64)
-        row = {
-            **{c: [key[i]] for i, c in enumerate(series_cols)},
-            "bucket_start": [key[len(series_cols)]],
-            "n_points": [len(pdf)],
-            "first_ts": [pdf["_ts"].iloc[0]],
-            "last_ts": [pdf["_ts"].iloc[-1]],
-            "ts_codec": [TS_CODEC],
-            "val_codec": [VAL_CODEC],
-            "ts_chunk": [encode_timestamps(ts_us)],
-            "val_chunk": [encode_floats(vals)],
+        ts_dt = pdf["_ts"].to_numpy()
+        out = {
+            **{c: pdf[c].to_numpy()[starts] for c in keys},
+            "n_points": (ends - starts).astype("int32"),
+            "first_ts": ts_dt[starts],
+            "last_ts": ts_dt[ends - 1],
+            "ts_codec": np.repeat(TS_CODEC, len(starts)),
+            "val_codec": np.repeat(VAL_CODEC, len(starts)),
+            "ts_chunk": [
+                encode_timestamps(ts_us[s:e]) for s, e in zip(starts, ends)
+            ],
+            "val_chunk": [encode_floats(vals[s:e]) for s, e in zip(starts, ends)],
         }
-        return pd.DataFrame(row)
+        return pd.DataFrame(out)
 
-    return d.groupBy(*keys).applyInPandas(encode_group, schema)
+    def encode_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if pending is not None and len(pending):
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            if len(pdf) == 0:
+                continue
+            # hold back the trailing (possibly incomplete) group
+            last_mask = np.ones(len(pdf), dtype=bool)
+            tail_key = tuple(pdf.iloc[-1][k] for k in keys)
+            for k, kv in zip(keys, tail_key):
+                last_mask &= (pdf[k] == kv).to_numpy()
+            if last_mask.all():
+                pending = pdf
+                continue
+            # trailing group rows are contiguous at the end (sorted input):
+            # tail size = count of leading Trues in the reversed mask
+            n_tail = int(last_mask[::-1].argmin())
+            first_tail = len(pdf) - n_tail
+            pending = pdf.iloc[first_tail:]
+            head = pdf.iloc[:first_tail]
+            if len(head):
+                yield _encode_block(head)
+        if pending is not None and len(pending):
+            yield _encode_block(pending)
+
+    return d.mapInPandas(encode_stream, schema)
 
 
 def decode_chunks(
@@ -112,20 +156,22 @@ def decode_chunks(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            outs = []
-            for _, r in pdf.iterrows():
-                n = int(r["n_points"])
-                ts = decode_timestamps(bytes(r["ts_chunk"]), n)
-                vs = decode_floats(bytes(r["val_chunk"]), n)
-                part = pd.DataFrame(
-                    {
-                        **{c: np.repeat([r[c]], n) for c in series_cols},
-                        ts_col: pd.to_datetime(ts, unit="us"),
-                        value_col: vs,
-                    }
-                )
-                outs.append(part)
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+            ns = pdf["n_points"].to_numpy()
+            ts_parts, v_parts = [], []
+            for n, tb, vb in zip(ns, pdf["ts_chunk"], pdf["val_chunk"]):
+                n = int(n)
+                ts_parts.append(decode_timestamps(bytes(tb), n))
+                v_parts.append(decode_floats(bytes(vb), n))
+            out = pd.DataFrame(
+                {
+                    **{
+                        c: np.repeat(pdf[c].to_numpy(), ns)
+                        for c in series_cols
+                    },
+                    ts_col: pd.to_datetime(np.concatenate(ts_parts), unit="us"),
+                    value_col: np.concatenate(v_parts),
+                }
+            )
+            yield out
 
     return chunks.select(*cols).mapInPandas(decode_batches, out_schema)

@@ -1,0 +1,100 @@
+"""Astronomy/scalar helpers: solar elevation (C3) and deg<->DMS (C4).
+
+The reference computes per-image solar elevation with pyephem
+(utils.py:288-313) to drive the QC gate. pyephem is not available here,
+so ``solar_elevation`` implements the standard NOAA solar-position
+approximation (public-domain formulas) as a vectorized pandas UDF —
+accurate to ~0.1-0.2 degrees, far tighter than the gate thresholds it
+feeds. deg<->DMS (utils.py:258-282) are plain column expressions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _solar_elev_impl(
+    ts_utc: pd.Series, lat: pd.Series, lon: pd.Series
+) -> pd.Series:
+    """Vectorized NOAA solar elevation (degrees) for UTC timestamps."""
+    t = pd.to_datetime(ts_utc)
+    # Julian day / century
+    jd = t.astype("datetime64[us]").astype("int64") / 86400e6 + 2440587.5
+    jc = (jd - 2451545.0) / 36525.0
+    gmls = (280.46646 + jc * (36000.76983 + jc * 0.0003032)) % 360.0
+    gmas = 357.52911 + jc * (35999.05029 - 0.0001537 * jc)
+    eeo = 0.016708634 - jc * (0.000042037 + 0.0000001267 * jc)
+    seqc = (
+        np.sin(np.radians(gmas)) * (1.914602 - jc * (0.004817 + 0.000014 * jc))
+        + np.sin(np.radians(2 * gmas)) * (0.019993 - 0.000101 * jc)
+        + np.sin(np.radians(3 * gmas)) * 0.000289
+    )
+    stl = gmls + seqc
+    sal = stl - 0.00569 - 0.00478 * np.sin(np.radians(125.04 - 1934.136 * jc))
+    moe = 23.0 + (26.0 + (21.448 - jc * (46.815 + jc * (0.00059 - jc * 0.001813))) / 60.0) / 60.0
+    oc = moe + 0.00256 * np.cos(np.radians(125.04 - 1934.136 * jc))
+    decl = np.degrees(
+        np.arcsin(np.sin(np.radians(oc)) * np.sin(np.radians(sal)))
+    )
+    vary = np.tan(np.radians(oc / 2.0)) ** 2
+    eot = 4.0 * np.degrees(
+        vary * np.sin(2.0 * np.radians(gmls))
+        - 2.0 * eeo * np.sin(np.radians(gmas))
+        + 4.0 * eeo * vary * np.sin(np.radians(gmas)) * np.cos(2.0 * np.radians(gmls))
+        - 0.5 * vary * vary * np.sin(4.0 * np.radians(gmls))
+        - 1.25 * eeo * eeo * np.sin(2.0 * np.radians(gmas))
+    )
+    mins = (
+        t.dt.hour * 60.0 + t.dt.minute + t.dt.second / 60.0
+        + t.dt.microsecond / 6e7
+    )
+    tst = (mins + eot + 4.0 * lon.to_numpy()) % 1440.0
+    ha = np.where(tst / 4.0 < 0, tst / 4.0 + 180.0, tst / 4.0 - 180.0)
+    lat_r = np.radians(lat.to_numpy())
+    zen = np.degrees(
+        np.arccos(
+            np.clip(
+                np.sin(lat_r) * np.sin(np.radians(decl))
+                + np.cos(lat_r) * np.cos(np.radians(decl)) * np.cos(np.radians(ha)),
+                -1.0,
+                1.0,
+            )
+        )
+    )
+    return pd.Series(90.0 - zen)
+
+
+_solar_elev_udf = None
+
+
+def solar_elevation(ts: Column, lat: Column, lon: Column) -> Column:
+    """Solar elevation in degrees for a UTC timestamp at (lat, lon)."""
+    global _solar_elev_udf
+    if _solar_elev_udf is None:  # lazy: pandas_udf needs an active session
+        _solar_elev_udf = pandas_udf(_solar_elev_impl, "double")
+    return _solar_elev_udf(ts.cast("timestamp"), lat.cast("double"), lon.cast("double"))
+
+
+def deg_to_dms(deg: Column) -> Column:
+    """Decimal degrees -> 'D:M:S.s' string (utils.py:258-269)."""
+    sign = F.when(deg < 0, -1).otherwise(1)
+    a = F.abs(deg)
+    d = F.floor(a)
+    m = F.floor((a - d) * 60)
+    s = F.round(((a - d) * 60 - m) * 60, 2)
+    return F.concat_ws(":", (sign * d).cast("long"), m.cast("long"), s)
+
+
+def dms_to_deg(dms: Column) -> Column:
+    """'D:M:S.s' string -> decimal degrees (utils.py:272-282)."""
+    parts = F.split(dms, ":")
+    d = parts[0].cast("double")
+    m = parts[1].cast("double")
+    s = parts[2].cast("double")
+    mag = F.abs(d) + m / 60.0 + s / 3600.0
+    neg = F.startswith(F.trim(dms), F.lit("-"))
+    return F.when(neg, -mag).otherwise(mag)

@@ -1,0 +1,85 @@
+"""End-to-end rollup pipeline job — the spark-submit entry point.
+
+    spark-submit --master local[8] --py-files pvs.zip \
+        -m python_vegindex_spark.plans.pipeline  (or scripts/run_pipeline.py)
+
+Stages (one logical plan per tier, shared scan + feature projection):
+  bronze turns -> tier-1 features -> gold hourly/daily/weekly rollups
+  -> hourly chunk encode (Gorilla/delta-of-delta) [-> retention]
+
+Produces a metrics dict: per-stage wall seconds, row counts, and
+turns/sec / points/sec throughput — the BASELINE.json reporting unit.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import RollupConfig
+from ..codecs.chunks import encode_chunks
+from ..operators.features import turn_features
+from ..operators.rollup import rollup
+
+
+def run_pipeline(
+    spark: SparkSession,
+    turns: DataFrame,
+    out_root: str | None = None,
+    tiers: tuple[str, ...] = ("hourly", "daily", "weekly"),
+    nmin: int = 2,
+    with_chunks: bool = True,
+    work_dir: str | None = None,
+) -> dict:
+    """Run the full pipeline; write parquet when ``out_root`` given,
+    otherwise count() to force execution (bench mode).
+
+    The tier-1 feature table (silver) is materialized ONCE to parquet and
+    re-scanned by each tier — the production lakehouse layout. Parquet
+    write/scan is CPU-scalable (encode/decode), unlike an in-memory cache
+    whose fill is memory-bandwidth bound and flattens the 4N scaling.
+    """
+    import tempfile
+
+    metrics: dict = {"stages": {}}
+
+    def execute(name: str, df: DataFrame) -> int:
+        t0 = time.perf_counter()
+        if out_root:
+            df.write.mode("overwrite").parquet(f"{out_root}/{name}")
+            n = spark.read.parquet(f"{out_root}/{name}").count()
+        else:
+            n = df.count()
+        metrics["stages"][name] = {
+            "wall_s": round(time.perf_counter() - t0, 3),
+            "rows": n,
+        }
+        return n
+
+    t_all = time.perf_counter()
+    silver_dir = (work_dir or out_root or tempfile.mkdtemp(prefix="vxs_")) + "/silver_features"
+    t0 = time.perf_counter()
+    turn_features(turns).write.mode("overwrite").parquet(silver_dir)
+    feats = spark.read.parquet(silver_dir)
+    n_turns = feats.count()
+    metrics["stages"]["silver_features"] = {
+        "wall_s": round(time.perf_counter() - t0, 3),
+        "rows": n_turns,
+    }
+    metrics["n_turns"] = n_turns
+
+    points = 0
+    for tier in tiers:
+        points += execute(f"gold_{tier}", rollup(feats, RollupConfig(tier=tier, nmin=nmin)))
+    if with_chunks:
+        chunk_src = feats.select("conv_id", "ts", F.col("fcc").alias("value"))
+        execute("chunks_hourly", encode_chunks(chunk_src, "hourly", ["conv_id"]))
+
+    wall = time.perf_counter() - t_all
+    metrics["wall_s"] = round(wall, 3)
+    metrics["turns_per_sec"] = round(n_turns * len(tiers) / wall, 1)
+    metrics["points_per_sec"] = round(points / wall, 1)
+    metrics["rolled_points"] = points
+    return metrics

@@ -1,0 +1,107 @@
+"""vegindex-style headered CSV parity layer.
+
+The reference persists every tier as CSV with a ``#`` comment header of
+table properties, ``NA`` float sentinels, and fixed decimal formats
+(roitimeseries.py:729-807 write, 843-974 read; gcctimeseries.py:570-722;
+config.py:61-63 sentinels; -9999 coercion roitimeseries.py:21-50).
+
+The Spark engine stores parquet/Iceberg; this layer exists so a
+vegindex user can (a) ingest their existing CSVs and (b) export goldens
+byte-comparable to the reference format:
+
+* read  — distributed ``spark.read.option('comment', '#')`` with an
+  explicit schema; ``NA``/``-9999`` -> NULL via try_cast + nullif.
+  Header properties are parsed driver-side from the file head (the
+  header is O(10) lines).
+* write — collects to the driver (the summary tiers are O(buckets) —
+  tiny) and formats with the reference's decimal conventions.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ND_FLOAT = "NA"
+ND_INT = "NA"
+MISSING_INPUTS = ("-9999", "-9999.0", "NA", "None", "")
+
+
+def read_properties(path: str, max_bytes: int = 65536) -> dict[str, str]:
+    """Parse '# key: value' comment-header properties (regex per
+    roitimeseries.py:283-312)."""
+    props: dict[str, str] = {}
+    with open(path, "r", errors="replace") as f:
+        head = f.read(max_bytes)
+    for line in head.splitlines():
+        if not line.startswith("#"):
+            if line.strip():
+                break
+            continue
+        m = re.match(r"#\s*([^:]+):\s*(.*)$", line)
+        if m:
+            props[m.group(1).strip()] = m.group(2).strip()
+    return props
+
+
+def read_headered_csv(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> tuple[DataFrame, dict[str, str]]:
+    """Distributed CSV scan honoring comment headers and NA sentinels."""
+    props = read_properties(path)
+    raw = (
+        spark.read.option("comment", "#")
+        .option("header", "true")
+        .option("nullValue", "NA")
+        .csv(path)
+    )
+    cols = []
+    for f_ in schema.fields:
+        c = F.col(f_.name)
+        for miss in MISSING_INPUTS:
+            c = F.nullif(c, F.lit(miss))
+        cols.append(c.try_cast(f_.dataType.simpleString()).alias(f_.name))
+    return raw.select(*cols), props
+
+
+def write_headered_csv(
+    df: DataFrame,
+    path: str,
+    properties: dict[str, str],
+    sort_cols: list[str],
+    float_decimals: dict[str, int] | None = None,
+    default_decimals: int = 5,
+) -> None:
+    """Reference-format export: '# key: value' header, sorted rows,
+    fixed decimals, NA sentinels (gcctimeseries.py:570-722 conventions).
+    Collects — use only for summary tiers / golden comparison."""
+    pdf = df.orderBy(*sort_cols).toPandas()
+    float_decimals = float_decimals or {}
+    buf = io.StringIO()
+    for k, v in properties.items():
+        buf.write(f"# {k}: {v}\n")
+    buf.write("#\n")
+    cols = list(pdf.columns)
+    buf.write(",".join(cols) + "\n")
+    import numpy as np
+    import pandas as pd
+
+    def fmt(v, col) -> str:
+        if v is None or (isinstance(v, float) and np.isnan(v)) or v is pd.NaT:
+            return ND_FLOAT
+        if isinstance(v, (float, np.floating)):
+            return f"{v:.{float_decimals.get(col, default_decimals)}f}"
+        if isinstance(v, pd.Timestamp):
+            return v.strftime("%Y-%m-%d %H:%M:%S")
+        return str(v)
+
+    for row in pdf.itertuples(index=False):
+        buf.write(",".join(fmt(v, c) for v, c in zip(row, cols)) + "\n")
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        f.write(buf.getvalue())

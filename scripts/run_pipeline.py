@@ -1,0 +1,60 @@
+"""spark-submit job script: full rollup pipeline on a turns parquet table.
+
+    spark-submit --master local[N] --py-files /tmp/pvs.zip \
+        scripts/run_pipeline.py --turns <path> [--out <dir>] [--cores N]
+
+Prints one JSON line of pipeline metrics on stdout (marker-prefixed).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--turns", required=True)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--cores", type=int, default=None, help="for shuffle sizing + report")
+    ap.add_argument("--tiers", default="hourly,daily,weekly")
+    ap.add_argument("--no-chunks", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from python_vegindex_spark.plans.pipeline import run_pipeline
+
+    builder = (
+        SparkSession.builder.appName("vxs-pipeline")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    if args.cores:
+        builder = builder.config("spark.sql.shuffle.partitions", str(max(8, 2 * args.cores)))
+    spark = builder.getOrCreate()
+
+    turns = spark.read.parquet(args.turns)
+    metrics = run_pipeline(
+        spark,
+        turns,
+        out_root=args.out,
+        tiers=tuple(args.tiers.split(",")),
+        with_chunks=not args.no_chunks,
+    )
+    metrics["cores"] = args.cores
+    print("PIPELINE_METRICS " + json.dumps(metrics))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""CSV parity layer roundtrip + astro scalar functions."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from python_vegindex_spark.functions.astro import deg_to_dms, dms_to_deg, solar_elevation
+from python_vegindex_spark.sources.csv_compat import (
+    read_headered_csv,
+    read_properties,
+    write_headered_csv,
+)
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["a", "b", "c"],
+            "bucket_start": pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-03"]),
+            "n": [3, 0, 5],
+            "v_mean": [1.234567, np.nan, -2.5],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    path = str(tmp_path / "gold.csv")
+    props = {"Site": "conv-engine", "Aggregation Period": "1 day", "nmin": "2"}
+    write_headered_csv(df, path, props, sort_cols=["conv_id"])
+
+    text = open(path).read()
+    assert text.startswith("# Site: conv-engine\n")
+    assert "NA" in text  # NaN serialized as reference sentinel
+    assert "1.23457" in text  # 5-decimal fixed format
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("bucket_start", T.TimestampType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("v_mean", T.DoubleType()),
+        ]
+    )
+    back, props2 = read_headered_csv(spark, path, schema)
+    assert props2["Site"] == "conv-engine"
+    b = back.orderBy("conv_id").toPandas()
+    assert b["v_mean"].isna().tolist() == [False, True, False]
+    assert abs(b["v_mean"][0] - 1.23457) < 1e-9
+    assert b["n"].tolist() == [3, 0, 5]
+
+
+def test_csv_missing_sentinels(spark, tmp_path):
+    path = str(tmp_path / "legacy.csv")
+    with open(path, "w") as f:
+        f.write("# Site: x\n#\nc1,c2\n1.5,-9999\n-9999.0,2.25\nNA,3\n")
+    schema = T.StructType(
+        [T.StructField("c1", T.DoubleType()), T.StructField("c2", T.DoubleType())]
+    )
+    df, _ = read_headered_csv(spark, path, schema)
+    pdf = df.toPandas()
+    assert pdf["c1"].isna().tolist() == [False, True, True]
+    assert pdf["c2"].isna().tolist() == [True, False, False]
+
+
+def test_solar_elevation_sanity(spark):
+    # equator, equinox: local noon (12:00 UTC at lon=0) -> sun near zenith;
+    # local midnight -> far below horizon
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(["2024-03-20 12:07:00", "2024-03-20 00:07:00", "2024-06-20 12:00:00"]),
+            "lat": [0.0, 0.0, 42.5],
+            "lon": [0.0, 0.0, -72.2],  # Harvard Forest-ish
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = df.select(
+        solar_elevation(F.col("ts"), F.col("lat"), F.col("lon")).alias("e")
+    ).toPandas()["e"]
+    assert out[0] > 85.0
+    assert out[1] < -80.0
+    assert 20.0 < out[2] < 75.0  # midday June at 42.5N (UTC noon = ~7am local)
+
+
+def test_dms_roundtrip(spark):
+    pdf = pd.DataFrame({"deg": [42.5378, -72.1715, 0.25]})
+    df = spark.createDataFrame(pdf)
+    out = df.select(
+        dms_to_deg(deg_to_dms(F.col("deg"))).alias("back"), "deg"
+    ).toPandas()
+    np.testing.assert_allclose(out["back"], out["deg"], atol=1e-4)
