@@ -32,6 +32,7 @@ from python_vegindex_spark.operators.generic_rollup import (
     representative_rows,
     rollup_series,
 )
+from python_vegindex_spark.operators.interval_join import interval_join
 from python_vegindex_spark.operators.similarity import cosine_topk
 from python_vegindex_spark.operators.upsert import merge_upsert
 
@@ -233,6 +234,106 @@ def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 top-k: 3 highest-value events per event_type."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "rank", "event_id", F.round("value", 6).alias("value"))
+        .orderBy("event_type", "rank")
+    )
+
+
+def q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1+U2: union of two filtered slices, dedup by key, aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    hot = ev.filter(F.col("value") > 50)
+    errs = ev.filter(F.col("event_type") == "error")
+    u = hot.unionByName(errs).dropDuplicates(["event_id"])
+    return (
+        u.groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n"), F.round(F.avg("value"), 6).alias("value_mean"))
+        .orderBy("event_type")
+    )
+
+
+def q_paired_index_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 paired-stream Petach algebra over an as-of join (backward, so
+    DuckDB's ASOF JOIN can oracle it): purchases paired to latest view."""
+    ev = _t(spark, sf_dir, "events")
+    primary = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.col("value").alias("r"), (F.col("value") * 2).alias("g"),
+        (F.col("value") / 2).alias("b"), F.lit(30.0).alias("exposure"),
+    )
+    secondary = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("ir"), F.lit(15.0).alias("exposure"),
+    )
+    paired = asof_join(
+        primary, secondary, on=["user_id"], direction="backward",
+        tolerance_s=3600, payload_cols=["ir", "exposure"], prefix="ir_",
+    ).filter(F.col("ir_ts").isNotNull() & (F.col("ir_ir") != 0))
+    y = 0.30 * F.col("r") + 0.59 * F.col("g") + 0.11 * F.col("b")
+    zp = F.col("ir_ir") / F.sqrt(F.col("ir_exposure"))
+    rp = F.col("r") / F.sqrt(F.col("exposure"))
+    yp = y / F.sqrt(F.col("exposure"))
+    xp = zp - yp
+    ndvi = (xp - rp) / (xp + rp)
+    return (
+        paired.select("event_id", F.round(ndvi, 6).alias("ndvi_c"))
+        .filter(F.col("ndvi_c").between(-1.0, 1.0))
+        .orderBy("event_id")
+    )
+
+
+def q_validity_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 validity-window join: events against a broadcast interval dim."""
+    ev = _t(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [
+            ("w1", "2024-01-01 00:00:00", "2024-01-08 00:00:00"),
+            ("w2", "2024-01-08 00:00:00", "2024-01-20 00:00:00"),
+            ("w3", "2024-01-20 00:00:00", "2024-02-01 00:00:00"),
+        ],
+        "segment string, start_ts string, end_ts string",
+    ).select(
+        "segment",
+        F.to_timestamp("start_ts").alias("start_ts"),
+        F.to_timestamp("end_ts").alias("end_ts"),
+    )
+    j = interval_join(ev, dim)
+    return (
+        j.groupBy("segment", "event_type")
+        .agg(F.count("*").cast("long").alias("n"), F.round(F.avg("value"), 6).alias("value_mean"))
+        .orderBy("segment", "event_type")
+    )
+
+
+def q_tpch_multi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join: lineitem x orders x customer x nation, revenue per nation."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        j.groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.round(F.avg(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("avg_revenue"),
+        )
+        .orderBy("nation")
+    )
+
+
 # ---- non-SQL-expressible (rows-only checks) ------------------------------
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -253,6 +354,60 @@ def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(docs).orderBy("id")
 
 
+def q_solar_gate_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 solar-elevation pandas UDF as a per-event feature + gate filter."""
+    from python_vegindex_spark.functions.astro import solar_elevation
+
+    ev = _t(spark, sf_dir, "events")
+    out = ev.withColumn(
+        "solar_elev",
+        F.round(solar_elevation(F.col("ts"), F.lit(42.5378), F.lit(-72.1715)), 4),
+    )
+    return (
+        out.filter(F.col("solar_elev") > 0)
+        .select("event_id", "solar_elev")
+        .orderBy("event_id")
+    )
+
+
+def q_codec_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla/delta-of-delta chunks: encode events, decode, hourly rollup."""
+    from python_vegindex_spark.codecs.chunks import decode_chunks, encode_chunks
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    chunks = encode_chunks(ev, tier="daily", series_cols=["event_type"])
+    back = decode_chunks(chunks, series_cols=["event_type"])
+    return rollup_series(
+        back, tier="hourly", series_cols=["event_type"], gap_fill=False
+    ).orderBy("event_type", "bucket_start")
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-5 neighbors (multi-probe)."""
+    from python_vegindex_spark.operators.similarity import ann_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    return ann_topk_lsh(emb, queries, dim=64, k=5, num_planes=10).orderBy(
+        "query_id", "rank"
+    )
+
+
+def q_media_stub_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synthetic media table -> stub decode features."""
+    from python_vegindex_spark.operators.multimodal import (
+        extract_media_features,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=300)
+    return extract_media_features(media).select(
+        "media_id", "kind", F.round("feat_mean", 6).alias("feat_mean")
+    ).orderBy("media_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hourly_rollup_gapfill": q_hourly_rollup_gapfill,
@@ -268,8 +423,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_quality_summary": q_lang_quality_summary,
         "ann_cosine_topk": q_ann_cosine_topk,
         "tpch_pricing_summary": q_tpch_pricing_summary,
+        "topk_per_group": q_topk_per_group,
+        "union_dedup": q_union_dedup,
+        "paired_index_backward": q_paired_index_backward,
+        "validity_interval_join": q_validity_interval_join,
+        "tpch_multi_join": q_tpch_multi_join,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_docs": q_simhash_docs,
+        "solar_gate_features": q_solar_gate_features,
+        "codec_roundtrip_rollup": q_codec_roundtrip_rollup,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "media_stub_features": q_media_stub_features,
     }
 
 
@@ -448,5 +612,71 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2024-09-01'
 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "topk_per_group": """
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rank
+  FROM events
+)
+SELECT event_type, CAST(rank AS INT) AS rank, event_id, round(value, 6) AS value
+FROM ranked WHERE rank <= 3 ORDER BY event_type, rank
+""",
+        "union_dedup": """
+WITH u AS (
+  SELECT DISTINCT event_id FROM (
+    SELECT event_id FROM events WHERE value > 50
+    UNION ALL
+    SELECT event_id FROM events WHERE event_type = 'error'
+  )
+)
+SELECT e.event_type, count(*) AS n, round(avg(e.value), 6) AS value_mean
+FROM events e JOIN u USING (event_id)
+GROUP BY 1 ORDER BY 1
+""",
+        "paired_index_backward": """
+WITH p AS (
+  SELECT event_id, user_id, ts, value AS r, value * 2 AS g, value / 2 AS b,
+         30.0 AS exposure
+  FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, ts, value AS ir, 15.0 AS exposure
+  FROM events WHERE event_type = 'view'
+), paired AS (
+  SELECT p.event_id, p.r, p.g, p.b, p.exposure AS exp_p,
+         CASE WHEN v.ts IS NOT NULL AND epoch_us(p.ts) - epoch_us(v.ts) <= 3600000000::BIGINT
+              THEN v.ir END AS ir,
+         15.0 AS exp_s
+  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+), calc AS (
+  SELECT event_id,
+         ((ir / sqrt(exp_s)) - ((0.30*r + 0.59*g + 0.11*b) / sqrt(exp_p))) AS xp,
+         (r / sqrt(exp_p)) AS rp
+  FROM paired WHERE ir IS NOT NULL AND ir <> 0
+)
+SELECT event_id, round((xp - rp) / (xp + rp), 6) AS ndvi_c
+FROM calc
+WHERE (xp - rp) / (xp + rp) BETWEEN -1.0 AND 1.0
+ORDER BY event_id
+""",
+        "validity_interval_join": """
+WITH dim(segment, start_ts, end_ts) AS (
+  VALUES ('w1', TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-08'),
+         ('w2', TIMESTAMP '2024-01-08', TIMESTAMP '2024-01-20'),
+         ('w3', TIMESTAMP '2024-01-20', TIMESTAMP '2024-02-01')
+)
+SELECT d.segment, e.event_type, count(*) AS n, round(avg(e.value), 6) AS value_mean
+FROM events e JOIN dim d ON e.ts >= d.start_ts AND e.ts < d.end_ts
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "tpch_multi_join": """
+SELECT n.n_name AS nation,
+       count(*) AS n_items,
+       round(avg(l.l_extendedprice * (1 - l.l_discount)), 4) AS avg_revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1 ORDER BY 1
 """,
     }
