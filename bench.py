@@ -24,8 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+_SCRATCH = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
 TURNS_PATH = os.environ.get(
-    "SPARK_GRAFT_TURNS", f"/tmp/vxs_bench_turns_{os.getuid()}"
+    "SPARK_GRAFT_TURNS", f"{_SCRATCH}/vxs_bench_turns_{os.getuid()}"
 )
 N_CONVS = int(os.environ.get("SPARK_GRAFT_NCONVS", "40000"))
 

@@ -51,15 +51,34 @@ def turn_features(turns: DataFrame, lag_via_join: bool = False) -> DataFrame:
     10^12-turn scale a pathological multi-billion-turn conv would bottleneck
     one executor, and the join variant hash-distributes by (conv, idx).
     """
+    # Project text -> scalars BEFORE any shuffle: the window (or join)
+    # must never move the text payload. At 100 TB the text column is
+    # ~90% of the bytes; folding it to two doubles first cuts shuffle
+    # traffic by that factor (and this sandbox is memory-bandwidth
+    # bound, so shuffle bytes are the scaling currency).
+    df = turns.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        "ts",
+        F.length("text").cast("double").alias("text_len"),
+        F.when(F.length(F.trim("text")) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+        .cast("double")
+        .alias("word_count"),
+        (F.col("tool") != "").cast("int").alias("tool_call"),
+    )
+
     if lag_via_join:
-        prev = turns.select(
+        prev = df.select(
             F.col("conv_id").alias("_pc"),
             (F.col("turn_idx") + 1).alias("_pi"),
             F.col("ts").alias("_prev_ts"),
         )
-        df = turns.join(
+        df = df.join(
             prev,
-            on=[turns.conv_id == F.col("_pc"), turns.turn_idx == F.col("_pi")],
+            on=[df.conv_id == F.col("_pc"), df.turn_idx == F.col("_pi")],
             how="left",
         ).drop("_pc", "_pi")
         df = df.withColumn(
@@ -68,21 +87,10 @@ def turn_features(turns: DataFrame, lag_via_join: bool = False) -> DataFrame:
         ).drop("_prev_ts")
     else:
         w = Window.partitionBy("conv_id").orderBy("turn_idx")
-        df = turns.withColumn(
+        df = df.withColumn(
             "latency_delta_s",
             (epoch_us(F.col("ts")) - epoch_us(F.lag("ts").over(w))) / 1e6,
         )
-
-    df = (
-        df.withColumn("text_len", F.length("text").cast("double"))
-        .withColumn(
-            "word_count",
-            F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
-                F.size(F.split(F.trim("text"), r"\s+"))
-            ).cast("double"),
-        )
-        .withColumn("tool_call", (F.col("tool") != "").cast("int"))
-    )
 
     # raw DN-style measures -> composite features
     df = (

@@ -43,6 +43,8 @@ def run_pipeline(
     """
     import tempfile
 
+    from ..session import scratch_dir
+
     metrics: dict = {"stages": {}}
 
     def execute(name: str, df: DataFrame) -> int:
@@ -59,7 +61,9 @@ def run_pipeline(
         return n
 
     t_all = time.perf_counter()
-    silver_dir = (work_dir or out_root or tempfile.mkdtemp(prefix="vxs_")) + "/silver_features"
+    silver_dir = (
+        work_dir or out_root or tempfile.mkdtemp(prefix="vxs_", dir=scratch_dir())
+    ) + "/silver_features"
     t0 = time.perf_counter()
     turn_features(turns).write.mode("overwrite").parquet(silver_dir)
     feats = spark.read.parquet(silver_dir)
@@ -74,8 +78,14 @@ def run_pipeline(
     for tier in tiers:
         points += execute(f"gold_{tier}", rollup(feats, RollupConfig(tier=tier, nmin=nmin)))
     if with_chunks:
+        # Daily chunks per conv: hourly chunks of conversational series
+        # average a handful of points (hot convs pace ~15 min), so the
+        # per-chunk fixed cost dominates; day-sized chunks amortize it
+        # ~24x while keeping per-group memory bounded (TimescaleDB-style
+        # chunk sizing). Rollup tiers are unaffected — chunks are the
+        # storage layer, not the aggregate grain.
         chunk_src = feats.select("conv_id", "ts", F.col("fcc").alias("value"))
-        execute("chunks_hourly", encode_chunks(chunk_src, "hourly", ["conv_id"]))
+        execute("chunks_daily", encode_chunks(chunk_src, "daily", ["conv_id"]))
 
     wall = time.perf_counter() - t_all
     metrics["wall_s"] = round(wall, 3)

@@ -12,6 +12,21 @@ import os
 from pyspark.sql import SparkSession
 
 
+def scratch_dir() -> str:
+    """Fast scratch space for shuffle files and transient tables.
+
+    This sandbox throttles buffered writes to the root disk to a few
+    MB/s, which turns every shuffle spill and parquet write into an I/O
+    wall and inverts core scaling. tmpfs (/dev/shm, backed by the 128 GB
+    of RAM) is the correct local scratch here — on a real cluster this
+    maps to executor-local NVMe via spark.local.dir.
+    """
+    for cand in ("/dev/shm", "/tmp"):
+        if os.path.isdir(cand) and os.access(cand, os.W_OK):
+            return cand
+    return "/tmp"
+
+
 def get_spark(
     app_name: str = "python_vegindex_spark",
     master: str | None = None,
@@ -46,6 +61,7 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.local.dir", os.path.join(scratch_dir(), "vxs-spark-local"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

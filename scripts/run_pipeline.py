@@ -28,9 +28,11 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     from python_vegindex_spark.plans.pipeline import run_pipeline
+    from python_vegindex_spark.session import scratch_dir
 
     builder = (
         SparkSession.builder.appName("vxs-pipeline")
+        .config("spark.local.dir", os.path.join(scratch_dir(), "vxs-spark-local"))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

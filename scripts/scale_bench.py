@@ -55,6 +55,8 @@ def run_submit(cores: int, turns_path: str, zip_path: str) -> dict:
         spark_submit,
         "--master", f"local[{cores}]",
         "--driver-memory", "16g",
+        "--conf", "spark.local.dir=/dev/shm/vxs-spark-local"
+        if os.path.isdir("/dev/shm") else "spark.local.dir=/tmp/vxs-spark-local",
         "--py-files", zip_path,
         os.path.join(REPO, "scripts/run_pipeline.py"),
         "--turns", turns_path,
@@ -72,8 +74,20 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--nconvs", type=int, default=80000)
-    ap.add_argument("--turns", default="/tmp/vxs_scale_turns")
-    ap.add_argument("--repeat", type=int, default=1)
+    ap.add_argument(
+        "--turns",
+        default=(
+            "/dev/shm/vxs_scale_turns"
+            if os.path.isdir("/dev/shm")
+            else "/tmp/vxs_scale_turns"
+        ),
+    )
+    ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument(
+        "--ladder",
+        action="store_true",
+        help="also run local[2]/local[8] for the 2->8 efficiency pair",
+    )
     args = ap.parse_args()
 
     zip_path = "/tmp/pvs.zip"
@@ -82,32 +96,40 @@ def main() -> None:
         n = gen_turns(args.turns, args.nconvs)
         print(f"generated {n} turns at {args.turns}")
 
-    results = {}
-    for cores in (args.n, 4 * args.n):
-        best = None
-        for _ in range(args.repeat):
+    core_list = sorted({args.n, 4 * args.n} | ({2, 8} if args.ladder else set()))
+    results: dict[int, dict] = {}
+    # interleave repeats across core counts so host-noise windows hit
+    # every configuration equally; keep the best (least-noisy) run each
+    for rep in range(args.repeat):
+        for cores in core_list:
             m = run_submit(cores, args.turns, zip_path)
+            best = results.get(cores)
             if best is None or m["wall_s"] < best["wall_s"]:
-                best = m
-        results[cores] = best
-        print(f"local[{cores}]: wall={best['wall_s']}s turns/s={best['turns_per_sec']}")
+                results[cores] = m
+            print(
+                f"rep{rep} local[{cores}]: wall={m['wall_s']}s "
+                f"turns/s={m['turns_per_sec']}"
+            )
 
-    lo, hi = results[args.n], results[4 * args.n]
-    eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / 4.0
+    pairs = [(n, 4 * n) for n in core_list if 4 * n in results]
     summary = {
-        "n_cores": args.n,
-        "n4_cores": 4 * args.n,
-        "n_turns": lo["n_turns"],
-        "wall_n": lo["wall_s"],
-        "wall_4n": hi["wall_s"],
-        "turns_per_sec_n": lo["turns_per_sec"],
-        "turns_per_sec_4n": hi["turns_per_sec"],
-        "points_per_sec_n": lo["points_per_sec"],
-        "points_per_sec_4n": hi["points_per_sec"],
-        "scaling_efficiency": round(eff, 3),
-        "stages_n": lo["stages"],
-        "stages_4n": hi["stages"],
+        "n_turns": results[core_list[0]]["n_turns"],
+        "runs": {
+            str(c): {
+                "wall_s": r["wall_s"],
+                "turns_per_sec": r["turns_per_sec"],
+                "points_per_sec": r["points_per_sec"],
+                "stages": r["stages"],
+            }
+            for c, r in results.items()
+        },
+        "efficiency": {},
     }
+    for lo_c, hi_c in pairs:
+        lo, hi = results[lo_c], results[hi_c]
+        eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / 4.0
+        summary["efficiency"][f"{lo_c}->{hi_c}"] = round(eff, 3)
+        print(f"scaling efficiency local[{lo_c}] -> local[{hi_c}]: {eff:.3f}")
     print(json.dumps(summary))
     with open(os.path.join(REPO, "scale_bench_last.json"), "w") as f:
         json.dump(summary, f, indent=2)
