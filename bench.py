@@ -32,6 +32,13 @@ N_CONVS = int(os.environ.get("SPARK_GRAFT_NCONVS", "40000"))
 
 
 def main() -> None:
+    try:
+        from scripts import hosttune
+
+        hosttune.tune()
+    except Exception:
+        pass
+
     from python_vegindex_spark.config import RollupConfig
     from python_vegindex_spark.operators.features import turn_features
     from python_vegindex_spark.operators.rollup import rollup

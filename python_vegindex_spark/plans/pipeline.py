@@ -61,9 +61,9 @@ def run_pipeline(
         return n
 
     t_all = time.perf_counter()
-    silver_dir = (
-        work_dir or out_root or tempfile.mkdtemp(prefix="vxs_", dir=scratch_dir())
-    ) + "/silver_features"
+    base_dir = work_dir or out_root
+    tmp_base = None if base_dir else tempfile.mkdtemp(prefix="vxs_", dir=scratch_dir())
+    silver_dir = (base_dir or tmp_base) + "/silver_features"
     t0 = time.perf_counter()
     turn_features(turns).write.mode("overwrite").parquet(silver_dir)
     feats = spark.read.parquet(silver_dir)
@@ -86,6 +86,12 @@ def run_pipeline(
         # storage layer, not the aggregate grain.
         chunk_src = feats.select("conv_id", "ts", F.col("fcc").alias("value"))
         execute("chunks_daily", encode_chunks(chunk_src, "daily", ["conv_id"]))
+
+    if tmp_base:
+        # bench mode: the silver materialization was transient
+        import shutil
+
+        shutil.rmtree(tmp_base, ignore_errors=True)
 
     wall = time.perf_counter() - t_all
     metrics["wall_s"] = round(wall, 3)

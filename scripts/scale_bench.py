@@ -47,10 +47,20 @@ def gen_turns(path: str, n_convs: int) -> int:
     return n
 
 
+def _cpu_sample() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(v) for v in parts[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
 def run_submit(cores: int, turns_path: str, zip_path: str) -> dict:
     spark_submit = shutil.which("spark-submit") or os.path.join(
         os.path.dirname(shutil.which("pyspark") or sys.executable), "spark-submit"
     )
+    s0, t0 = _cpu_sample()
     cmd = [
         spark_submit,
         "--master", f"local[{cores}]",
@@ -65,15 +75,25 @@ def run_submit(cores: int, turns_path: str, zip_path: str) -> dict:
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     for line in out.stdout.splitlines():
         if line.startswith("PIPELINE_METRICS "):
-            return json.loads(line[len("PIPELINE_METRICS "):])
+            m = json.loads(line[len("PIPELINE_METRICS "):])
+            s1, t1 = _cpu_sample()
+            # hypervisor steal during this leg — a leg measured under
+            # heavy host contention is not evidence about the engine
+            m["steal_pct"] = round(100.0 * (s1 - s0) / max(1, t1 - t0), 1)
+            return m
     sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:])
     raise RuntimeError(f"no metrics from local[{cores}] run")
 
 
 def main() -> None:
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import hosttune
+
+    hosttune.tune()
+
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=8)
-    ap.add_argument("--nconvs", type=int, default=80000)
+    ap.add_argument("--n", type=int, default=2)
+    ap.add_argument("--nconvs", type=int, default=320000)
     ap.add_argument(
         "--turns",
         default=(
@@ -108,7 +128,8 @@ def main() -> None:
                 results[cores] = m
             print(
                 f"rep{rep} local[{cores}]: wall={m['wall_s']}s "
-                f"turns/s={m['turns_per_sec']}"
+                f"turns/s={m['turns_per_sec']} steal={m.get('steal_pct')}%",
+                flush=True,
             )
 
     pairs = [(n, 4 * n) for n in core_list if 4 * n in results]
@@ -119,6 +140,7 @@ def main() -> None:
                 "wall_s": r["wall_s"],
                 "turns_per_sec": r["turns_per_sec"],
                 "points_per_sec": r["points_per_sec"],
+                "steal_pct": r.get("steal_pct"),
                 "stages": r["stages"],
             }
             for c, r in results.items()
