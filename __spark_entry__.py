@@ -334,6 +334,101 @@ def q_tpch_multi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: stopword-vote language ID + composite quality score
+    (functions/text.py lang_id, quality_score) per document."""
+    from python_vegindex_spark.functions.text import lang_id, quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("lang_guess"),
+        quality_score(F.col("text")).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def q_fingerprint_dup_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: 64-bit normalized-text fingerprint, then a
+    group-size histogram (hash-function-independent, so DuckDB's md5
+    oracle is value-comparable)."""
+    from python_vegindex_spark.functions.text import fingerprint64
+
+    docs = _t(spark, sf_dir, "documents")
+    groups = docs.groupBy(fingerprint64(F.col("text")).alias("fp")).agg(
+        F.count("*").alias("dup_count")
+    )
+    return (
+        groups.groupBy("dup_count")
+        .agg(F.count("*").cast("long").alias("n_groups"))
+        .select(F.col("dup_count").cast("long").alias("dup_count"), "n_groups")
+        .orderBy("dup_count")
+    )
+
+
+def _hf7_from_sorted(arr, q: float):
+    """Exact Hyndman-Fan type-7 quantile over a sorted array column
+    (quantile.py:42-76 semantics, h = (n-1)q + 1, linear interpolation)."""
+    n = F.size(arr)
+    h = (n - 1) * F.lit(q) + 1
+    j = F.floor(h).cast("int")
+    g = h - j
+    vj = F.element_at(arr, j).cast("double")
+    vj1 = F.element_at(arr, F.least(j + 1, n)).cast("double")
+    return vj + g * (vj1 - vj)
+
+
+def q_word_len_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 per-record percentile stats (roitimeseries.py:202-204 computes 7
+    per-image percentiles over the pixel array): per-doc HF-7 p50/p90 of
+    word lengths, pure array expressions."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    lens = F.array_sort(
+        F.transform(F.split(F.trim("text"), r"\s+"), lambda w: F.length(w))
+    )
+    d = docs.select("doc_id", lens.alias("_l"))
+    return d.select(
+        "doc_id",
+        F.size("_l").cast("long").alias("n_words"),
+        F.round(_hf7_from_sorted(F.col("_l"), 0.5), 6).alias("wlen_p50"),
+        F.round(_hf7_from_sorted(F.col("_l"), 0.9), 6).alias("wlen_p90"),
+    ).orderBy("doc_id")
+
+
+def q_deg_dms_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 deg<->DMS conversions (utils.py:258-282) as column arithmetic
+    over event values treated as degrees."""
+    ev = _t(spark, sf_dir, "events")
+    a = F.abs(F.col("value"))
+    d = F.floor(a)
+    m = F.floor((a - d) * 60)
+    s = (a - d - m / 60) * 3600
+    back = F.signum(F.col("value")) * (d + m / 60 + s / 3600)
+    return ev.select(
+        "event_id",
+        d.cast("long").alias("dms_deg"),
+        m.cast("long").alias("dms_min"),
+        F.round(s, 4).alias("dms_sec"),
+        F.round(back, 6).alias("deg_back"),
+    ).orderBy("event_id")
+
+
+def q_csv_sentinel_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5+C6 CSV boundary semantics: -9999 sentinel -> NULL (coercion,
+    roitimeseries.py:21-50) and fixed 5-decimal / 'NA' formatting
+    (format_csvrow, roitimeseries.py:599-727)."""
+    ev = _t(spark, sf_dir, "events")
+    dirty = F.when(F.col("event_id") % 11 == 0, F.lit(-9999.0)).otherwise(
+        F.col("value")
+    )
+    clean = F.when(dirty == -9999.0, F.lit(None)).otherwise(dirty)
+    return ev.select(
+        "event_id",
+        F.when(clean.isNull(), F.lit("NA"))
+        .otherwise(F.format_string("%.5f", clean))
+        .alias("csv_value"),
+    ).orderBy("event_id")
+
+
 # ---- non-SQL-expressible (rows-only checks) ------------------------------
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -428,6 +523,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paired_index_backward": q_paired_index_backward,
         "validity_interval_join": q_validity_interval_join,
         "tpch_multi_join": q_tpch_multi_join,
+        "lang_quality_docs": q_lang_quality_docs,
+        "fingerprint_dup_histogram": q_fingerprint_dup_histogram,
+        "word_len_percentiles": q_word_len_percentiles,
+        "deg_dms_roundtrip": q_deg_dms_roundtrip,
+        "csv_sentinel_format": q_csv_sentinel_format,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_docs": q_simhash_docs,
         "solar_gate_features": q_solar_gate_features,
@@ -678,5 +778,93 @@ JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY 1 ORDER BY 1
+""",
+        "lang_quality_docs": """
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS words,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks
+  FROM documents
+), votes AS (
+  SELECT doc_id, text, toks, words,
+    len(list_filter(words, w -> list_contains(['the','and','of','to','is','in','that','it','for','was'], w))) AS v_en,
+    len(list_filter(words, w -> list_contains(['el','la','de','que','y','en','los','se','del','las'], w))) AS v_es,
+    len(list_filter(words, w -> list_contains(['le','la','de','et','les','des','en','un','du','une'], w))) AS v_fr,
+    len(list_filter(words, w -> list_contains(['der','die','und','das','von','zu','mit','den','ist','im'], w))) AS v_de
+  FROM t
+), scored AS (
+  SELECT doc_id, toks, words, v_en, v_es, v_fr, v_de,
+         greatest(v_en, v_es, v_fr, v_de) AS vbest,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) * 1.0 / length(text)
+              ELSE 0.0 END AS p,
+         CASE WHEN len(words) > 0 THEN v_en * 1.0 / len(words) ELSE 0.0 END AS swr
+  FROM votes
+)
+SELECT doc_id,
+       CASE WHEN vbest = 0 THEN 'und'
+            WHEN v_en = vbest THEN 'en'
+            WHEN v_es = vbest THEN 'es'
+            WHEN v_fr = vbest THEN 'fr'
+            ELSE 'de' END AS lang_guess,
+       round(
+         0.5 * (CASE WHEN toks >= 10 AND toks <= 10000 THEN 1.0
+                     WHEN toks > 0 THEN 0.3 ELSE 0.0 END)
+       + 0.3 * (CASE WHEN p <= 0.2 THEN 1.0
+                     ELSE greatest(0.0, 1.0 - (p - 0.2) * 4) END)
+       + 0.2 * least(1.0, swr * 10.0), 6) AS quality
+FROM scored ORDER BY doc_id
+""",
+        "fingerprint_dup_histogram": """
+WITH fp AS (
+  SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f,
+         count(*) AS dup_count
+  FROM documents GROUP BY 1
+)
+SELECT dup_count, count(*) AS n_groups
+FROM fp GROUP BY 1 ORDER BY 1
+""",
+        "word_len_percentiles": """
+WITH t AS (
+  SELECT doc_id,
+         list_sort([length(x) FOR x IN regexp_split_to_array(trim(text), '\\s+')]) AS ls
+  FROM documents WHERE length(trim(text)) > 0
+), h AS (
+  SELECT doc_id, ls, len(ls) AS n,
+         (len(ls) - 1) * 0.5 + 1 AS h50,
+         (len(ls) - 1) * 0.9 + 1 AS h90
+  FROM t
+)
+SELECT doc_id, n AS n_words,
+       round(ls[CAST(floor(h50) AS INT)]
+             + (h50 - floor(h50)) * (ls[least(CAST(floor(h50) AS INT) + 1, n)] - ls[CAST(floor(h50) AS INT)]), 6) AS wlen_p50,
+       round(ls[CAST(floor(h90) AS INT)]
+             + (h90 - floor(h90)) * (ls[least(CAST(floor(h90) AS INT) + 1, n)] - ls[CAST(floor(h90) AS INT)]), 6) AS wlen_p90
+FROM h ORDER BY doc_id
+""",
+        "deg_dms_roundtrip": """
+WITH t AS (
+  SELECT event_id, value, abs(value) AS a, floor(abs(value)) AS d
+  FROM events
+), m AS (
+  SELECT event_id, value, a, d, floor((a - d) * 60) AS mm FROM t
+)
+SELECT event_id,
+       CAST(d AS BIGINT) AS dms_deg,
+       CAST(mm AS BIGINT) AS dms_min,
+       round((a - d - mm / 60) * 3600, 4) AS dms_sec,
+       round(sign(value) * (d + mm / 60 + (a - d - mm / 60) * 3600 / 3600), 6) AS deg_back
+FROM m ORDER BY event_id
+""",
+        "csv_sentinel_format": """
+WITH t AS (
+  SELECT event_id,
+         CASE WHEN event_id % 11 = 0 THEN -9999.0 ELSE value END AS dirty
+  FROM events
+)
+SELECT event_id,
+       coalesce(printf('%.5f', nullif(dirty, -9999.0)), 'NA') AS csv_value
+FROM t ORDER BY event_id
 """,
     }
