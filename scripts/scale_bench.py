@@ -61,7 +61,14 @@ def run_submit(cores: int, turns_path: str, zip_path: str) -> dict:
         os.path.dirname(shutil.which("pyspark") or sys.executable), "spark-submit"
     )
     s0, t0 = _cpu_sample()
-    cmd = [
+    cmd = []
+    if shutil.which("taskset"):
+        # pin the whole JVM (and its Python workers) to exactly `cores`
+        # CPUs — a faithful N-core executor. Without this the low-core
+        # config leeches idle host cores for GC/JIT/netty threads and
+        # the scaling ratio is understated.
+        cmd += ["taskset", "-c", f"0-{cores - 1}"]
+    cmd += [
         spark_submit,
         "--master", f"local[{cores}]",
         "--driver-memory", "16g",
