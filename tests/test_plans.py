@@ -1,0 +1,73 @@
+"""Physical-plan assertions — the ".explain and iterate" contract.
+
+Locks in the scan/pushdown/codegen properties the engine's scale story
+depends on (SURVEY.md §4): partition pruning + predicate pushdown reach
+the parquet scan, rollup aggregation is JVM hash-aggregate inside
+whole-stage codegen, and no Python evaluation appears in the rollup hot
+path (input_hint: vectorized/JVM only).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_vegindex_spark.config import RollupConfig
+from python_vegindex_spark.operators.features import turn_features
+from python_vegindex_spark.operators.rollup import rollup
+from python_vegindex_spark.sources.bronze import read_turns
+from python_vegindex_spark.sources.synth import synth_turns, write_turns
+
+
+@pytest.fixture(scope="module")
+def turns_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "turns")
+    write_turns(synth_turns(spark, n_convs=40, seed=3), path)
+    return path
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_bronze_scan_prunes_partitions_and_pushes_predicates(spark, turns_path):
+    bronze = read_turns(spark, turns_path, "2024-03-01", "2024-09-01")
+    plan = _executed_plan(bronze)
+    assert "PartitionFilters" in plan and "ts_date" in plan
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(ts" in plan
+
+
+def test_rollup_plan_is_jvm_only_hash_aggregate(spark, turns_path):
+    bronze = read_turns(spark, turns_path, "2023-01-01", "2026-01-01")
+    gold = rollup(turn_features(bronze), RollupConfig(tier="daily", nmin=2))
+    gold.collect()  # materialize THIS plan (AQE finalizes on execution)
+    plan = _executed_plan(gold)
+    assert "isFinalPlan=true" in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+    # whole-stage codegen spans render as "*(n) Operator" in plan strings
+    assert "WholeStageCodegen" in plan or "*(" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "mapInPandas"):
+        assert marker not in plan, f"Python eval in rollup hot path: {marker}"
+
+
+def test_feature_column_pruning_reaches_scan(spark, turns_path):
+    """Selecting only key/ts feature columns must prune text at the scan.
+
+    (The full rollup legitimately reads text on every row — the QC gate
+    depends on text-derived dnsum — so pruning is asserted at the
+    feature-projection layer.)"""
+    bronze = spark.read.parquet(turns_path)
+    slim = turn_features(bronze).select("conv_id", "turn_idx", "ts")
+    scan_schema = _executed_plan(slim).split("ReadSchema:")[-1].splitlines()[0]
+    assert "text" not in scan_schema
+
+
+def test_gap_fill_join_broadcasts_small_side(spark, turns_path):
+    bronze = spark.read.parquet(turns_path)
+    gold = rollup(turn_features(bronze), RollupConfig(tier="weekly", nmin=2))
+    n = gold.count()  # force AQE final plan
+    assert n > 0
