@@ -477,6 +477,34 @@ def q_codec_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "bucket_start")
 
 
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact method (the recall oracle;
+    operators/similarity.py embedding_near_dup_pairs; the LSH variant is
+    the scale path, exercised rows-only by q_ivf_topk/tests)."""
+    from python_vegindex_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return embedding_near_dup_pairs(emb, threshold=0.4, method="exact").orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: Lloyd-refined codebook + nprobe cell search (rows-only)."""
+    from python_vegindex_spark.operators.similarity import ivf_index, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    assignments, centroids = ivf_index(emb, n_centroids=8, lloyd_iters=1)
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    return ivf_topk(assignments, centroids, queries, k=5, nprobe=3).orderBy(
+        "query_id", "rank"
+    )
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-5 neighbors (multi-probe)."""
     from python_vegindex_spark.operators.similarity import ann_topk_lsh
@@ -534,6 +562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_roundtrip_rollup": q_codec_roundtrip_rollup,
         "ann_lsh_topk": q_ann_lsh_topk,
         "media_stub_features": q_media_stub_features,
+        "embedding_near_dups": q_embedding_near_dups,
+        "ivf_topk": q_ivf_topk,
     }
 
 
@@ -856,6 +886,17 @@ SELECT event_id,
        round((a - d - mm / 60) * 3600, 4) AS dms_sec,
        round(sign(value) * (d + mm / 60 + (a - d - mm / 60) * 3600 / 3600), 6) AS deg_back
 FROM m ORDER BY event_id
+""",
+        "embedding_near_dups": """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.4 ORDER BY id_a, id_b
 """,
         "csv_sentinel_format": """
 WITH t AS (

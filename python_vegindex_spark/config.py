@@ -67,6 +67,12 @@ class RollupConfig:
     # exact percentiles to roll up (0.9 = the gcc90 estimator,
     # generate_summary_timeseries.py:448-455)
     percentiles: tuple[float, ...] = (0.5, 0.75, 0.9)
+    # opt-in fast path: t-digest approx_percentile instead of the exact
+    # sort-based percentile. NOT golden-comparable (SURVEY.md §2.4 —
+    # defaults must stay exact); cuts the percentile stage's per-group
+    # sort at extreme group sizes. accuracy = 1/eps (Spark default 10000).
+    approx_percentiles: bool = False
+    approx_accuracy: int = 10_000
 
     def __post_init__(self) -> None:
         if self.tier not in TIERS:

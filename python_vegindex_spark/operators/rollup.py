@@ -84,9 +84,13 @@ def _agg_exprs(cfg: RollupConfig) -> list[Column]:
         exprs.append(F.stddev_pop(m).alias(f"{m}_std"))
     for m in PCT_MEASURES:
         for q in cfg.percentiles:
-            exprs.append(
-                F.percentile(F.col(m), F.lit(q)).alias(f"{m}_{int(round(q * 100))}")
-            )
+            if cfg.approx_percentiles:
+                pct = F.percentile_approx(
+                    F.col(m), F.lit(q), F.lit(cfg.approx_accuracy)
+                ).cast("double")
+            else:
+                pct = F.percentile(F.col(m), F.lit(q))
+            exprs.append(pct.alias(f"{m}_{int(round(q * 100))}"))
     # representative row: lexicographic min over (|delta|, ts, payload)
     payload = F.struct(
         F.abs(epoch_us(F.col("ts")) - epoch_us(F.col("_anchor"))).alias("d"),

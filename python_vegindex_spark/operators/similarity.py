@@ -108,6 +108,179 @@ def lsh_buckets(
     return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), bucket.alias("bucket"))
 
 
+def ivf_index(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Build an IVF (inverted-file) index: (assignments, centroids).
+
+    Codebook = deterministic seed sample (lowest ``n_centroids`` ids)
+    refined by ``lloyd_iters`` Lloyd iterations, all in DataFrame ops:
+    assignment is a broadcast cross join + ``min_by`` over the (small)
+    codebook; the centroid update explodes vector components and
+    re-assembles per-centroid means with one shuffle on (centroid, dim).
+    Returns assignments (id, vec, centroid_id) and centroids
+    (centroid_id, c_vec). At 100 TB the corpus never self-joins — every
+    pass is corpus x broadcast(codebook).
+    """
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    w = Window.orderBy("id")
+    centroids = (
+        c.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_centroids)
+        .select((F.col("_rn") - 1).alias("centroid_id"), F.col("vec").alias("c_vec"))
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        scored = c.join(F.broadcast(cent)).select(
+            "id",
+            "vec",
+            F.col("centroid_id"),
+            cosine(F.col("vec"), F.col("c_vec")).alias("_cs"),
+        )
+        return scored.groupBy("id").agg(
+            F.first("vec").alias("vec"),
+            F.max_by("centroid_id", "_cs").alias("centroid_id"),
+        )
+
+    for _ in range(lloyd_iters):
+        assigned = assign(centroids)
+        comp = assigned.select(
+            "centroid_id", F.posexplode("vec").alias("dim", "val")
+        )
+        means = comp.groupBy("centroid_id", "dim").agg(F.avg("val").alias("m"))
+        centroids = (
+            means.groupBy("centroid_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("_s")
+            )
+            .select(
+                "centroid_id",
+                F.transform(F.col("_s"), lambda s: s["m"].cast("double")).alias(
+                    "c_vec"
+                ),
+            )
+        )
+    return assign(centroids), centroids
+
+
+def ivf_topk(
+    assignments: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF query: probe the ``nprobe`` nearest centroids per query, exact
+    cosine re-rank inside the probed cells. One equi-join on centroid_id
+    (the shuffle key); recall grows with nprobe."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    probes = (
+        q.join(F.broadcast(centroids))
+        .select(
+            "query_id", "q_vec", "centroid_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("_cs"),
+        )
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("_cs"), F.asc("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("_rk") <= nprobe)
+        .select("query_id", "q_vec", "centroid_id")
+    )
+    scored = (
+        assignments.join(probes, on="centroid_id")
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round(cosine(F.col("q_vec"), F.col("vec")), round_to).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    method: str = "lsh",
+    dim: int = 64,
+    num_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= threshold).
+
+    ``method='lsh'`` (scale path): pairs meet in hyperplane-LSH buckets
+    (plus Hamming-1 probes) then exact-verify — the only shuffle key is
+    the bucket, never an N^2 self-join. ``method='exact'``: full
+    self-join verify, for small corpora and as the recall oracle.
+    """
+    if method == "exact":
+        a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    elif method == "lsh":
+        cb = lsh_buckets(emb, dim, num_planes, id_col, vec_col, seed)
+        probes = cb.select(
+            "id",
+            "vec",
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.col("bucket").bitwiseXOR(
+                            F.shiftleft(F.lit(1).cast("long"), i)
+                        )
+                        for i in range(num_planes)
+                    ],
+                )
+            ).alias("bucket"),
+        )
+        base = cb.select(
+            F.col("id").alias("id_a"), F.col("vec").alias("va"), "bucket"
+        )
+        pairs = (
+            base.join(
+                probes.select(
+                    F.col("id").alias("id_b"), F.col("vec").alias("vb"), "bucket"
+                ),
+                on="bucket",
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), round_to).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def ann_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1,0 +1,110 @@
+"""IVF ANN, embedding near-dup dedup, and approx-percentile fast path.
+
+Synthetic clustered vectors (deterministic numpy): planted clusters give
+known near-dup pairs and high-recall ANN targets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from python_vegindex_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    ivf_index,
+    ivf_topk,
+)
+
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.RandomState(11)
+    centers = rng.randn(6, DIM)
+    rows = []
+    vid = 0
+    for ci in range(6):
+        for _ in range(30):
+            v = centers[ci] + 0.05 * rng.randn(DIM)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    # planted exact-ish duplicates: tiny perturbations of vector 0
+    base = np.array(rows[0][1])
+    for k in range(3):
+        rows.append((vid, [float(x) for x in base + 1e-4 * rng.randn(DIM)]))
+        vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_recall_vs_exact(spark, emb_df):
+    queries = emb_df.filter(F.col("vec_id").isin(0, 31, 62, 93))
+    exact = cosine_topk(emb_df, queries, k=5).toPandas()
+    assignments, centroids = ivf_index(emb_df, n_centroids=6, lloyd_iters=2)
+    approx = ivf_topk(assignments, centroids, queries, k=5, nprobe=2).toPandas()
+    e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    # clustered data + 2 probes over 6 cells: near-total recall expected
+    assert recall >= 0.9, f"IVF recall {recall}"
+
+
+def test_ivf_centroid_count_and_assignment_total(spark, emb_df):
+    assignments, centroids = ivf_index(emb_df, n_centroids=6, lloyd_iters=1)
+    assert centroids.count() == 6
+    assert assignments.count() == emb_df.count()
+    assert assignments.select("centroid_id").distinct().count() <= 6
+
+
+def test_embedding_near_dups_exact_finds_planted(spark, emb_df):
+    n = emb_df.count()
+    pairs = embedding_near_dup_pairs(
+        emb_df, threshold=0.999999, method="exact", dim=DIM
+    ).toPandas()
+    planted = {(0, n - 3), (0, n - 2), (0, n - 1)}
+    got = {(r.id_a, r.id_b) for r in pairs.itertuples()}
+    assert planted <= got
+
+
+def test_embedding_near_dups_lsh_subset_of_exact(spark, emb_df):
+    exact = embedding_near_dup_pairs(
+        emb_df, threshold=0.98, method="exact", dim=DIM
+    ).toPandas()
+    lsh = embedding_near_dup_pairs(
+        emb_df, threshold=0.98, method="lsh", dim=DIM, num_planes=8
+    ).toPandas()
+    e = {(r.id_a, r.id_b) for r in exact.itertuples()}
+    l = {(r.id_a, r.id_b) for r in lsh.itertuples()}
+    assert l <= e  # LSH never invents pairs (exact verify)
+    assert len(l) / max(1, len(e)) >= 0.5  # multi-probe recall floor
+
+
+def test_approx_percentile_fast_path(spark):
+    from python_vegindex_spark.config import RollupConfig
+    from python_vegindex_spark.operators.features import turn_features
+    from python_vegindex_spark.operators.rollup import rollup
+    from python_vegindex_spark.sources.synth import synth_turns
+
+    feats = turn_features(synth_turns(spark, n_convs=60, seed=5))
+    exact = rollup(feats, RollupConfig(tier="daily", nmin=2)).toPandas()
+    approx = rollup(
+        feats, RollupConfig(tier="daily", nmin=2, approx_percentiles=True)
+    ).toPandas()
+    assert list(exact.columns) == list(approx.columns)
+    both = exact.merge(
+        approx, on=["conv_id", "bucket_start"], suffixes=("_e", "_a")
+    )
+    # approx_percentile returns an element of the group (no HF-7
+    # interpolation), so tiny groups legitimately differ; on groups big
+    # enough for the estimator the divergence must stay small
+    mask = (
+        both["fcc_90_e"].notna()
+        & both["fcc_90_a"].notna()
+        & (both["turn_count_e"] >= 10)
+    )
+    diff = (both.loc[mask, "fcc_90_e"] - both.loc[mask, "fcc_90_a"]).abs()
+    assert mask.sum() > 0
+    assert (diff < 0.1).all()
+    assert diff.median() < 0.02
