@@ -1,0 +1,123 @@
+"""applyInPandasWithState sessionization: correctness + restart resume.
+
+Oracle = pandas sessionization over the full turn set; the streaming
+operator must emit exactly the CLOSED sessions (every session except
+each conv's open tail), including sessions whose turns span two separate
+``availableNow`` runs sharing one checkpoint (state resume).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from python_vegindex_spark.streaming.stateful import (
+    SESSION_SCHEMA,
+    sessionize_stream,
+)
+
+GAP_S = 600.0  # 10 min session gap
+
+T0 = dt.datetime(2024, 3, 1, 8, 0, 0)
+
+
+def _mk_turns(spec):
+    """spec: list of (conv_id, offset_minutes, text)."""
+    return pd.DataFrame(
+        {
+            "conv_id": [s[0] for s in spec],
+            "ts": [T0 + dt.timedelta(minutes=s[1]) for s in spec],
+            "text": [s[2] for s in spec],
+        }
+    )
+
+
+BATCH1 = _mk_turns(
+    [
+        ("a", 0, "hello"),       # a session 1
+        ("a", 2, "world!"),      # a session 1
+        ("a", 30, "back again"), # a session 2 (gap 28 min)
+        ("b", 1, "hi"),          # b session 1
+        ("b", 5, "there"),       # b session 1
+    ]
+)
+BATCH2 = _mk_turns(
+    [
+        ("a", 33, "still here"),   # extends a session 2 ACROSS the restart
+        ("a", 90, "new session"),  # closes a session 2, opens a session 3
+        ("b", 50, "later"),        # closes b session 1, opens b session 2
+        ("c", 0, "solo"),          # c session 1 (stays open, never emitted)
+    ]
+)
+
+
+def _oracle_closed_sessions(pdf: pd.DataFrame) -> set[tuple]:
+    out = []
+    for conv, g in pdf.sort_values("ts").groupby("conv_id"):
+        cur = []
+        last = None
+        for r in g.itertuples():
+            if last is not None and (r.ts - last).total_seconds() > GAP_S:
+                out.append((conv, cur))
+                cur = []
+            cur.append(r)
+            last = r.ts
+        # cur = open tail session: NOT emitted
+    return {
+        (
+            conv,
+            rows[0].ts,
+            rows[-1].ts,
+            len(rows),
+            sum(len(r.text) for r in rows),
+        )
+        for conv, rows in out
+    }
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return {
+        "in": str(tmp_path / "turns_in"),
+        "out": str(tmp_path / "sessions_out"),
+        "ck": str(tmp_path / "ck"),
+    }
+
+
+def _run_available_now(spark, dirs):
+    stream = (
+        spark.readStream.schema("conv_id string, ts timestamp, text string")
+        .parquet(dirs["in"])
+    )
+    sessions = sessionize_stream(stream, gap_s=GAP_S)
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", dirs["out"])
+        .option("checkpointLocation", dirs["ck"])
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_sessionization_matches_oracle_across_restart(spark, dirs):
+    spark.createDataFrame(BATCH1).write.mode("append").parquet(dirs["in"])
+    _run_available_now(spark, dirs)
+
+    spark.createDataFrame(BATCH2).write.mode("append").parquet(dirs["in"])
+    _run_available_now(spark, dirs)  # same checkpoint -> resumes state
+
+    got_df = spark.read.schema(SESSION_SCHEMA).parquet(dirs["out"]).toPandas()
+    got = {
+        (r.conv_id, r.session_start.to_pydatetime(), r.session_end.to_pydatetime(),
+         r.n_turns, r.text_len_sum)
+        for r in got_df.itertuples()
+    }
+    want = _oracle_closed_sessions(pd.concat([BATCH1, BATCH2]))
+    assert got == want
+    # the cross-restart session: a's session 2 spans both batches
+    spans = [g for g in got if g[0] == "a" and g[3] == 2 and g[1] == T0 + dt.timedelta(minutes=30)]
+    assert spans, "session spanning the restart was not stitched from state"
