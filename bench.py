@@ -75,6 +75,20 @@ def main() -> None:
             lambda tier=tier: rollup(feats, RollupConfig(tier=tier, nmin=2)),
         )
 
+    # storage tier: Gorilla/delta-of-delta chunk encode + decode roundtrip
+    from pyspark.sql import functions as F
+
+    from python_vegindex_spark.codecs.chunks import decode_chunks, encode_chunks
+
+    chunk_src = feats.select("conv_id", "ts", F.col("fcc").alias("value"))
+    run("chunks_encode", lambda: encode_chunks(chunk_src, "daily", ["conv_id"]))
+    run(
+        "chunks_roundtrip",
+        lambda: decode_chunks(
+            encode_chunks(chunk_src, "daily", ["conv_id"]), ["conv_id"]
+        ),
+    )
+
     # driver-table workloads (sf dir)
     qs = entrymod.queries()
     for name in (
