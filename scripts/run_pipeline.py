@@ -42,7 +42,9 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
     )
     if args.cores:
-        builder = builder.config("spark.sql.shuffle.partitions", str(max(8, 2 * args.cores)))
+        # 4 partitions per core: enough waves that one slow task (host
+        # jitter) amortizes instead of defining the stage wall
+        builder = builder.config("spark.sql.shuffle.partitions", str(max(16, 4 * args.cores)))
     spark = builder.getOrCreate()
 
     turns = spark.read.parquet(args.turns)
