@@ -22,7 +22,6 @@ from python_vegindex_spark.functions.buckets import bucket_start
 from python_vegindex_spark.functions.text import token_count
 from python_vegindex_spark.operators.asof import asof_join
 from python_vegindex_spark.operators.dedup import (
-    dedup_exact,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard,

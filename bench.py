@@ -32,10 +32,14 @@ N_CONVS = int(os.environ.get("SPARK_GRAFT_NCONVS", "40000"))
 
 
 def main() -> None:
+    # Benchmark entrypoint: opts into host tuning (DAMON reclaim off,
+    # prominent print + restore-on-exit inside hosttune) and tmpfs
+    # scratch. Disable with VXS_HOSTTUNE=0. Library code never does this.
+    os.environ.setdefault("VXS_SCRATCH", "/dev/shm")
     try:
         from scripts import hosttune
 
-        hosttune.tune()
+        hosttune.tune(enable=os.environ.get("VXS_HOSTTUNE", "1") == "1")
     except Exception:
         pass
 

@@ -86,9 +86,10 @@ def char_ngrams(text: Column, n: int = 5) -> Column:
     """Array of lowercase character n-grams (shingles) — input to MinHash."""
     t = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
     idx = F.sequence(F.lit(0), F.greatest(F.length(t) - n, F.lit(0)))
-    return F.when(F.length(t) >= n, F.transform(idx, lambda i: F.substring(t, 1, n) if False else t.substr(i + 1, F.lit(n)))).otherwise(
-        F.array(t)
-    )
+    return F.when(
+        F.length(t) >= n,
+        F.transform(idx, lambda i: t.substr(i + 1, F.lit(n))),
+    ).otherwise(F.array(t))
 
 
 def word_ngrams(text: Column, n: int = 3) -> Column:

@@ -28,12 +28,6 @@ from pyspark.sql import functions as F
 from ..functions.timeutil import epoch_us
 
 
-def _prep(right: DataFrame, right_ts: str, payload_cols: list[str]) -> DataFrame:
-    return right.select(
-        *[F.col(c) for c in right.columns]
-    ).withColumnRenamed(right_ts, right_ts)
-
-
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -108,6 +108,31 @@ def lsh_buckets(
     return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), bucket.alias("bucket"))
 
 
+def _codebook_assign_expr(cent_rows: list[tuple[int, list[float]]], vec_col: str) -> Column:
+    """Shuffle-free cell assignment: the (tiny, driver-held) codebook is
+    inlined as literal array expressions, so picking the nearest centroid
+    is a pure per-row projection — argmax over ``array_max`` of
+    (cosine, -centroid_id) structs (ties -> lowest id). Runs inside
+    whole-stage codegen; the corpus is never shuffled or joined."""
+    import math
+
+    v = F.col(vec_col)
+    vnorm = _norm(v)
+    structs = []
+    for cid, cvec in cent_rows:
+        cn = math.sqrt(sum(x * x for x in cvec)) or 1.0
+        lit_vec = F.array(*[F.lit(float(x)) for x in cvec])
+        cs = _dot(v, lit_vec) / (vnorm * F.lit(cn))
+        structs.append(
+            F.struct(
+                cs.alias("cs"),
+                F.lit(-int(cid)).alias("ncid"),
+                F.lit(int(cid)).alias("cid"),
+            )
+        )
+    return F.array_max(F.array(*structs))["cid"]
+
+
 def ivf_index(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -117,54 +142,49 @@ def ivf_index(
 ) -> tuple[DataFrame, DataFrame]:
     """Build an IVF (inverted-file) index: (assignments, centroids).
 
-    Codebook = deterministic seed sample (lowest ``n_centroids`` ids)
-    refined by ``lloyd_iters`` Lloyd iterations, all in DataFrame ops:
-    assignment is a broadcast cross join + ``min_by`` over the (small)
-    codebook; the centroid update explodes vector components and
-    re-assembles per-centroid means with one shuffle on (centroid, dim).
+    Codebook = deterministic seed sample — ``orderBy(id).limit(n)``,
+    which Spark plans as TakeOrderedAndProject (per-partition top-k, no
+    global sort window) — refined by ``lloyd_iters`` Lloyd iterations.
+    The codebook lives on the driver (n_centroids rows); assignment is a
+    zero-shuffle literal-expression argmax (:func:`_codebook_assign_expr`),
+    and the only shuffle per iteration is the centroid-mean update: a
+    posexplode to (centroid_id, dim) skinny rows whose ``avg`` partial-
+    aggregates map-side, so shuffle bytes are O(partitions x centroids x
+    dim), independent of corpus size. At 100 TB the corpus never
+    self-joins and is never re-shuffled for assignment.
     Returns assignments (id, vec, centroid_id) and centroids
-    (centroid_id, c_vec). At 100 TB the corpus never self-joins — every
-    pass is corpus x broadcast(codebook).
+    (centroid_id, c_vec).
     """
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    w = Window.orderBy("id")
-    centroids = (
-        c.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= n_centroids)
-        .select((F.col("_rn") - 1).alias("centroid_id"), F.col("vec").alias("c_vec"))
+    seed_rows = sorted(
+        c.orderBy("id").limit(n_centroids).collect(), key=lambda r: r["id"]
     )
-
-    def assign(cent: DataFrame) -> DataFrame:
-        scored = c.join(F.broadcast(cent)).select(
-            "id",
-            "vec",
-            F.col("centroid_id"),
-            cosine(F.col("vec"), F.col("c_vec")).alias("_cs"),
-        )
-        return scored.groupBy("id").agg(
-            F.first("vec").alias("vec"),
-            F.max_by("centroid_id", "_cs").alias("centroid_id"),
-        )
+    cent_rows = [(i, list(map(float, r["vec"]))) for i, r in enumerate(seed_rows)]
 
     for _ in range(lloyd_iters):
-        assigned = assign(centroids)
-        comp = assigned.select(
-            "centroid_id", F.posexplode("vec").alias("dim", "val")
+        assigned = c.withColumn(
+            "centroid_id", _codebook_assign_expr(cent_rows, "vec")
         )
-        means = comp.groupBy("centroid_id", "dim").agg(F.avg("val").alias("m"))
-        centroids = (
-            means.groupBy("centroid_id")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("_s")
-            )
-            .select(
-                "centroid_id",
-                F.transform(F.col("_s"), lambda s: s["m"].cast("double")).alias(
-                    "c_vec"
-                ),
-            )
+        means = (
+            assigned.select("centroid_id", F.posexplode("vec").alias("dim", "val"))
+            .groupBy("centroid_id", "dim")
+            .agg(F.avg("val").alias("m"))
+            .collect()
         )
-    return assign(centroids), centroids
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(r["centroid_id"], {})[r["dim"]] = r["m"]
+        cent_rows = [
+            (cid, [vals[d] for d in sorted(vals)])
+            for cid, vals in sorted(by_cid.items())
+        ]
+
+    assignments = c.withColumn("centroid_id", _codebook_assign_expr(cent_rows, "vec"))
+    spark = corpus.sparkSession
+    centroids = spark.createDataFrame(
+        [(cid, vec) for cid, vec in cent_rows], "centroid_id int, c_vec array<double>"
+    )
+    return assignments, centroids
 
 
 def ivf_topk(

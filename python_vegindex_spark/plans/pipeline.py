@@ -32,6 +32,7 @@ def run_pipeline(
     nmin: int = 2,
     with_chunks: bool = True,
     work_dir: str | None = None,
+    chunk_tier: str = "daily",
 ) -> dict:
     """Run the full pipeline; write parquet when ``out_root`` given,
     otherwise count() to force execution (bench mode).
@@ -78,14 +79,19 @@ def run_pipeline(
     for tier in tiers:
         points += execute(f"gold_{tier}", rollup(feats, RollupConfig(tier=tier, nmin=nmin)))
     if with_chunks:
-        # Daily chunks per conv: hourly chunks of conversational series
-        # average a handful of points (hot convs pace ~15 min), so the
-        # per-chunk fixed cost dominates; day-sized chunks amortize it
-        # ~24x while keeping per-group memory bounded (TimescaleDB-style
-        # chunk sizing). Rollup tiers are unaffected — chunks are the
-        # storage layer, not the aggregate grain.
+        # Chunk grain is a caller knob (default daily): hourly chunks of
+        # conversational series average a handful of points (hot convs
+        # pace ~15 min), so the per-chunk fixed cost dominates; day-sized
+        # chunks amortize it ~24x while keeping per-group memory bounded
+        # (TimescaleDB-style chunk sizing). Rollup tiers are unaffected —
+        # chunks are the storage layer, not the aggregate grain. Callers
+        # needing hourly parity with pre-r1 metrics pass
+        # ``chunk_tier="hourly"``; the metrics key carries the grain.
         chunk_src = feats.select("conv_id", "ts", F.col("fcc").alias("value"))
-        execute("chunks_daily", encode_chunks(chunk_src, "daily", ["conv_id"]))
+        execute(
+            f"chunks_{chunk_tier}",
+            encode_chunks(chunk_src, chunk_tier, ["conv_id"]),
+        )
 
     if tmp_base:
         # bench mode: the silver materialization was transient

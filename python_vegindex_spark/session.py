@@ -13,18 +13,22 @@ from pyspark.sql import SparkSession
 
 
 def scratch_dir() -> str:
-    """Fast scratch space for shuffle files and transient tables.
+    """Scratch space for shuffle files and transient tables.
 
-    This sandbox throttles buffered writes to the root disk to a few
-    MB/s, which turns every shuffle spill and parquet write into an I/O
-    wall and inverts core scaling. tmpfs (/dev/shm, backed by the 128 GB
-    of RAM) is the correct local scratch here — on a real cluster this
-    maps to executor-local NVMe via spark.local.dir.
+    Library default: the system temp dir — shuffle spill belongs on disk,
+    not on RAM-backed tmpfs (a big spill on tmpfs turns the disk-spill
+    safety valve into an OOM hazard). The bench scripts opt into tmpfs by
+    exporting ``VXS_SCRATCH=/dev/shm``, because this sandbox throttles
+    buffered root-disk writes to a few MB/s which otherwise inverts core
+    scaling; on a real cluster spark.local.dir maps to executor-local
+    NVMe instead.
     """
-    for cand in ("/dev/shm", "/tmp"):
-        if os.path.isdir(cand) and os.access(cand, os.W_OK):
-            return cand
-    return "/tmp"
+    override = os.environ.get("VXS_SCRATCH")
+    if override and os.path.isdir(override) and os.access(override, os.W_OK):
+        return override
+    import tempfile
+
+    return tempfile.gettempdir()
 
 
 def get_spark(

@@ -16,9 +16,13 @@ that to a custom stateful session window over a turn stream with
 Within each micro-batch the work is vectorized (numpy gap-split), not
 per-row Python; the state object holds only the open session tuple.
 
-Open sessions are emitted only when closed by a later turn (or by an
-explicit ``flush`` batch) — mirroring the reference's rule that the tail
-bucket is always provisional.
+Open sessions are emitted when closed by a later turn, or — when
+``flush_after_s`` is set — by a processing-time timeout that fires after
+a conversation has been quiet for that long (the tail session is then
+emitted and its state dropped). With ``flush_after_s=None`` (default)
+tail sessions stay provisional forever, mirroring the reference's rule
+that the tail bucket is always provisional
+(update_summary_timeseries.py:246-256).
 """
 
 from __future__ import annotations
@@ -59,7 +63,23 @@ def _sessionize(
 ) -> Iterator[pd.DataFrame]:
     (conv_id,) = key
     if state.hasTimedOut:
-        state.remove()
+        # flush: the conversation has been quiet past flush_after_s —
+        # emit the open tail session and drop its state
+        if state.exists:
+            start_us, last_us, n, s = state.get
+            state.remove()
+            if n > 0:
+                yield pd.DataFrame(
+                    {
+                        "conv_id": [conv_id],
+                        "session_start": pd.to_datetime([start_us], unit="us"),
+                        "session_end": pd.to_datetime([last_us], unit="us"),
+                        "n_turns": [n],
+                        "text_len_sum": [s],
+                    }
+                )
+        else:
+            state.remove()
         return
     pdf = pd.concat(list(pdfs), ignore_index=True)
     if len(pdf) == 0:
@@ -104,6 +124,9 @@ def _sessionize(
         is_final = b == len(ts_us)
         if is_final:
             state.update((int(seg_start), int(seg_last), int(seg_n), int(seg_tls)))
+            flush_ms = int(pdf["flush_ms"].iloc[0])
+            if flush_ms > 0:
+                state.setTimeoutDuration(flush_ms)
         else:
             out_rows.append((conv_id, seg_start, seg_last, seg_n, seg_tls))
     if out_rows:
@@ -119,26 +142,36 @@ def _sessionize(
 
 
 def sessionize_stream(
-    stream: DataFrame, gap_s: float = 1800.0
+    stream: DataFrame, gap_s: float = 1800.0, flush_after_s: float | None = None
 ) -> DataFrame:
     """Stateful session windows over a streaming turns DataFrame.
 
     ``stream`` needs (conv_id, ts, text). Emits one row per CLOSED
     session; the open tail session lives in checkpointed state and is
-    closed by future batches (restart-safe).
+    closed by future batches (restart-safe). When ``flush_after_s`` is
+    set, a conversation quiet for that much processing time has its tail
+    session flushed (emitted) via a GroupState timeout instead of being
+    held open forever.
     """
     from pyspark.sql import functions as F
 
+    flush_ms = 0 if flush_after_s is None else max(1, int(flush_after_s * 1000))
     prepped = stream.select(
         "conv_id",
         "ts",
         F.length("text").cast("long").alias("text_len"),
         F.lit(float(gap_s)).alias("gap_s"),
+        F.lit(flush_ms).cast("long").alias("flush_ms"),
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if flush_ms > 0
+        else GroupStateTimeout.NoTimeout
     )
     return prepped.groupBy("conv_id").applyInPandasWithState(
         _sessionize,
         SESSION_SCHEMA,
         STATE_SCHEMA,
         "append",
-        GroupStateTimeout.NoTimeout,
+        timeout,
     )

@@ -94,9 +94,10 @@ def run_submit(cores: int, turns_path: str, zip_path: str) -> dict:
 
 def main() -> None:
     sys.path.insert(0, os.path.join(REPO, "scripts"))
-    import hosttune
+    os.environ.setdefault("VXS_SCRATCH", "/dev/shm")
+import hosttune
 
-    hosttune.tune()
+    hosttune.tune(enable=os.environ.get("VXS_HOSTTUNE", "1") == "1")
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=2)

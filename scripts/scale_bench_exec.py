@@ -39,10 +39,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "scripts"))
 
+os.environ.setdefault("VXS_SCRATCH", "/dev/shm")
 import hosttune  # noqa: E402  (sibling script)
 from scale_bench import make_zip  # noqa: E402  (sibling script)
 
-hosttune.tune()
+hosttune.tune(enable=os.environ.get("VXS_HOSTTUNE", "1") == "1")
 
 
 def gen_sharded_turns(path: str, n_convs: int, n_shards: int = 4) -> int:
