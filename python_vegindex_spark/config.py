@@ -25,7 +25,9 @@ from dataclasses import dataclass, field
 TIERS = ("hourly", "daily", "weekly")
 
 # nday for doy-anchored tiers (weekly=7); hourly handled separately.
-TIER_NDAY = {"daily": 1, "weekly": 7}
+# "3day" is the reference's own default aggregation period
+# (generate_summary_timeseries.py nday=3 products, *_3day.csv goldens).
+TIER_NDAY = {"daily": 1, "3day": 3, "weekly": 7}
 
 ND_FLOAT = "NA"  # CSV-boundary sentinel, reference config.py:61
 ND_INT = "NA"  # reference config.py:62

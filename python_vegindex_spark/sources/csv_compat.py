@@ -29,6 +29,7 @@ from pyspark.sql import types as T
 
 ND_FLOAT = "NA"
 ND_INT = "NA"
+ND_STRING = "None"
 MISSING_INPUTS = ("-9999", "-9999.0", "NA", "None", "")
 
 
@@ -78,8 +79,13 @@ def write_headered_csv(
     default_decimals: int = 5,
 ) -> None:
     """Reference-format export: '# key: value' header, sorted rows,
-    fixed decimals, NA sentinels (gcctimeseries.py:570-722 conventions).
+    fixed decimals, NA sentinels (gcctimeseries.py:570-722 conventions;
+    NULL renders as ``NA`` in numeric columns and ``None`` in string
+    columns, matching config.py:61-63 ND_FLOAT/ND_STRING).
     Collects — use only for summary tiers / golden comparison."""
+    string_cols = {
+        f_.name for f_ in df.schema.fields if isinstance(f_.dataType, T.StringType)
+    }
     pdf = df.orderBy(*sort_cols).toPandas()
     float_decimals = float_decimals or {}
     buf = io.StringIO()
@@ -93,7 +99,7 @@ def write_headered_csv(
 
     def fmt(v, col) -> str:
         if v is None or (isinstance(v, float) and np.isnan(v)) or v is pd.NaT:
-            return ND_FLOAT
+            return ND_STRING if col in string_cols else ND_FLOAT
         if isinstance(v, (float, np.floating)):
             return f"{v:.{float_decimals.get(col, default_decimals)}f}"
         if isinstance(v, pd.Timestamp):
