@@ -41,6 +41,84 @@ def hf7_numpy(values, q: float) -> float:
     return float(np.quantile(x, q, method="linear"))
 
 
+# Hyndman–Fan plotting-position parameters (a, b, c, d) for types 1-9,
+# as tabulated in the reference (quantile.py:42-63) after HF (1996).
+_HF_ABCD = [
+    (0.0, 0.0, 1.0, 0.0),      # 1: inverse empirical CDF
+    (0.5, 0.0, 1.0, 0.0),      # 2: type 1 averaged
+    (0.5, 0.0, 0.0, 0.0),      # 3: nearest order statistic (SAS)
+    (0.0, 0.0, 0.0, 1.0),      # 4: California linear interpolation
+    (0.5, 0.0, 0.0, 1.0),      # 5: hydrologists (Hazen)
+    (0.0, 1.0, 0.0, 1.0),      # 6: Weibull (SPSS/Minitab)
+    (1.0, -1.0, 0.0, 1.0),     # 7: S/R default (linear)
+    (1 / 3, 1 / 3, 0.0, 1.0),  # 8: median-unbiased
+    (3 / 8, 0.25, 0.0, 1.0),   # 9: normal-unbiased
+]
+
+
+def hf_quantile_numpy(values, q: float, qtype: int = 7) -> float:
+    """All nine HF sample quantiles on a 1-D array, NaNs excluded —
+    the numpy oracle mirroring reference quantile.py:15-76 (including its
+    modf/trunc handling of the h < 0 edge)."""
+    if not 1 <= qtype <= 9:
+        raise ValueError(f"qtype must be 1..9, got {qtype}")
+    x = np.asarray(values, dtype=np.float64)
+    x = x[~np.isnan(x)]
+    n = x.size
+    if n == 0:
+        return float("nan")
+    y = np.sort(x)
+    a, b, c, d = _HF_ABCD[qtype - 1]
+    h = a + (n + b) * q - 1
+    j = float(np.trunc(h))  # modf-style trunc toward zero
+    g = h - j
+    if j < 0:
+        return float(y[0])
+    if j >= n:
+        return float(y[n - 1])
+    j = int(j)
+    if g == 0:
+        return float(y[j])
+    return float(y[j] + (y[min(j + 1, n - 1)] - y[j]) * (c + d * g))
+
+
+def hf_quantile_expr(
+    col: str | Column, q: float, qtype: int = 7, alias: str | None = None
+) -> Column:
+    """HF type-1..9 quantile as a pure JVM aggregate expression.
+
+    Type 7 is a plain ``F.percentile`` (Spark's exact percentile IS
+    HF-7, sort + linear interpolation inside one hash aggregate) — the
+    hot-path form. Other types build ``array_sort(collect_list(...))``
+    and index it with the HF plotting-position arithmetic; intended for
+    per-group bucket sizes (thousands of rows), not whole-table
+    aggregates — exactly the reference's usage envelope, where every
+    shipped call site is qtype=7 anyway (quantile.py callers)."""
+    c_ = F.col(col) if isinstance(col, str) else col
+    if not 1 <= qtype <= 9:
+        raise ValueError(f"qtype must be 1..9, got {qtype}")
+    if qtype == 7:
+        out = F.percentile(c_, F.lit(q))
+        return out.alias(alias) if alias else out
+    a, b, cc, d = _HF_ABCD[qtype - 1]
+    arr = F.array_sort(F.collect_list(c_))  # collect_list drops nulls
+    n = F.size(arr)
+    h = F.lit(a) + (n + F.lit(b)) * F.lit(q) - F.lit(1.0)
+    j = h.cast("long")  # trunc toward zero, matching python modf
+    g = h - j.cast("double")
+    yj = F.element_at(arr, (j + 1).cast("int"))
+    yj1 = F.element_at(arr, F.least(j + 2, n.cast("long")).cast("int"))
+    interp = yj + (yj1 - yj) * (F.lit(cc) + F.lit(d) * g)
+    out = (
+        F.when(n == 0, F.lit(None).cast("double"))
+        .when(j < 0, F.element_at(arr, 1))
+        .when(j >= n.cast("long"), F.element_at(arr, n.cast("int")))
+        .when(g == 0, yj)
+        .otherwise(interp)
+    )
+    return out.alias(alias) if alias else out
+
+
 def percentile_expr(col: str | Column, q: float, alias: str | None = None) -> Column:
     """Exact type-7 percentile as a JVM aggregate expression."""
     c = F.col(col) if isinstance(col, str) else col

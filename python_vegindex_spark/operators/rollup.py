@@ -98,6 +98,12 @@ def _agg_exprs(cfg: RollupConfig) -> list[Column]:
         F.col("turn_idx").alias("mid_turn_idx"),
         F.col("text_len").alias("mid_text_len"),
         F.col("fcc").alias("mid_fcc"),
+        # full midday family for reference-schema export (the reference's
+        # midday_r/g/b/gcc/rcc, generate_summary_timeseries.py:393-418)
+        F.col("rcc_like").alias("mid_rcc_like"),
+        F.col("r_dn").alias("mid_r_dn"),
+        F.col("g_dn").alias("mid_g_dn"),
+        F.col("b_dn").alias("mid_b_dn"),
     )
     exprs.append(F.min(payload).alias("_mid"))
     return exprs
@@ -112,7 +118,10 @@ def _stat_cols(cfg: RollupConfig) -> list[str]:
     return cols
 
 
-MID_COLS = ["mid_ts", "mid_turn_idx", "mid_text_len", "mid_fcc"]
+MID_COLS = [
+    "mid_ts", "mid_turn_idx", "mid_text_len", "mid_fcc",
+    "mid_rcc_like", "mid_r_dn", "mid_g_dn", "mid_b_dn",
+]
 
 
 def rollup(

