@@ -20,7 +20,7 @@ from python_vegindex_spark.functions.timeutil import epoch_us
 
 from python_vegindex_spark.functions.buckets import bucket_start
 from python_vegindex_spark.functions.text import token_count
-from python_vegindex_spark.operators.asof import asof_join
+from python_vegindex_spark.operators.asof import asof_join, asof_join_bucketed
 from python_vegindex_spark.operators.dedup import (
     minhash_lsh_pairs,
     minhash_signatures,
@@ -125,6 +125,53 @@ def q_asof_backward_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", F.col("r_ts").alias("view_ts"),
         F.round("r_value", 6).alias("view_value"),
     ).orderBy("event_id")
+
+
+def q_asof_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 scale path: same click<-view backward as-of as
+    q_asof_backward_join, but via the bucketed range-join variant
+    (operators/asof.py asof_join_bucketed) — shuffles on (user_id,
+    ts-bucket) so a hot user is split across time buckets instead of
+    landing in one window task. Oracle-checked against the identical
+    DuckDB ASOF JOIN."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    out = asof_join_bucketed(
+        clicks, views, on=["user_id"], left_keys=["event_id"],
+        direction="backward", tolerance_s=1800, payload_cols=["value"],
+    )
+    return out.select(
+        "event_id", "user_id", F.col("r_ts").alias("view_ts"),
+        F.round("r_value", 6).alias("view_value"),
+    ).orderBy("event_id")
+
+
+def q_summary_threshold_nullout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 read-side threshold projection (gcctimeseries.py:186-393)
+    oracle-checked over testdata: a daily per-user summary whose
+    image_count counts only value>0.5 rows, then the gcc-reader's
+    null-out — stats NULL at count<nmin (nmin=5), midday-family NULL at
+    count==0."""
+    from python_vegindex_spark.sources.vegindex_tables import threshold_nullout
+
+    ev = _t(spark, sf_dir, "events")
+    summ = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.when(F.col("value") > 0.5, 1)).cast("int").alias("image_count"),
+        F.round(F.avg("value"), 6).alias("v_mean"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("v_90"),
+        F.round(F.max("value"), 6).alias("v_max"),
+    )
+    out = threshold_nullout(
+        summ, nmin=5, lt_nmin_cols=["v_mean", "v_90"], zero_cols=["v_max"]
+    )
+    return out.select(
+        "user_id",
+        F.col("day").cast("timestamp").alias("day"),
+        "image_count", "v_mean", "v_90", "v_max",
+    ).orderBy("user_id", "day")
 
 
 def q_interval_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -538,6 +585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "midpoint_rep_rows": q_midpoint_rep_rows,
         "latency_lag_stats": q_latency_lag_stats,
         "asof_backward_join": q_asof_backward_join,
+        "asof_bucketed_join": q_asof_bucketed_join,
+        "summary_threshold_nullout": q_summary_threshold_nullout,
         "interval_join_agg": q_interval_join_agg,
         "merge_upsert_checksum": q_merge_upsert_checksum,
         "dedup_exact_docs": q_dedup_exact_docs,
@@ -660,6 +709,31 @@ SELECT user_id, count(*) AS n_gaps,
        round(quantile_cont(gap_s, 0.9), 6) AS gap_p90
 FROM gaps WHERE gap_s IS NOT NULL
 GROUP BY 1 ORDER BY 1
+""",
+        "summary_threshold_nullout": """
+WITH s AS (
+  SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+         CAST(count(*) FILTER (WHERE value > 0.5) AS INT) AS image_count,
+         round(avg(value), 6) AS v_mean,
+         round(quantile_cont(value, 0.9), 6) AS v_90,
+         round(max(value), 6) AS v_max
+  FROM events GROUP BY 1, 2)
+SELECT user_id, day, image_count,
+       CASE WHEN image_count = 0 OR image_count < 5 THEN NULL ELSE v_mean END AS v_mean,
+       CASE WHEN image_count = 0 OR image_count < 5 THEN NULL ELSE v_90 END AS v_90,
+       CASE WHEN image_count = 0 THEN NULL ELSE v_max END AS v_max
+FROM s ORDER BY user_id, day
+""",
+        "asof_bucketed_join": """
+SELECT c.event_id, c.user_id,
+       CASE WHEN v.ts IS NOT NULL AND epoch_us(c.ts) - epoch_us(v.ts) <= 1800 * 1000000
+            THEN v.ts END AS view_ts,
+       CASE WHEN v.ts IS NOT NULL AND epoch_us(c.ts) - epoch_us(v.ts) <= 1800 * 1000000
+            THEN round(v.value, 6) END AS view_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+ORDER BY c.event_id
 """,
         "asof_backward_join": """
 SELECT c.event_id, c.user_id,

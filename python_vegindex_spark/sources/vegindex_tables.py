@@ -176,7 +176,7 @@ _NDVI_ZERO_ONLY = [
 ]
 
 
-def _threshold_nullout(
+def threshold_nullout(
     df: DataFrame, nmin: int, lt_nmin_cols: list[str], zero_cols: list[str]
 ) -> DataFrame:
     cnt = F.col("image_count")
@@ -213,7 +213,7 @@ def read_gcc_summary(
     ``date`` (recompute-don't-trust, gcctimeseries.py:291-293)."""
     df, props = _typed_scan(spark, path)
     df = df.withColumn("year", F.year("date"))
-    df = _threshold_nullout(
+    df = threshold_nullout(
         df, _nmin_from(props, nmin), _GCC_STATS_LT_NMIN, _GCC_MIDDAY_ZERO
     )
     return df, props
@@ -229,7 +229,7 @@ def read_ndvi_summary(
     the flags; at ``image_count == 0`` everything is NULL."""
     df, props = _typed_scan(spark, path)
     df = df.withColumn("year", F.year("date"))
-    df = _threshold_nullout(
+    df = threshold_nullout(
         df, _nmin_from(props, nmin), _NDVI_STATS_LT_NMIN, _NDVI_ZERO_ONLY
     )
     return df, props
