@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint64, word_ngrams
+from ..functions.text import char_ngrams, fingerprint64, word_ngrams
 
 
 def dedup_exact(
@@ -52,8 +52,12 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_n: int = 3,
     seed: int = 42,
+    shingle_kind: str = "word",
 ) -> DataFrame:
-    """(id, minhash array<long>) — K minhashes over word shingles.
+    """(id, minhash array<long>) — K minhashes over word or character
+    shingles (``shingle_kind``: 'word' n-grams are coarser/cheaper;
+    'char' n-grams are the RefinedWeb/Gopher-style dedup unit, robust to
+    tokenization differences).
 
     Shape chosen for throughput: explode shingles to rows, hash each
     shingle ONCE into two independent 64-bit values (h1, h2), then take
@@ -64,12 +68,16 @@ def minhash_signatures(
     slower (Catalyst inlines array lambdas per k, no CSE across them).
     One shuffle on the doc id.
     """
+    if shingle_kind == "word":
+        shingles = word_ngrams(F.col(text_col), shingle_n)
+    elif shingle_kind == "char":
+        shingles = char_ngrams(F.col(text_col), shingle_n)
+    else:
+        raise ValueError(f"shingle_kind must be 'word' or 'char', got {shingle_kind!r}")
     M = 2_147_483_647  # Mersenne prime 2^31-1: (h1 + k*h2) % M never overflows a long
     sh = df.select(
         F.col(id_col).alias("id"),
-        F.explode(
-            F.array_distinct(word_ngrams(F.col(text_col), shingle_n))
-        ).alias("s"),
+        F.explode(F.array_distinct(shingles)).alias("s"),
     ).select(
         "id",
         F.pmod(F.xxhash64("s", F.lit(seed)), F.lit(M)).alias("h1"),

@@ -121,3 +121,72 @@ def test_sessionization_matches_oracle_across_restart(spark, dirs):
     # the cross-restart session: a's session 2 spans both batches
     spans = [g for g in got if g[0] == "a" and g[3] == 2 and g[1] == T0 + dt.timedelta(minutes=30)]
     assert spans, "session spanning the restart was not stitched from state"
+
+
+# ---------------------------------------------------------------------------
+# flush path: ProcessingTimeTimeout emits the quiet tail session
+
+
+class _FakeState:
+    """Minimal GroupState double for driving _sessionize directly."""
+
+    def __init__(self, state_tuple=None, timed_out=False):
+        self._s = state_tuple
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._s is not None
+
+    @property
+    def get(self):
+        return self._s
+
+    def update(self, s):
+        self._s = s
+
+    def remove(self):
+        self._s, self.removed = None, True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+
+def test_flush_timeout_emits_open_tail():
+    from python_vegindex_spark.streaming.stateful import _sessionize
+
+    start_us = int(pd.Timestamp(T0).value // 1000)
+    last_us = start_us + 120_000_000
+    st = _FakeState(state_tuple=(start_us, last_us, 4, 77), timed_out=True)
+    out = list(_sessionize(("conv-x",), iter([]), st))
+    assert st.removed
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert row["conv_id"] == "conv-x"
+    assert row["n_turns"] == 4
+    assert row["text_len_sum"] == 77
+    assert pd.Timestamp(row["session_start"]).value // 1000 == start_us
+    assert pd.Timestamp(row["session_end"]).value // 1000 == last_us
+
+
+def test_flush_timeout_without_state_emits_nothing():
+    from python_vegindex_spark.streaming.stateful import _sessionize
+
+    st = _FakeState(state_tuple=None, timed_out=True)
+    out = list(_sessionize(("conv-y",), iter([]), st))
+    assert out == [] and st.removed
+
+
+def test_open_tail_sets_timeout_when_flush_enabled():
+    from python_vegindex_spark.streaming.stateful import _sessionize
+
+    pdf = _mk_turns([("c", 0, "hi"), ("c", 1, "there")])
+    pdf["text_len"] = pdf["text"].str.len().astype("int64")
+    pdf["gap_s"] = GAP_S
+    pdf["flush_ms"] = 30_000
+    st = _FakeState()
+    out = list(_sessionize(("c",), iter([pdf]), st))
+    assert out == []  # only an open tail, nothing closed
+    assert st.exists and st.timeout_ms == 30_000
