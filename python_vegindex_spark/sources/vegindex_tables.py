@@ -296,3 +296,77 @@ def read_site_info(
     if sitename is not None:
         df = df.filter(F.col("sitename") == sitename)
     return df
+
+
+# ---------------------------------------------------------------------------
+# archive scan (S1): filename-encoded timestamps -> real ts column
+
+def filename_to_ts(filename, sitename: str, ir: bool = False):
+    """Column expression parsing the reference's path-encoded timestamp
+    ``{site}[_IR]_YYYY_MM_DD_HHNNSS.jpg`` (utils.py:63-97 fn2datetime,
+    fixed positions after the prefix) into a TimestampType column —
+    whole-stage-codegen, no UDF."""
+    prefix = sitename + ("_IR" if ir else "")
+    dt = F.substring(filename, len(prefix) + 2, 17)  # YYYY_MM_DD_HHNNSS
+    return F.to_timestamp(dt, "yyyy_MM_dd_HHmmss")
+
+
+def scan_archive(
+    spark: SparkSession,
+    archive_dir: str,
+    sitename: str,
+    start_dt: datetime | None = None,
+    end_dt: datetime | None = None,
+    ir: bool = False,
+) -> DataFrame:
+    """S1 archive directory scan -> DataFrame(path, filename, ts), sorted.
+
+    Mirrors utils.py:103-213 getsiteimglist: ``site/YYYY/MM/`` dirs
+    pruned to the [start, end] year-month range driver-side (the listing
+    is catalog-scale, not data-scale; on a real lakehouse this is
+    partition pruning on a ts_date column — see sources/bronze.py), the
+    standard-filename regex match, then timestamp parse + range filter as
+    Spark expressions."""
+    import os as _os
+    import re as _re
+
+    start_dt = start_dt or datetime(1990, 1, 1)
+    end_dt = end_dt or datetime(9999, 1, 1)
+    prefix = sitename + ("_IR" if ir else "")
+    rows = []
+    sitepath = _os.path.join(archive_dir, sitename)
+    if _os.path.isdir(sitepath):
+        for yeardir in sorted(_os.listdir(sitepath)):
+            if not _re.match(r"^\d{4}$", yeardir):
+                continue
+            y = int(yeardir)
+            if y < start_dt.year or y > end_dt.year:
+                continue
+            yearpath = _os.path.join(sitepath, yeardir)
+            if not _os.path.isdir(yearpath):
+                continue
+            for mondir in sorted(_os.listdir(yearpath)):
+                if not _re.match(r"^\d{2}$", mondir):
+                    continue
+                m = int(mondir)
+                if not 1 <= m <= 12:
+                    continue
+                if (y == start_dt.year and m < start_dt.month) or (
+                    y == end_dt.year and m > end_dt.month
+                ):
+                    continue
+                monpath = _os.path.join(yearpath, mondir)
+                if not _os.path.isdir(monpath):
+                    continue
+                pat = _re.compile(
+                    rf"^{_re.escape(prefix)}_{yeardir}_{mondir}_.*\.jpg$"
+                )
+                for f in sorted(_os.listdir(monpath)):
+                    if pat.match(f):
+                        rows.append((_os.path.join(monpath, f), f))
+    df = spark.createDataFrame(rows or [], "path string, filename string")
+    return (
+        df.withColumn("ts", filename_to_ts(F.col("filename"), sitename, ir))
+        .filter(F.col("ts").between(start_dt, end_dt))
+        .orderBy("path")
+    )

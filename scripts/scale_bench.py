@@ -95,7 +95,7 @@ def run_submit(cores: int, turns_path: str, zip_path: str) -> dict:
 def main() -> None:
     sys.path.insert(0, os.path.join(REPO, "scripts"))
     os.environ.setdefault("VXS_SCRATCH", "/dev/shm")
-import hosttune
+    import hosttune
 
     hosttune.tune(enable=os.environ.get("VXS_HOSTTUNE", "1") == "1")
 

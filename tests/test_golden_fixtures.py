@@ -260,3 +260,45 @@ def test_site_info_golden(spark):
     assert r["lon"] == pytest.approx(-60.0)
     assert r["elev"] == pytest.approx(300.0)
     assert r["tzoffset"] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# archive scan + filename timestamps (test_utils.py:23-63)
+
+def test_filename_to_ts_golden(spark):
+    from python_vegindex_spark.sources.vegindex_tables import filename_to_ts
+
+    df = spark.createDataFrame(
+        [("harvard_2009_06_30_120138.jpg",)], "fn string"
+    ).select(
+        filename_to_ts(F.col("fn"), "harvard").alias("rgb_ts"),
+    )
+    ir = spark.createDataFrame(
+        [("harvard_IR_2009_06_30_120138.jpg",)], "fn string"
+    ).select(filename_to_ts(F.col("fn"), "harvard", ir=True).alias("ir_ts"))
+    import datetime as dt
+
+    assert df.collect()[0]["rgb_ts"] == dt.datetime(2009, 6, 30, 12, 1, 38)
+    assert ir.collect()[0]["ir_ts"] == dt.datetime(2009, 6, 30, 12, 1, 38)
+
+
+def test_scan_archive_golden(spark):
+    """Reproduces test_utils.py:47-63 getsiteimglist on the reference
+    sample archive."""
+    import datetime as dt
+
+    from python_vegindex_spark.sources.vegindex_tables import scan_archive
+
+    got = scan_archive(
+        spark, REF, "harvard",
+        start_dt=dt.datetime(2009, 6, 30), end_dt=dt.datetime(2009, 7, 1),
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["filename"] == "harvard_2009_06_30_120138.jpg"
+    assert got[0]["ts"] == dt.datetime(2009, 6, 30, 12, 1, 38)
+    # missing site -> empty
+    assert scan_archive(spark, REF, "acadia").count() == 0
+    # IR variant picks up only IR-prefixed files
+    ir = scan_archive(spark, REF, "alligatorriver", ir=True).collect()
+    assert len(ir) == 1
+    assert ir[0]["filename"].startswith("alligatorriver_IR_")
