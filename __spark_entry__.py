@@ -489,6 +489,31 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup duplicate CLUSTERS: MinHash-LSH pairs -> Jaccard verify
+    -> connected components (pointer-doubling min-label CC,
+    operators/dedup.dedup_clusters) -> cluster-size histogram. Rows-only
+    (connected components are not expressible in one DuckDB query); the
+    CC operator itself is pytest-verified on known graphs."""
+    from python_vegindex_spark.operators.dedup import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=64, shingle_n=3)
+    pairs = (
+        ngram_jaccard(minhash_lsh_pairs(sigs, bands=16, rows_per_band=4), docs, n=3)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    clusters = dedup_clusters(pairs)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count("*").cast("long").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash signatures (near-dup fingerprints)."""
     docs = _t(spark, sf_dir, "documents")
@@ -605,6 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deg_dms_roundtrip": q_deg_dms_roundtrip,
         "csv_sentinel_format": q_csv_sentinel_format,
         "minhash_near_dups": q_minhash_near_dups,
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "simhash_docs": q_simhash_docs,
         "solar_gate_features": q_solar_gate_features,
         "codec_roundtrip_rollup": q_codec_roundtrip_rollup,

@@ -191,3 +191,88 @@ def simhash64(
         )
         sim = sim.bitwiseOR(F.shiftleft(bit, i))
     return agg.select("id", sim.alias("simhash"))
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    ids: DataFrame | None = None,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs -> (id, cluster_id).
+
+    ``pairs`` is (id_a, id_b) from :func:`minhash_lsh_pairs` /
+    embedding near-dup; ``cluster_id`` is the minimum member id, so the
+    canonical survivor of each duplicate cluster is the row with
+    ``id == cluster_id``. Optional ``ids`` (one ``id`` column) adds
+    singleton docs so every doc receives a cluster.
+
+    Algorithm: min-label propagation WITH pointer doubling — each round
+    (a) every node takes the minimum label in its closed neighborhood
+    (one join + one map-side-combinable min aggregate), then (b) labels
+    are compressed through themselves (``l <- l(l(id))``, one self-join),
+    so the effective propagation distance doubles per round and
+    convergence is O(log diameter) rounds (the shuffle-based CC family
+    of Kiveris et al.'s star-contraction / hash-to-min). No GraphX
+    dependency, no driver-side union-find; every round shuffles only
+    (node, label) pairs, never payloads. Convergence is checked with a
+    cheap count action; lineage is truncated per round via
+    localCheckpoint so plans stay flat.
+    """
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    if ids is not None:
+        nodes = nodes.union(ids.select(F.col(ids.columns[0]).alias("id"))).distinct()
+    labels = nodes.select("id", F.col("id").alias("cluster_id"))
+    for _ in range(max_iters):
+        # (a) closed-neighborhood min
+        neigh = (
+            edges.join(labels, edges.src == labels.id)
+            .select(F.col("dst").alias("id"), "cluster_id")
+            .union(labels)
+        )
+        # checkpoint BEFORE the self-join: truncates lineage per round
+        # and gives the x/y aliases distinct attribute ids (avoids a
+        # Catalyst self-join resolution bug on deep upstream plans)
+        prop = (
+            neigh.groupBy("id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        # (b) pointer doubling: follow the label's own label (labels are
+        # node ids, so every label target has a row; min-monotone, so
+        # l(l(id)) <= l(id) and coalesce keeps roots unchanged)
+        x, y = prop.alias("x"), prop.alias("y")
+        new_labels = (
+            x.join(y, F.col("x.cluster_id") == F.col("y.id"), "left")
+            .select(
+                F.col("x.id").alias("id"),
+                F.coalesce(F.col("y.cluster_id"), F.col("x.cluster_id")).alias(
+                    "cluster_id"
+                ),
+            )
+        )
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), on="id")
+            .filter(F.col("o.cluster_id") != F.col("n.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_canonical(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop every near-duplicate except its cluster's minimum-id member.
+
+    Docs never seen in ``pairs`` pass through untouched (left join +
+    filter, no shuffle of the doc payload beyond the id join)."""
+    clusters = dedup_clusters(pairs)
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(losers, on=id_col, how="left_anti")

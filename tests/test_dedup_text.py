@@ -52,3 +52,43 @@ def test_shingle_kind_validation(spark):
     df = spark.createDataFrame(pd.DataFrame({"doc_id": ["x"], "text": ["y"]}))
     with pytest.raises(ValueError, match="shingle_kind"):
         minhash_signatures(df, shingle_kind="sentence")
+
+
+# ---------------------------------------------------------------------------
+# connected-components clustering + canonical selection
+
+def test_dedup_clusters_chain_and_singleton(spark):
+    from python_vegindex_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e")], "id_a string, id_b string"
+    )
+    ids = spark.createDataFrame([("f",)], "id string")
+    got = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs, ids=ids).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d", "f": "f"}
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    from python_vegindex_spark.operators.dedup import dedup_clusters
+
+    n = 40  # path graph of 40 nodes: needs ~log2(40) rounds
+    pairs = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i+1:02d}") for i in range(n - 1)],
+        "id_a string, id_b string",
+    )
+    got = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert len(got) == n
+    assert set(got.values()) == {"n00"}
+
+
+def test_dedup_keep_canonical(spark):
+    import pandas as pd
+
+    from python_vegindex_spark.operators.dedup import dedup_keep_canonical
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["a", "b", "c", "x"], "text": ["t1", "t1b", "t1c", "solo"]})
+    )
+    pairs = spark.createDataFrame([("a", "b"), ("b", "c")], "id_a string, id_b string")
+    kept = sorted(r["doc_id"] for r in dedup_keep_canonical(docs, pairs).collect())
+    assert kept == ["a", "x"]
