@@ -220,6 +220,10 @@ def dedup_clusters(
     """
     e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # materialize once: edges are re-joined every round, and without this
+    # the whole upstream candidate-pair pipeline (LSH, Jaccard verify)
+    # would re-execute per iteration
+    edges = edges.localCheckpoint(eager=True)
     nodes = edges.select(F.col("src").alias("id")).distinct()
     if ids is not None:
         nodes = nodes.union(ids.select(F.col(ids.columns[0]).alias("id"))).distinct()

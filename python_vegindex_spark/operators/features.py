@@ -41,9 +41,28 @@ FEATURE_COLS = [
     "quality_flag",
 ]
 
+# the minimal column set worth materializing: everything else in
+# FEATURE_COLS is a pure projection of these (see derive_features)
+PHYSICAL_COLS = [
+    "conv_id", "turn_idx", "role", "tool", "ts",
+    "text_len", "word_count", "tool_call", "latency_delta_s",
+]
 
-def turn_features(turns: DataFrame, lag_via_join: bool = False) -> DataFrame:
-    """Compute tier-1 features for every turn.
+
+def turn_features_physical(
+    turns: DataFrame, lag_via_join: bool = False
+) -> DataFrame:
+    """The expensive part of feature extraction: text folded to scalars
+    plus the per-conv lag window — 9 physical columns, nothing derivable.
+
+    This is what the pipeline MATERIALIZES as the silver table: the
+    derived measures (r/g/b_dn, dnsum, fcc, rcc_like, gate_value,
+    quality_flag) are cheap whole-stage-codegen projections recomputed
+    on read by :func:`derive_features`, so persisting them would spend
+    ~45% more write bandwidth — and the silver table is read once per
+    gold tier plus the chunk encoder, multiplying the saving. (This
+    sandbox is memory-bandwidth bound; bytes written/read are the
+    scaling currency.)
 
     ``lag_via_join=True`` computes the latency delta with an equi-join on
     (conv_id, turn_idx-1) instead of a window. The window is faster for
@@ -92,6 +111,13 @@ def turn_features(turns: DataFrame, lag_via_join: bool = False) -> DataFrame:
             (epoch_us(F.col("ts")) - epoch_us(F.lag("ts").over(w))) / 1e6,
         )
 
+    return df.select(*PHYSICAL_COLS)
+
+
+def derive_features(df: DataFrame) -> DataFrame:
+    """Derived measures on top of the physical silver columns — pure
+    projections, safe to recompute on every read (A10
+    recompute-don't-trust, generate_summary_timeseries.py:326-336)."""
     # raw DN-style measures -> composite features
     df = (
         df.withColumn("r_dn", F.col("text_len"))
@@ -117,3 +143,8 @@ def turn_features(turns: DataFrame, lag_via_join: bool = False) -> DataFrame:
     return df.select(
         "conv_id", "turn_idx", "role", "tool", "ts", *FEATURE_COLS
     )
+
+
+def turn_features(turns: DataFrame, lag_via_join: bool = False) -> DataFrame:
+    """Compute tier-1 features for every turn (physical + derived)."""
+    return derive_features(turn_features_physical(turns, lag_via_join))

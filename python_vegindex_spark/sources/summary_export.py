@@ -80,3 +80,57 @@ def to_gcc_summary_schema(gold: DataFrame) -> DataFrame:
         nd_int.alias("outlierflag_gcc_75"),
         nd_int.alias("outlierflag_gcc_90"),
     )
+
+
+# the reference's NDVI summary field order, ndvi_summary_timeseries.py:100-137
+NDVI_SUMMARY_FIELDS = [
+    "date", "year", "doy", "image_count",
+    "midday_rgb_filename", "midday_ir_filename", "midday_ndvi",
+    "gcc_90", "ndvi_mean", "ndvi_std", "ndvi_50", "ndvi_75", "ndvi_90",
+    "max_solar_elev", "snow_flag",
+    "outlierflag_ndvi_mean", "outlierflag_ndvi_50",
+    "outlierflag_ndvi_75", "outlierflag_ndvi_90",
+]
+
+
+def to_ndvi_summary_schema(summary: DataFrame, tier: str = "3day") -> DataFrame:
+    """Project a paired-index rollup (operators/paired.paired_summary /
+    generic rollup_series over ``ndvi_c``) onto NDVI_SUMMARY_FIELDS
+    (ndvi_summary_timeseries.py:100-137 field order).
+
+    Required input columns: bucket_start, n, v_mean, v_std, v_50, v_75,
+    v_90. Optional (passed through when present, typed-ND otherwise):
+    midday_rgb_filename, midday_ir_filename, midday_ndvi, gcc_90,
+    max_solar_elev. Flag columns are always-ND like the reference
+    generate path (generate_ndvi_summary_timeseries.py writes ND)."""
+    from ..functions.buckets import bucket_center
+
+    nd_int = F.lit(None).cast("int")
+    nd_dbl = F.lit(None).cast("double")
+    nd_str = F.lit(None).cast("string")
+
+    def opt(name: str, nd) -> "F.Column":
+        return F.col(name) if name in summary.columns else nd.alias(name)
+
+    center = bucket_center(F.col("bucket_start"), tier)
+    return summary.select(
+        center.alias("date"),
+        F.year(center).alias("year"),
+        F.dayofyear(center).alias("doy"),
+        F.col("n").cast("int").alias("image_count"),
+        opt("midday_rgb_filename", nd_str).alias("midday_rgb_filename"),
+        opt("midday_ir_filename", nd_str).alias("midday_ir_filename"),
+        opt("midday_ndvi", nd_dbl).alias("midday_ndvi"),
+        opt("gcc_90", nd_dbl).alias("gcc_90"),
+        F.col("v_mean").alias("ndvi_mean"),
+        F.col("v_std").alias("ndvi_std"),
+        F.col("v_50").alias("ndvi_50"),
+        F.col("v_75").alias("ndvi_75"),
+        F.col("v_90").alias("ndvi_90"),
+        opt("max_solar_elev", nd_dbl).alias("max_solar_elev"),
+        nd_int.alias("snow_flag"),
+        nd_int.alias("outlierflag_ndvi_mean"),
+        nd_int.alias("outlierflag_ndvi_50"),
+        nd_int.alias("outlierflag_ndvi_75"),
+        nd_int.alias("outlierflag_ndvi_90"),
+    )

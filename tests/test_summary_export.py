@@ -76,3 +76,64 @@ def test_export_roundtrips_through_golden_reader(spark, one_conv_gold, tmp_path)
         # sub-threshold rows keep midday values, full rows keep everything
         if e["midday_gcc"] is not None:
             assert g["midday_gcc"] == pytest.approx(e["midday_gcc"], abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# NDVI summary family export (second measure family)
+
+def test_ndvi_export_field_order_and_roundtrip(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from python_vegindex_spark.operators.paired import paired_index, paired_summary
+    from python_vegindex_spark.sources.summary_export import (
+        NDVI_SUMMARY_FIELDS,
+        to_ndvi_summary_schema,
+    )
+    from python_vegindex_spark.sources.vegindex_tables import read_ndvi_summary
+
+    rng = np.random.default_rng(5)
+    t0 = pd.Timestamp("2024-06-01")
+    p = pd.DataFrame(
+        dict(
+            k=["s"] * 200,
+            ts=[t0 + pd.Timedelta(hours=float(h)) for h in np.sort(rng.uniform(0, 24 * 12, 200))],
+            r=rng.uniform(10, 200, 200), g=rng.uniform(10, 200, 200),
+            b=rng.uniform(10, 200, 200), exposure=np.full(200, 30.0),
+        )
+    )
+    s = pd.DataFrame(
+        dict(
+            k=["s"] * 200,
+            ts=[t0 + pd.Timedelta(hours=float(h)) for h in np.sort(rng.uniform(0, 24 * 12, 200))],
+            ir=rng.uniform(10, 200, 200), exposure=np.full(200, 15.0),
+        )
+    )
+    idx = paired_index(
+        spark.createDataFrame(p), spark.createDataFrame(s), on=["k"], tolerance_s=3600
+    )
+    summ = paired_summary(idx, tier="3day", series_cols=["k"], nmin=2)
+    out = to_ndvi_summary_schema(summ, tier="3day")
+    assert out.columns == NDVI_SUMMARY_FIELDS
+
+    path = str(tmp_path / "ndvi_export.csv")
+    write_headered_csv(
+        out.drop("year").withColumn("year", F.year("date")).select(*NDVI_SUMMARY_FIELDS),
+        path,
+        {"Site": "s", "Aggregation Period": "3", "Image Count Threshold": "2"},
+        sort_cols=["date"],
+    )
+    back, props = read_ndvi_summary(spark, path)
+    assert int(props["Aggregation Period"]) == 3
+    exp = {r["date"]: r for r in out.collect()}
+    got = {r["date"]: r for r in back.collect()}
+    assert set(got) == set(exp)
+    for d, g in got.items():
+        e = exp[d]
+        assert g["image_count"] == e["image_count"]
+        assert g["snow_flag"] is None
+        for c in ("ndvi_mean", "ndvi_90"):
+            if e[c] is None:
+                assert g[c] is None, (d, c)
+            else:
+                assert g[c] == pytest.approx(e[c], abs=1e-5), (d, c)
