@@ -149,6 +149,67 @@ def q_asof_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+# (qtype, q) pairs exercising every non-default HF estimator family
+_HF_COMBOS = [(1, 0.35), (3, 0.5), (4, 0.9), (5, 0.75), (6, 0.9), (8, 0.5), (9, 0.25)]
+
+
+def q_hf_quantile_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 completeness: HF quantile types beyond the default 7
+    (functions/quantile.hf_quantile_expr), oracle-checked against DuckDB
+    implementing the same Hyndman-Fan plotting-position arithmetic over
+    a sorted list aggregate."""
+    from python_vegindex_spark.functions.quantile import hf_quantile_expr
+
+    ev = _t(spark, sf_dir, "events")
+    aggs = [F.count("value").cast("long").alias("n")]
+    for t, q in _HF_COMBOS:
+        aggs.append(
+            F.round(hf_quantile_expr("value", q, qtype=t), 6).alias(
+                f"t{t}_q{int(q * 100)}"
+            )
+        )
+    return ev.groupBy("event_type").agg(*aggs).orderBy("event_type")
+
+
+def _hf_oracle_sql() -> str:
+    """DuckDB SQL computing the same HF types over list(value ORDER BY value).
+
+    Mirrors hf_quantile_expr exactly: h = a + (n+b)q - 1, j = trunc(h)
+    (toward zero), g = h - j; j<0 -> y[1]; j>=n -> y[n]; g=0 -> y[j+1];
+    else y[j+1] + (y[least(j+2,n)] - y[j+1]) * (c + d*g).
+    """
+    abcd = {
+        1: (0.0, 0.0, 1.0, 0.0), 3: (0.5, 0.0, 0.0, 0.0),
+        4: (0.0, 0.0, 0.0, 1.0), 5: (0.5, 0.0, 0.0, 1.0),
+        6: (0.0, 1.0, 0.0, 1.0), 8: (1.0 / 3, 1.0 / 3, 0.0, 1.0),
+        9: (3.0 / 8, 0.25, 0.0, 1.0),
+    }
+    cols = []
+    for t, q in _HF_COMBOS:
+        a, b, c, d = abcd[t]
+        h = f"({a!r} + (n + {b!r}) * {q!r} - 1.0)"
+        j = f"trunc({h})"
+        g = f"({h} - {j})"
+        yj = f"y[CAST({j} AS BIGINT) + 1]"
+        yj1 = f"y[least(CAST({j} AS BIGINT) + 2, n)]"
+        expr = (
+            f"CASE WHEN {j} < 0 THEN y[1] "
+            f"WHEN {j} >= n THEN y[n] "
+            f"WHEN {g} = 0 THEN {yj} "
+            f"ELSE {yj} + ({yj1} - {yj}) * ({c!r} + {d!r} * {g}) END"
+        )
+        cols.append(f"round({expr}, 6) AS t{t}_q{int(q * 100)}")
+    cols_sql = ",\n       ".join(cols)
+    return f"""
+WITH s AS (
+  SELECT event_type, list(value ORDER BY value) AS y,
+         CAST(count(value) AS BIGINT) AS n
+  FROM events WHERE value IS NOT NULL GROUP BY event_type)
+SELECT event_type, n, {cols_sql}
+FROM s ORDER BY event_type
+"""
+
+
 def q_summary_threshold_nullout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 read-side threshold projection (gcctimeseries.py:186-393)
     oracle-checked over testdata: a daily per-user summary whose
@@ -612,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_backward_join": q_asof_backward_join,
         "asof_bucketed_join": q_asof_bucketed_join,
         "summary_threshold_nullout": q_summary_threshold_nullout,
+        "hf_quantile_types": q_hf_quantile_types,
         "interval_join_agg": q_interval_join_agg,
         "merge_upsert_checksum": q_merge_upsert_checksum,
         "dedup_exact_docs": q_dedup_exact_docs,
@@ -736,6 +798,7 @@ SELECT user_id, count(*) AS n_gaps,
 FROM gaps WHERE gap_s IS NOT NULL
 GROUP BY 1 ORDER BY 1
 """,
+        "hf_quantile_types": _hf_oracle_sql(),
         "summary_threshold_nullout": """
 WITH s AS (
   SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
