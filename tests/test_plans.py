@@ -71,3 +71,65 @@ def test_gap_fill_join_broadcasts_small_side(spark, turns_path):
     gold = rollup(turn_features(bronze), RollupConfig(tier="weekly", nmin=2))
     n = gold.count()  # force AQE final plan
     assert n > 0
+
+
+def test_ivf_assignment_is_zero_shuffle(spark):
+    """The IVF Lloyd-assignment claim: picking each vector's centroid is
+    a pure projection (literal codebook argmax), so the assignment plan
+    must contain NO Exchange and no Python eval."""
+    import pandas as pd
+    import numpy as np
+
+    from python_vegindex_spark.operators.similarity import _codebook_assign_expr
+
+    rng = np.random.default_rng(2)
+    pdf = pd.DataFrame(
+        {
+            "id": range(50),
+            "vec": [list(map(float, rng.normal(size=8))) for _ in range(50)],
+        }
+    )
+    corpus = spark.createDataFrame(pdf)
+    cent_rows = [(i, list(map(float, rng.normal(size=8)))) for i in range(4)]
+    assigned = corpus.withColumn(
+        "centroid_id", _codebook_assign_expr(cent_rows, "vec")
+    )
+    plan = _executed_plan(assigned)
+    assert "Exchange" not in plan, "IVF assignment must not shuffle"
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan
+
+
+def test_asof_bucketed_has_no_global_window(spark):
+    """The bucketed as-of scale path must not contain any Window
+    operator (its whole point is replacing the per-key window sort with
+    a (key, ts-bucket) equi-join + hash aggregate)."""
+    import pandas as pd
+
+    from python_vegindex_spark.operators.asof import asof_join_bucketed
+
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "event_id": [1, 2, 3],
+                "k": ["a", "a", "b"],
+                "ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 11:00", "2024-01-01 10:30"]),
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a", "b"],
+                "ts": pd.to_datetime(["2024-01-01 09:58", "2024-01-01 10:29"]),
+                "v": [1.0, 2.0],
+            }
+        )
+    )
+    out = asof_join_bucketed(
+        left, right, on=["k"], left_keys=["event_id"],
+        direction="backward", tolerance_s=600, payload_cols=["v"],
+    )
+    plan = _optimized_plan(out)
+    assert "Window" not in plan, "bucketed as-of must not use window functions"
+    assert out.count() == 3
