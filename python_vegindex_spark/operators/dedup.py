@@ -280,3 +280,60 @@ def dedup_keep_canonical(
         F.col("id").alias(id_col)
     )
     return docs.join(losers, on=id_col, how="left_anti")
+
+
+def simhash_pairs(
+    sigs: DataFrame,
+    hamming_max: int = 3,
+    tables: int = 4,
+    prefix_bits: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs from 64-bit SimHashes: (id_a, id_b, hamming).
+
+    Charikar/Manku-style multi-table block blocking: rotate each
+    signature into ``tables`` positions of 64/tables bits; candidates
+    collide on the top ``prefix_bits`` (default 64//tables, i.e. exactly
+    one disjoint block per table), then are verified exactly with
+    bit_count(xor) <= hamming_max. With the defaults the blocks are
+    disjoint and cover all 64 bits, so by pigeonhole ANY pair with
+    ``hamming < tables`` shares at least one clean block — recall is 1.0
+    for hamming_max < tables (raise ``tables`` for larger radii; recall
+    above the guarantee degrades gracefully). Shuffle key = (table,
+    block bucket) only — never an N^2 self-join; all JVM expressions.
+    """
+    rot = 64 // tables
+    if prefix_bits is None:
+        prefix_bits = rot
+    sig = F.col("simhash")
+
+    def _rotl(c, k):
+        if k == 0:
+            return c
+        # logical rotate-left on the 64-bit pattern (shiftrightunsigned)
+        return F.shiftleft(c, k).bitwiseOR(F.shiftrightunsigned(c, 64 - k))
+
+    banded = sigs.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(_rotl(sig, t * rot), 64 - prefix_bits)
+                    for t in range(tables)
+                ]
+            )
+        ).alias("table", "bucket"),
+    )
+    a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "table", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "table", "bucket")
+    return (
+        a.join(b, on=["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= hamming_max)
+        .distinct()
+    )

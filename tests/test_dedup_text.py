@@ -92,3 +92,46 @@ def test_dedup_keep_canonical(spark):
     pairs = spark.createDataFrame([("a", "b"), ("b", "c")], "id_a string, id_b string")
     kept = sorted(r["doc_id"] for r in dedup_keep_canonical(docs, pairs).collect())
     assert kept == ["a", "x"]
+
+
+# ---------------------------------------------------------------------------
+# SimHash Hamming pair discovery
+
+def test_simhash_pairs_finds_near_dups(spark):
+    """Pigeonhole guarantee: hamming < tables -> pair always found.
+    Synthetic signatures make the distance exact and deterministic."""
+    from python_vegindex_spark.operators.dedup import simhash_pairs
+
+    base = 0x5A5A5A5A5A5A5A5A
+    near = base ^ (1 << 3) ^ (1 << 40)          # hamming 2
+    far = base ^ 0x00FF00FF00FF00FF             # hamming 32
+    sigs = spark.createDataFrame(
+        [("d1", base), ("d2", near), ("d3", far)], "id string, simhash long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(sigs, hamming_max=3, tables=4).collect()
+    }
+    assert got == {("d1", "d2"): 2}
+
+    # radius 8 with 16 tables (blocks of 4 bits): guarantee still holds
+    eight = base
+    for b in (1, 9, 17, 25, 33, 41, 49, 57):
+        eight ^= 1 << b
+    sigs2 = spark.createDataFrame(
+        [("a", base), ("b", eight)], "id string, simhash long"
+    )
+    got2 = simhash_pairs(sigs2, hamming_max=8, tables=16).collect()
+    assert len(got2) == 1 and got2[0]["hamming"] == 8
+
+
+def test_simhash_pairs_identical_docs_hamming_zero(spark):
+    import pandas as pd
+
+    from python_vegindex_spark.operators.dedup import simhash64, simhash_pairs
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["a", "b"], "text": ["same exact words here"] * 2})
+    )
+    got = simhash_pairs(simhash64(df), hamming_max=0).collect()
+    assert len(got) == 1 and got[0]["hamming"] == 0
