@@ -302,3 +302,28 @@ def test_scan_archive_golden(spark):
     ir = scan_archive(spark, REF, "alligatorriver", ir=True).collect()
     assert len(ir) == 1
     assert ir[0]["filename"].startswith("alligatorriver_IR_")
+
+
+# ---------------------------------------------------------------------------
+# canonical-path helper family (vegindex.py:67-215 get_* API)
+
+def test_catalog_helpers_golden(spark):
+    from python_vegindex_spark.sources.catalog import (
+        get_gcc_timeseries,
+        get_ndvi_summary,
+        get_roi_ir_timeseries,
+        get_roi_list,
+    )
+
+    dim, props = get_roi_list(spark, REF, "harvard", "DB_0001")
+    assert dim.count() == 1 and props["Site"] == "harvard"
+
+    ir, _ = get_roi_ir_timeseries(spark, REF, "alligatorriver", "DB_1000")
+    last = ir.orderBy(F.desc("ts")).limit(1).collect()[0]
+    assert last["exposure"] == 2400  # test_ir_roitimeseries.py:112-125
+
+    gcc, props = get_gcc_timeseries(spark, REF, "harvard", "DB_0001", nday=1)
+    assert gcc.count() == 365 and int(props["Aggregation Period"]) == 1
+
+    ndvi, _ = get_ndvi_summary(spark, REF, "dukehw", "DB_1000", nday=3)
+    assert ndvi.count() == 870  # test_ndvisummarytimeseries.py:63
