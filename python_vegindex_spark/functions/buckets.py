@@ -27,11 +27,22 @@ from pyspark.sql import functions as F
 from ..config import TIER_NDAY
 
 
+def tier_nday(tier: str) -> int:
+    """nday for a doy-anchored tier; any "Nday" spelling works (the
+    reference's aggregation period is an arbitrary integer,
+    generate_summary_timeseries.py nday argument)."""
+    if tier in TIER_NDAY:
+        return TIER_NDAY[tier]
+    if tier.endswith("day") and tier[:-3].isdigit():
+        return int(tier[:-3])
+    raise KeyError(f"unknown tier {tier!r}")
+
+
 def bucket_start(ts: Column, tier: str) -> Column:
     """Bucket start for a timestamp. DateType for day tiers, TimestampType for hourly."""
     if tier == "hourly":
         return F.date_trunc("hour", ts)
-    n = TIER_NDAY[tier]
+    n = tier_nday(tier)
     if n == 1:
         return F.to_date(ts)
     # Jan 1 of ts's year + floor((doy-1)/n)*n days  (vegindex.py:34-58)
@@ -44,7 +55,7 @@ def bucket_center(start: Column, tier: str) -> Column:
     generate_summary_timeseries.py:276-277)."""
     if tier == "hourly":
         return start  # hourly buckets are labeled by their start
-    n = TIER_NDAY[tier]
+    n = tier_nday(tier)
     return F.date_add(start, n // 2)
 
 
@@ -67,7 +78,7 @@ def _bucket_seq(min_b: Column, max_b: Column, tier: str) -> Column:
     """
     if tier == "hourly":
         return F.sequence(min_b, max_b, F.expr("INTERVAL 1 HOUR"))
-    n = TIER_NDAY[tier]
+    n = tier_nday(tier)
     days = F.sequence(min_b, max_b, F.expr("INTERVAL 1 DAY"))
     if n == 1:
         return days

@@ -1,0 +1,156 @@
+"""generate_summary_timeseries as one declarative Spark plan.
+
+The reference's flagship job (generate_summary_timeseries.py:229-531)
+reads a tier-1 roistats CSV and emits the n-day gcc summary. This
+operator runs the same computation over a roistats DataFrame (from
+:func:`..sources.vegindex_tables.read_roistats` or the catalog helpers)
+— the last step letting a vegindex user run their actual daily job on
+Spark. Faithful semantics, including the quirks:
+
+* QC select_rows (roitimeseries.py:809-841): time-of-day window,
+  brt = r+g+b in [brt_min, brt_max], solar_elev >= sunelev_min,
+  r_mean not null; then the awbflag==1 skip
+  (generate_summary_timeseries.py:309-315).
+* Buckets are nday doy-anchored with yearly restart (daterange2,
+  vegindex.py:22-64); every bucket between the first and last QC'd row
+  is emitted (gap-fill), label = start + floor(nday/2) days.
+* Per-row: dnsum = r+g+b of the ROW means; rows with dnsum <= 0 do NOT
+  count toward image_count and contribute NaN gcc/rcc — but their raw
+  r/g/b DO feed the DN means, and their solar_elev feeds max_solar_elev
+  (generate_summary_timeseries.py:324-336).
+* gcc uses the STORED per-image gcc column; rcc is RECOMPUTED as
+  r/dnsum (generate_summary_timeseries.py:326-336 — the comment says
+  both are recomputed, the code only recomputes rcc/bcc; we are
+  bug-compatible with the code).
+* stats: nanmean + POPULATION nanstd + exact HF-7 quantiles
+  (generate_summary_timeseries.py:438-457).
+* midday row = argmin |ts - noon(center)|, first-in-time tie-break
+  (generate_summary_timeseries.py:393-400).
+* Tiering (generate_summary_timeseries.py:383-461): image_count==0 ->
+  everything ND; 0 < count < nmin -> midday_* AND max_solar_elev kept,
+  stats ND (note: the reference's readCSV nulls max_solar_elev below
+  nmin on read — an asymmetry we reproduce on each side faithfully);
+  count >= nmin -> full stats. snow/outlier flags always ND.
+
+Spark shape: one shuffle (groupBy bucket), JVM-only aggregates
+(hash aggregate + exact percentile + min(struct) midday), tiny spine
+join for gap-fill — the same plan family as operators/rollup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.buckets import bucket_center, bucket_spine, bucket_start, midpoint_anchor
+from ..functions.timeutil import epoch_us
+from ..sources.summary_export import GCC_SUMMARY_FIELDS
+
+
+def generate_gcc_summary(
+    roistats: DataFrame,
+    nday: int = 3,
+    nmin: int = 1,
+    tod_min: str = "00:00:00",
+    tod_max: str = "23:59:59",
+    sunelev_min: float = 10.0,
+    brt_min: float = 100.0,
+    brt_max: float = 665.0,
+) -> DataFrame:
+    """roistats DataFrame -> n-day gcc summary in GCC_SUMMARY_FIELDS order."""
+    tier = f"{int(nday)}day"
+    brt = F.col("r_mean") + F.col("g_mean") + F.col("b_mean")
+    tod = F.date_format("ts", "HH:mm:ss")
+    qc = roistats.filter(
+        (tod >= tod_min)
+        & (tod <= tod_max)
+        & brt.between(brt_min, brt_max)
+        & (F.col("solar_elev") >= sunelev_min)
+        & F.col("r_mean").isNotNull()
+        & (F.col("awbflag").isNull() | (F.col("awbflag") != 1))
+    )
+
+    dnsum = F.col("r_mean") + F.col("g_mean") + F.col("b_mean")
+    ok = dnsum > 0
+    d = (
+        qc.withColumn("bucket_start", bucket_start(F.col("ts"), tier))
+        .withColumn("_anchor", midpoint_anchor(F.col("bucket_start"), tier))
+        .withColumn("_gcc", F.when(ok, F.col("gcc")))
+        .withColumn("_rcc", F.when(ok, F.col("r_mean") / dnsum))
+    )
+
+    mid_payload = F.struct(
+        F.abs(epoch_us(F.col("ts")) - epoch_us(F.col("_anchor"))).alias("d"),
+        F.col("ts").alias("ts"),
+        F.col("filename").alias("filename"),
+        F.col("r_mean").alias("r"),
+        F.col("g_mean").alias("g"),
+        F.col("b_mean").alias("b"),
+        F.col("_gcc").alias("gcc"),
+        F.col("_rcc").alias("rcc"),
+    )
+
+    def _q(c: str, q: float) -> Column:
+        return F.percentile(F.col(c), F.lit(q))
+
+    agg = d.groupBy("bucket_start").agg(
+        F.count(F.when(ok, 1)).alias("image_count"),
+        F.min(mid_payload).alias("_mid"),
+        F.avg("r_mean").alias("r_mean_"),
+        F.stddev_pop("r_mean").alias("r_std"),
+        F.avg("g_mean").alias("g_mean_"),
+        F.stddev_pop("g_mean").alias("g_std"),
+        F.avg("b_mean").alias("b_mean_"),
+        F.stddev_pop("b_mean").alias("b_std"),
+        F.avg("_gcc").alias("gcc_mean"),
+        F.stddev_pop("_gcc").alias("gcc_std"),
+        _q("_gcc", 0.5).alias("gcc_50"),
+        _q("_gcc", 0.75).alias("gcc_75"),
+        _q("_gcc", 0.9).alias("gcc_90"),
+        F.avg("_rcc").alias("rcc_mean"),
+        F.stddev_pop("_rcc").alias("rcc_std"),
+        _q("_rcc", 0.5).alias("rcc_50"),
+        _q("_rcc", 0.75).alias("rcc_75"),
+        _q("_rcc", 0.9).alias("rcc_90"),
+        F.max("solar_elev").alias("max_solar_elev"),
+    )
+
+    spine = bucket_spine(d, tier, series_cols=[])
+    agg = spine.join(agg, on=["bucket_start"], how="left")
+
+    cnt = F.coalesce(F.col("image_count"), F.lit(0))
+    some = cnt > 0
+    full = cnt >= int(nmin)
+    center = bucket_center(F.col("bucket_start"), tier)
+    nd_int = F.lit(None).cast("int")
+    stat_cols = [
+        ("r_mean", "r_mean_"), ("r_std", "r_std"),
+        ("g_mean", "g_mean_"), ("g_std", "g_std"),
+        ("b_mean", "b_mean_"), ("b_std", "b_std"),
+        ("gcc_mean", "gcc_mean"), ("gcc_std", "gcc_std"),
+        ("gcc_50", "gcc_50"), ("gcc_75", "gcc_75"), ("gcc_90", "gcc_90"),
+        ("rcc_mean", "rcc_mean"), ("rcc_std", "rcc_std"),
+        ("rcc_50", "rcc_50"), ("rcc_75", "rcc_75"), ("rcc_90", "rcc_90"),
+    ]
+    out = agg.select(
+        center.alias("date"),
+        F.year(center).alias("year"),
+        F.dayofyear(center).alias("doy"),
+        cnt.cast("int").alias("image_count"),
+        F.when(some, F.col("_mid.filename")).alias("midday_filename"),
+        F.when(some, F.col("_mid.r")).alias("midday_r"),
+        F.when(some, F.col("_mid.g")).alias("midday_g"),
+        F.when(some, F.col("_mid.b")).alias("midday_b"),
+        F.when(some, F.col("_mid.gcc")).alias("midday_gcc"),
+        F.when(some, F.col("_mid.rcc")).alias("midday_rcc"),
+        *[F.when(full, F.col(src)).alias(dst) for dst, src in stat_cols],
+        # kept (not nulled) in the sub-threshold branch, unlike readCSV
+        F.when(some, F.col("max_solar_elev")).alias("max_solar_elev"),
+        nd_int.alias("snow_flag"),
+        nd_int.alias("outlierflag_gcc_mean"),
+        nd_int.alias("outlierflag_gcc_50"),
+        nd_int.alias("outlierflag_gcc_75"),
+        nd_int.alias("outlierflag_gcc_90"),
+    )
+    assert out.columns == GCC_SUMMARY_FIELDS
+    return out
