@@ -154,3 +154,97 @@ def generate_gcc_summary(
     )
     assert out.columns == GCC_SUMMARY_FIELDS
     return out
+
+
+def generate_ndvi_summary_table(
+    ndvits: DataFrame,
+    nday: int = 3,
+    nmin: int = 1,
+    tod_min: str = "00:00:00",
+    tod_max: str = "23:59:59",
+    sunelev_min: float = 10.0,
+    brt_min: float = 100.0,
+    brt_max: float = 665.0,
+) -> DataFrame:
+    """NDVI timeseries DataFrame -> n-day NDVI summary, the second
+    flagship job (generate_ndvi_summary_timeseries.py:229-470), in
+    NDVI_SUMMARY_FIELDS order.
+
+    Faithful quirks: per-row gcc uses the STORED gcc and only counts
+    (and only contributes) where dnsum > 0 (the img_cnt guard,
+    :339-346); ndvi stats are over ALL QC'd rows' NDVI_c regardless of
+    the dnsum guard; the F3 range filter (NDVI_c in [-1, 1],
+    ndvitimeseries.py:621-642) is applied as in the reference's
+    filter_rows call (:245-247); sub-threshold buckets keep midday_* and
+    max_solar_elev, stats go ND.
+    """
+    from ..sources.summary_export import NDVI_SUMMARY_FIELDS
+
+    tier = f"{int(nday)}day"
+    brt = F.col("r_mean") + F.col("g_mean") + F.col("b_mean")
+    tod = F.date_format("ts", "HH:mm:ss")
+    qc = ndvits.filter(
+        (tod >= tod_min)
+        & (tod <= tod_max)
+        & brt.between(brt_min, brt_max)
+        & (F.col("solar_elev") >= sunelev_min)
+        & F.col("r_mean").isNotNull()
+        & F.col("NDVI_c").between(-1.0, 1.0)
+    )
+
+    dnsum = F.col("r_mean") + F.col("g_mean") + F.col("b_mean")
+    ok = dnsum > 0
+    d = (
+        qc.withColumn("bucket_start", bucket_start(F.col("ts"), tier))
+        .withColumn("_anchor", midpoint_anchor(F.col("bucket_start"), tier))
+        .withColumn("_gcc", F.when(ok, F.col("gcc")))
+    )
+    mid_payload = F.struct(
+        F.abs(epoch_us(F.col("ts")) - epoch_us(F.col("_anchor"))).alias("d"),
+        F.col("ts").alias("ts"),
+        F.col("filename_rgb").alias("rgb"),
+        F.col("filename_ir").alias("ir"),
+        F.col("NDVI_c").alias("ndvi"),
+    )
+    agg = d.groupBy("bucket_start").agg(
+        F.count(F.when(ok, 1)).alias("image_count"),
+        F.min(mid_payload).alias("_mid"),
+        F.percentile(F.col("_gcc"), F.lit(0.9)).alias("gcc_90"),
+        F.avg("NDVI_c").alias("ndvi_mean"),
+        F.stddev_pop("NDVI_c").alias("ndvi_std"),
+        F.percentile(F.col("NDVI_c"), F.lit(0.5)).alias("ndvi_50"),
+        F.percentile(F.col("NDVI_c"), F.lit(0.75)).alias("ndvi_75"),
+        F.percentile(F.col("NDVI_c"), F.lit(0.9)).alias("ndvi_90"),
+        F.max("solar_elev").alias("max_solar_elev"),
+    )
+    spine = bucket_spine(d, tier, series_cols=[])
+    agg = spine.join(agg, on=["bucket_start"], how="left")
+
+    cnt = F.coalesce(F.col("image_count"), F.lit(0))
+    some = cnt > 0
+    full = cnt >= int(nmin)
+    center = bucket_center(F.col("bucket_start"), tier)
+    nd_int = F.lit(None).cast("int")
+    out = agg.select(
+        center.alias("date"),
+        F.year(center).alias("year"),
+        F.dayofyear(center).alias("doy"),
+        cnt.cast("int").alias("image_count"),
+        F.when(some, F.col("_mid.rgb")).alias("midday_rgb_filename"),
+        F.when(some, F.col("_mid.ir")).alias("midday_ir_filename"),
+        F.when(some, F.col("_mid.ndvi")).alias("midday_ndvi"),
+        F.when(full, F.col("gcc_90")).alias("gcc_90"),
+        F.when(full, F.col("ndvi_mean")).alias("ndvi_mean"),
+        F.when(full, F.col("ndvi_std")).alias("ndvi_std"),
+        F.when(full, F.col("ndvi_50")).alias("ndvi_50"),
+        F.when(full, F.col("ndvi_75")).alias("ndvi_75"),
+        F.when(full, F.col("ndvi_90")).alias("ndvi_90"),
+        F.when(some, F.col("max_solar_elev")).alias("max_solar_elev"),
+        nd_int.alias("snow_flag"),
+        nd_int.alias("outlierflag_ndvi_mean"),
+        nd_int.alias("outlierflag_ndvi_50"),
+        nd_int.alias("outlierflag_ndvi_75"),
+        nd_int.alias("outlierflag_ndvi_90"),
+    )
+    assert out.columns == NDVI_SUMMARY_FIELDS
+    return out

@@ -172,3 +172,110 @@ def test_generate_summary_from_catalog_file(spark):
     # gap-filled zero buckets are all-ND
     zero = [r for r in rows if r["image_count"] == 0]
     assert zero and all(r["gcc_mean"] is None and r["midday_filename"] is None for r in zero)
+
+
+# ---------------------------------------------------------------------------
+# NDVI summary generation (second flagship)
+
+@pytest.fixture(scope="module")
+def ndvits_pdf():
+    rng = np.random.default_rng(31)
+    rows = []
+    day = dt.date(2021, 3, 1)
+    for d in range(30):
+        date = day + dt.timedelta(days=d)
+        if d in (5, 6):
+            continue
+        for i in range(int(rng.integers(1, 5))):
+            ts = dt.datetime(date.year, date.month, date.day, 9 + 2 * i, 1, 3)
+            r = float(rng.uniform(40, 120)); g = float(rng.uniform(40, 120)); b = float(rng.uniform(40, 120))
+            rows.append(
+                dict(
+                    ts=ts,
+                    filename_rgb=f"s_{ts:%Y_%m_%d_%H%M%S}.jpg",
+                    filename_ir=f"s_IR_{ts:%Y_%m_%d_%H%M%S}.jpg",
+                    solar_elev=float(rng.uniform(12, 70)),
+                    r_mean=r, g_mean=g, b_mean=b,
+                    gcc=g / (r + g + b),
+                    NDVI_c=float(rng.uniform(-0.2, 0.9)),
+                )
+            )
+    # a couple of out-of-range NDVI rows that filter_rows must drop
+    rows.append(dict(ts=dt.datetime(2021, 3, 2, 10), filename_rgb="x.jpg",
+                     filename_ir="xi.jpg", solar_elev=30.0, r_mean=50.0,
+                     g_mean=50.0, b_mean=50.0, gcc=1 / 3, NDVI_c=1.5))
+    return pd.DataFrame(rows)
+
+
+def _ndvi_oracle(pdf: pd.DataFrame, nday: int, nmin: int) -> dict:
+    df = pdf.copy()
+    brt = df.r_mean + df.g_mean + df.b_mean
+    df = df[
+        brt.between(100.0, 665.0)
+        & (df.solar_elev >= 10.0)
+        & df.r_mean.notna()
+        & df.NDVI_c.between(-1.0, 1.0)
+    ].sort_values("ts", kind="mergesort")
+    df["date"] = df.ts.dt.date
+
+    def bstart(d):
+        doy = d.timetuple().tm_yday
+        return dt.date(d.year, 1, 1) + dt.timedelta(days=((doy - 1) // nday) * nday)
+
+    out = {}
+    b = bstart(df.date.min()); last = bstart(df.date.max())
+    while b <= last:
+        end = min(b + dt.timedelta(days=nday), dt.date(b.year + 1, 1, 1))
+        rows = df[(df.date >= b) & (df.date < end)]
+        center = b + dt.timedelta(days=nday // 2)
+        noon = dt.datetime(center.year, center.month, center.day, 12)
+        rec = {"image_count": 0}
+        if len(rows):
+            dnsum = rows.r_mean + rows.g_mean + rows.b_mean
+            okm = dnsum > 0
+            gccv = np.where(okm, rows.gcc, np.nan)
+            cnt = int(okm.sum())
+            rec["image_count"] = cnt
+            if cnt > 0:
+                mi = int(np.argmin((rows.ts - noon).abs().to_numpy()))
+                rec["midday_rgb_filename"] = rows.filename_rgb.iloc[mi]
+                rec["midday_ndvi"] = float(rows.NDVI_c.iloc[mi])
+                rec["max_solar_elev"] = float(rows.solar_elev.max())
+            if cnt >= nmin and cnt > 0:
+                rec["gcc_90"] = hf7_numpy(gccv, 0.9)
+                rec["ndvi_mean"] = float(np.nanmean(rows.NDVI_c))
+                rec["ndvi_std"] = float(np.nanstd(rows.NDVI_c))
+                rec["ndvi_50"] = hf7_numpy(rows.NDVI_c.to_numpy(), 0.5)
+                rec["ndvi_90"] = hf7_numpy(rows.NDVI_c.to_numpy(), 0.9)
+        out[center] = rec
+        nxt = b + dt.timedelta(days=nday)
+        b = dt.date(b.year + 1, 1, 1) if nxt.year != b.year else nxt
+    return out
+
+
+@pytest.mark.parametrize("nday,nmin", [(3, 2)])
+def test_generate_ndvi_summary_matches_oracle(spark, ndvits_pdf, nday, nmin):
+    from python_vegindex_spark.operators.vegindex_summary import (
+        generate_ndvi_summary_table,
+    )
+    from python_vegindex_spark.sources.summary_export import NDVI_SUMMARY_FIELDS
+
+    got = generate_ndvi_summary_table(
+        spark.createDataFrame(ndvits_pdf), nday=nday, nmin=nmin
+    )
+    assert got.columns == NDVI_SUMMARY_FIELDS
+    got_rows = {r["date"]: r for r in got.collect()}
+    exp = _ndvi_oracle(ndvits_pdf, nday, nmin)
+    assert set(got_rows) == set(exp)
+    for center, e in exp.items():
+        g = got_rows[center]
+        assert g["image_count"] == e["image_count"], center
+        for k in ("midday_rgb_filename",):
+            assert g[k] == e.get(k), (center, k)
+        for k in ("midday_ndvi", "max_solar_elev", "gcc_90", "ndvi_mean",
+                  "ndvi_std", "ndvi_50", "ndvi_90"):
+            ev = e.get(k)
+            if ev is None or (isinstance(ev, float) and np.isnan(ev)):
+                assert g[k] is None, (center, k, g[k])
+            else:
+                assert g[k] == pytest.approx(ev, rel=1e-12), (center, k)
