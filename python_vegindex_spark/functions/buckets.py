@@ -90,6 +90,7 @@ def bucket_spine(
     tier: str,
     series_cols: list[str],
     bucket_col: str = "bucket_start",
+    start_at=None,
 ) -> DataFrame:
     """Gap-filled spine: one row per (series, bucket) from the bucket
     containing each series' first datum to the one containing its last —
@@ -103,6 +104,13 @@ def bucket_spine(
     bounds = df.groupBy(*series_cols).agg(
         F.min(bucket_col).alias("_min_b"), F.max(bucket_col).alias("_max_b")
     )
+    if start_at is not None:
+        # extend the spine's lower bound (incremental update: the open
+        # tail bucket is re-emitted even when the new data starts later)
+        typ = "timestamp" if tier == "hourly" else "date"
+        bounds = bounds.withColumn(
+            "_min_b", F.least(F.col("_min_b"), F.lit(start_at).cast(typ))
+        )
     return bounds.select(
         *series_cols,
         F.explode(_bucket_seq(F.col("_min_b"), F.col("_max_b"), tier)).alias(

@@ -56,8 +56,13 @@ def generate_gcc_summary(
     sunelev_min: float = 10.0,
     brt_min: float = 100.0,
     brt_max: float = 665.0,
+    spine_start=None,
 ) -> DataFrame:
-    """roistats DataFrame -> n-day gcc summary in GCC_SUMMARY_FIELDS order."""
+    """roistats DataFrame -> n-day gcc summary in GCC_SUMMARY_FIELDS order.
+
+    ``spine_start`` (date) extends the gap-fill spine's lower bound —
+    used by :func:`update_gcc_summary` so the re-opened tail bucket is
+    emitted even when new tier-1 rows start later."""
     tier = f"{int(nday)}day"
     brt = F.col("r_mean") + F.col("g_mean") + F.col("b_mean")
     tod = F.date_format("ts", "HH:mm:ss")
@@ -115,7 +120,7 @@ def generate_gcc_summary(
         F.max("solar_elev").alias("max_solar_elev"),
     )
 
-    spine = bucket_spine(d, tier, series_cols=[])
+    spine = bucket_spine(d, tier, series_cols=[], start_at=spine_start)
     agg = spine.join(agg, on=["bucket_start"], how="left")
 
     cnt = F.coalesce(F.col("image_count"), F.lit(0))
@@ -248,3 +253,40 @@ def generate_ndvi_summary_table(
     )
     assert out.columns == NDVI_SUMMARY_FIELDS
     return out
+
+
+def update_gcc_summary(
+    existing: DataFrame,
+    roistats: DataFrame,
+    nday: int = 3,
+    nmin: int = 1,
+    **qc,
+) -> DataFrame:
+    """The update_summary_timeseries flow over DataFrames.
+
+    The reference's incremental script re-opens the LAST bucket of the
+    existing summary (its row is provisional — new tier-1 rows may still
+    extend it, update_summary_timeseries.py:246-256), recomputes every
+    bucket from that one forward from the tier-1 table, and keeps the
+    older summary rows untouched. Returns the merged summary in
+    GCC_SUMMARY_FIELDS order.
+
+    Invariant (tested): ``update_gcc_summary(generate(old_rows), all_rows)
+    == generate(all_rows)`` row-for-row.
+    """
+    import datetime as _dt
+
+    last = existing.agg(F.max("date").alias("m")).collect()[0]["m"]
+    if last is None:
+        return generate_gcc_summary(roistats, nday=nday, nmin=nmin, **qc)
+    # summary dates are bucket CENTERS: center = start + nday//2
+    open_start = last - _dt.timedelta(days=nday // 2)
+    fresh = generate_gcc_summary(
+        roistats.filter(F.to_date("ts") >= F.lit(open_start)),
+        nday=nday,
+        nmin=nmin,
+        spine_start=open_start,
+        **qc,
+    )
+    kept = existing.filter(F.col("date") < F.lit(last))
+    return kept.unionByName(fresh)

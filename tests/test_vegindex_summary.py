@@ -279,3 +279,47 @@ def test_generate_ndvi_summary_matches_oracle(spark, ndvits_pdf, nday, nmin):
                 assert g[k] is None, (center, k, g[k])
             else:
                 assert g[k] == pytest.approx(ev, rel=1e-12), (center, k)
+
+
+# ---------------------------------------------------------------------------
+# incremental update (update_summary_timeseries flow)
+
+def test_update_gcc_summary_equals_full_recompute(spark, roistats_pdf):
+    from python_vegindex_spark.operators.vegindex_summary import update_gcc_summary
+
+    cut = dt.datetime(2020, 1, 8)
+    old_rows = roistats_pdf[roistats_pdf.ts < cut]
+    full_sdf = spark.createDataFrame(roistats_pdf)
+    old_summary = generate_gcc_summary(
+        spark.createDataFrame(old_rows), nday=3, nmin=2
+    )
+    updated = update_gcc_summary(old_summary, full_sdf, nday=3, nmin=2)
+    full = generate_gcc_summary(full_sdf, nday=3, nmin=2)
+
+    u = {r["date"]: r for r in updated.collect()}
+    f = {r["date"]: r for r in full.collect()}
+    assert set(u) == set(f)
+    for d_, fr in f.items():
+        ur = u[d_]
+        for c in GCC_SUMMARY_FIELDS:
+            fv, uv = fr[c], ur[c]
+            if isinstance(fv, float):
+                assert uv == pytest.approx(fv, rel=1e-12), (d_, c)
+            else:
+                assert uv == fv, (d_, c)
+
+
+def test_update_gcc_summary_with_gap_after_tail(spark, roistats_pdf):
+    """New data far past the old tail: the re-opened bucket and the gap
+    buckets in between must all be emitted (spine_start extension)."""
+    from python_vegindex_spark.operators.vegindex_summary import update_gcc_summary
+
+    old_rows = roistats_pdf[roistats_pdf.ts < dt.datetime(2020, 1, 8)]
+    late = roistats_pdf.copy()
+    late = late[(late.ts < dt.datetime(2020, 1, 8)) | (late.ts >= dt.datetime(2020, 1, 20))]
+    old_summary = generate_gcc_summary(spark.createDataFrame(old_rows), nday=3, nmin=2)
+    updated = update_gcc_summary(old_summary, spark.createDataFrame(late), nday=3, nmin=2)
+    full = generate_gcc_summary(spark.createDataFrame(late), nday=3, nmin=2)
+    u = {r["date"]: r["image_count"] for r in updated.collect()}
+    f = {r["date"]: r["image_count"] for r in full.collect()}
+    assert u == f  # including the zero-count gap buckets
