@@ -149,6 +149,44 @@ def q_asof_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_vegindex_summary_3day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAGSHIP reference job (generate_summary_timeseries ->
+    operators/vegindex_summary.generate_gcc_summary) oracle-checked:
+    events deterministically mapped into the roistats shape (sparse
+    subset so the nmin tiering fires), then the full QC + awb skip +
+    3-day anchored buckets + gap-fill + tiering + HF-7 stats pipeline;
+    DuckDB implements the identical arithmetic."""
+    from python_vegindex_spark.operators.vegindex_summary import generate_gcc_summary
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 139 == 0)
+    r = 50.0 + F.pmod(F.col("value"), F.lit(100.0))
+    g = 60.0 + F.pmod(F.col("value") * 7.0, F.lit(100.0))
+    b = 40.0 + F.pmod(F.col("value") * 13.0, F.lit(100.0))
+    roistats = ev.select(
+        "ts",
+        F.concat(F.lit("e"), F.col("event_id").cast("string")).alias("filename"),
+        (F.pmod(F.col("event_id"), F.lit(80)) - 5).cast("double").alias("solar_elev"),
+        F.when(F.col("event_id") % 13 == 0, 1).otherwise(0).alias("awbflag"),
+        r.alias("r_mean"),
+        g.alias("g_mean"),
+        b.alias("b_mean"),
+        (g / (r + g + b)).alias("gcc"),
+    )
+    out = generate_gcc_summary(roistats, nday=3, nmin=6)
+    return out.select(
+        F.col("date").cast("timestamp").alias("date"),
+        "year", "doy", "image_count", "midday_filename",
+        F.round("midday_gcc", 6).alias("midday_gcc"),
+        F.round("r_mean", 6).alias("r_mean"),
+        F.round("gcc_mean", 6).alias("gcc_mean"),
+        F.round("gcc_std", 6).alias("gcc_std"),
+        F.round("gcc_50", 6).alias("gcc_50"),
+        F.round("gcc_90", 6).alias("gcc_90"),
+        F.round("rcc_mean", 6).alias("rcc_mean"),
+        F.round("max_solar_elev", 6).alias("max_solar_elev"),
+    ).orderBy("date")
+
+
 # (qtype, q) pairs exercising every non-default HF estimator family
 _HF_COMBOS = [(1, 0.35), (3, 0.5), (4, 0.9), (5, 0.75), (6, 0.9), (8, 0.5), (9, 0.25)]
 
@@ -674,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_bucketed_join": q_asof_bucketed_join,
         "summary_threshold_nullout": q_summary_threshold_nullout,
         "hf_quantile_types": q_hf_quantile_types,
+        "vegindex_summary_3day": q_vegindex_summary_3day,
         "interval_join_agg": q_interval_join_agg,
         "merge_upsert_checksum": q_merge_upsert_checksum,
         "dedup_exact_docs": q_dedup_exact_docs,
@@ -797,6 +836,64 @@ SELECT user_id, count(*) AS n_gaps,
        round(quantile_cont(gap_s, 0.9), 6) AS gap_p90
 FROM gaps WHERE gap_s IS NOT NULL
 GROUP BY 1 ORDER BY 1
+""",
+        "vegindex_summary_3day": """
+WITH r AS (
+  SELECT ts,
+         'e' || CAST(event_id AS VARCHAR) AS filename,
+         CAST(event_id % 80 - 5 AS DOUBLE) AS solar_elev,
+         CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END AS awbflag,
+         50.0 + fmod(value, 100.0) AS r_mean,
+         60.0 + fmod(value * 7.0, 100.0) AS g_mean,
+         40.0 + fmod(value * 13.0, 100.0) AS b_mean
+  FROM events WHERE event_id % 139 = 0
+),
+qc AS (
+  SELECT *, g_mean / (r_mean + g_mean + b_mean) AS gcc,
+         r_mean / (r_mean + g_mean + b_mean) AS rcc,
+         make_date(year(ts), 1, 1) + CAST((dayofyear(ts) - 1) // 3 * 3 AS INT) AS bucket_start
+  FROM r
+  WHERE strftime(ts, '%H:%M:%S') >= '00:00:00'
+    AND strftime(ts, '%H:%M:%S') <= '23:59:59'
+    AND (r_mean + g_mean + b_mean) BETWEEN 100.0 AND 665.0
+    AND solar_elev >= 10.0
+    AND r_mean IS NOT NULL
+    AND awbflag <> 1
+),
+agg AS (
+  SELECT bucket_start,
+         CAST(count(*) AS INT) AS image_count,
+         arg_min(filename, abs(epoch_us(ts) - epoch_us(CAST(bucket_start + 1 AS TIMESTAMP) + INTERVAL 12 HOUR))) AS midday_filename,
+         arg_min(gcc, abs(epoch_us(ts) - epoch_us(CAST(bucket_start + 1 AS TIMESTAMP) + INTERVAL 12 HOUR))) AS midday_gcc,
+         avg(r_mean) AS r_mean,
+         avg(gcc) AS gcc_mean,
+         stddev_pop(gcc) AS gcc_std,
+         quantile_cont(gcc, 0.5) AS gcc_50,
+         quantile_cont(gcc, 0.9) AS gcc_90,
+         avg(rcc) AS rcc_mean,
+         max(solar_elev) AS max_solar_elev
+  FROM qc GROUP BY bucket_start
+),
+bounds AS (SELECT min(bucket_start) AS lo, max(bucket_start) AS hi FROM qc),
+spine AS (
+  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP), INTERVAL 3 DAY)) AS DATE) AS bucket_start
+  FROM bounds
+)
+SELECT CAST(s.bucket_start + 1 AS TIMESTAMP) AS date,
+       year(s.bucket_start + 1) AS year,
+       dayofyear(s.bucket_start + 1) AS doy,
+       COALESCE(a.image_count, 0) AS image_count,
+       CASE WHEN COALESCE(a.image_count, 0) > 0 THEN a.midday_filename END AS midday_filename,
+       CASE WHEN COALESCE(a.image_count, 0) > 0 THEN round(a.midday_gcc, 6) END AS midday_gcc,
+       CASE WHEN COALESCE(a.image_count, 0) >= 6 THEN round(a.r_mean, 6) END AS r_mean,
+       CASE WHEN COALESCE(a.image_count, 0) >= 6 THEN round(a.gcc_mean, 6) END AS gcc_mean,
+       CASE WHEN COALESCE(a.image_count, 0) >= 6 THEN round(a.gcc_std, 6) END AS gcc_std,
+       CASE WHEN COALESCE(a.image_count, 0) >= 6 THEN round(a.gcc_50, 6) END AS gcc_50,
+       CASE WHEN COALESCE(a.image_count, 0) >= 6 THEN round(a.gcc_90, 6) END AS gcc_90,
+       CASE WHEN COALESCE(a.image_count, 0) >= 6 THEN round(a.rcc_mean, 6) END AS rcc_mean,
+       CASE WHEN COALESCE(a.image_count, 0) > 0 THEN round(a.max_solar_elev, 6) END AS max_solar_elev
+FROM spine s LEFT JOIN agg a ON s.bucket_start = a.bucket_start
+ORDER BY date
 """,
         "hf_quantile_types": _hf_oracle_sql(),
         "summary_threshold_nullout": """
