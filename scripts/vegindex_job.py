@@ -1,0 +1,106 @@
+"""CLI twin of the reference's generate_*/update_* scripts, on Spark.
+
+    python scripts/vegindex_job.py gcc-summary  --archive DIR --site S \
+        --roi DB_0001 [--nday 3] [--nmin 1] [--out PATH] [--master local[8]]
+    python scripts/vegindex_job.py ndvi-summary --archive DIR --site S --roi ...
+    python scripts/vegindex_job.py update-gcc   --archive DIR --site S --roi ...
+
+Reads the canonical roistats / NDVI CSVs via sources.catalog, runs the
+flagship pipelines (operators/vegindex_summary), and writes the result
+in the reference's headered-CSV summary format (write_headered_csv) at
+the canonical path (``{site}_{roi}_{nday}day.csv`` next to the inputs)
+unless --out overrides. Mirrors generate_summary_timeseries.py /
+generate_ndvi_summary_timeseries.py / update_summary_timeseries.py CLI
+semantics with explicit QC-threshold flags.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_props(args, nday: int) -> dict[str, str]:
+    """Canonical summary header (gcctimeseries.py:584-722 field set)."""
+    roitype, seqno = args.roi.split("_")
+    now = dt.datetime.now()
+    return {
+        "Site": args.site,
+        "Veg Type": roitype,
+        "ROI ID Number": seqno,
+        "Image Count Threshold": str(args.nmin),
+        "Aggregation Period": str(nday),
+        "Solar Elevation Min": str(args.sunelev_min),
+        "Time of Day Min": args.tod_min,
+        "Time of Day Max": args.tod_max,
+        "ROI Brightness Min": str(int(args.brt_min)),
+        "ROI Brightness Max": str(int(args.brt_max)),
+        "Creation Date": now.strftime("%Y-%m-%d"),
+        "Creation Time": now.strftime("%H:%M:%S"),
+        "Update Date": now.strftime("%Y-%m-%d"),
+        "Update Time": now.strftime("%H:%M:%S"),
+    }
+
+
+def main(argv: list[str] | None = None) -> str:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("job", choices=["gcc-summary", "ndvi-summary", "update-gcc"])
+    ap.add_argument("--archive", required=True)
+    ap.add_argument("--site", required=True)
+    ap.add_argument("--roi", required=True, help="e.g. DB_0001")
+    ap.add_argument("--nday", type=int, default=3)
+    ap.add_argument("--nmin", type=int, default=1)
+    ap.add_argument("--tod-min", default="00:00:00")
+    ap.add_argument("--tod-max", default="23:59:59")
+    ap.add_argument("--sunelev-min", type=float, default=10.0)
+    ap.add_argument("--brt-min", type=float, default=100.0)
+    ap.add_argument("--brt-max", type=float, default=665.0)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from python_vegindex_spark.session import get_spark
+    from python_vegindex_spark.sources import catalog
+    from python_vegindex_spark.sources.csv_compat import write_headered_csv
+    from python_vegindex_spark.operators.vegindex_summary import (
+        generate_gcc_summary,
+        generate_ndvi_summary_table,
+        update_gcc_summary,
+    )
+
+    spark = get_spark("vegindex-job", master=args.master)
+    qc = dict(
+        tod_min=args.tod_min, tod_max=args.tod_max,
+        sunelev_min=args.sunelev_min, brt_min=args.brt_min, brt_max=args.brt_max,
+    )
+    roi_dir = os.path.join(args.archive, args.site, "ROI")
+
+    if args.job == "gcc-summary":
+        roistats, _ = catalog.get_roi_timeseries(spark, args.archive, args.site, args.roi)
+        out = generate_gcc_summary(roistats, nday=args.nday, nmin=args.nmin, **qc)
+        default = f"{args.site}_{args.roi}_{args.nday}day.csv"
+    elif args.job == "ndvi-summary":
+        ndvits, _ = catalog.get_ndvi_timeseries(spark, args.archive, args.site, args.roi)
+        out = generate_ndvi_summary_table(ndvits, nday=args.nday, nmin=args.nmin, **qc)
+        default = f"{args.site}_{args.roi}_ndvi_{args.nday}day.csv"
+    else:  # update-gcc
+        existing, props = catalog.get_gcc_timeseries(
+            spark, args.archive, args.site, args.roi, nday=args.nday, nmin=0
+        )  # nmin=0: take stored values as-is; the regenerate applies tiering
+        roistats, _ = catalog.get_roi_timeseries(spark, args.archive, args.site, args.roi)
+        out = update_gcc_summary(existing, roistats, nday=args.nday, nmin=args.nmin, **qc)
+        default = f"{args.site}_{args.roi}_{args.nday}day.csv"
+
+    path = args.out or os.path.join(roi_dir, default)
+    write_headered_csv(out, path, build_props(args, args.nday), sort_cols=["date"])
+    n = out.count()
+    print(f"WROTE {n} rows -> {path}")
+    return path
+
+
+if __name__ == "__main__":
+    main()

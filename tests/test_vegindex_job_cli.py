@@ -1,0 +1,69 @@
+"""The CLI job twin end-to-end on a synthetic archive: roistats CSV in,
+reference-format summary CSV out, re-readable by the golden reader."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
+
+from python_vegindex_spark.sources.csv_compat import write_headered_csv
+from python_vegindex_spark.sources.vegindex_tables import read_gcc_summary
+
+
+@pytest.fixture()
+def synth_archive(spark, tmp_path):
+    rng = np.random.default_rng(23)
+    rows = []
+    for d in range(15):
+        date = dt.date(2022, 6, 1) + dt.timedelta(days=d)
+        for i in range(3):
+            ts = dt.datetime(date.year, date.month, date.day, 9 + 2 * i, 15, 0)
+            r, g, b = (float(v) for v in rng.uniform(40, 120, 3))
+            rows.append(
+                dict(
+                    date=date, local_std_time=ts.strftime("%H:%M:%S"),
+                    doy=date.timetuple().tm_yday,
+                    filename=f"mysite_{ts:%Y_%m_%d_%H%M%S}.jpg",
+                    solar_elev=float(rng.uniform(15, 70)), exposure=30,
+                    awbflag=0, mask_index=1, gcc=g / (r + g + b),
+                    rcc=r / (r + g + b), r_mean=r, g_mean=g, b_mean=b,
+                )
+            )
+    pdf = pd.DataFrame(rows)
+    roi_dir = tmp_path / "mysite" / "ROI"
+    roi_dir.mkdir(parents=True)
+    write_headered_csv(
+        spark.createDataFrame(pdf),
+        str(roi_dir / "mysite_DB_0001_roistats.csv"),
+        {"Site": "mysite", "Veg Type": "DB", "ROI ID Number": "0001"},
+        sort_cols=["date", "local_std_time"],
+    )
+    return str(tmp_path)
+
+
+def test_gcc_summary_job_end_to_end(spark, synth_archive, tmp_path):
+    import vegindex_job
+
+    out_path = str(tmp_path / "out_summary.csv")
+    got = vegindex_job.main(
+        [
+            "gcc-summary", "--archive", synth_archive, "--site", "mysite",
+            "--roi", "DB_0001", "--nday", "3", "--nmin", "2",
+            "--out", out_path, "--master", "local[4]",
+        ]
+    )
+    assert got == out_path and os.path.exists(out_path)
+    back, props = read_gcc_summary(spark, out_path)
+    assert props["Site"] == "mysite"
+    assert int(props["Aggregation Period"]) == 3
+    rows = back.orderBy("date").collect()
+    assert len(rows) >= 5  # 15 days / 3-day buckets
+    assert all(r["image_count"] > 0 for r in rows)  # no gaps in this archive
+    assert all(r["gcc_mean"] is not None for r in rows if r["image_count"] >= 2)
