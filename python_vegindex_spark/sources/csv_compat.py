@@ -35,7 +35,12 @@ MISSING_INPUTS = ("-9999", "-9999.0", "NA", "None", "")
 
 def read_properties(path: str, max_bytes: int = 65536) -> dict[str, str]:
     """Parse '# key: value' comment-header properties (regex per
-    roitimeseries.py:283-312)."""
+    roitimeseries.py:283-312).
+
+    Real reference files contain merged header lines (a missing newline:
+    ``# Blue DN .05 Quantile Max: 90# Time of Day Min: 00:00:00`` in the
+    shipped harvard 1-day golden) — each ``#``-separated segment is
+    parsed as its own property so no key is silently lost."""
     props: dict[str, str] = {}
     with open(path, "r", errors="replace") as f:
         head = f.read(max_bytes)
@@ -44,9 +49,10 @@ def read_properties(path: str, max_bytes: int = 65536) -> dict[str, str]:
             if line.strip():
                 break
             continue
-        m = re.match(r"#\s*([^:]+):\s*(.*)$", line)
-        if m:
-            props[m.group(1).strip()] = m.group(2).strip()
+        for segment in line.split("#"):
+            m = re.match(r"\s*([^:]+):\s*(.*)$", segment)
+            if m:
+                props[m.group(1).strip()] = m.group(2).strip()
     return props
 
 

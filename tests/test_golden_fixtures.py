@@ -327,3 +327,16 @@ def test_catalog_helpers_golden(spark):
 
     ndvi, _ = get_ndvi_summary(spark, REF, "dukehw", "DB_1000", nday=3)
     assert ndvi.count() == 870  # test_ndvisummarytimeseries.py:63
+
+
+def test_merged_header_line_recovers_all_keys(spark):
+    """The shipped harvard 1-day golden has a merged header line
+    ('# Blue DN .05 Quantile Max: 90# Time of Day Min: 00:00:00');
+    every key must still be recovered."""
+    from python_vegindex_spark.sources.csv_compat import read_properties
+
+    props = read_properties(_p("harvard", "ROI", "harvard_DB_0001_1day.csv"))
+    assert props["Time of Day Min"] == "00:00:00"
+    assert props["Time of Day Max"] == "23:59:59"
+    assert props["Blue DN .05 Quantile Max"] == "90"
+    assert props["ROI Brightness Min"] == "100"
