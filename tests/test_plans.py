@@ -133,3 +133,31 @@ def test_asof_bucketed_has_no_global_window(spark):
     plan = _optimized_plan(out)
     assert "Window" not in plan, "bucketed as-of must not use window functions"
     assert out.count() == 3
+
+
+def test_vegindex_summary_plan_is_jvm_only(spark):
+    """The flagship generate_gcc_summary plan: hash aggregates, no
+    Python eval, no window operators."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+
+    from python_vegindex_spark.operators.vegindex_summary import generate_gcc_summary
+
+    rng = np.random.default_rng(4)
+    rows = []
+    for d in range(9):
+        for i in range(3):
+            ts = dt.datetime(2023, 4, 1 + d, 9 + i, 0, 0)
+            r, g, b = (float(v) for v in rng.uniform(40, 120, 3))
+            rows.append(dict(ts=ts, filename="f.jpg", solar_elev=40.0,
+                             awbflag=0, r_mean=r, g_mean=g, b_mean=b,
+                             gcc=g / (r + g + b)))
+    out = generate_gcc_summary(spark.createDataFrame(pd.DataFrame(rows)), nday=3, nmin=2)
+    out.collect()
+    plan = _executed_plan(out)
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+    assert "Window" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "mapInPandas"):
+        assert marker not in plan, f"Python eval in flagship plan: {marker}"
