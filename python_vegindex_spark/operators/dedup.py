@@ -130,15 +130,24 @@ def ngram_jaccard(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    shingle_kind: str = "word",
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard for (id_a, id_b) candidate pairs.
+    """Exact n-gram Jaccard for (id_a, id_b) candidate pairs.
 
     Two broadcast-able joins to attach shingle sets, then pure array
-    intersection/union — the LSH verification stage.
+    intersection/union — the LSH verification stage. ``shingle_kind``
+    should match the one used for the signatures being verified
+    ('word' or 'char', as in :func:`minhash_signatures`).
     """
+    if shingle_kind == "word":
+        shingles = word_ngrams(F.col(text_col), n)
+    elif shingle_kind == "char":
+        shingles = char_ngrams(F.col(text_col), n)
+    else:
+        raise ValueError(f"shingle_kind must be 'word' or 'char', got {shingle_kind!r}")
     sh = docs.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("sh"),
+        F.array_distinct(shingles).alias("sh"),
     )
     out = (
         df_pairs.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), on="id_a")

@@ -135,3 +135,25 @@ def test_simhash_pairs_identical_docs_hamming_zero(spark):
     )
     got = simhash_pairs(simhash64(df), hamming_max=0).collect()
     assert len(got) == 1 and got[0]["hamming"] == 0
+
+
+def test_ngram_jaccard_char_kind(spark):
+    from python_vegindex_spark.operators.dedup import ngram_jaccard
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": ["a", "b"],
+                "text": ["hello world today", "hello world tomorrow"],
+            }
+        )
+    )
+    pairs = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
+    jw = ngram_jaccard(pairs, docs, n=3, shingle_kind="word").collect()[0]["jaccard"]
+    jc = ngram_jaccard(pairs, docs, n=5, shingle_kind="char").collect()[0]["jaccard"]
+    # word 3-grams share nothing (only one trigram each, different);
+    # char 5-grams share the long common prefix
+    assert jw == 0.0
+    assert 0.3 < jc < 1.0
+    with pytest.raises(ValueError, match="shingle_kind"):
+        ngram_jaccard(pairs, docs, shingle_kind="line")
