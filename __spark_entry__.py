@@ -588,6 +588,26 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH verification stage oracle-checked: candidate pairs =
+    docs sharing the 16-char normalized prefix (SQL-expressible
+    blocking), then exact word-3-gram Jaccard via
+    operators/dedup.ngram_jaccard; DuckDB recomputes the identical
+    shingle sets and set algebra."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.lower(F.substring(F.regexp_replace(F.trim("text"), r"\s+", " "), 1, 16))
+    )
+    keyed = docs.select("doc_id", fp.alias("fp"))
+    pairs = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), on="fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    return ngram_jaccard(pairs, docs, n=3).orderBy("id_a", "id_b")
+
+
 def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup duplicate CLUSTERS: MinHash-LSH pairs -> Jaccard verify
     -> connected components (pointer-doubling min-label CC,
@@ -732,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_sentinel_format": q_csv_sentinel_format,
         "minhash_near_dups": q_minhash_near_dups,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
+        "ngram_jaccard_verify": q_ngram_jaccard_verify,
         "simhash_docs": q_simhash_docs,
         "solar_gate_features": q_solar_gate_features,
         "codec_roundtrip_rollup": q_codec_roundtrip_rollup,
@@ -946,6 +967,44 @@ GROUP BY 1 ORDER BY 1
 SELECT event_type, count(*) AS n,
        round(avg(CASE WHEN event_id % 7 = 0 THEN value + 100.0 ELSE value END), 6) AS value_mean
 FROM events GROUP BY 1 ORDER BY 1
+""",
+        "ngram_jaccard_verify": """
+WITH keyed AS (
+  SELECT doc_id,
+         md5(lower(substr(regexp_replace(trim(text), '\\s+', ' ', 'g'), 1, 16))) AS fp
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM keyed a JOIN keyed b ON a.fp = b.fp AND a.doc_id < b.doc_id
+),
+tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 3
+              THEN list_transform(range(1, len(words) - 1), i -> array_to_string(list_slice(words, i, i + 2), ' '))
+              ELSE [array_to_string(words, ' ')] END AS gs
+  FROM tok
+),
+sh AS (SELECT DISTINCT doc_id, unnest(gs) AS s FROM grams),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS c
+  FROM pairs p
+  JOIN sh x ON x.doc_id = p.id_a
+  JOIN sh y ON y.doc_id = p.id_b AND y.s = x.s
+  GROUP BY 1, 2
+)
+SELECT p.id_a, p.id_b,
+       round(COALESCE(i.c, 0) * 1.0 / (sa.n + sb.n - COALESCE(i.c, 0)), 6) AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+JOIN sizes sa ON sa.doc_id = p.id_a
+JOIN sizes sb ON sb.doc_id = p.id_b
+ORDER BY p.id_a, p.id_b
 """,
         "dedup_exact_docs": """
 SELECT md5(lower(substr(regexp_replace(trim(text), '\\s+', ' ', 'g'), 1, 16))) AS fp,
