@@ -149,6 +149,25 @@ def q_asof_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_asof_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 nearest direction (tie -> backward, tolerance both sides),
+    oracle-checked via dual DuckDB ASOF joins (backward + forward) with
+    the same pick rule."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    out = asof_join(
+        clicks, views, on=["user_id"], direction="nearest",
+        tolerance_s=1800, payload_cols=["value"],
+    )
+    return out.select(
+        "event_id", "user_id", F.col("r_ts").alias("view_ts"),
+        F.round("r_value", 6).alias("view_value"),
+    ).orderBy("event_id")
+
+
 def q_vegindex_summary_3day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FLAGSHIP reference job (generate_summary_timeseries ->
     operators/vegindex_summary.generate_gcc_summary) oracle-checked:
@@ -730,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latency_lag_stats": q_latency_lag_stats,
         "asof_backward_join": q_asof_backward_join,
         "asof_bucketed_join": q_asof_bucketed_join,
+        "asof_nearest_join": q_asof_nearest_join,
         "summary_threshold_nullout": q_summary_threshold_nullout,
         "hf_quantile_types": q_hf_quantile_types,
         "vegindex_summary_3day": q_vegindex_summary_3day,
@@ -930,6 +950,36 @@ SELECT user_id, day, image_count,
        CASE WHEN image_count = 0 OR image_count < 5 THEN NULL ELSE v_90 END AS v_90,
        CASE WHEN image_count = 0 THEN NULL ELSE v_max END AS v_max
 FROM s ORDER BY user_id, day
+""",
+        "asof_nearest_join": """
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view'),
+bwd AS (
+  SELECT c.event_id, c.user_id, c.ts, v.ts AS bts, v.value AS bval
+  FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+),
+fwd AS (
+  SELECT c.event_id, v.ts AS fts, v.value AS fval
+  FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts <= v.ts
+),
+j AS (
+  SELECT b.event_id, b.user_id, b.ts, b.bts, b.bval, f.fts, f.fval,
+         (b.bts IS NOT NULL AND epoch_us(b.ts) - epoch_us(b.bts) <= 1800 * 1000000) AS prev_ok,
+         (f.fts IS NOT NULL AND epoch_us(f.fts) - epoch_us(b.ts) <= 1800 * 1000000) AS next_ok
+  FROM bwd b JOIN fwd f USING (event_id)
+)
+SELECT event_id, user_id,
+       CASE WHEN prev_ok AND next_ok THEN
+              CASE WHEN epoch_us(fts) - epoch_us(ts) < epoch_us(ts) - epoch_us(bts)
+                   THEN fts ELSE bts END
+            WHEN prev_ok THEN bts
+            WHEN next_ok THEN fts END AS view_ts,
+       round(CASE WHEN prev_ok AND next_ok THEN
+              CASE WHEN epoch_us(fts) - epoch_us(ts) < epoch_us(ts) - epoch_us(bts)
+                   THEN fval ELSE bval END
+            WHEN prev_ok THEN bval
+            WHEN next_ok THEN fval END, 6) AS view_value
+FROM j ORDER BY event_id
 """,
         "asof_bucketed_join": """
 SELECT c.event_id, c.user_id,
