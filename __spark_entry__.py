@@ -168,6 +168,24 @@ def q_asof_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_asof_forward_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 forward direction: each click paired with the earliest view
+    <= 30 min ahead; DuckDB forward ASOF oracle."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    out = asof_join(
+        clicks, views, on=["user_id"], direction="forward",
+        tolerance_s=1800, payload_cols=["value"],
+    )
+    return out.select(
+        "event_id", "user_id", F.col("r_ts").alias("view_ts"),
+        F.round("r_value", 6).alias("view_value"),
+    ).orderBy("event_id")
+
+
 def q_vegindex_summary_3day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FLAGSHIP reference job (generate_summary_timeseries ->
     operators/vegindex_summary.generate_gcc_summary) oracle-checked:
@@ -750,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_backward_join": q_asof_backward_join,
         "asof_bucketed_join": q_asof_bucketed_join,
         "asof_nearest_join": q_asof_nearest_join,
+        "asof_forward_join": q_asof_forward_join,
         "summary_threshold_nullout": q_summary_threshold_nullout,
         "hf_quantile_types": q_hf_quantile_types,
         "vegindex_summary_3day": q_vegindex_summary_3day,
@@ -950,6 +969,17 @@ SELECT user_id, day, image_count,
        CASE WHEN image_count = 0 OR image_count < 5 THEN NULL ELSE v_90 END AS v_90,
        CASE WHEN image_count = 0 THEN NULL ELSE v_max END AS v_max
 FROM s ORDER BY user_id, day
+""",
+        "asof_forward_join": """
+SELECT c.event_id, c.user_id,
+       CASE WHEN v.ts IS NOT NULL AND epoch_us(v.ts) - epoch_us(c.ts) <= 1800 * 1000000
+            THEN v.ts END AS view_ts,
+       CASE WHEN v.ts IS NOT NULL AND epoch_us(v.ts) - epoch_us(c.ts) <= 1800 * 1000000
+            THEN round(v.value, 6) END AS view_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND c.ts <= v.ts
+ORDER BY c.event_id
 """,
         "asof_nearest_join": """
 WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
