@@ -110,7 +110,16 @@ def _typed_scan(
         c = F.col(name)
         for miss in MISSING_INPUTS:
             c = F.nullif(c, F.lit(miss))
-        out.append(c.try_cast(_col_type(name).simpleString()).alias(name))
+        typ = _col_type(name)
+        if isinstance(typ, T.IntegerType):
+            # the reference coerces int fields through float first
+            # (``_int_or_none(_float_or_none(...))``, e.g. exposure
+            # values written as "34.0"; ndvitimeseries.py:730-732) —
+            # a direct string->int cast would NULL those
+            c = c.try_cast("double").try_cast("int")
+        else:
+            c = c.try_cast(typ.simpleString())
+        out.append(c.alias(name))
     return raw.select(*out), props
 
 

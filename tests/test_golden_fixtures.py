@@ -340,3 +340,31 @@ def test_merged_header_line_recovers_all_keys(spark):
     assert props["Time of Day Max"] == "23:59:59"
     assert props["Blue DN .05 Quantile Max"] == "90"
     assert props["ROI Brightness Min"] == "100"
+
+
+def test_ndvi_timeseries_reader_float_formatted_ints(spark, tmp_path):
+    """NDVI tier-1 reader on the generate_ndvi_timeseries.py:207-248
+    column set, with exposures written float-formatted ("34.0") as real
+    reference files do — parsed via the reference's int(float(...))
+    coercion (ndvitimeseries.py:730-732)."""
+    from python_vegindex_spark.sources.vegindex_tables import read_ndvi_timeseries
+
+    p = tmp_path / "mysite_DB_0001_NDVI_roistats.csv"
+    p.write_text(
+        "#\n# Site: mysite\n# Veg Type: DB\n# ROI ID Number: 0001\n#\n"
+        "date,local_std_time,doy,filename_rgb,filename_ir,solar_elev,"
+        "exposure_rgb,exposure_ir,mask_index,r_mean,g_mean,b_mean,ir_mean,"
+        "gcc,Y,Z_prime,R_prime,Y_prime,X_prime,NDVI_c\n"
+        "2020-05-01,12:01:38,122,a.jpg,a_IR.jpg,55.12345,34.0,8.0,1,"
+        "50.1,60.2,40.3,90.4,0.39974,55.0,30.1,9.1,10.0,20.1,0.37000\n"
+        "2020-05-01,12:31:38,122,b.jpg,b_IR.jpg,54.00000,NA,8,1,"
+        "50.1,60.2,40.3,90.4,0.39974,55.0,30.1,9.1,10.0,20.1,-9999\n"
+    )
+    df, props = read_ndvi_timeseries(spark, str(p))
+    assert props["Site"] == "mysite"
+    rows = {r["filename_rgb"]: r for r in df.collect()}
+    assert rows["a.jpg"]["exposure_rgb"] == 34     # "34.0" -> 34
+    assert rows["a.jpg"]["exposure_ir"] == 8
+    assert rows["b.jpg"]["exposure_rgb"] is None   # NA -> NULL
+    assert rows["b.jpg"]["NDVI_c"] is None         # -9999 -> NULL
+    assert rows["a.jpg"]["ts"].hour == 12 and rows["a.jpg"]["ts"].second == 38
