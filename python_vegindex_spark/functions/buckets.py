@@ -50,6 +50,48 @@ def bucket_start(ts: Column, tier: str) -> Column:
     return F.date_add(jan1, (F.floor((F.dayofyear(ts) - 1) / n) * n).cast("int"))
 
 
+def bucket_start_cursor(ts: Column, tier: str, series_start_year: Column) -> Column:
+    """Bucket start with the reference's SEQUENTIAL-CURSOR year-boundary
+    semantics (generate_summary_timeseries.py:295-305 + vegindex.py:50-63).
+
+    daterange2 restarts the doy lattice at Jan 1, but the final bucket of
+    each year still spans ``nday`` days — its half-open window
+    ``[start, start + nday)`` can reach into the next year, and the
+    reference's row cursor consumes those next-year rows into it before
+    the Jan-1 bucket gets a chance. Concretely: a 365-day year with
+    nday=3 has its last bucket at doy 364 (Dec 30) covering Dec 30,
+    Dec 31 AND Jan 1; with nday=7 the doy-365 bucket (Dec 31) swallows
+    Jan 1–6. So rows whose doy <= overflow(previous year) belong to the
+    PREVIOUS year's final bucket — except in the series' first year,
+    where no previous bucket was ever generated (daterange2 starts at
+    the bucket containing the first row's date, vegindex.py:38-43).
+
+    ``series_start_year`` is the year of the first post-QC row (the
+    reference computes dt_first after select_rows but before the awb
+    skip, generate_summary_timeseries.py:242-262). Only the year
+    matters: the first generated bucket is always anchored within
+    dt_first's own year, so spill applies exactly to rows in years
+    strictly after it.
+
+    Pure column expressions — no UDFs, no shuffles; nday=1 and hourly
+    never spill (their windows can't cross Jan 1).
+    """
+    if tier == "hourly":
+        return F.date_trunc("hour", ts)
+    n = tier_nday(tier)
+    if n == 1:
+        return F.to_date(ts)
+    naive = bucket_start(ts, tier)
+    jan1 = F.trunc(ts, "year")
+    prev_jan1 = F.add_months(jan1, -12)
+    prev_days = F.datediff(jan1, prev_jan1)  # 365 or 366
+    prev_final_off = F.floor((prev_days - F.lit(1)) / n) * n
+    overflow = prev_final_off + n - prev_days  # days spilling past Dec 31
+    spill = (F.dayofyear(ts) <= overflow) & (F.year(ts) > series_start_year)
+    prev_final_start = F.date_add(prev_jan1, prev_final_off.cast("int"))
+    return F.when(spill, prev_final_start).otherwise(naive)
+
+
 def bucket_center(start: Column, tier: str) -> Column:
     """Center label: start + floor(n/2) units (truncating fractional days,
     generate_summary_timeseries.py:276-277)."""

@@ -13,7 +13,12 @@ Spark. Faithful semantics, including the quirks:
   (generate_summary_timeseries.py:309-315).
 * Buckets are nday doy-anchored with yearly restart (daterange2,
   vegindex.py:22-64); every bucket between the first and last QC'd row
-  is emitted (gap-fill), label = start + floor(nday/2) days.
+  is emitted (gap-fill), label = start + floor(nday/2) days. Row
+  assignment follows the reference's SEQUENTIAL CURSOR
+  (generate_summary_timeseries.py:295-305): each year's final bucket
+  spans the full nday window, so early-January rows spill into the
+  previous year's last bucket (except in the series' first year) — see
+  :func:`..functions.buckets.bucket_start_cursor`.
 * Per-row: dnsum = r+g+b of the ROW means; rows with dnsum <= 0 do NOT
   count toward image_count and contribute NaN gcc/rcc — but their raw
   r/g/b DO feed the DN means, and their solar_elev feeds max_solar_elev
@@ -42,7 +47,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.buckets import bucket_center, bucket_spine, bucket_start, midpoint_anchor
+from ..functions.buckets import (
+    _bucket_seq,
+    bucket_center,
+    bucket_start,
+    bucket_start_cursor,
+    midpoint_anchor,
+)
 from ..functions.timeutil import epoch_us
 from ..sources.summary_export import GCC_SUMMARY_FIELDS
 
@@ -57,28 +68,49 @@ def generate_gcc_summary(
     brt_min: float = 100.0,
     brt_max: float = 665.0,
     spine_start=None,
+    series_start=None,
 ) -> DataFrame:
     """roistats DataFrame -> n-day gcc summary in GCC_SUMMARY_FIELDS order.
 
     ``spine_start`` (date) extends the gap-fill spine's lower bound —
     used by :func:`update_gcc_summary` so the re-opened tail bucket is
-    emitted even when new tier-1 rows start later."""
+    emitted even when new tier-1 rows start later. ``series_start``
+    (date) tells the year-boundary cursor (bucket_start_cursor) which
+    year the FULL series began in when ``roistats`` is a filtered tail
+    of it — without it a tail starting on Jan 1 would wrongly treat
+    that year as the series' first and skip the spill-over."""
     tier = f"{int(nday)}day"
     brt = F.col("r_mean") + F.col("g_mean") + F.col("b_mean")
     tod = F.date_format("ts", "HH:mm:ss")
-    qc = roistats.filter(
+    # selection criteria (roitimeseries.py:809-841); the awb skip happens
+    # INSIDE the reference's bucket loop, after dt_first/dt_last are
+    # taken (generate_summary_timeseries.py:242-262;309-315), so spine
+    # bounds and the series-start year come from the pre-awb set.
+    qc_sel = roistats.filter(
         (tod >= tod_min)
         & (tod <= tod_max)
         & brt.between(brt_min, brt_max)
         & (F.col("solar_elev") >= sunelev_min)
         & F.col("r_mean").isNotNull()
-        & (F.col("awbflag").isNull() | (F.col("awbflag") != 1))
+    )
+    qc = qc_sel.filter(F.col("awbflag").isNull() | (F.col("awbflag") != 1))
+
+    # one tiny bounds row: naive-lattice spine range + first-row year
+    naive_b = bucket_start(F.col("ts"), tier)
+    y0 = F.year(F.min("ts"))
+    if series_start is not None:
+        y0 = F.least(y0, F.lit(int(series_start.year)))
+    bounds = qc_sel.agg(
+        F.min(naive_b).alias("_lo"), F.max(naive_b).alias("_hi"), y0.alias("_y0")
     )
 
     dnsum = F.col("r_mean") + F.col("g_mean") + F.col("b_mean")
     ok = dnsum > 0
     d = (
-        qc.withColumn("bucket_start", bucket_start(F.col("ts"), tier))
+        qc.crossJoin(F.broadcast(bounds.select("_y0")))
+        .withColumn(
+            "bucket_start", bucket_start_cursor(F.col("ts"), tier, F.col("_y0"))
+        )
         .withColumn("_anchor", midpoint_anchor(F.col("bucket_start"), tier))
         .withColumn("_gcc", F.when(ok, F.col("gcc")))
         .withColumn("_rcc", F.when(ok, F.col("r_mean") / dnsum))
@@ -120,7 +152,12 @@ def generate_gcc_summary(
         F.max("solar_elev").alias("max_solar_elev"),
     )
 
-    spine = bucket_spine(d, tier, series_cols=[], start_at=spine_start)
+    lo = F.col("_lo")
+    if spine_start is not None:
+        lo = F.least(lo, F.lit(spine_start).cast("date"))
+    spine = bounds.select(
+        F.explode(_bucket_seq(lo, F.col("_hi"), tier)).alias("bucket_start")
+    )
     agg = spine.join(agg, on=["bucket_start"], how="left")
 
     cnt = F.coalesce(F.col("image_count"), F.lit(0))
@@ -197,10 +234,23 @@ def generate_ndvi_summary_table(
         & F.col("NDVI_c").between(-1.0, 1.0)
     )
 
+    # dt_first/dt_last come after BOTH select_rows and filter_rows in the
+    # NDVI job (generate_ndvi_summary_timeseries.py:235-265; the awb skip
+    # is commented out there, :306-307), so bounds come from qc itself.
+    naive_b = bucket_start(F.col("ts"), tier)
+    bounds = qc.agg(
+        F.min(naive_b).alias("_lo"),
+        F.max(naive_b).alias("_hi"),
+        F.year(F.min("ts")).alias("_y0"),
+    )
+
     dnsum = F.col("r_mean") + F.col("g_mean") + F.col("b_mean")
     ok = dnsum > 0
     d = (
-        qc.withColumn("bucket_start", bucket_start(F.col("ts"), tier))
+        qc.crossJoin(F.broadcast(bounds.select("_y0")))
+        .withColumn(
+            "bucket_start", bucket_start_cursor(F.col("ts"), tier, F.col("_y0"))
+        )
         .withColumn("_anchor", midpoint_anchor(F.col("bucket_start"), tier))
         .withColumn("_gcc", F.when(ok, F.col("gcc")))
     )
@@ -222,7 +272,9 @@ def generate_ndvi_summary_table(
         F.percentile(F.col("NDVI_c"), F.lit(0.9)).alias("ndvi_90"),
         F.max("solar_elev").alias("max_solar_elev"),
     )
-    spine = bucket_spine(d, tier, series_cols=[])
+    spine = bounds.select(
+        F.explode(_bucket_seq(F.col("_lo"), F.col("_hi"), tier)).alias("bucket_start")
+    )
     agg = spine.join(agg, on=["bucket_start"], how="left")
 
     cnt = F.coalesce(F.col("image_count"), F.lit(0))
@@ -276,16 +328,34 @@ def update_gcc_summary(
     """
     import datetime as _dt
 
-    last = existing.agg(F.max("date").alias("m")).collect()[0]["m"]
+    row = existing.agg(F.max("date").alias("m"), F.min("date").alias("lo")).collect()[0]
+    last = row["m"]
     if last is None:
         return generate_gcc_summary(roistats, nday=nday, nmin=nmin, **qc)
     # summary dates are bucket CENTERS: center = start + nday//2
     open_start = last - _dt.timedelta(days=nday // 2)
+    # the series' first bucket start — its YEAR anchors the year-boundary
+    # cursor, so a tail recompute starting on Jan 1 still spills into the
+    # previous year's final bucket exactly like the full job would
+    series_start = row["lo"] - _dt.timedelta(days=nday // 2)
+    # the recompute window is defined by CURSOR bucket, not raw date:
+    # rows that spill forward into the reopened bucket are included,
+    # rows after open_start that spill BACK into an earlier (frozen)
+    # bucket are excluded — otherwise they would double-count against
+    # ``kept``. (The reference's own update script re-anchors on the
+    # first new row's date, update_summary_timeseries.py:250-282, which
+    # near year boundaries can rebuild a closed bucket from a partial
+    # row set; we keep the stronger update == full-recompute invariant.)
+    tier = f"{int(nday)}day"
+    tail_bucket = bucket_start_cursor(
+        F.col("ts"), tier, F.lit(int(series_start.year))
+    )
     fresh = generate_gcc_summary(
-        roistats.filter(F.to_date("ts") >= F.lit(open_start)),
+        roistats.filter(tail_bucket >= F.lit(open_start)),
         nday=nday,
         nmin=nmin,
         spine_start=open_start,
+        series_start=series_start,
         **qc,
     )
     kept = existing.filter(F.col("date") < F.lit(last))

@@ -55,35 +55,53 @@ def roistats_pdf():
 
 def _oracle(pdf: pd.DataFrame, nday: int, nmin: int, sunelev_min=10.0,
             brt_min=100.0, brt_max=665.0) -> dict:
+    """Literal cursor-loop port of generate_summary_timeseries.py:260-531:
+    dt_first/dt_last from the pre-awb selection, daterange2's doy lattice
+    (yearly restart), and SEQUENTIAL row consumption over half-open
+    [start, start + nday) windows — so each year's final bucket swallows
+    early-January rows of the next year, and the awb skip happens inside
+    the loop."""
     df = pdf.copy()
     brt = df.r_mean + df.g_mean + df.b_mean
-    df = df[
+    sel = df[
         brt.between(brt_min, brt_max)
         & (df.solar_elev >= sunelev_min)
         & df.r_mean.notna()
-        & (df.awbflag != 1)
     ].sort_values("ts", kind="mergesort")
-    if df.empty:
+    if sel.empty:
         return {}
-    # doy-anchored buckets with yearly restart
+
     def bstart(d: dt.date) -> dt.date:
         doy = d.timetuple().tm_yday
         return dt.date(d.year, 1, 1) + dt.timedelta(days=((doy - 1) // nday) * nday)
 
-    first, last = bstart(df.date.min()), bstart(df.date.max())
+    rows_list = sel.to_dict("records")
+    dates = [r["ts"].date() for r in rows_list]
+    # daterange2 lattice: first bucket containing dt_first .. bucket
+    # containing dt_last, doy-anchored with restart at each Jan 1
+    buckets = []
+    b, last_b = bstart(dates[0]), bstart(dates[-1])
+    while b <= last_b:
+        buckets.append(b)
+        nxt = b + dt.timedelta(days=nday)
+        b = dt.date(b.year + 1, 1, 1) if nxt.year != b.year else nxt
+
     out = {}
-    b = first
-    while b <= last:
-        if b.year != first.year and b == dt.date(b.year, 1, 1):
-            pass  # restart handled by bstart
-        end = min(
-            b + dt.timedelta(days=nday), dt.date(b.year + 1, 1, 1)
-        )  # short final bucket of the year
-        rows = df[(df.date >= b) & (df.date < end)]
+    ndx = 0
+    for b in buckets:
+        end = b + dt.timedelta(days=nday)  # full window — may cross Jan 1
+        acc = []
+        while ndx < len(rows_list) and b <= dates[ndx] < end:
+            row = rows_list[ndx]
+            ndx += 1
+            if row["awbflag"] == 1:
+                continue
+            acc.append(row)
         center = b + dt.timedelta(days=nday // 2)
         noon = dt.datetime(center.year, center.month, center.day, 12)
         rec = {"image_count": 0}
-        if len(rows):
+        if acc:
+            rows = pd.DataFrame(acc)
             dnsum = rows.r_mean + rows.g_mean + rows.b_mean
             okm = dnsum > 0
             gccv = np.where(okm, rows.gcc, np.nan)
@@ -107,15 +125,10 @@ def _oracle(pdf: pd.DataFrame, nday: int, nmin: int, sunelev_min=10.0,
                 rec["rcc_mean"] = float(np.nanmean(rccv))
                 rec["rcc_75"] = hf7_numpy(rccv, 0.75)
         out[center] = rec
-        # next anchored bucket (restart at Jan 1)
-        nxt = b + dt.timedelta(days=nday)
-        if nxt.year != b.year:
-            nxt = dt.date(b.year + 1, 1, 1)
-        b = nxt
     return out
 
 
-@pytest.mark.parametrize("nday,nmin", [(1, 1), (3, 3)])
+@pytest.mark.parametrize("nday,nmin", [(1, 1), (3, 3), (7, 2)])
 def test_generate_gcc_summary_matches_oracle(spark, roistats_pdf, nday, nmin):
     sdf = spark.createDataFrame(roistats_pdf)
     got = generate_gcc_summary(sdf, nday=nday, nmin=nmin)
@@ -140,6 +153,83 @@ def test_generate_gcc_summary_matches_oracle(spark, roistats_pdf, nday, nmin):
                 assert g[k] is None, (center, k, g[k])
             else:
                 assert g[k] == pytest.approx(ev, rel=1e-12), (center, k)
+
+
+def test_year_boundary_spillover(spark, roistats_pdf):
+    """The reference's cursor consumes next-year rows into the previous
+    year's final bucket (vegindex.py:50-63 lattice + the half-open
+    [start, start+nday) window in generate_summary_timeseries.py:302-305):
+    2019 has 365 days, so for nday=3 the doy-364 (Dec 30) bucket spans
+    Dec 30, Dec 31 AND Jan 1 2020, and the Jan-1 bucket only gets
+    Jan 2-3; for nday=7 the doy-365 (Dec 31) bucket swallows Jan 1-6."""
+    sdf = spark.createDataFrame(roistats_pdf)
+
+    def sel_count(pdf, lo, hi):
+        p = pdf[(pdf.date >= lo) & (pdf.date <= hi)]
+        brt = p.r_mean + p.g_mean + p.b_mean
+        return int(
+            (
+                brt.between(100.0, 665.0)
+                & (p.solar_elev >= 10.0)
+                & (p.awbflag != 1)
+            ).sum()
+        )
+
+    got3 = {r["date"]: r for r in generate_gcc_summary(sdf, nday=3, nmin=1).collect()}
+    dec30 = got3[dt.date(2019, 12, 31)]  # center of the Dec-30 bucket
+    jan1b = got3[dt.date(2020, 1, 2)]  # center of the Jan-1 bucket
+    assert dec30["image_count"] == sel_count(
+        roistats_pdf, dt.date(2019, 12, 30), dt.date(2020, 1, 1)
+    )
+    assert jan1b["image_count"] == sel_count(
+        roistats_pdf, dt.date(2020, 1, 2), dt.date(2020, 1, 3)
+    )
+
+    got7 = {r["date"]: r for r in generate_gcc_summary(sdf, nday=7, nmin=1).collect()}
+    dec31 = got7[dt.date(2020, 1, 3)]  # center of the Dec-31 (doy 365) bucket
+    assert dec31["image_count"] == sel_count(
+        roistats_pdf, dt.date(2019, 12, 31), dt.date(2020, 1, 6)
+    )
+
+    # first-year series starting ON Jan 1: no previous bucket exists, so
+    # Jan 1 rows stay in the Jan-1 bucket (daterange2 starts at the
+    # bucket containing dt_first)
+    jan_only = roistats_pdf[roistats_pdf.date >= dt.date(2020, 1, 1)]
+    gotj = {
+        r["date"]: r
+        for r in generate_gcc_summary(
+            spark.createDataFrame(jan_only), nday=3, nmin=1
+        ).collect()
+    }
+    assert dt.date(2019, 12, 31) not in gotj
+    assert gotj[dt.date(2020, 1, 2)]["image_count"] == sel_count(
+        jan_only, dt.date(2020, 1, 1), dt.date(2020, 1, 3)
+    )
+
+
+def test_update_across_spilled_year_boundary(spark, roistats_pdf):
+    """update == full recompute when the old data ends exactly on a
+    spilled Jan-1 row: the tail recompute must not re-emit (or starve)
+    the frozen previous-year bucket."""
+    from python_vegindex_spark.operators.vegindex_summary import update_gcc_summary
+
+    cut = dt.datetime(2020, 1, 2)  # old rows end Jan 1 (spilled into Dec-30)
+    old_summary = generate_gcc_summary(
+        spark.createDataFrame(roistats_pdf[roistats_pdf.ts < cut]), nday=3, nmin=2
+    )
+    full_sdf = spark.createDataFrame(roistats_pdf)
+    updated = update_gcc_summary(old_summary, full_sdf, nday=3, nmin=2)
+    full = generate_gcc_summary(full_sdf, nday=3, nmin=2)
+    u = {r["date"]: r for r in updated.collect()}
+    f = {r["date"]: r for r in full.collect()}
+    assert set(u) == set(f)
+    for d_, fr in f.items():
+        for c in GCC_SUMMARY_FIELDS:
+            fv, uv = fr[c], u[d_][c]
+            if isinstance(fv, float):
+                assert uv == pytest.approx(fv, rel=1e-12), (d_, c)
+            else:
+                assert uv == fv, (d_, c)
 
 
 def test_generate_summary_from_catalog_file(spark):
