@@ -310,9 +310,21 @@ def simhash_pairs(
     above the guarantee degrades gracefully). Shuffle key = (table,
     block bucket) only — never an N^2 self-join; all JVM expressions.
     """
+    if tables < 1 or 64 % tables != 0:
+        raise ValueError(
+            f"tables must divide 64 evenly (got {tables}): the rotated "
+            "blocks would otherwise cover only tables*(64//tables) bits "
+            "and the pigeonhole recall guarantee breaks"
+        )
     rot = 64 // tables
     if prefix_bits is None:
         prefix_bits = rot
+    if not 1 <= prefix_bits <= rot:
+        raise ValueError(
+            f"prefix_bits must be in [1, {rot}] for tables={tables} "
+            f"(got {prefix_bits}): wider prefixes overlap adjacent blocks "
+            "and void the disjoint-block pigeonhole argument"
+        )
     sig = F.col("simhash")
 
     def _rotl(c, k):

@@ -75,11 +75,16 @@ def roi_stats_arrays(
         "brt": float(brt_full.astype(np.float64).mean())
     }
     inner = brt_full[30:-30, 30:-30]
-    inner_mean = inner.mean() if inner.size else brt_full.mean()
-    if inner_mean < 30.0 or inner_mean > 725.0:
-        for f in _STAT_FIELDS:
-            out[f] = None
-        return out
+    # Images under ~61 px have an EMPTY inner crop; the reference's
+    # np.mean of the empty slice is NaN, which fails BOTH comparisons
+    # (roitimeseries.py:123,147), so tiny images always pass the guards
+    # and proceed to full stats — mirrored here by skipping the guard.
+    if inner.size:
+        inner_mean = inner.mean()
+        if inner_mean < 30.0 or inner_mean > 725.0:
+            for f in _STAT_FIELDS:
+                out[f] = None
+            return out
 
     keep = ~mask.astype(bool)
     vals = {"r": r16[keep].astype(np.float64), "g": g16[keep].astype(np.float64), "b": b16[keep].astype(np.float64)}

@@ -174,9 +174,13 @@ def ivf_index(
         by_cid: dict[int, dict[int, float]] = {}
         for r in means:
             by_cid.setdefault(r["centroid_id"], {})[r["dim"]] = r["m"]
+        # a centroid with zero assignments this iteration keeps its
+        # previous vector (never silently dropped from the codebook)
         cent_rows = [
-            (cid, [vals[d] for d in sorted(vals)])
-            for cid, vals in sorted(by_cid.items())
+            (cid, [by_cid[cid][d] for d in sorted(by_cid[cid])])
+            if cid in by_cid
+            else (cid, vec)
+            for cid, vec in cent_rows
         ]
 
     assignments = c.withColumn("centroid_id", _codebook_assign_expr(cent_rows, "vec"))

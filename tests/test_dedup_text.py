@@ -157,3 +157,17 @@ def test_ngram_jaccard_char_kind(spark):
     assert 0.3 < jc < 1.0
     with pytest.raises(ValueError, match="shingle_kind"):
         ngram_jaccard(pairs, docs, shingle_kind="line")
+
+
+def test_simhash_pairs_rejects_bad_block_layout(spark):
+    """64 % tables != 0 or an over-wide prefix silently voids the
+    pigeonhole recall guarantee -> must raise instead."""
+    from python_vegindex_spark.operators.dedup import simhash_pairs
+
+    sigs = spark.createDataFrame([("a", 1)], "id string, simhash long")
+    with pytest.raises(ValueError, match="divide 64"):
+        simhash_pairs(sigs, tables=3)
+    with pytest.raises(ValueError, match="prefix_bits"):
+        simhash_pairs(sigs, tables=4, prefix_bits=17)
+    with pytest.raises(ValueError, match="prefix_bits"):
+        simhash_pairs(sigs, tables=4, prefix_bits=0)

@@ -107,3 +107,17 @@ def test_roi_stats_table_stub_raises(spark):
     df = roi_stats_table(spark.createDataFrame(pdf), mask=_mask())
     with pytest.raises(Exception, match="no image codec"):
         df.collect()
+
+
+def test_tiny_image_skips_guards():
+    """Images under ~61 px have an empty 30-px inner crop; the reference's
+    mean of the empty slice is NaN, which fails BOTH guard comparisons
+    (roitimeseries.py:123,147), so full stats are computed even for an
+    otherwise too-dark or too-bright tiny frame."""
+    m = np.zeros((10, 10), dtype=bool)
+    dark = np.full((10, 10), 2, dtype=np.uint8)
+    s = roi_stats_arrays(dark, dark, dark, m)
+    assert s["r_mean"] == pytest.approx(2.0)
+    bright = np.full((10, 10), 250, dtype=np.uint8)
+    s2 = roi_stats_arrays(bright, bright, bright, m)
+    assert s2["g_mean"] == pytest.approx(250.0)

@@ -108,3 +108,16 @@ def test_approx_percentile_fast_path(spark):
     assert mask.sum() > 0
     assert (diff < 0.1).all()
     assert diff.median() < 0.02
+
+
+def test_ivf_empty_centroid_carried_forward(spark):
+    """A centroid with zero assignments in a Lloyd iteration keeps its
+    previous vector instead of shrinking the codebook: seed vectors 0
+    and 1 are identical, so the argmax sends both to one of them and the
+    other cell is empty every iteration."""
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [5.0, 5.0]), (3, [5.1, 5.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assignments, centroids = ivf_index(df, n_centroids=3, lloyd_iters=2)
+    assert centroids.count() == 3
+    assert sorted(r["centroid_id"] for r in centroids.collect()) == [0, 1, 2]
+    assert assignments.count() == 4
