@@ -33,23 +33,47 @@ ND_STRING = "None"
 MISSING_INPUTS = ("-9999", "-9999.0", "NA", "None", "")
 
 
-def read_properties(path: str, max_bytes: int = 65536) -> dict[str, str]:
+def head_lines(
+    path: str, spark: SparkSession | None = None, max_lines: int = 400
+) -> list[str]:
+    """First ``max_lines`` lines of a file — the header-probe primitive.
+
+    With a ``spark`` session the probe goes through ``spark.read.text``,
+    which resolves any Hadoop-FS scheme (``s3a://``, ``abfss://``,
+    ``gs://``, ``file:``) instead of the driver's local filesystem.
+    Header files are far below one input split, so line order is
+    preserved. Without a session it falls back to a local ``open``."""
+    if spark is not None:
+        return [r[0] for r in spark.read.text(path).limit(max_lines).collect()]
+    out: list[str] = []
+    with open(path, "r", errors="replace") as f:
+        for line in f:
+            out.append(line.rstrip("\n"))
+            if len(out) >= max_lines:
+                break
+    return out
+
+
+def read_properties(
+    path: str, spark: SparkSession | None = None, max_lines: int = 400
+) -> dict[str, str]:
     """Parse '# key: value' comment-header properties (regex per
-    roitimeseries.py:283-312).
+    roitimeseries.py:283-312). Pass ``spark`` to probe object-store
+    paths (see :func:`head_lines`).
 
     Real reference files contain merged header lines (a missing newline:
     ``# Blue DN .05 Quantile Max: 90# Time of Day Min: 00:00:00`` in the
-    shipped harvard 1-day golden) — each ``#``-separated segment is
-    parsed as its own property so no key is silently lost."""
+    shipped harvard 1-day golden) — a ``#`` is treated as a segment
+    break only when what follows itself looks like a ``Key: value``
+    property, so a ``#`` inside a free-text property value survives
+    intact."""
     props: dict[str, str] = {}
-    with open(path, "r", errors="replace") as f:
-        head = f.read(max_bytes)
-    for line in head.splitlines():
+    for line in head_lines(path, spark, max_lines):
         if not line.startswith("#"):
             if line.strip():
                 break
             continue
-        for segment in line.split("#"):
+        for segment in re.split(r"#(?=[^:]+:)", line):
             m = re.match(r"\s*([^:]+):\s*(.*)$", segment)
             if m:
                 props[m.group(1).strip()] = m.group(2).strip()
@@ -60,7 +84,7 @@ def read_headered_csv(
     spark: SparkSession, path: str, schema: T.StructType
 ) -> tuple[DataFrame, dict[str, str]]:
     """Distributed CSV scan honoring comment headers and NA sentinels."""
-    props = read_properties(path)
+    props = read_properties(path, spark)
     raw = (
         spark.read.option("comment", "#")
         .option("header", "true")

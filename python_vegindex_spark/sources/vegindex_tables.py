@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .csv_compat import MISSING_INPUTS, read_properties
+from .csv_compat import MISSING_INPUTS, head_lines, read_properties
 
 # ---------------------------------------------------------------------------
 # schemas (header-driven: column name -> Spark type)
@@ -82,13 +82,14 @@ def _col_type(name: str) -> T.DataType:
     return T.DoubleType()
 
 
-def _header_columns(path: str) -> list[str]:
-    """First non-comment line = the CSV field row (driver-side, O(1))."""
-    with open(path, "r", errors="replace") as f:
-        for line in f:
-            if line.startswith("#") or not line.strip():
-                continue
-            return [c.strip() for c in line.strip().split(",")]
+def _header_columns(path: str, spark: SparkSession | None = None) -> list[str]:
+    """First non-comment line = the CSV field row. With ``spark`` the
+    probe runs through the Hadoop FS layer (object-store-safe, see
+    csv_compat.head_lines); still O(header) either way."""
+    for line in head_lines(path, spark):
+        if line.startswith("#") or not line.strip():
+            continue
+        return [c.strip() for c in line.strip().split(",")]
     raise ValueError(f"no CSV header row found in {path}")
 
 
@@ -98,8 +99,8 @@ def _typed_scan(
     """Distributed scan with a header-derived schema; all reference
     missing-value spellings (``NA``, ``None``, ``-9999``, empty) -> NULL
     before the typed cast."""
-    props = read_properties(path)
-    cols = _header_columns(path)
+    props = read_properties(path, spark)
+    cols = _header_columns(path, spark)
     raw = (
         spark.read.option("comment", "#")
         .option("header", "true")
@@ -255,31 +256,34 @@ def read_roilist(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
     (mask_index [1-based file order], start_ts, end_ts, maskfile,
     sample_image) ready for ``interval_join`` (J2); year-9999 open ends
     are kept as-is (TimestampType covers them)."""
-    props = read_properties(path)
-    cols = _header_columns(path)
+    props = read_properties(path, spark)
+    cols = _header_columns(path, spark)
     rows = []
-    with open(path, "r", errors="replace") as f:
-        import csv as _csv
+    # ROI lists are O(10) masks — the whole file is one header probe;
+    # sourcing the lines through the Hadoop FS keeps this object-store
+    # safe while preserving the reference's file-order validation
+    lines = head_lines(path, spark, max_lines=100_000)
+    import csv as _csv
 
-        rdr = _csv.DictReader(
-            (ln for ln in f if not ln.startswith("#") and ln.strip())
+    rdr = _csv.DictReader(
+        (ln for ln in lines if not ln.startswith("#") and ln.strip())
+    )
+    last_end = datetime(1999, 1, 1)
+    for i, row in enumerate(rdr, start=1):
+        start_dt = datetime.strptime(
+            row["start_date"] + " " + row["start_time"], "%Y-%m-%d %H:%M:%S"
         )
-        last_end = datetime(1999, 1, 1)
-        for i, row in enumerate(rdr, start=1):
-            start_dt = datetime.strptime(
-                row["start_date"] + " " + row["start_time"], "%Y-%m-%d %H:%M:%S"
-            )
-            end_dt = datetime.strptime(
-                row["end_date"] + " " + row["end_time"], "%Y-%m-%d %H:%M:%S"
-            )
-            if end_dt <= start_dt:
-                raise ValueError("Mask end date is <= start date")
-            if start_dt < last_end:
-                raise ValueError("Mask date ranges are overlapping or out of order")
-            last_end = end_dt
-            rows.append(
-                (i, start_dt, end_dt, row["maskfile"], row.get("sample_image"))
-            )
+        end_dt = datetime.strptime(
+            row["end_date"] + " " + row["end_time"], "%Y-%m-%d %H:%M:%S"
+        )
+        if end_dt <= start_dt:
+            raise ValueError("Mask end date is <= start date")
+        if start_dt < last_end:
+            raise ValueError("Mask date ranges are overlapping or out of order")
+        last_end = end_dt
+        rows.append(
+            (i, start_dt, end_dt, row["maskfile"], row.get("sample_image"))
+        )
     schema = (
         "mask_index int, start_ts timestamp, end_ts timestamp, "
         "maskfile string, sample_image string"

@@ -90,3 +90,51 @@ def test_dms_roundtrip(spark):
         dms_to_deg(deg_to_dms(F.col("deg"))).alias("back"), "deg"
     ).toPandas()
     np.testing.assert_allclose(out["back"], out["deg"], atol=1e-4)
+
+
+def test_read_properties_hash_in_value(tmp_path):
+    """A '#' inside a property value must survive; merged header lines
+    (missing newline between two properties) still split."""
+    p = tmp_path / "hdr.csv"
+    p.write_text(
+        "# Site: station #4 east\n"
+        "# Blue DN .05 Quantile Max: 90# Time of Day Min: 00:00:00\n"
+        "#\n"
+        "c1,c2\n1,2\n"
+    )
+    props = read_properties(str(p))
+    assert props["Site"] == "station #4 east"
+    assert props["Blue DN .05 Quantile Max"] == "90"
+    assert props["Time of Day Min"] == "00:00:00"
+
+
+def test_header_probe_object_store_scheme(spark, tmp_path):
+    """With a session, the header probe resolves Hadoop-FS URIs (here
+    ``file:``, the same code path as s3a/abfss) that plain open() cannot."""
+    p = tmp_path / "hdr2.csv"
+    p.write_text("# Site: schemed\n#\nc1,c2\n1.5,2.5\n")
+    uri = "file://" + str(p)
+    props = read_properties(uri, spark)
+    assert props["Site"] == "schemed"
+    schema = T.StructType(
+        [T.StructField("c1", T.DoubleType()), T.StructField("c2", T.DoubleType())]
+    )
+    back, props2 = read_headered_csv(spark, uri, schema)
+    assert props2["Site"] == "schemed"
+    assert back.collect()[0]["c1"] == 1.5
+
+
+def test_roilist_object_store_scheme(spark, tmp_path):
+    from python_vegindex_spark.sources.vegindex_tables import read_roilist
+
+    p = tmp_path / "site_DB_0001_roi.csv"
+    p.write_text(
+        "# ROI List for site\n#\n"
+        "start_date,start_time,end_date,end_time,maskfile,sample_image\n"
+        "2020-01-01,00:00:00,2020-06-01,00:00:00,m1.tif,s1.jpg\n"
+        "2020-06-01,00:00:00,9999-12-31,00:00:00,m2.tif,s2.jpg\n"
+    )
+    df, _ = read_roilist(spark, "file://" + str(p))
+    rows = df.orderBy("mask_index").collect()
+    assert [r["maskfile"] for r in rows] == ["m1.tif", "m2.tif"]
+    assert rows[1]["end_ts"].year == 9999
