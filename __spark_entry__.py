@@ -646,17 +646,29 @@ def q_ngram_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup duplicate CLUSTERS: MinHash-LSH pairs -> Jaccard verify
-    -> connected components (pointer-doubling min-label CC,
-    operators/dedup.dedup_clusters) -> cluster-size histogram. Rows-only
-    (connected components are not expressible in one DuckDB query); the
-    CC operator itself is pytest-verified on known graphs."""
+    """Near-dup duplicate CLUSTERS, oracle-checked: SQL-expressible
+    prefix-blocked candidate pairs (the same blocking as
+    ngram_jaccard_verify) verified at jaccard >= 0.5, then connected
+    components (pointer-doubling min-label CC,
+    operators/dedup.dedup_clusters) -> cluster-size histogram. DuckDB
+    mirrors the pair derivation and runs WITH RECURSIVE min-label
+    propagation, independently verifying the CC operator. (The
+    minhash-LSH pair source stays exercised by minhash_near_dups.)"""
     from python_vegindex_spark.operators.dedup import dedup_clusters
 
     docs = _t(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, num_hashes=64, shingle_n=3)
+    fp = F.md5(
+        F.lower(F.substring(F.regexp_replace(F.trim("text"), r"\s+", " "), 1, 16))
+    )
+    keyed = docs.select("doc_id", fp.alias("fp"))
+    cand = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), on="fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
     pairs = (
-        ngram_jaccard(minhash_lsh_pairs(sigs, bands=16, rows_per_band=4), docs, n=3)
+        ngram_jaccard(cand, docs, n=3)
         .filter(F.col("jaccard") >= 0.5)
         .select("id_a", "id_b")
     )
@@ -677,7 +689,9 @@ def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_solar_gate_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C3 solar-elevation pandas UDF as a per-event feature + gate filter."""
+    """C3 solar elevation (pure JVM NOAA expression) as a per-event
+    feature + gate filter; oracle-checked against the identical
+    arithmetic in DuckDB."""
     from python_vegindex_spark.functions.astro import solar_elevation
 
     ev = _t(spark, sf_dir, "events")
@@ -1305,5 +1319,129 @@ WITH t AS (
 SELECT event_id,
        coalesce(printf('%.5f', nullif(dirty, -9999.0)), 'NA') AS csv_value
 FROM t ORDER BY event_id
+""",
+        # 1:1 mirror of functions/astro.solar_elevation (NOAA closed
+        # form, identical term order; pmod spelled ((x%m)+m)%m)
+        "solar_gate_features": """
+WITH t1 AS (
+  SELECT event_id, CAST(epoch_us(ts) AS DOUBLE) AS us FROM events
+), t2 AS (
+  SELECT event_id, us,
+         (us/86400e6 + 2440587.5 - 2451545.0)/36525.0 AS jc
+  FROM t1
+), t3 AS (
+  SELECT *,
+         ((280.46646 + jc*(36000.76983 + jc*0.0003032)) % 360.0 + 360.0) % 360.0 AS gmls,
+         357.52911 + jc*(35999.05029 - 0.0001537*jc) AS gmas,
+         0.016708634 - jc*(0.000042037 + 0.0000001267*jc) AS eeo,
+         23.0 + (26.0 + (21.448 - jc*(46.815 + jc*(0.00059 - jc*0.001813)))/60.0)/60.0
+           + 0.00256*cos(radians(125.04 - 1934.136*jc)) AS oc
+  FROM t2
+), t3b AS (
+  SELECT *,
+         sin(radians(gmas))*(1.914602 - jc*(0.004817 + 0.000014*jc))
+           + sin(radians(2*gmas))*(0.019993 - 0.000101*jc)
+           + sin(radians(3*gmas))*0.000289 AS seqc
+  FROM t3
+), t4 AS (
+  SELECT *,
+         (gmls + seqc) - 0.00569 - 0.00478*sin(radians(125.04 - 1934.136*jc)) AS sal,
+         tan(radians(oc/2.0))*tan(radians(oc/2.0)) AS vary
+  FROM t3b
+), t5 AS (
+  SELECT *,
+         degrees(asin(sin(radians(oc))*sin(radians(sal)))) AS decl,
+         4.0*degrees(vary*sin(2.0*radians(gmls))
+                     - 2.0*eeo*sin(radians(gmas))
+                     + 4.0*eeo*vary*sin(radians(gmas))*cos(2.0*radians(gmls))
+                     - 0.5*vary*vary*sin(4.0*radians(gmls))
+                     - 1.25*eeo*eeo*sin(2.0*radians(gmas))) AS eot
+  FROM t4
+), t6 AS (
+  SELECT *,
+         ((us % 86400e6 + 86400e6) % 86400e6)/6e7 AS mins
+  FROM t5
+), t7 AS (
+  SELECT *,
+         (((mins + eot + 4.0*(-72.1715)) % 1440.0 + 1440.0) % 1440.0)/4.0 - 180.0 AS ha
+  FROM t6
+), t8 AS (
+  SELECT event_id,
+         round(90.0 - degrees(acos(greatest(-1.0, least(1.0,
+             sin(radians(42.5378))*sin(radians(decl))
+             + cos(radians(42.5378))*cos(radians(decl))*cos(radians(ha)))))), 4) AS solar_elev
+  FROM t7
+)
+SELECT event_id, solar_elev FROM t8 WHERE solar_elev > 0 ORDER BY event_id
+""",
+        # identity oracle: the Gorilla/delta-of-delta chunk roundtrip is
+        # lossless, so the hourly rollup of the decoded rows must equal
+        # the hourly rollup of the raw events table
+        "codec_roundtrip_rollup": f"""
+WITH base AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_start, value FROM events
+)
+SELECT event_type, bucket_start, {_ROLLUP_STATS}
+FROM base GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # same pair derivation as ngram_jaccard_verify, then min-label
+        # connected components via WITH RECURSIVE (the label of every
+        # node converges to the smallest doc_id in its component — the
+        # same labeling dedup_clusters' pointer doubling converges to)
+        "dedup_cluster_sizes": """
+WITH RECURSIVE keyed AS (
+  SELECT doc_id,
+         md5(lower(substr(regexp_replace(trim(text), '\\s+', ' ', 'g'), 1, 16))) AS fp
+  FROM documents
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM keyed a JOIN keyed b ON a.fp = b.fp AND a.doc_id < b.doc_id
+),
+tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 3
+              THEN list_transform(range(1, len(words) - 1), i -> array_to_string(list_slice(words, i, i + 2), ' '))
+              ELSE [array_to_string(words, ' ')] END AS gs
+  FROM tok
+),
+sh AS (SELECT DISTINCT doc_id, unnest(gs) AS s FROM grams),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS c
+  FROM cand p
+  JOIN sh x ON x.doc_id = p.id_a
+  JOIN sh y ON y.doc_id = p.id_b AND y.s = x.s
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT p.id_a, p.id_b
+  FROM cand p
+  LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+  JOIN sizes sa ON sa.doc_id = p.id_a
+  JOIN sizes sb ON sb.doc_id = p.id_b
+  WHERE round(COALESCE(i.c, 0) * 1.0 / (sa.n + sb.n - COALESCE(i.c, 0)), 6) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM verified
+  UNION ALL
+  SELECT id_b, id_a FROM verified
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+cc(id, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, c.label
+  FROM cc c JOIN edges e ON c.id = e.src
+  WHERE c.label < e.dst
+),
+final AS (SELECT id, min(label) AS cluster_id FROM cc GROUP BY id),
+csize AS (SELECT cluster_id, count(*) AS cluster_size FROM final GROUP BY 1)
+SELECT cluster_size, count(*) AS n_clusters
+FROM csize GROUP BY 1 ORDER BY 1
 """,
     }

@@ -138,3 +138,40 @@ def test_roilist_object_store_scheme(spark, tmp_path):
     rows = df.orderBy("mask_index").collect()
     assert [r["maskfile"] for r in rows] == ["m1.tif", "m2.tif"]
     assert rows[1]["end_ts"].year == 9999
+
+
+def test_sunelev_reference_golden(spark):
+    """The reference's own golden (tests/test_utils.py:102-111):
+    sunelev(42.5378, -72.1715, 2009-01-01 05:31:34 local, utc_offset=-5)
+    == -18.98094 to 3 significant digits. Checked for BOTH the JVM
+    column expression and the independent numpy implementation."""
+    import datetime as dt
+
+    from python_vegindex_spark.functions.astro import _solar_elev_impl
+
+    ts_utc = dt.datetime(2009, 1, 1, 10, 31, 34)  # local 05:31:34, offset -5
+    df = spark.createDataFrame([(ts_utc,)], "ts timestamp")
+    got = df.select(
+        solar_elevation(F.col("ts"), F.lit(42.5378), F.lit(-72.1715)).alias("e")
+    ).collect()[0]["e"]
+    np.testing.assert_approx_equal(got, -18.98094, 3)
+
+    got_np = float(
+        _solar_elev_impl(
+            pd.Series([ts_utc]), pd.Series([42.5378]), pd.Series([-72.1715])
+        ).iloc[0]
+    )
+    np.testing.assert_approx_equal(got_np, -18.98094, 3)
+    # JVM and numpy implementations agree far tighter than the golden
+    assert got == pytest.approx(got_np, abs=1e-9)
+
+
+def test_solar_elevation_no_python_in_plan(spark):
+    """The production solar path is whole-stage-codegen JVM arithmetic."""
+    df = spark.range(5).select(
+        F.timestamp_seconds(F.col("id") * 3600 + 1700000000).alias("ts")
+    )
+    plan = df.select(
+        solar_elevation(F.col("ts"), F.lit(42.0), F.lit(-72.0)).alias("e")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
