@@ -207,10 +207,13 @@ def generate_ndvi_summary_table(
     sunelev_min: float = 10.0,
     brt_min: float = 100.0,
     brt_max: float = 665.0,
+    spine_start=None,
+    series_start=None,
 ) -> DataFrame:
     """NDVI timeseries DataFrame -> n-day NDVI summary, the second
     flagship job (generate_ndvi_summary_timeseries.py:229-470), in
-    NDVI_SUMMARY_FIELDS order.
+    NDVI_SUMMARY_FIELDS order. ``spine_start``/``series_start`` mirror
+    :func:`generate_gcc_summary` (used by :func:`update_ndvi_summary`).
 
     Faithful quirks: per-row gcc uses the STORED gcc and only counts
     (and only contributes) where dnsum > 0 (the img_cnt guard,
@@ -238,10 +241,11 @@ def generate_ndvi_summary_table(
     # NDVI job (generate_ndvi_summary_timeseries.py:235-265; the awb skip
     # is commented out there, :306-307), so bounds come from qc itself.
     naive_b = bucket_start(F.col("ts"), tier)
+    y0 = F.year(F.min("ts"))
+    if series_start is not None:
+        y0 = F.least(y0, F.lit(int(series_start.year)))
     bounds = qc.agg(
-        F.min(naive_b).alias("_lo"),
-        F.max(naive_b).alias("_hi"),
-        F.year(F.min("ts")).alias("_y0"),
+        F.min(naive_b).alias("_lo"), F.max(naive_b).alias("_hi"), y0.alias("_y0")
     )
 
     dnsum = F.col("r_mean") + F.col("g_mean") + F.col("b_mean")
@@ -272,8 +276,11 @@ def generate_ndvi_summary_table(
         F.percentile(F.col("NDVI_c"), F.lit(0.9)).alias("ndvi_90"),
         F.max("solar_elev").alias("max_solar_elev"),
     )
+    lo = F.col("_lo")
+    if spine_start is not None:
+        lo = F.least(lo, F.lit(spine_start).cast("date"))
     spine = bounds.select(
-        F.explode(_bucket_seq(F.col("_lo"), F.col("_hi"), tier)).alias("bucket_start")
+        F.explode(_bucket_seq(lo, F.col("_hi"), tier)).alias("bucket_start")
     )
     agg = spine.join(agg, on=["bucket_start"], how="left")
 
@@ -352,6 +359,47 @@ def update_gcc_summary(
     )
     fresh = generate_gcc_summary(
         roistats.filter(tail_bucket >= F.lit(open_start)),
+        nday=nday,
+        nmin=nmin,
+        spine_start=open_start,
+        series_start=series_start,
+        **qc,
+    )
+    kept = existing.filter(F.col("date") < F.lit(last))
+    return kept.unionByName(fresh)
+
+
+def update_ndvi_summary(
+    existing: DataFrame,
+    ndvits: DataFrame,
+    nday: int = 3,
+    nmin: int = 1,
+    **qc,
+) -> DataFrame:
+    """The update_ndvi_summary_timeseries flow over DataFrames — the
+    NDVI twin of :func:`update_gcc_summary` (the reference script,
+    update_ndvi_summary_timeseries.py:200-460, mirrors
+    update_summary_timeseries.py: re-open the last summary bucket,
+    recompute from there over the NDVI tier-1 table, keep older rows).
+
+    Invariant (tested): ``update_ndvi_summary(generate(old_rows),
+    all_rows) == generate(all_rows)`` row-for-row; the recompute window
+    is cursor-bucket-defined exactly as in :func:`update_gcc_summary`.
+    """
+    import datetime as _dt
+
+    row = existing.agg(F.max("date").alias("m"), F.min("date").alias("lo")).collect()[0]
+    last = row["m"]
+    if last is None:
+        return generate_ndvi_summary_table(ndvits, nday=nday, nmin=nmin, **qc)
+    open_start = last - _dt.timedelta(days=nday // 2)
+    series_start = row["lo"] - _dt.timedelta(days=nday // 2)
+    tier = f"{int(nday)}day"
+    tail_bucket = bucket_start_cursor(
+        F.col("ts"), tier, F.lit(int(series_start.year))
+    )
+    fresh = generate_ndvi_summary_table(
+        ndvits.filter(tail_bucket >= F.lit(open_start)),
         nday=nday,
         nmin=nmin,
         spine_start=open_start,

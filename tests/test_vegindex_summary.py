@@ -413,3 +413,30 @@ def test_update_gcc_summary_with_gap_after_tail(spark, roistats_pdf):
     u = {r["date"]: r["image_count"] for r in updated.collect()}
     f = {r["date"]: r["image_count"] for r in full.collect()}
     assert u == f  # including the zero-count gap buckets
+
+
+def test_update_ndvi_summary_equals_full_recompute(spark, ndvits_pdf):
+    from python_vegindex_spark.operators.vegindex_summary import (
+        generate_ndvi_summary_table,
+        update_ndvi_summary,
+    )
+    from python_vegindex_spark.sources.summary_export import NDVI_SUMMARY_FIELDS
+
+    cut = dt.datetime(2021, 3, 18)
+    old_rows = ndvits_pdf[ndvits_pdf.ts < cut]
+    full_sdf = spark.createDataFrame(ndvits_pdf)
+    old_summary = generate_ndvi_summary_table(
+        spark.createDataFrame(old_rows), nday=3, nmin=2
+    )
+    updated = update_ndvi_summary(old_summary, full_sdf, nday=3, nmin=2)
+    full = generate_ndvi_summary_table(full_sdf, nday=3, nmin=2)
+    u = {r["date"]: r for r in updated.collect()}
+    f = {r["date"]: r for r in full.collect()}
+    assert set(u) == set(f)
+    for d_, fr in f.items():
+        for c in NDVI_SUMMARY_FIELDS:
+            fv, uv = fr[c], u[d_][c]
+            if isinstance(fv, float):
+                assert uv == pytest.approx(fv, rel=1e-12), (d_, c)
+            else:
+                assert uv == fv, (d_, c)
