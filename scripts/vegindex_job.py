@@ -4,6 +4,7 @@
         --roi DB_0001 [--nday 3] [--nmin 1] [--out PATH] [--master local[8]]
     python scripts/vegindex_job.py ndvi-summary --archive DIR --site S --roi ...
     python scripts/vegindex_job.py update-gcc   --archive DIR --site S --roi ...
+    python scripts/vegindex_job.py update-ndvi  --archive DIR --site S --roi ...
 
 Reads the canonical roistats / NDVI CSVs via sources.catalog, runs the
 flagship pipelines (operators/vegindex_summary), and writes the result
@@ -11,7 +12,8 @@ in the reference's headered-CSV summary format (write_headered_csv) at
 the canonical path (``{site}_{roi}_{nday}day.csv`` next to the inputs)
 unless --out overrides. Mirrors generate_summary_timeseries.py /
 generate_ndvi_summary_timeseries.py / update_summary_timeseries.py CLI
-semantics with explicit QC-threshold flags.
+semantics (plus update_ndvi_summary_timeseries.py for update-ndvi)
+with explicit QC-threshold flags.
 """
 
 from __future__ import annotations
@@ -48,7 +50,13 @@ def build_props(args, nday: int) -> dict[str, str]:
 
 def main(argv: list[str] | None = None) -> str:
     ap = argparse.ArgumentParser()
-    ap.add_argument("job", choices=["gcc-summary", "ndvi-summary", "update-gcc"])
+    ap.add_argument(
+        "job",
+        choices=[
+            "gcc-summary", "ndvi-summary", "update-gcc", "update-ndvi",
+            "generate-roi", "update-roi",
+        ],
+    )
     ap.add_argument("--archive", required=True)
     ap.add_argument("--site", required=True)
     ap.add_argument("--roi", required=True, help="e.g. DB_0001")
@@ -59,6 +67,14 @@ def main(argv: list[str] | None = None) -> str:
     ap.add_argument("--sunelev-min", type=float, default=10.0)
     ap.add_argument("--brt-min", type=float, default=100.0)
     ap.add_argument("--brt-max", type=float, default=665.0)
+    ap.add_argument("--lat", type=float, default=None, help="site latitude (roi jobs)")
+    ap.add_argument("--lon", type=float, default=None, help="site longitude (roi jobs)")
+    ap.add_argument("--tzoffset", type=float, default=0.0)
+    ap.add_argument(
+        "--codec", choices=["none", "fake"], default="none",
+        help="image codec for roi jobs: 'fake' = deterministic seed codec "
+             "(tests); 'none' requires decode injection via the API",
+    )
     ap.add_argument("--out", default=None)
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
@@ -70,6 +86,7 @@ def main(argv: list[str] | None = None) -> str:
         generate_gcc_summary,
         generate_ndvi_summary_table,
         update_gcc_summary,
+        update_ndvi_summary,
     )
 
     spark = get_spark("vegindex-job", master=args.master)
@@ -87,16 +104,56 @@ def main(argv: list[str] | None = None) -> str:
         ndvits, _ = catalog.get_ndvi_timeseries(spark, args.archive, args.site, args.roi)
         out = generate_ndvi_summary_table(ndvits, nday=args.nday, nmin=args.nmin, **qc)
         default = f"{args.site}_{args.roi}_ndvi_{args.nday}day.csv"
-    else:  # update-gcc
+    elif args.job == "update-gcc":
         existing, props = catalog.get_gcc_timeseries(
             spark, args.archive, args.site, args.roi, nday=args.nday, nmin=0
         )  # nmin=0: take stored values as-is; the regenerate applies tiering
         roistats, _ = catalog.get_roi_timeseries(spark, args.archive, args.site, args.roi)
         out = update_gcc_summary(existing, roistats, nday=args.nday, nmin=args.nmin, **qc)
         default = f"{args.site}_{args.roi}_{args.nday}day.csv"
+    elif args.job == "update-ndvi":  # update_ndvi_summary_timeseries.py twin
+        existing, props = catalog.get_ndvi_summary(
+            spark, args.archive, args.site, args.roi, nday=args.nday, nmin=0
+        )
+        ndvits, _ = catalog.get_ndvi_timeseries(spark, args.archive, args.site, args.roi)
+        out = update_ndvi_summary(existing, ndvits, nday=args.nday, nmin=args.nmin, **qc)
+        default = f"{args.site}_{args.roi}_ndvi_{args.nday}day.csv"
+    elif args.job in ("generate-roi", "update-roi"):
+        # E1: archive -> tier-1 roistats (generate_roi_timeseries.py /
+        # update_roi_timeseries.py twins)
+        from python_vegindex_spark.operators.roi_pipeline import (
+            fake_decode,
+            generate_roi_stats,
+            update_roi_stats,
+        )
+
+        if args.lat is None or args.lon is None:
+            ap.error("--lat/--lon are required for roi jobs")
+        decode = fake_decode if args.codec == "fake" else None
+        kw = dict(
+            lat=args.lat, lon=args.lon, tzoffset=args.tzoffset, decode_fn=decode,
+        )
+        if args.job == "generate-roi":
+            out = generate_roi_stats(
+                spark, args.archive, args.site, args.roi, **kw
+            )
+        else:
+            existing, _ = catalog.get_roi_timeseries(
+                spark, args.archive, args.site, args.roi
+            )
+            out = update_roi_stats(
+                existing, spark, args.archive, args.site, args.roi, **kw
+            )
+        out = out.drop("ts")
+        default = f"{args.site}_{args.roi}_roistats.csv"
 
     path = args.out or os.path.join(roi_dir, default)
-    write_headered_csv(out, path, build_props(args, args.nday), sort_cols=["date"])
+    sort_cols = (
+        ["date", "local_std_time"]
+        if args.job in ("generate-roi", "update-roi")
+        else ["date"]
+    )
+    write_headered_csv(out, path, build_props(args, args.nday), sort_cols=sort_cols)
     n = out.count()
     print(f"WROTE {n} rows -> {path}")
     return path

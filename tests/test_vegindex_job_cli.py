@@ -67,3 +67,67 @@ def test_gcc_summary_job_end_to_end(spark, synth_archive, tmp_path):
     assert len(rows) >= 5  # 15 days / 3-day buckets
     assert all(r["image_count"] > 0 for r in rows)  # no gaps in this archive
     assert all(r["gcc_mean"] is not None for r in rows if r["image_count"] >= 2)
+
+
+@pytest.fixture()
+def synth_ndvi_archive(spark, tmp_path):
+    rng = np.random.default_rng(41)
+    rows = []
+    for d in range(12):
+        date = dt.date(2022, 6, 1) + dt.timedelta(days=d)
+        for i in range(3):
+            ts = dt.datetime(date.year, date.month, date.day, 9 + 2 * i, 45, 0)
+            r, g, b = (float(v) for v in rng.uniform(40, 120, 3))
+            rows.append(
+                dict(
+                    date=date, local_std_time=ts.strftime("%H:%M:%S"),
+                    doy=date.timetuple().tm_yday,
+                    filename_rgb=f"mysite_{ts:%Y_%m_%d_%H%M%S}.jpg",
+                    filename_ir=f"mysite_IR_{ts:%Y_%m_%d_%H%M%S}.jpg",
+                    solar_elev=float(rng.uniform(15, 70)), exposure_rgb=30,
+                    exposure_ir=30, awbflag=0, mask_index=1,
+                    gcc=g / (r + g + b), r_mean=r, g_mean=g, b_mean=b,
+                    NDVI_c=float(rng.uniform(0.1, 0.8)),
+                )
+            )
+    pdf = pd.DataFrame(rows)
+    roi_dir = tmp_path / "mysite" / "ROI"
+    roi_dir.mkdir(parents=True)
+    write_headered_csv(
+        spark.createDataFrame(pdf),
+        str(roi_dir / "mysite_DB_0001_NDVI_roistats.csv"),
+        {"Site": "mysite", "Veg Type": "DB", "ROI ID Number": "0001"},
+        sort_cols=["date", "local_std_time"],
+    )
+    return str(tmp_path)
+
+
+def test_update_ndvi_job_end_to_end(spark, synth_ndvi_archive):
+    """ndvi-summary writes the canonical summary; update-ndvi re-reads it
+    plus the tier-1 table and (with no new rows) reproduces it."""
+    import vegindex_job
+
+    from python_vegindex_spark.sources.vegindex_tables import read_ndvi_summary
+
+    common = [
+        "--archive", synth_ndvi_archive, "--site", "mysite",
+        "--roi", "DB_0001", "--nday", "3", "--nmin", "2",
+        "--master", "local[4]",
+    ]
+    gen_path = vegindex_job.main(["ndvi-summary", *common])
+    assert os.path.basename(gen_path) == "mysite_DB_0001_ndvi_3day.csv"
+    gen_df, props = read_ndvi_summary(spark, gen_path)
+    assert props["Site"] == "mysite"
+    upd_path = vegindex_job.main(["update-ndvi", *common])
+    assert upd_path == gen_path
+    upd_df, _ = read_ndvi_summary(spark, upd_path)
+    g = {r["date"]: r for r in gen_df.collect()}
+    u = {r["date"]: r for r in upd_df.collect()}
+    assert set(g) == set(u) and len(g) >= 4
+    for d_, gr in g.items():
+        for c in gen_df.columns:
+            gv, uv = gr[c], u[d_][c]
+            if isinstance(gv, float):
+                assert uv == pytest.approx(gv, rel=1e-9), (d_, c)
+            else:
+                assert uv == gv, (d_, c)
