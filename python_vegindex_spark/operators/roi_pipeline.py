@@ -1,0 +1,244 @@
+"""E1 end-to-end: archive -> .meta sidecars -> mask intervals -> tier-1.
+
+The reference's generate_roi_timeseries.py:44-185 walks the archive per
+ROI-mask validity interval, decodes each image, computes masked pixel
+stats (tier 0), pulls exposure/awb from the image's ``.meta`` sidecar,
+and appends a tier-1 roistats row; update_roi_timeseries.py:131-242 is
+the incremental twin that only processes images missing from the
+existing CSV. This module re-expresses both as Spark plans:
+
+* archive listing — :func:`..sources.vegindex_tables.scan_archive`
+  (catalog-scale listing, filename-timestamp parse as expressions);
+* image bytes — ``spark.read.format("binaryFile")`` over the archive,
+  joined to the listing by filename (never collected to the driver);
+* ``.meta`` sidecars — :func:`read_meta_sidecars`: a distributed
+  ``spark.read.text`` + key=value parse (roitimeseries.py:233-257
+  semantics: only lines with exactly ONE '=' count, value rstripped,
+  absent file/key -> ND) joined per image;
+* mask assignment — driver loop over the O(10) ROI-list masks (the same
+  dimension loop the reference runs), each mask shipped inside the
+  Arrow-batched tier-0 closure (:func:`..operators.roi_stats.roi_stats_table`);
+* solar elevation — the JVM NOAA expression at the image's UTC instant
+  (``local ts - tzoffset`` hours, utils.py:288-313);
+* gcc/rcc from band means where brt > 0 (roitimeseries.py:481-492).
+
+Image and mask DECODING is injectable (no codec ships in this
+container): ``decode_fn(bytes) -> HxWx3 uint8`` and
+``mask_load_fn(path) -> bool array`` (default loads ``.npy`` masks,
+True = excluded pixel).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.astro import solar_elevation
+from ..operators.roi_stats import roi_stats_table
+from ..sources import catalog
+from ..sources.vegindex_tables import scan_archive
+
+# tier-1 roistats field order (roitimeseries.py:778-789 writeCSV header)
+ROI_STATS_FIELDS = (
+    ["date", "local_std_time", "doy", "filename", "solar_elev"]
+    + ["exposure", "awbflag", "mask_index", "gcc", "rcc"]
+    + [
+        f"{band}_{name}"
+        for band in ("r", "g", "b")
+        for name in (
+            "mean", "std", "5_qtl", "10_qtl", "25_qtl",
+            "50_qtl", "75_qtl", "90_qtl", "95_qtl",
+        )
+    ]
+    + ["r_g_correl", "g_b_correl", "b_r_correl"]
+)
+
+
+def read_meta_sidecars(spark: SparkSession, meta_paths) -> DataFrame:
+    """``.meta`` key=value sidecars -> (img_base, exposure, awbflag).
+
+    get_im_metadata (roitimeseries.py:233-257) splits each line on '='
+    and silently skips lines that don't unpack to exactly two parts;
+    values are right-stripped. The consumer (create_row,
+    roitimeseries.py:493-507) int()-casts ``exposure`` and ``balance``
+    and falls back to ND on any failure — mirrored with try_cast.
+    ``img_base`` is the sidecar filename minus ``.meta``, the join key
+    back to the image's basename-minus-extension.
+
+    Accepts a root directory (searched recursively for ``*.meta``), a
+    glob, or a list of paths; a distributed text scan, so a 100-TB
+    archive's sidecars never funnel through the driver.
+    """
+    txt = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.meta")
+        .text(meta_paths)
+        .select(F.input_file_name().alias("meta_path"), "value")
+    )
+    parts = F.split("value", "=")
+    kv = txt.filter(F.size(parts) == 2).select(
+        "meta_path",
+        F.element_at(parts, 1).alias("k"),
+        F.rtrim(F.element_at(parts, 2)).alias("v"),
+    )
+    agg = kv.groupBy("meta_path").agg(
+        F.first(F.when(F.col("k") == "exposure", F.col("v")), ignorenulls=True)
+        .alias("_exp"),
+        F.first(F.when(F.col("k") == "balance", F.col("v")), ignorenulls=True)
+        .alias("_bal"),
+    )
+    return agg.select(
+        F.regexp_extract("meta_path", r"([^/]+)\.meta$", 1).alias("img_base"),
+        F.col("_exp").try_cast("int").alias("exposure"),
+        F.col("_bal").try_cast("int").alias("awbflag"),
+    )
+
+
+def _default_mask_load(path: str) -> np.ndarray:
+    if path.endswith(".npy"):
+        return np.load(path).astype(bool)
+    raise NotImplementedError(
+        "no image codec in this environment for mask rasters; inject "
+        "mask_load_fn(path) -> bool HxW array (PIL on a real cluster), "
+        "or ship .npy masks"
+    )
+
+
+def generate_roi_stats(
+    spark: SparkSession,
+    archive_dir: str,
+    site: str,
+    roilist_id: str,
+    lat: float,
+    lon: float,
+    tzoffset: float = 0.0,
+    decode_fn: Callable[[bytes], np.ndarray] | None = None,
+    mask_load_fn: Callable[[str], np.ndarray] | None = None,
+    exclude_filenames: DataFrame | None = None,
+) -> DataFrame:
+    """Archive -> tier-1 roistats DataFrame in ROI_STATS_FIELDS order.
+
+    ``exclude_filenames`` (a 1-column ``filename`` DataFrame) anti-joins
+    already-processed images away — the incremental path
+    (update_roi_timeseries.py:131-242 only appends rows whose image is
+    not in the existing CSV).
+    """
+    mask_load = mask_load_fn or _default_mask_load
+    roilist, _props = catalog.get_roi_list(spark, archive_dir, site, roilist_id)
+    masks = sorted(roilist.collect(), key=lambda r: r["mask_index"])
+
+    imgs = scan_archive(spark, archive_dir, site)
+    if exclude_filenames is not None:
+        imgs = imgs.join(
+            exclude_filenames.select("filename"), on="filename", how="left_anti"
+        )
+
+    # one distributed binary scan of the whole site tree; joined to the
+    # listing by basename (unique: filenames embed the full timestamp)
+    binary = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.jpg")
+        .load(os.path.join(archive_dir, site))
+        .select(
+            F.regexp_extract("path", r"([^/]+)$", 1).alias("filename"), "content"
+        )
+    )
+
+    meta = read_meta_sidecars(spark, os.path.join(archive_dir, site))
+
+    parts = []
+    for m in masks:
+        mask_arr = mask_load(
+            catalog.roi_path(archive_dir, site, m["maskfile"])
+        )
+        sel = imgs.filter(F.col("ts").between(m["start_ts"], m["end_ts"]))
+        stats = roi_stats_table(
+            sel.join(binary, on="filename"),
+            mask=mask_arr,
+            decode_fn=decode_fn,
+            id_col="filename",
+            content_col="content",
+        ).withColumnRenamed("image_id", "filename")
+        parts.append(
+            sel.select("filename", "ts")
+            .join(stats, on="filename")
+            .withColumn("mask_index", F.lit(int(m["mask_index"])))
+        )
+    if not parts:
+        raise ValueError(f"ROI list {roilist_id} has no masks")
+    all_stats = parts[0]
+    for p in parts[1:]:
+        all_stats = all_stats.unionByName(p)
+
+    base = F.regexp_replace("filename", r"\.[^.]+$", "")
+    utc_ts = F.col("ts") - F.make_interval(hours=F.lit(float(tzoffset)))
+    brt = F.col("r_mean") + F.col("g_mean") + F.col("b_mean")
+    out = (
+        all_stats.withColumn("img_base", base)
+        .join(F.broadcast(meta), on="img_base", how="left")
+        .select(
+            F.to_date("ts").alias("date"),
+            F.date_format("ts", "HH:mm:ss").alias("local_std_time"),
+            F.dayofyear("ts").alias("doy"),
+            "filename",
+            solar_elevation(utc_ts, F.lit(float(lat)), F.lit(float(lon)))
+            .alias("solar_elev"),
+            "exposure",
+            "awbflag",
+            "mask_index",
+            F.when(brt > 0, F.col("g_mean") / brt).alias("gcc"),
+            F.when(brt > 0, F.col("r_mean") / brt).alias("rcc"),
+            *[
+                F.col(c)
+                for c in ROI_STATS_FIELDS
+                if c.startswith(("r_", "g_", "b_"))
+            ],
+            F.col("ts"),
+        )
+    )
+    assert [c for c in out.columns if c != "ts"] == ROI_STATS_FIELDS
+    return out
+
+
+def fake_decode(raw: bytes, h: int = 48, w: int = 64) -> np.ndarray:
+    """Deterministic stand-in codec for tests / --codec fake: the first
+    4 content bytes seed a reproducible HxWx3 uint8 array (same pattern
+    as tests/test_roi_stats.py and operators/multimodal.py)."""
+    seed = int.from_bytes(raw[:4], "big")
+    rng = np.random.default_rng(seed)
+    return rng.integers(20, 200, (h, w, 3)).astype(np.uint8)
+
+
+def update_roi_stats(
+    existing: DataFrame,
+    spark: SparkSession,
+    archive_dir: str,
+    site: str,
+    roilist_id: str,
+    **kw,
+) -> DataFrame:
+    """Incremental tier-1: stats only for images absent from ``existing``
+    (by filename, the reference's dedup key — update_roi_timeseries.py
+    appends rows for new images and leaves old rows untouched), unioned
+    with the existing rows. Invariant (tested): update over a partial
+    table == generate over the full archive, row for row."""
+    fresh = generate_roi_stats(
+        spark,
+        archive_dir,
+        site,
+        roilist_id,
+        exclude_filenames=existing.select("filename"),
+        **kw,
+    )
+    keep_cols = fresh.columns
+    ex = existing
+    if "ts" not in ex.columns:
+        ex = ex.withColumn(
+            "ts", F.to_timestamp(F.concat_ws(" ", "date", "local_std_time"))
+        )
+    return ex.select(*keep_cols).unionByName(fresh)

@@ -1,0 +1,177 @@
+"""E1 end-to-end: synthetic archive (+ .meta sidecars, .npy masks) ->
+tier-1 roistats via generate_roi_stats / the CLI / update_roi_stats."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+    ),
+)
+
+from python_vegindex_spark.operators.roi_pipeline import (
+    ROI_STATS_FIELDS,
+    fake_decode,
+    generate_roi_stats,
+    read_meta_sidecars,
+    update_roi_stats,
+)
+from python_vegindex_spark.operators.roi_stats import roi_stats_arrays
+
+SITE = "demo"
+H, W = 48, 64
+
+
+def _write_archive(root):
+    """6 images across two months; masks switch mid-June; image 3 has a
+    .meta sidecar with exposure+balance, image 0 has a malformed one,
+    the rest have none."""
+    times = [
+        dt.datetime(2022, 6, 1, 9, 30, 0),
+        dt.datetime(2022, 6, 2, 12, 0, 0),
+        dt.datetime(2022, 6, 10, 10, 15, 0),
+        dt.datetime(2022, 6, 20, 11, 45, 0),
+        dt.datetime(2022, 7, 1, 9, 0, 0),
+        dt.datetime(2022, 7, 3, 13, 30, 0),
+    ]
+    paths = []
+    for i, t in enumerate(times):
+        d = os.path.join(root, SITE, f"{t:%Y}", f"{t:%m}")
+        os.makedirs(d, exist_ok=True)
+        fn = f"{SITE}_{t:%Y_%m_%d_%H%M%S}.jpg"
+        p = os.path.join(d, fn)
+        with open(p, "wb") as f:
+            f.write(int(i).to_bytes(4, "big") + b"payload")
+        paths.append((fn, p, t))
+    # sidecars
+    with open(paths[3][1].replace(".jpg", ".meta"), "w") as f:
+        f.write("exposure=144\nbalance=1\nnote=a=b=c\n")  # 3rd line skipped
+    with open(paths[0][1].replace(".jpg", ".meta"), "w") as f:
+        f.write("no equals sign here\nexposure=not_an_int\n")
+    roi_dir = os.path.join(root, SITE, "ROI")
+    os.makedirs(roi_dir, exist_ok=True)
+    m1 = np.zeros((H, W), dtype=bool)
+    m1[:, : W // 2] = True  # left half excluded
+    m2 = np.zeros((H, W), dtype=bool)
+    m2[: H // 2, :] = True  # top half excluded
+    np.save(os.path.join(roi_dir, "mask_01.npy"), m1)
+    np.save(os.path.join(roi_dir, "mask_02.npy"), m2)
+    with open(os.path.join(roi_dir, f"{SITE}_DB_0001_roi.csv"), "w") as f:
+        f.write(
+            "# ROI List for demo\n#\n"
+            "start_date,start_time,end_date,end_time,maskfile,sample_image\n"
+            "2022-06-01,00:00:00,2022-06-15,00:00:00,mask_01.npy,s1.jpg\n"
+            "2022-06-15,00:00:00,9999-12-31,00:00:00,mask_02.npy,s2.jpg\n"
+        )
+    return paths, m1, m2
+
+
+@pytest.fixture()
+def archive(tmp_path):
+    return str(tmp_path), *_write_archive(str(tmp_path))
+
+
+def test_read_meta_sidecars(spark, archive):
+    root = archive[0]
+    meta = {
+        r["img_base"]: r
+        for r in read_meta_sidecars(spark, os.path.join(root, SITE)).collect()
+    }
+    assert len(meta) == 2
+    ok = meta[f"{SITE}_2022_06_20_114500"]
+    assert ok["exposure"] == 144 and ok["awbflag"] == 1
+    bad = meta[f"{SITE}_2022_06_01_093000"]
+    # malformed line skipped; non-integer exposure -> ND (int() fallback,
+    # roitimeseries.py:493-507)
+    assert bad["exposure"] is None and bad["awbflag"] is None
+
+
+def test_generate_roi_stats_end_to_end(spark, archive):
+    root, paths, m1, m2 = archive
+    out = generate_roi_stats(
+        spark, root, SITE, "DB_0001",
+        lat=42.5378, lon=-72.1715, tzoffset=-5.0, decode_fn=fake_decode,
+    )
+    rows = {r["filename"]: r for r in out.collect()}
+    assert len(rows) == 6
+    assert [c for c in out.columns if c != "ts"] == ROI_STATS_FIELDS
+
+    # mask switches at the interval boundary (June 15)
+    assert rows[f"{SITE}_2022_06_10_101500.jpg"]["mask_index"] == 1
+    assert rows[f"{SITE}_2022_06_20_114500.jpg"]["mask_index"] == 2
+
+    # tier-0 stats equal the array-level function with the right mask
+    for i, mask, fn in [
+        (2, m1, f"{SITE}_2022_06_10_101500.jpg"),
+        (4, m2, f"{SITE}_2022_07_01_090000.jpg"),
+    ]:
+        arr = fake_decode(int(i).to_bytes(4, "big"))
+        exp = roi_stats_arrays(arr[..., 0], arr[..., 1], arr[..., 2], mask)
+        got = rows[fn]
+        assert got["r_mean"] == pytest.approx(exp["r_mean"], rel=1e-12)
+        assert got["g_95_qtl"] == pytest.approx(exp["g_95_qtl"], rel=1e-12)
+        assert got["b_r_correl"] == pytest.approx(exp["b_r_correl"], rel=1e-12)
+        brt = exp["r_mean"] + exp["g_mean"] + exp["b_mean"]
+        assert got["gcc"] == pytest.approx(exp["g_mean"] / brt, rel=1e-12)
+
+    # .meta wiring: exposure/awb only where the sidecar parsed
+    assert rows[f"{SITE}_2022_06_20_114500.jpg"]["exposure"] == 144
+    assert rows[f"{SITE}_2022_06_20_114500.jpg"]["awbflag"] == 1
+    assert rows[f"{SITE}_2022_06_02_120000.jpg"]["exposure"] is None
+
+    # solar elevation at local noon in June should be high
+    noonish = rows[f"{SITE}_2022_06_02_120000.jpg"]["solar_elev"]
+    assert 55.0 < noonish < 75.0
+
+
+def test_update_roi_stats_equals_full(spark, archive):
+    root, paths, m1, m2 = archive
+    kw = dict(lat=42.5378, lon=-72.1715, tzoffset=-5.0, decode_fn=fake_decode)
+    full = generate_roi_stats(spark, root, SITE, "DB_0001", **kw)
+    # existing = first 3 images only (as if the archive grew since)
+    first3 = [p[0] for p in paths[:3]]
+    existing = full.filter(full.filename.isin(first3))
+    updated = update_roi_stats(existing, spark, root, SITE, "DB_0001", **kw)
+    f = {r["filename"]: r for r in full.collect()}
+    u = {r["filename"]: r for r in updated.collect()}
+    assert set(f) == set(u)
+    for fn, fr in f.items():
+        for c in ROI_STATS_FIELDS:
+            fv, uv = fr[c], u[fn][c]
+            if isinstance(fv, float):
+                assert uv == pytest.approx(fv, rel=1e-12), (fn, c)
+            else:
+                assert uv == fv, (fn, c)
+
+
+def test_generate_roi_cli_roundtrip(spark, archive):
+    """CLI writes the reference-schema roistats CSV; the typed reader
+    (the same one users point at their real files) reads it back."""
+    import vegindex_job
+
+    from python_vegindex_spark.sources.catalog import get_roi_timeseries
+
+    root = archive[0]
+    path = vegindex_job.main(
+        [
+            "generate-roi", "--archive", root, "--site", SITE,
+            "--roi", "DB_0001", "--lat", "42.5378", "--lon", "-72.1715",
+            "--tzoffset", "-5", "--codec", "fake", "--master", "local[4]",
+        ]
+    )
+    assert os.path.basename(path) == f"{SITE}_DB_0001_roistats.csv"
+    back, props = get_roi_timeseries(spark, root, SITE, "DB_0001")
+    rows = {r["filename"]: r for r in back.collect()}
+    assert len(rows) == 6
+    r = rows[f"{SITE}_2022_06_20_114500.jpg"]
+    assert r["exposure"] == 144 and r["awbflag"] == 1 and r["mask_index"] == 2
+    assert r["gcc"] is not None and abs(r["gcc"] - 1 / 3) < 0.1
+    assert r["ts"] == dt.datetime(2022, 6, 20, 11, 45, 0)
