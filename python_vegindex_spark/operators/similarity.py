@@ -133,12 +133,56 @@ def _codebook_assign_expr(cent_rows: list[tuple[int, list[float]]], vec_col: str
     return F.array_max(F.array(*structs))["cid"]
 
 
+def _codebook_assign_pandas(
+    cent_rows: list[tuple[int, list[float]]], vec_col: str
+) -> Column:
+    """Large-codebook cell assignment: still zero-shuffle, but the
+    codebook travels inside an Arrow-batched pandas UDF closure instead
+    of as Catalyst literals (the literal argmax is O(n_centroids x dim)
+    expression nodes — fine at 16, codegen-infeasible at a realistic
+    4k x 768). One numpy matmul per Arrow batch; same argmax semantics
+    as :func:`_codebook_assign_expr` (cosine, ties -> lowest centroid
+    id; the per-row vector norm is a positive scalar common to all
+    centroids, so dividing by the centroid norms alone preserves the
+    argmax)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ordered = sorted(cent_rows)  # ascending cid -> argmax first-hit = lowest id
+    cids = np.array([cid for cid, _ in ordered], dtype=np.int64)
+    C = np.array([vec for _, vec in ordered], dtype=np.float64)
+    norms = np.linalg.norm(C, axis=1)
+    norms[norms == 0.0] = 1.0  # mirror the literal path's `or 1.0`
+    Ct = (C / norms[:, None]).T  # dim x n_centroids
+
+    def _assign(s):
+        M = np.asarray(s.tolist(), dtype=np.float64)  # batch x dim
+        return pd.Series(cids[np.argmax(M @ Ct, axis=1)])
+
+    return pandas_udf(_assign, "int")(F.col(vec_col))
+
+
+def codebook_assign(
+    cent_rows: list[tuple[int, list[float]]],
+    vec_col: str,
+    literal_codebook_max: int = 64,
+) -> Column:
+    """Dispatch: literal whole-stage-codegen argmax for small codebooks,
+    broadcast-closure vectorized pandas argmax beyond
+    ``literal_codebook_max`` centroids. Both paths are Exchange-free."""
+    if len(cent_rows) <= literal_codebook_max:
+        return _codebook_assign_expr(cent_rows, vec_col)
+    return _codebook_assign_pandas(cent_rows, vec_col)
+
+
 def ivf_index(
     corpus: DataFrame,
     n_centroids: int = 16,
     lloyd_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    literal_codebook_max: int = 64,
 ) -> tuple[DataFrame, DataFrame]:
     """Build an IVF (inverted-file) index: (assignments, centroids).
 
@@ -146,7 +190,9 @@ def ivf_index(
     which Spark plans as TakeOrderedAndProject (per-partition top-k, no
     global sort window) — refined by ``lloyd_iters`` Lloyd iterations.
     The codebook lives on the driver (n_centroids rows); assignment is a
-    zero-shuffle literal-expression argmax (:func:`_codebook_assign_expr`),
+    zero-shuffle argmax (:func:`codebook_assign`: Catalyst literals up
+    to ``literal_codebook_max`` centroids, a broadcast-closure numpy
+    matmul in a vectorized pandas UDF beyond that — both Exchange-free),
     and the only shuffle per iteration is the centroid-mean update: a
     posexplode to (centroid_id, dim) skinny rows whose ``avg`` partial-
     aggregates map-side, so shuffle bytes are O(partitions x centroids x
@@ -163,7 +209,8 @@ def ivf_index(
 
     for _ in range(lloyd_iters):
         assigned = c.withColumn(
-            "centroid_id", _codebook_assign_expr(cent_rows, "vec")
+            "centroid_id",
+            codebook_assign(cent_rows, "vec", literal_codebook_max),
         )
         means = (
             assigned.select("centroid_id", F.posexplode("vec").alias("dim", "val"))
@@ -183,7 +230,9 @@ def ivf_index(
             for cid, vec in cent_rows
         ]
 
-    assignments = c.withColumn("centroid_id", _codebook_assign_expr(cent_rows, "vec"))
+    assignments = c.withColumn(
+        "centroid_id", codebook_assign(cent_rows, "vec", literal_codebook_max)
+    )
     spark = corpus.sparkSession
     centroids = spark.createDataFrame(
         [(cid, vec) for cid, vec in cent_rows], "centroid_id int, c_vec array<double>"

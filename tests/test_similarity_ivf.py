@@ -121,3 +121,59 @@ def test_ivf_empty_centroid_carried_forward(spark):
     assert centroids.count() == 3
     assert sorted(r["centroid_id"] for r in centroids.collect()) == [0, 1, 2]
     assert assignments.count() == 4
+
+
+def test_codebook_assign_pandas_matches_literal(spark, emb_df):
+    """The large-codebook pandas path assigns every vector to the same
+    centroid as the literal-expression path, and its plan is still
+    Exchange-free (Arrow eval, no shuffle)."""
+    from python_vegindex_spark.operators.similarity import (
+        _codebook_assign_expr,
+        _codebook_assign_pandas,
+    )
+
+    rows = emb_df.orderBy("vec_id").limit(20).collect()
+    cent_rows = [(i, list(map(float, r["embedding"]))) for i, r in enumerate(rows)]
+    lit = {
+        r["vec_id"]: r["cid"]
+        for r in emb_df.withColumn(
+            "cid", _codebook_assign_expr(cent_rows, "embedding")
+        ).select("vec_id", "cid").collect()
+    }
+    pnd_df = emb_df.withColumn(
+        "cid", _codebook_assign_pandas(cent_rows, "embedding")
+    ).select("vec_id", "cid")
+    plan = pnd_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+    pnd = {r["vec_id"]: r["cid"] for r in pnd_df.collect()}
+    assert lit == pnd
+
+
+def test_ivf_large_codebook_recall(spark):
+    """n_centroids > literal_codebook_max exercises the pandas argmax
+    end-to-end: codebook stays full-size, assignment plan shuffle-free,
+    and nprobe recall against exact top-k stays high."""
+    rng = np.random.RandomState(11)
+    dim, rows = 16, []
+    centers = rng.randn(25, dim) * 3
+    vid = 0
+    for ci in range(25):
+        for _ in range(16):
+            v = centers[ci] + 0.05 * rng.randn(dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assignments, centroids = ivf_index(
+        df, n_centroids=80, lloyd_iters=1, literal_codebook_max=64
+    )
+    assert centroids.count() == 80
+    plan = assignments._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    queries = df.filter(F.col("vec_id").isin(0, 101, 202, 303))
+    exact = cosine_topk(df, queries, k=5).toPandas()
+    approx = ivf_topk(assignments, centroids, queries, k=5, nprobe=16).toPandas()
+    e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+    assert len(e & a) / len(e) >= 0.9
