@@ -614,7 +614,12 @@ def q_csv_sentinel_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- non-SQL-expressible (rows-only checks) ------------------------------
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs verified by exact n-gram Jaccard."""
+    """MinHash-LSH candidate pairs verified by exact n-gram Jaccard,
+    oracle-checked end-to-end: the default portable hash (two 32-bit
+    halves of one salted md5 digest, dedup._md5_half) and md5 band
+    buckets are recomputed identically by DuckDB, so signatures ->
+    banding -> candidate join -> Jaccard verify is independently
+    verified as one pipeline."""
     docs = _t(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, num_hashes=64, shingle_n=3)
     pairs = minhash_lsh_pairs(sigs, bands=16, rows_per_band=4)
@@ -683,7 +688,10 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash signatures (near-dup fingerprints)."""
+    """64-bit SimHash signatures (near-dup fingerprints), oracle-checked
+    bit-exactly: the default portable hash takes the 64 vote bits from
+    the two md5 halves, which DuckDB recomputes with the identical
+    bit votes and signed-64 signature assembly."""
     docs = _t(spark, sf_dir, "documents")
     return simhash64(docs).orderBy("id")
 
@@ -733,7 +741,12 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: Lloyd-refined codebook + nprobe cell search (rows-only)."""
+    """IVF ANN, oracle-checked via the full-probe invariant: with
+    nprobe == n_centroids every inverted list is probed, so IVF must
+    return EXACTLY the brute-force top-k — a strong end-to-end check of
+    codebook build, zero-shuffle cell assignment, probe join and cosine
+    re-rank against DuckDB's exact search. (Partial-probe recall at
+    nprobe < n_centroids is covered by tests/test_similarity_ivf.py.)"""
     from python_vegindex_spark.operators.similarity import ivf_index, ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings").select(
@@ -741,13 +754,17 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assignments, centroids = ivf_index(emb, n_centroids=8, lloyd_iters=1)
     queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
-    return ivf_topk(assignments, centroids, queries, k=5, nprobe=3).orderBy(
+    return ivf_topk(assignments, centroids, queries, k=5, nprobe=8).orderBy(
         "query_id", "rank"
     )
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate top-5 neighbors (multi-probe)."""
+    """Hyperplane-LSH approximate top-5 neighbors (multi-probe),
+    oracle-checked: the hyperplanes are pure plan-time md5 literals
+    (similarity.hyperplane_components), so the oracle inlines the SAME
+    plane constants and DuckDB recomputes buckets, Hamming-1 probes and
+    the cosine re-rank independently."""
     from python_vegindex_spark.operators.similarity import ann_topk_lsh
 
     emb = _t(spark, sf_dir, "embeddings").select(
@@ -760,7 +777,12 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_stub_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: synthetic media table -> stub decode features."""
+    """Multimodal plumbing: synthetic media table -> stub decode
+    features, oracle-checked: synth_media's (kind, payload) are
+    reproducible in pure Python, so the oracle recomputes every row's
+    expected decode feature single-node (hashlib + numpy, no Spark) and
+    inlines them as literals — verifying the distributed mapInPandas
+    stage delivers exactly the per-record decode results."""
     from python_vegindex_spark.operators.multimodal import (
         extract_media_features,
         synth_media,
@@ -834,6 +856,88 @@ _ROLLUP_STATS = """
         round(quantile_cont(value, 0.5), 6) AS v_50,
         round(quantile_cont(value, 0.75), 6) AS v_75,
         round(quantile_cont(value, 0.9), 6) AS v_90
+"""
+
+
+def _ann_lsh_oracle_sql(dim: int = 64, num_planes: int = 10, seed: int = 7, k: int = 5) -> str:
+    """Oracle for q_ann_lsh_topk: inlines the identical plan-time md5
+    hyperplane constants (similarity.hyperplane_components) and
+    recomputes sign-pattern buckets, Hamming-1 multi-probe, candidate
+    join and cosine re-rank entirely in DuckDB."""
+    from python_vegindex_spark.operators.similarity import hyperplane_components
+
+    plane_rows = ",\n    ".join(
+        "({}, {}::DOUBLE[])".format(
+            h, "[" + ", ".join(repr(c) for c in hyperplane_components(dim, h, seed)) + "]"
+        )
+        for h in range(num_planes)
+    )
+    return f"""
+WITH planes(h, p) AS (VALUES
+    {plane_rows}
+),
+vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+buckets AS (
+  SELECT vec_id, v,
+         sum(CASE WHEN list_dot_product(v, p) >= 0 THEN 1::BIGINT << h ELSE 0 END)::BIGINT AS bucket
+  FROM vecs CROSS JOIN planes GROUP BY vec_id, v
+),
+probes AS (
+  SELECT b.vec_id AS query_id, b.v AS qv,
+         CASE WHEN t.i < 0 THEN b.bucket
+              ELSE xor(b.bucket, 1::BIGINT << t.i) END AS bucket
+  FROM buckets b CROSS JOIN (SELECT unnest(generate_series(-1, {num_planes - 1})) AS i) t
+  WHERE b.vec_id IN (0, 1, 2)
+),
+cand AS (
+  SELECT DISTINCT p.query_id, p.qv, c.vec_id AS neighbor_id, c.v AS cv
+  FROM probes p JOIN buckets c ON c.bucket = p.bucket
+  WHERE c.vec_id <> p.query_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos_sim
+  FROM cand
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+def _media_oracle_sql(n: int = 300) -> str:
+    """Oracle for q_media_stub_features: an independent single-node
+    recomputation (hashlib + numpy, zero Spark) of every expected decode
+    feature from synth_media's reproducible (kind, payload), inlined as
+    literals. Verifies the distributed mapInPandas decode stage
+    row-for-row; DuckDB only applies the final rounding."""
+    import hashlib
+
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        payload = hashlib.sha256(f"payload{i}".encode()).hexdigest().encode()
+        digest = hashlib.sha256(payload).digest()
+        rng = np.random.default_rng(int.from_bytes(digest[:8], "big") % (2**32))
+        arr = rng.random({"image": 64, "audio": 128, "video": 96}[kind], dtype=np.float64)
+        rows.append(f"({i}, '{kind}', {float(arr.mean())!r})")
+    values = ",\n    ".join(rows)
+    return f"""
+WITH expected(media_id, kind, feat_mean_raw) AS (VALUES
+    {values}
+)
+SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+       round(feat_mean_raw, 6) AS feat_mean
+FROM expected ORDER BY media_id
 """
 
 
@@ -1444,4 +1548,118 @@ csize AS (SELECT cluster_id, count(*) AS cluster_size FROM final GROUP BY 1)
 SELECT cluster_size, count(*) AS n_clusters
 FROM csize GROUP BY 1 ORDER BY 1
 """,
+        # full MinHash-LSH pipeline mirrored: the portable base hash
+        # (two 32-bit halves of one salted md5, mod 2^31-1), the 64
+        # affine minima, md5 band buckets over the comma-joined slices,
+        # the band-bucket candidate join, and the exact word-3-gram
+        # Jaccard verify — every stage recomputed independently
+        "minhash_near_dups": """
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 3
+              THEN list_transform(range(1, len(words) - 1), i -> array_to_string(list_slice(words, i, i + 2), ' '))
+              ELSE [array_to_string(words, ' ')] END AS gs
+  FROM tok
+),
+sh AS (SELECT DISTINCT doc_id, unnest(gs) AS s FROM grams),
+hs AS (
+  SELECT doc_id,
+         cast(concat('0x', substr(md5('42:' || s), 1, 8)) AS BIGINT) % 2147483647 AS h1,
+         cast(concat('0x', substr(md5('42:' || s), 9, 8)) AS BIGINT) % 2147483647 AS h2
+  FROM sh
+),
+mins AS (
+  SELECT doc_id, t.k, min((h1 + t.k * h2) % 2147483647) AS m
+  FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS k) t
+  GROUP BY doc_id, t.k
+),
+buckets AS (
+  SELECT doc_id, (k // 4) AS band,
+         md5(string_agg(m::VARCHAR, ',' ORDER BY k)) AS bucket
+  FROM mins GROUP BY doc_id, (k // 4)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a
+  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS c
+  FROM pairs p
+  JOIN sh x ON x.doc_id = p.id_a
+  JOIN sh y ON y.doc_id = p.id_b AND y.s = x.s
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT p.id_a, p.id_b,
+         round(COALESCE(i.c, 0) * 1.0 / (sa.n + sb.n - COALESCE(i.c, 0)), 6) AS jaccard
+  FROM pairs p
+  LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+  JOIN sizes sa ON sa.doc_id = p.id_a
+  JOIN sizes sb ON sb.doc_id = p.id_b
+)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b
+""",
+        # bit-exact SimHash: vote bits 0-31 from the first md5 half,
+        # 32-63 from the second; signed-64 assembly adds -2^63 for the
+        # top bit (DuckDB's << 63 would overflow-check)
+        "simhash_docs": """
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 3
+              THEN list_transform(range(1, len(words) - 1), i -> array_to_string(list_slice(words, i, i + 2), ' '))
+              ELSE [array_to_string(words, ' ')] END AS gs
+  FROM tok
+),
+sh AS (SELECT DISTINCT doc_id, unnest(gs) AS s FROM grams),
+hs AS (
+  SELECT doc_id,
+         cast(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS h_lo,
+         cast(concat('0x', substr(md5(s), 9, 8)) AS BIGINT) AS h_hi
+  FROM sh
+),
+votes AS (
+  SELECT doc_id, t.i,
+         sum(CASE WHEN (CASE WHEN t.i < 32 THEN h_lo >> t.i
+                             ELSE h_hi >> (t.i - 32) END) & 1 = 1
+                  THEN 1 ELSE -1 END) AS v
+  FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) t
+  GROUP BY doc_id, t.i
+)
+SELECT doc_id AS id,
+       sum(CASE WHEN v > 0
+                THEN CASE WHEN i = 63 THEN -9223372036854775808 ELSE 1::BIGINT << i END
+                ELSE 0 END)::BIGINT AS simhash
+FROM votes GROUP BY doc_id ORDER BY id
+""",
+        # full-probe IVF must equal exact brute-force search — the
+        # oracle is simply DuckDB's exact cosine top-k
+        "ivf_topk": """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS cs
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+""",
+        "ann_lsh_topk": _ann_lsh_oracle_sql(),
+        "media_stub_features": _media_oracle_sql(),
     }

@@ -15,8 +15,12 @@ shuffle-conscious:
 * ngram-jaccard — exact pairwise Jaccard over word n-grams for candidate
                 pairs (verification primitive; not for blind N^2 use).
 
-All JVM-side expressions (xxhash64, transform/filter/aggregate on
-arrays). No Python UDFs.
+All JVM-side expressions (md5/xxhash64, transform/filter/aggregate on
+arrays). No Python UDFs. The default base hash is the portable
+md5-derived one (:func:`_md5_half`) so every stage is reproducible
+bit-for-bit by an independent SQL engine; pass ``hash_kind='xxhash64'``
+for the faster non-cryptographic variant when cross-engine
+verifiability doesn't matter.
 """
 
 from __future__ import annotations
@@ -45,6 +49,18 @@ def dedup_exact(
     )
 
 
+def _md5_half(col, half: int):
+    """One 32-bit integer from the md5 hex digest (``half`` 0 or 1).
+
+    The portable base hash: Spark (``conv(substr(md5(x)..), 16, 10)``),
+    DuckDB (``cast(concat('0x', substr(md5(x)..)) as bigint)``) and
+    Python (``int(hashlib.md5(x).hexdigest()[..], 16)``) all compute the
+    identical value, so pipelines built on it are verifiable across
+    engines. One md5 per shingle yields BOTH halves (Catalyst CSE merges
+    the two substring probes into a single digest)."""
+    return F.conv(F.substring(F.md5(col), 1 + 8 * half, 8), 16, 10).cast("long")
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -53,6 +69,7 @@ def minhash_signatures(
     shingle_n: int = 3,
     seed: int = 42,
     shingle_kind: str = "word",
+    hash_kind: str = "md5",
 ) -> DataFrame:
     """(id, minhash array<long>) — K minhashes over word or character
     shingles (``shingle_kind``: 'word' n-grams are coarser/cheaper;
@@ -60,13 +77,20 @@ def minhash_signatures(
     tokenization differences).
 
     Shape chosen for throughput: explode shingles to rows, hash each
-    shingle ONCE into two independent 64-bit values (h1, h2), then take
+    shingle ONCE into two independent values (h1, h2), then take
     K mins of the affine family ``h1 + k*h2`` in a single hash aggregate
     (the standard 2-universal minhash construction). Each shingle is
-    hashed exactly twice regardless of K — the naive per-k rehash is
+    hashed exactly once/twice regardless of K — the naive per-k rehash is
     ~K times more string hashing and was measured 2 orders of magnitude
     slower (Catalyst inlines array lambdas per k, no CSE across them).
     One shuffle on the doc id.
+
+    ``hash_kind``: 'md5' (default) derives (h1, h2) as the two 32-bit
+    halves of one salted md5 digest — cross-engine reproducible
+    (:func:`_md5_half`), so the full LSH pipeline can be independently
+    verified in any SQL engine; 'xxhash64' is the faster
+    non-cryptographic alternative when verifiability doesn't matter.
+    Both are 2-universal-enough for the affine min family.
     """
     if shingle_kind == "word":
         shingles = word_ngrams(F.col(text_col), shingle_n)
@@ -75,14 +99,19 @@ def minhash_signatures(
     else:
         raise ValueError(f"shingle_kind must be 'word' or 'char', got {shingle_kind!r}")
     M = 2_147_483_647  # Mersenne prime 2^31-1: (h1 + k*h2) % M never overflows a long
+    if hash_kind == "xxhash64":
+        h1 = F.pmod(F.xxhash64("s", F.lit(seed)), F.lit(M))
+        h2 = F.pmod(F.xxhash64("s", F.lit(seed + 1)), F.lit(M))
+    elif hash_kind == "md5":
+        salted = F.concat(F.lit(f"{seed}:"), F.col("s"))
+        h1 = F.pmod(_md5_half(salted, 0), F.lit(M))
+        h2 = F.pmod(_md5_half(salted, 1), F.lit(M))
+    else:
+        raise ValueError(f"hash_kind must be 'md5' or 'xxhash64', got {hash_kind!r}")
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles)).alias("s"),
-    ).select(
-        "id",
-        F.pmod(F.xxhash64("s", F.lit(seed)), F.lit(M)).alias("h1"),
-        F.pmod(F.xxhash64("s", F.lit(seed + 1)), F.lit(M)).alias("h2"),
-    )
+    ).select("id", h1.alias("h1"), h2.alias("h2"))
     mins = [
         F.min((F.col("h1") + F.lit(k) * F.col("h2")) % F.lit(M)).alias(f"_m{k}")
         for k in range(num_hashes)
@@ -94,7 +123,7 @@ def minhash_signatures(
 
 
 def minhash_lsh_pairs(
-    sigs: DataFrame, bands: int = 16, rows_per_band: int = 4
+    sigs: DataFrame, bands: int = 16, rows_per_band: int = 4, bucket_kind: str = "md5"
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH.
 
@@ -102,16 +131,27 @@ def minhash_lsh_pairs(
     self-join on the bucket, dedupe pairs. Shuffles on the band-bucket
     key only; a pathological bucket (many identical docs) is bounded by
     the band hash's selectivity. Returns (id_a, id_b) with id_a < id_b.
+
+    ``bucket_kind``: 'md5' (default) buckets on the md5 hex digest of the
+    comma-joined band slice — reproducible in any SQL engine
+    (``md5(string_agg(m, ','))`` in DuckDB) so candidate generation is
+    cross-engine verifiable; 'xxhash64' packs the bucket into a long
+    (8 shuffle bytes vs 32) when verifiability doesn't matter.
     """
+    if bucket_kind == "md5":
+        def _bucket(b):
+            sl = F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)
+            return F.md5(F.concat_ws(",", sl.cast("array<string>")))
+    elif bucket_kind == "xxhash64":
+        def _bucket(b):
+            sl = F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)
+            return F.xxhash64(sl.cast("string"))
+    else:
+        raise ValueError(f"bucket_kind must be 'md5' or 'xxhash64', got {bucket_kind!r}")
     banded = sigs.select(
         "id",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band).cast("string")
-                ),
-            )
+            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), _bucket)
         ).alias("band", "bucket"),
     )
     a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
@@ -171,25 +211,50 @@ def ngram_jaccard(
 
 
 def simhash64(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    hash_kind: str = "md5",
 ) -> DataFrame:
-    """64-bit SimHash per doc: per-shingle xxhash bit votes, sign-summed.
+    """64-bit SimHash per doc: per-shingle hash bit votes, sign-summed.
 
     Bit i of the signature = majority vote of bit i across shingle
     hashes. Same explode-once-hash-once shape as minhash_signatures:
     each shingle hashed once, then 64 cheap bit-vote sums in one hash
     aggregate. Returns (id, simhash:long).
+
+    ``hash_kind``: 'md5' (default) takes the 64 vote bits from the two
+    32-bit halves of the md5 digest (bits 0-31 from the first half,
+    32-63 from the second) — cross-engine reproducible
+    (:func:`_md5_half`); 'xxhash64' votes on the raw xxhash bits (faster,
+    not portable).
     """
-    sh = df.select(
+    sh_base = df.select(
         F.col(id_col).alias("id"),
         F.explode(
             F.array_distinct(word_ngrams(F.col(text_col), shingle_n))
         ).alias("s"),
-    ).select("id", F.xxhash64("s").alias("h"))
+    )
+    if hash_kind == "xxhash64":
+        sh = sh_base.select("id", F.xxhash64("s").alias("h"))
+
+        def _bit(i):
+            return F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))
+    elif hash_kind == "md5":
+        sh = sh_base.select(
+            "id",
+            _md5_half(F.col("s"), 0).alias("h_lo"),
+            _md5_half(F.col("s"), 1).alias("h_hi"),
+        )
+
+        def _bit(i):
+            src, off = ("h_lo", i) if i < 32 else ("h_hi", i - 32)
+            return F.shiftright(F.col(src), off).bitwiseAND(F.lit(1))
+    else:
+        raise ValueError(f"hash_kind must be 'md5' or 'xxhash64', got {hash_kind!r}")
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"_v{i}")
+        F.sum(F.when(_bit(i) == 1, 1).otherwise(-1)).alias(f"_v{i}")
         for i in range(64)
     ]
     agg = sh.groupBy("id").agg(*votes)

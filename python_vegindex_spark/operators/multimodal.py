@@ -55,12 +55,18 @@ def media_decode_stub(payload: bytes, kind: str) -> np.ndarray:
 
 
 def synth_media(spark, n: int = 200, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table with realistic fat-row shape."""
+    """Deterministic fake media table with realistic fat-row shape.
+
+    ``kind`` and ``payload`` (the only inputs to the decode stage) are
+    reproducible in pure Python — ``["image","audio","video"][id % 3]``
+    and the UTF-8 bytes of ``sha256(f"payload{id}").hexdigest()`` — so a
+    test oracle can recompute the expected decode features independently
+    of Spark."""
     return spark.range(n).select(
         F.col("id").alias("media_id"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(3)) + 1).cast("int"),
+            (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"),
         ).alias("kind"),
         F.lit("application/octet-stream").alias("mime"),
         (F.pmod(F.xxhash64("id", F.lit(seed + 1)), F.lit(1920)) + 16).cast("int").alias("width"),

@@ -9,7 +9,8 @@ Engine additions for training-data pipelines:
 * ``lsh_buckets`` / ``ann_topk_lsh`` — random-hyperplane LSH scale path:
   hash every vector into sign-pattern buckets; candidates = bucket
   collisions; exact cosine re-rank on candidates only. Hyperplanes are
-  derived deterministically from xxhash (no RNG state, reproducible on
+  derived deterministically from md5 at plan time (no RNG state,
+  reproducible by any SQL oracle engine — see hyperplane_components — and on
   any cluster size).
 
 All JVM-side; no Python UDFs.
@@ -79,16 +80,25 @@ def cosine_topk(
     )
 
 
+def hyperplane_components(dim: int, h: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane components: component j =
+    centered md5 hash of the string ``"hp:{seed}:{h}:{j}"``. Pure
+    plan-time Python (hashlib), so the planes are (a) true Catalyst
+    literals — constant-folded, no per-row hashing — and (b) exactly
+    reproducible by any engine or test oracle from the same three ints,
+    with no RNG state and no dependence on cluster size."""
+    import hashlib
+
+    return [
+        (int(hashlib.md5(f"hp:{seed}:{h}:{j}".encode()).hexdigest()[:15], 16) % 10_000 - 4999.5)
+        / 10_000.0
+        for j in range(dim)
+    ]
+
+
 def _hyperplane(dim: int, h: int, seed: int) -> Column:
-    """Deterministic pseudo-random hyperplane as an array expression:
-    component j = centered hash of (seed, h, j)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: (
-            F.pmod(F.xxhash64(F.lit(seed), F.lit(h), j), F.lit(10_000)) - 4999.5
-        )
-        / 10_000.0,
-    )
+    """:func:`hyperplane_components` as a literal array expression."""
+    return F.array(*[F.lit(c) for c in hyperplane_components(dim, h, seed)])
 
 
 def lsh_buckets(
