@@ -85,3 +85,105 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_chunk_encoder(
+    spark: SparkSession,
+    input_path: str,
+    tier: str = "hourly",
+    watermark: str = "2 hours",
+    series_cols: list[str] | None = None,
+    value_expr: str = "CAST(length(text) AS DOUBLE)",
+) -> DataFrame:
+    """Streaming-native chunk compression: live turns -> closed, Gorilla-
+    compressed chunk rows (codecs/chunks.py schema, byte-compatible with
+    the batch encoder's decode path).
+
+    Shape: watermarked tumbling-window aggregate collects each (series,
+    bucket)'s points as a sorted array — Spark's state store holds one
+    in-flight array per open bucket, bounded by points-per-bucket, and
+    append mode emits a bucket exactly once, when the watermark passes
+    its end (the streaming analog of the reference's "only complete
+    buckets are final" update rule, update_summary_timeseries.py) — then
+    a stateless ``mapInPandas`` stage runs the same vectorized
+    delta-of-delta + Gorilla-XOR encoders over every closed bucket in
+    the Arrow batch. No second shuffle: the window aggregate already
+    co-located each bucket.
+
+    Only epoch-aligned tiers stream ('hourly'/'daily' — doy-anchored
+    multi-day lattices need the batch path's year anchoring). Late rows
+    inside the watermark still land in their true bucket; later ones are
+    dropped by the state store (documented divergence from the batch
+    update flow, which re-opens buckets unconditionally).
+    """
+    from ..codecs.chunks import TS_CODEC, VAL_CODEC, _chunk_schema
+    from ..codecs.gorilla import encode_floats_grouped, encode_timestamps_grouped
+
+    if tier == "hourly":
+        window_len = "1 hour"
+    elif tier in ("daily", "1day"):
+        window_len = "1 day"
+    else:
+        raise ValueError(
+            f"streaming tiers are 'hourly' or 'daily', got {tier!r} "
+            "(doy-anchored multi-day tiers are batch-only)"
+        )
+    series_cols = list(series_cols or ["conv_id"])
+
+    stream = (
+        spark.readStream.schema(TURNS_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_path)
+    )
+    pts = (
+        stream.select(
+            *series_cols, F.col("ts"), F.expr(value_expr).alias("_v")
+        )
+        .withWatermark("ts", watermark)
+        .groupBy(*series_cols, F.window("ts", window_len).alias("w"))
+        .agg(
+            F.sort_array(F.collect_list(F.struct("ts", "_v"))).alias("pts")
+        )
+        .select(
+            *series_cols,
+            F.col("w.start").alias("bucket_start"),
+            "pts",
+        )
+    )
+
+    series_fields = [pts.schema[c] for c in series_cols]
+    bucket_type = pts.schema["bucket_start"].dataType
+    schema = _chunk_schema(series_fields, bucket_type)
+    import numpy as np
+    import pandas as pd
+
+    def encode_closed(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            lens = pdf["pts"].map(len).to_numpy(dtype="int64")
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            flat_ts = np.concatenate(
+                [[p["ts"] for p in row] for row in pdf["pts"]]
+            )
+            ts_dt = pd.to_datetime(pd.Series(flat_ts)).to_numpy()
+            ts_us = ts_dt.astype("datetime64[us]").astype("int64")
+            vals = np.concatenate(
+                [[p["_v"] for p in row] for row in pdf["pts"]]
+            ).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    **{c: pdf[c].to_numpy() for c in series_cols},
+                    "bucket_start": pdf["bucket_start"].to_numpy(),
+                    "n_points": lens.astype("int32"),
+                    "first_ts": ts_dt[starts],
+                    "last_ts": ts_dt[ends - 1],
+                    "ts_codec": np.repeat(TS_CODEC, len(pdf)),
+                    "val_codec": np.repeat(VAL_CODEC, len(pdf)),
+                    "ts_chunk": encode_timestamps_grouped(ts_us, starts, ends),
+                    "val_chunk": encode_floats_grouped(vals, starts, ends),
+                }
+            )
+
+    return pts.mapInPandas(encode_closed, schema)

@@ -1,0 +1,110 @@
+"""Streaming chunk encoder: closed buckets stream out as Gorilla chunks
+byte-compatible with the batch codec (codecs/chunks.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from python_vegindex_spark.codecs.chunks import decode_chunks, encode_chunks
+from python_vegindex_spark.sources.synth import synth_turns
+from python_vegindex_spark.streaming.structured import (
+    run_available_now,
+    streaming_chunk_encoder,
+)
+
+
+def test_streaming_chunks_match_batch_encoder(spark, tmp_path):
+    turns = synth_turns(spark, n_convs=30, seed=5, span_days=30)
+    in_dir = str(tmp_path / "stream_in")
+    out_dir = str(tmp_path / "chunks_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    first = turns.filter(F.col("ts") < "2023-12-10")
+    rest = turns.filter(F.col("ts") >= "2023-12-10")
+    first.write.mode("overwrite").parquet(in_dir)
+    run_available_now(streaming_chunk_encoder(spark, in_dir), ckpt, out_dir)
+    rest.write.mode("append").parquet(in_dir)
+    run_available_now(streaming_chunk_encoder(spark, in_dir), ckpt, out_dir)
+
+    chunks = spark.read.parquet(out_dir)
+    # a bucket emits exactly once, when the watermark passes its end
+    assert chunks.groupBy("conv_id", "bucket_start").count().filter(
+        F.col("count") > 1
+    ).count() == 0
+
+    max_ts = turns.agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - dt.timedelta(hours=2)
+    closed = chunks.filter(
+        F.col("bucket_start") + F.expr("INTERVAL 1 HOUR") <= F.lit(cutoff)
+    )
+
+    # 1) decoded streaming chunks == the raw input points of those buckets
+    got_pts = (
+        decode_chunks(closed, ["conv_id"])
+        .groupBy("conv_id", F.date_trunc("hour", "ts").alias("b"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("sv"),
+            F.min("ts").alias("t0"),
+            F.max("ts").alias("t1"),
+        )
+        .toPandas()
+    )
+    exp_pts = (
+        turns.select(
+            "conv_id", "ts", F.length("text").cast("double").alias("value")
+        )
+        .withColumn("b", F.date_trunc("hour", "ts"))
+        .filter(F.col("b") + F.expr("INTERVAL 1 HOUR") <= F.lit(cutoff))
+        .groupBy("conv_id", "b")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("sv"),
+            F.min("ts").alias("t0"),
+            F.max("ts").alias("t1"),
+        )
+        .toPandas()
+    )
+    g = got_pts.sort_values(["conv_id", "b"]).reset_index(drop=True)
+    e = exp_pts.sort_values(["conv_id", "b"]).reset_index(drop=True)
+    assert len(g) == len(e) > 0
+    pd.testing.assert_frame_equal(g, e[g.columns.tolist()])
+
+    # 2) byte parity with the batch encoder on the same closed buckets
+    batch = encode_chunks(
+        turns.select(
+            "conv_id", "ts", F.length("text").cast("double").alias("value")
+        ),
+        tier="hourly",
+        series_cols=["conv_id"],
+    ).filter(F.col("bucket_start") + F.expr("INTERVAL 1 HOUR") <= F.lit(cutoff))
+    sb = (
+        closed.select("conv_id", "bucket_start", "n_points", "ts_chunk", "val_chunk")
+        .toPandas()
+        .sort_values(["conv_id", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    bb = (
+        batch.select("conv_id", "bucket_start", "n_points", "ts_chunk", "val_chunk")
+        .toPandas()
+        .sort_values(["conv_id", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    assert len(sb) == len(bb)
+    assert (sb["n_points"] == bb["n_points"]).all()
+    assert all(
+        bytes(a) == bytes(b) for a, b in zip(sb["ts_chunk"], bb["ts_chunk"])
+    )
+    assert all(
+        bytes(a) == bytes(b) for a, b in zip(sb["val_chunk"], bb["val_chunk"])
+    )
+
+
+def test_streaming_chunk_encoder_rejects_doy_tiers(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="batch-only"):
+        streaming_chunk_encoder(spark, "/nonexistent", tier="3day")
