@@ -75,9 +75,25 @@ class RollupConfig:
     # sort at extreme group sizes. accuracy = 1/eps (Spark default 10000).
     approx_percentiles: bool = False
     approx_accuracy: int = 10_000
+    # Hyndman–Fan quantile type 1..9 (reference quantile.py:42-63
+    # implements all nine; every shipped call site uses 7). 7 is the
+    # hot path (Spark's exact percentile, one hash aggregate); other
+    # types use the array_sort(collect_list) HF expression
+    # (functions/quantile.hf_quantile_expr) — exact, JVM-side, but
+    # holds each group's vector, so intended for bucket-sized groups.
+    quantile_type: int = 7
 
     def __post_init__(self) -> None:
         if self.tier not in TIERS:
             raise ValueError(f"tier must be one of {TIERS}, got {self.tier!r}")
         if self.nmin < 1:
             raise ValueError("nmin must be >= 1")
+        if not 1 <= self.quantile_type <= 9:
+            raise ValueError(
+                f"quantile_type must be 1..9, got {self.quantile_type}"
+            )
+        if self.approx_percentiles and self.quantile_type != 7:
+            raise ValueError(
+                "approx_percentiles (t-digest) only approximates the "
+                "type-7 estimator; set quantile_type=7 or disable approx"
+            )

@@ -49,6 +49,7 @@ from ..functions.timeutil import epoch_us
 
 from ..config import RollupConfig
 from ..functions.buckets import bucket_center, bucket_spine, bucket_start, midpoint_anchor
+from ..functions.quantile import hf_quantile_expr
 
 # measure families rolled up with mean/std (reference A3)
 MEAN_STD_MEASURES = ["text_len", "latency_delta_s", "fcc", "rcc_like", "r_dn", "g_dn", "b_dn"]
@@ -89,7 +90,9 @@ def _agg_exprs(cfg: RollupConfig) -> list[Column]:
                     F.col(m), F.lit(q), F.lit(cfg.approx_accuracy)
                 ).cast("double")
             else:
-                pct = F.percentile(F.col(m), F.lit(q))
+                # type 7 -> Spark's exact percentile (hot path); other
+                # HF types -> the exact array_sort expression
+                pct = hf_quantile_expr(F.col(m), q, cfg.quantile_type)
             exprs.append(pct.alias(f"{m}_{int(round(q * 100))}"))
     # representative row: lexicographic min over (|delta|, ts, payload)
     payload = F.struct(

@@ -88,11 +88,20 @@ def _spine(min_b, max_b, tier: str) -> list:
     return out
 
 
-def _q7(x: np.ndarray, q: float) -> float:
+# numpy's own HF-type implementations — an estimator path independent
+# of the engine's hf_quantile_expr / hf_quantile_numpy
+_NP_METHOD = {
+    1: "inverted_cdf", 2: "averaged_inverted_cdf", 3: "closest_observation",
+    4: "interpolated_inverted_cdf", 5: "hazen", 6: "weibull", 7: "linear",
+    8: "median_unbiased", 9: "normal_unbiased",
+}
+
+
+def _q7(x: np.ndarray, q: float, qtype: int = 7) -> float:
     x = x[~np.isnan(x)]
     if len(x) == 0:
         return np.nan
-    return float(np.quantile(x, q, method="linear"))
+    return float(np.quantile(x, q, method=_NP_METHOD[qtype]))
 
 
 MEASURES = ["text_len", "latency_delta_s", "fcc", "rcc_like", "r_dn", "g_dn", "b_dn"]
@@ -154,7 +163,8 @@ def oracle_rollup(
                 for m in PCTS:
                     for q in cfg.percentiles:
                         row[f"{m}_{int(round(q*100))}"] = _q7(
-                            gb[m].to_numpy(dtype=float), q
+                            gb[m].to_numpy(dtype=float), q,
+                            getattr(cfg, "quantile_type", 7),
                         )
             rows.append(row)
     return pd.DataFrame(rows)

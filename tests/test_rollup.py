@@ -99,3 +99,20 @@ def test_tiering_thresholds(spark, turns_sdf):
     assert sub["max_gate_value"].notna().all()
     full = out[out.turn_count >= 5]
     assert full["fcc_mean"].notna().all()
+
+
+@pytest.mark.parametrize("qtype", [1, 6, 8])
+def test_rollup_quantile_types(spark, turns_sdf, turns_pdf, qtype):
+    """Non-default HF estimators flow through the rollup config and match
+    numpy's independent implementation of the same type per bucket."""
+    cfg = RollupConfig(tier="daily", nmin=2, quantile_type=qtype)
+    got = rollup(turn_features(turns_sdf), cfg).toPandas()
+    exp = oracle_rollup(oracle_features(turns_pdf), cfg)
+    _assert_frames_match(got, exp, ["conv_id", "bucket_start"])
+
+
+def test_rollup_config_rejects_bad_quantile_type():
+    with pytest.raises(ValueError, match="1..9"):
+        RollupConfig(quantile_type=0)
+    with pytest.raises(ValueError, match="type-7"):
+        RollupConfig(approx_percentiles=True, quantile_type=6)
