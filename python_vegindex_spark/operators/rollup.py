@@ -35,8 +35,10 @@ Scale notes (100 TB design point):
   per-group size is bounded by bucket length, which is the skew story for
   the aggregate stage (plus AQE skew handling). ``salt`` optionally
   spreads the *input* of giant (series,bucket) groups before the agg.
-* The spine is O(buckets), orders of magnitude smaller than the input;
-  AQE broadcasts the aggregate side of the gap-fill join when small.
+* Gap-fill is join-free and O(output): empty buckets are synthesized
+  from the aggregate output itself (lag window + sequence/explode +
+  union, ``_gap_fill_from_agg``) instead of a min/max spine scan over
+  the input — the input is scanned exactly ONCE per rollup.
 * Aggregations are all JVM-side (hash aggregate + percentile), fully
   inside whole-stage codegen; no Python in the hot path.
 """
@@ -48,7 +50,7 @@ from pyspark.sql import functions as F
 from ..functions.timeutil import epoch_us
 
 from ..config import RollupConfig
-from ..functions.buckets import bucket_center, bucket_spine, bucket_start, midpoint_anchor
+from ..functions.buckets import bucket_center, bucket_start, midpoint_anchor
 from ..functions.quantile import hf_quantile_expr
 
 # measure families rolled up with mean/std (reference A3)
@@ -127,6 +129,60 @@ MID_COLS = [
 ]
 
 
+def _gap_fill_from_agg(
+    agg: DataFrame, tier: str, series_cols: list[str]
+) -> DataFrame:
+    """Join-free gap-fill: synthesize the empty buckets FROM THE AGGREGATE
+    OUTPUT instead of rescanning the input for per-series bounds.
+
+    The classic spine (``bucket_spine``: min/max over the input, explode,
+    left join) costs a second full input scan per rollup — at 100 TB that
+    is the single most expensive line in the plan. But the aggregate
+    output already contains every non-empty (series, bucket); the spine
+    range [bucket(first datum), bucket(last datum)] is exactly
+    [min, max] of those buckets. So: one lag window over the (tiny,
+    O(buckets)) aggregate finds each gap between consecutive non-empty
+    buckets, ``sequence``+``explode`` emits the missing bucket starts as
+    all-null rows (turn_count coalesces to 0 in the tier projection,
+    reproducing the nodata branch of generate_summary_timeseries.py:
+    355-385). Net: the input is scanned ONCE per rollup, the extra
+    shuffle+window touches only rolled-up rows, and no join — the
+    gap-fill stage is now O(output), not O(input).
+
+    The shape is deliberately SINGLE-BRANCH (each aggregate row explodes
+    into itself plus the missing buckets since its predecessor) rather
+    than a union of agg + gaps: a second consumer of the aggregate gets
+    column-pruned by Catalyst into a *different* aggregate, which defeats
+    exchange reuse and would re-scan the input.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.buckets import _bucket_seq
+
+    payload = [c for c in agg.columns if c not in (*series_cols, "bucket_start")]
+    w = Window.partitionBy(*series_cols).orderBy("bucket_start")
+    withprev = agg.withColumn("_prev_b", F.lag("bucket_start").over(w))
+    # buckets in (prev, current]; a series' first row emits just itself
+    arr = F.when(F.col("_prev_b").isNull(), F.array(F.col("bucket_start"))).otherwise(
+        F.filter(
+            _bucket_seq(F.col("_prev_b"), F.col("bucket_start"), tier),
+            lambda d: d > F.col("_prev_b"),
+        )
+    )
+    exploded = withprev.select(
+        *series_cols,
+        F.col("bucket_start").alias("_data_b"),
+        F.explode(arr).alias("_b"),
+        *payload,
+    )
+    is_data = F.col("_b") == F.col("_data_b")
+    return exploded.select(
+        *series_cols,
+        F.col("_b").alias("bucket_start"),
+        *[F.when(is_data, F.col(c)).alias(c) for c in payload],
+    )
+
+
 def rollup(
     features: DataFrame,
     cfg: RollupConfig,
@@ -159,8 +215,7 @@ def rollup(
     agg = df.groupBy(*series_cols, "bucket_start").agg(*_agg_exprs(cfg))
 
     if gap_fill:
-        spine = bucket_spine(df, tier, series_cols)
-        agg = spine.join(agg, on=[*series_cols, "bucket_start"], how="left")
+        agg = _gap_fill_from_agg(agg, tier, series_cols)
 
     # ---- count tiering + labels -----------------------------------------
     cnt = F.coalesce(F.col("turn_count"), F.lit(0))
