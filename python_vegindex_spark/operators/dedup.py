@@ -49,6 +49,17 @@ def dedup_exact(
     )
 
 
+def _spread(df: DataFrame, parallelism: int | None) -> DataFrame:
+    """Repartition an (id, ...) projection by id so per-shingle hashing
+    parallelizes even when the source arrives in fewer partitions than
+    cores. None -> defaultParallelism; 0/negative -> leave as-is."""
+    if parallelism is None:
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if parallelism and parallelism > 0:
+        return df.repartition(parallelism, "id")
+    return df
+
+
 def _md5_half(col, half: int):
     """One 32-bit integer from the md5 hex digest (``half`` 0 or 1).
 
@@ -70,6 +81,7 @@ def minhash_signatures(
     seed: int = 42,
     shingle_kind: str = "word",
     hash_kind: str = "md5",
+    parallelism: int | None = None,
 ) -> DataFrame:
     """(id, minhash array<long>) — K minhashes over word or character
     shingles (``shingle_kind``: 'word' n-grams are coarser/cheaper;
@@ -91,6 +103,17 @@ def minhash_signatures(
     verified in any SQL engine; 'xxhash64' is the faster
     non-cryptographic alternative when verifiability doesn't matter.
     Both are 2-universal-enough for the affine min family.
+
+    ``parallelism``: the heavy work (shingle explode + one digest per
+    shingle) runs in the SCAN stage, so a corpus that arrives in fewer
+    partitions than cores (one small file; a coalesced upstream) hashes
+    on one task. Default (None) repartitions the (id, text) projection
+    by id to ``defaultParallelism`` partitions first — this does not add
+    a shuffle, it MOVES the groupBy(id) shuffle before the hashing (the
+    repartition satisfies the aggregate's distribution, and raw text
+    is about the same shuffle bytes as the (id,h1,h2) shingle rows it
+    replaces). Pass 0 to keep the input partitioning (a well-partitioned
+    100-TB corpus needs no help).
     """
     if shingle_kind == "word":
         shingles = word_ngrams(F.col(text_col), shingle_n)
@@ -108,8 +131,9 @@ def minhash_signatures(
         h2 = F.pmod(_md5_half(salted, 1), F.lit(M))
     else:
         raise ValueError(f"hash_kind must be 'md5' or 'xxhash64', got {hash_kind!r}")
-    sh = df.select(
-        F.col(id_col).alias("id"),
+    keyed = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), parallelism)
+    sh = keyed.select(
+        "id",
         F.explode(F.array_distinct(shingles)).alias("s"),
     ).select("id", h1.alias("h1"), h2.alias("h2"))
     mins = [
@@ -171,6 +195,7 @@ def ngram_jaccard(
     id_col: str = "doc_id",
     n: int = 3,
     shingle_kind: str = "word",
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for (id_a, id_b) candidate pairs.
 
@@ -178,6 +203,12 @@ def ngram_jaccard(
     intersection/union — the LSH verification stage. ``shingle_kind``
     should match the one used for the signatures being verified
     ('word' or 'char', as in :func:`minhash_signatures`).
+
+    ``parallelism`` spreads the docs-side shingle computation by id
+    (see :func:`minhash_signatures`); the id repartition doubles as the
+    join-side distribution. At 100-TB scale, pre-filter ``docs`` to the
+    candidate ids (semi-join against a persisted ``df_pairs``) so the
+    verify stage shingles O(candidates), not O(corpus).
     """
     if shingle_kind == "word":
         shingles = word_ngrams(F.col(text_col), n)
@@ -185,10 +216,8 @@ def ngram_jaccard(
         shingles = char_ngrams(F.col(text_col), n)
     else:
         raise ValueError(f"shingle_kind must be 'word' or 'char', got {shingle_kind!r}")
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles).alias("sh"),
-    )
+    sh = _spread(docs.select(F.col(id_col).alias("id"), F.col(text_col)), parallelism)
+    sh = sh.select("id", F.array_distinct(shingles).alias("sh"))
     out = (
         df_pairs.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), on="id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), on="id_b")
@@ -216,6 +245,7 @@ def simhash64(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     hash_kind: str = "md5",
+    parallelism: int | None = None,
 ) -> DataFrame:
     """64-bit SimHash per doc: per-shingle hash bit votes, sign-summed.
 
@@ -230,8 +260,9 @@ def simhash64(
     (:func:`_md5_half`); 'xxhash64' votes on the raw xxhash bits (faster,
     not portable).
     """
-    sh_base = df.select(
-        F.col(id_col).alias("id"),
+    keyed = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), parallelism)
+    sh_base = keyed.select(
+        "id",
         F.explode(
             F.array_distinct(word_ngrams(F.col(text_col), shingle_n))
         ).alias("s"),
