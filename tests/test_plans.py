@@ -66,11 +66,20 @@ def test_feature_column_pruning_reaches_scan(spark, turns_path):
     assert "text" not in scan_schema
 
 
-def test_gap_fill_join_broadcasts_small_side(spark, turns_path):
+def test_gap_fill_is_join_free_single_scan(spark, turns_path):
+    """The join-free gap-fill contract: a gap-filled rollup scans its
+    input exactly ONCE and contains no join operator at all (empty
+    buckets are synthesized from the aggregate output via lag+sequence,
+    not a spine rescan + left join)."""
     bronze = spark.read.parquet(turns_path)
     gold = rollup(turn_features(bronze), RollupConfig(tier="weekly", nmin=2))
     n = gold.count()  # force AQE final plan
     assert n > 0
+    plan = _executed_plan(gold)
+    assert plan.count("Scan parquet") == 1, "gap-fill must not rescan the input"
+    for join_marker in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                        "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join_marker not in plan, f"gap-fill must be join-free ({join_marker})"
 
 
 def test_ivf_assignment_is_zero_shuffle(spark):
