@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.astro import solar_elevation
-from ..operators.roi_stats import roi_stats_table
+from ..operators.roi_stats import IR_STAT_FIELDS, roi_ir_stats_table, roi_stats_table
 from ..sources import catalog
 from ..sources.vegindex_tables import scan_archive
 
@@ -108,41 +108,45 @@ def _default_mask_load(path: str) -> np.ndarray:
     )
 
 
-def generate_roi_stats(
+def _tier1_stats_core(
     spark: SparkSession,
     archive_dir: str,
     site: str,
     roilist_id: str,
-    lat: float,
-    lon: float,
-    tzoffset: float = 0.0,
-    decode_fn: Callable[[bytes], np.ndarray] | None = None,
-    mask_load_fn: Callable[[str], np.ndarray] | None = None,
-    exclude_filenames: DataFrame | None = None,
+    stats_table_fn,
+    glob: str,
+    ir: bool,
+    decode_fn: Callable[[bytes], np.ndarray] | None,
+    mask_load_fn: Callable[[str], np.ndarray] | None,
+    exclude_filenames: DataFrame | None,
 ) -> DataFrame:
-    """Archive -> tier-1 roistats DataFrame in ROI_STATS_FIELDS order.
+    """Shared RGB/IR tier-1 core: archive listing -> per-mask-interval
+    binary scan -> per-image stats kernel -> ``.meta`` sidecar join.
+    Returns (filename, ts, mask_index, exposure, awbflag, <stats...>).
 
     ``exclude_filenames`` (a 1-column ``filename`` DataFrame) anti-joins
     already-processed images away — the incremental path
-    (update_roi_timeseries.py:131-242 only appends rows whose image is
-    not in the existing CSV).
+    (update_roi_timeseries.py:131-242 / update_roi_ir_timeseries.py only
+    append rows whose image is not in the existing CSV).
     """
     mask_load = mask_load_fn or _default_mask_load
     roilist, _props = catalog.get_roi_list(spark, archive_dir, site, roilist_id)
     masks = sorted(roilist.collect(), key=lambda r: r["mask_index"])
 
-    imgs = scan_archive(spark, archive_dir, site)
+    imgs = scan_archive(spark, archive_dir, site, ir=ir)
     if exclude_filenames is not None:
         imgs = imgs.join(
             exclude_filenames.select("filename"), on="filename", how="left_anti"
         )
 
     # one distributed binary scan of the whole site tree; joined to the
-    # listing by basename (unique: filenames embed the full timestamp)
+    # listing by basename (unique: filenames embed the full timestamp).
+    # The RGB glob also matches IR files; the inner join against the
+    # RGB-only listing drops them (and vice versa the IR glob is exact).
     binary = (
         spark.read.format("binaryFile")
         .option("recursiveFileLookup", "true")
-        .option("pathGlobFilter", "*.jpg")
+        .option("pathGlobFilter", glob)
         .load(os.path.join(archive_dir, site))
         .select(
             F.regexp_extract("path", r"([^/]+)$", 1).alias("filename"), "content"
@@ -157,7 +161,7 @@ def generate_roi_stats(
             catalog.roi_path(archive_dir, site, m["maskfile"])
         )
         sel = imgs.filter(F.col("ts").between(m["start_ts"], m["end_ts"]))
-        stats = roi_stats_table(
+        stats = stats_table_fn(
             sel.join(binary, on="filename"),
             mask=mask_arr,
             decode_fn=decode_fn,
@@ -176,32 +180,102 @@ def generate_roi_stats(
         all_stats = all_stats.unionByName(p)
 
     base = F.regexp_replace("filename", r"\.[^.]+$", "")
+    return all_stats.withColumn("img_base", base).join(
+        F.broadcast(meta), on="img_base", how="left"
+    )
+
+
+def _ts_label_cols(lat: float, lon: float, tzoffset: float) -> list:
+    """date/local time/doy/solar_elev projection shared by both tiers
+    (create_row, roitimeseries.py:444-478 / ir_roitimeseries.py:281-308)."""
     utc_ts = F.col("ts") - F.make_interval(hours=F.lit(float(tzoffset)))
+    return [
+        F.to_date("ts").alias("date"),
+        F.date_format("ts", "HH:mm:ss").alias("local_std_time"),
+        F.dayofyear("ts").alias("doy"),
+        F.col("filename"),
+        solar_elevation(utc_ts, F.lit(float(lat)), F.lit(float(lon)))
+        .alias("solar_elev"),
+    ]
+
+
+def generate_roi_stats(
+    spark: SparkSession,
+    archive_dir: str,
+    site: str,
+    roilist_id: str,
+    lat: float,
+    lon: float,
+    tzoffset: float = 0.0,
+    decode_fn: Callable[[bytes], np.ndarray] | None = None,
+    mask_load_fn: Callable[[str], np.ndarray] | None = None,
+    exclude_filenames: DataFrame | None = None,
+) -> DataFrame:
+    """Archive -> tier-1 roistats DataFrame in ROI_STATS_FIELDS order."""
+    all_stats = _tier1_stats_core(
+        spark, archive_dir, site, roilist_id,
+        stats_table_fn=roi_stats_table, glob="*.jpg", ir=False,
+        decode_fn=decode_fn, mask_load_fn=mask_load_fn,
+        exclude_filenames=exclude_filenames,
+    )
     brt = F.col("r_mean") + F.col("g_mean") + F.col("b_mean")
-    out = (
-        all_stats.withColumn("img_base", base)
-        .join(F.broadcast(meta), on="img_base", how="left")
-        .select(
-            F.to_date("ts").alias("date"),
-            F.date_format("ts", "HH:mm:ss").alias("local_std_time"),
-            F.dayofyear("ts").alias("doy"),
-            "filename",
-            solar_elevation(utc_ts, F.lit(float(lat)), F.lit(float(lon)))
-            .alias("solar_elev"),
-            "exposure",
-            "awbflag",
-            "mask_index",
-            F.when(brt > 0, F.col("g_mean") / brt).alias("gcc"),
-            F.when(brt > 0, F.col("r_mean") / brt).alias("rcc"),
-            *[
-                F.col(c)
-                for c in ROI_STATS_FIELDS
-                if c.startswith(("r_", "g_", "b_"))
-            ],
-            F.col("ts"),
-        )
+    out = all_stats.select(
+        *_ts_label_cols(lat, lon, tzoffset),
+        "exposure",
+        "awbflag",
+        "mask_index",
+        F.when(brt > 0, F.col("g_mean") / brt).alias("gcc"),
+        F.when(brt > 0, F.col("r_mean") / brt).alias("rcc"),
+        *[
+            F.col(c)
+            for c in ROI_STATS_FIELDS
+            if c.startswith(("r_", "g_", "b_"))
+        ],
+        F.col("ts"),
     )
     assert [c for c in out.columns if c != "ts"] == ROI_STATS_FIELDS
+    return out
+
+
+# tier-1 IR roistats field order (ir_roitimeseries.py:225-239 header)
+IR_ROI_STATS_FIELDS = (
+    ["date", "local_std_time", "doy", "filename", "solar_elev"]
+    + ["exposure", "awbflag", "mask_index"]
+    + IR_STAT_FIELDS
+)
+
+
+def generate_roi_ir_stats(
+    spark: SparkSession,
+    archive_dir: str,
+    site: str,
+    roilist_id: str,
+    lat: float,
+    lon: float,
+    tzoffset: float = 0.0,
+    decode_fn: Callable[[bytes], np.ndarray] | None = None,
+    mask_load_fn: Callable[[str], np.ndarray] | None = None,
+    exclude_filenames: DataFrame | None = None,
+) -> DataFrame:
+    """Archive -> tier-1 IR roistats in IR_ROI_STATS_FIELDS order — the
+    generate_roi_ir_timeseries.py twin: same scan/mask/sidecar plumbing,
+    IR filename lattice (``{site}_IR_YYYY_...``, utils.py fn2datetime
+    irFlag=True) and the single-channel stats kernel."""
+    all_stats = _tier1_stats_core(
+        spark, archive_dir, site, roilist_id,
+        stats_table_fn=roi_ir_stats_table, glob="*_IR_*.jpg", ir=True,
+        decode_fn=decode_fn, mask_load_fn=mask_load_fn,
+        exclude_filenames=exclude_filenames,
+    )
+    out = all_stats.select(
+        *_ts_label_cols(lat, lon, tzoffset),
+        "exposure",
+        "awbflag",
+        "mask_index",
+        *[F.col(c) for c in IR_STAT_FIELDS],
+        F.col("ts"),
+    )
+    assert [c for c in out.columns if c != "ts"] == IR_ROI_STATS_FIELDS
     return out
 
 
@@ -227,7 +301,27 @@ def update_roi_stats(
     appends rows for new images and leaves old rows untouched), unioned
     with the existing rows. Invariant (tested): update over a partial
     table == generate over the full archive, row for row."""
-    fresh = generate_roi_stats(
+    return _update_union(existing, generate_roi_stats, spark, archive_dir,
+                         site, roilist_id, **kw)
+
+
+def update_roi_ir_stats(
+    existing: DataFrame,
+    spark: SparkSession,
+    archive_dir: str,
+    site: str,
+    roilist_id: str,
+    **kw,
+) -> DataFrame:
+    """Incremental IR tier-1 (update_roi_ir_timeseries.py twin): same
+    anti-join-by-filename increment as :func:`update_roi_stats`."""
+    return _update_union(existing, generate_roi_ir_stats, spark, archive_dir,
+                         site, roilist_id, **kw)
+
+
+def _update_union(existing, generate_fn, spark, archive_dir, site,
+                  roilist_id, **kw) -> DataFrame:
+    fresh = generate_fn(
         spark,
         archive_dir,
         site,

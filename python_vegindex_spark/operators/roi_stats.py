@@ -106,11 +106,90 @@ def roi_stats_arrays(
     return out
 
 
+# --------------------------------------------------------------------------
+# IR twin (ir_roitimeseries.py): single-channel stats over the same ROI mask
+
+IR_STAT_FIELDS = ["ir_mean", "ir_std"] + [
+    f"ir_{q}_qtl" for q in (5, 10, 25, 50, 75, 90, 95)
+]
+
+IR_STATS_SCHEMA = T.StructType(
+    [T.StructField("image_id", T.StringType())]
+    + [T.StructField(f, T.DoubleType()) for f in IR_STAT_FIELDS]
+)
+
+
+def roi_ir_stats_arrays(
+    ir: np.ndarray, b2: np.ndarray, b3: np.ndarray, mask: np.ndarray
+) -> dict[str, float | None]:
+    """get_roi_IR_stats (ir_roitimeseries.py:56-121) on raw band arrays.
+
+    IR images are stored as 3-band files whose bands "should all be the
+    same"; the stats use band 0 only, while the dark/bright guards use
+    the 3-band sum's inner crop (same < 30 / > 725 thresholds as the RGB
+    kernel, ir_roitimeseries.py:82-96). Mean, POPULATION std via the
+    dot-product form, and the same 7 linear-interpolation percentiles —
+    all over the unmasked pixels. Tiny images (< ~61 px) have an empty
+    inner crop whose np.mean is NaN, failing both guard comparisons, so
+    they proceed to full stats — mirrored by skipping the guard.
+    """
+    ir16 = ir.astype(np.int16)
+    brt_full = ir16 + b2.astype(np.int16) + b3.astype(np.int16)
+    out: dict[str, float | None] = {}
+    inner = brt_full[30:-30, 30:-30]
+    if inner.size:
+        inner_mean = inner.mean()
+        if inner_mean < 30.0 or inner_mean > 725.0:
+            for f in IR_STAT_FIELDS:
+                out[f] = None
+            return out
+    keep = ~mask.astype(bool)
+    vals = ir16[keep].astype(np.float64)
+    mean = vals.mean()
+    diff = vals - mean
+    out["ir_mean"] = float(mean)
+    out["ir_std"] = float(np.sqrt(np.dot(diff, diff) / vals.size))
+    for q, p in zip((5, 10, 25, 50, 75, 90, 95), np.percentile(vals, PCT_QS)):
+        out[f"ir_{q}_qtl"] = float(p)
+    return out
+
+
 def _decode_unavailable(raw: bytes) -> np.ndarray:
     raise NotImplementedError(
         "no image codec in this environment; inject decode_fn(bytes) -> "
         "HxWx3 uint8 array (e.g. PIL/imageio on a real cluster)"
     )
+
+
+def _stats_map_table(
+    images: DataFrame,
+    mask: np.ndarray,
+    stats_fn,
+    schema: T.StructType,
+    decode_fn: Callable[[bytes], np.ndarray] | None,
+    id_col: str,
+    content_col: str,
+) -> DataFrame:
+    """Shared mapInPandas plumbing for the per-image stats kernels: the
+    tiny mask ships to executors inside the Arrow-batched closure (the
+    broadcast-dimension pattern); images stream through ``mapInPandas``
+    so a 100 TB archive never concentrates anywhere. ``decode_fn``
+    injects the codec (absent here -> NotImplementedError, honestly
+    stubbed)."""
+    decode = decode_fn or _decode_unavailable
+    mask_arr = np.ascontiguousarray(mask.astype(bool))
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for image_id, raw in zip(pdf[id_col], pdf[content_col]):
+                arr = decode(bytes(raw))
+                stats = stats_fn(arr[..., 0], arr[..., 1], arr[..., 2], mask_arr)
+                stats["image_id"] = str(image_id)
+                rows.append(stats)
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return images.select(id_col, content_col).mapInPandas(_batches, schema=schema)
 
 
 def roi_stats_table(
@@ -121,27 +200,23 @@ def roi_stats_table(
     content_col: str = "content",
 ) -> DataFrame:
     """Distributed roistats: (image_id, content: binary) -> one stats row
-    per image (generate_roi_timeseries main loop re-expressed).
+    per image (generate_roi_timeseries main loop re-expressed)."""
+    return _stats_map_table(
+        images, mask, roi_stats_arrays, ROI_STATS_SCHEMA,
+        decode_fn, id_col, content_col,
+    )
 
-    The mask (tiny) ships to executors inside the Arrow-batched closure
-    — the broadcast-dimension pattern; images stream through
-    ``mapInPandas`` so a 100 TB archive never concentrates anywhere.
-    ``decode_fn`` injects the codec (absent here -> NotImplementedError,
-    honestly stubbed)."""
-    decode = decode_fn or _decode_unavailable
-    mask_arr = np.ascontiguousarray(mask.astype(bool))
 
-    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows = []
-            for image_id, raw in zip(pdf[id_col], pdf[content_col]):
-                arr = decode(bytes(raw))
-                stats = roi_stats_arrays(
-                    arr[..., 0], arr[..., 1], arr[..., 2], mask_arr
-                )
-                stats["image_id"] = str(image_id)
-                rows.append(stats)
-            yield pd.DataFrame(rows, columns=[f.name for f in ROI_STATS_SCHEMA.fields])
-
-    sel = images.select(id_col, content_col)
-    return sel.mapInPandas(_batches, schema=ROI_STATS_SCHEMA)
+def roi_ir_stats_table(
+    images: DataFrame,
+    mask: np.ndarray,
+    decode_fn: Callable[[bytes], np.ndarray] | None = None,
+    id_col: str = "image_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Distributed IR roistats: the generate_roi_ir_timeseries inner loop
+    (ir_roitimeseries.py create_row) as the same streaming plan."""
+    return _stats_map_table(
+        images, mask, roi_ir_stats_arrays, IR_STATS_SCHEMA,
+        decode_fn, id_col, content_col,
+    )

@@ -321,7 +321,13 @@ def filename_to_ts(filename, sitename: str, ir: bool = False):
     whole-stage-codegen, no UDF."""
     prefix = sitename + ("_IR" if ir else "")
     dt = F.substring(filename, len(prefix) + 2, 17)  # YYYY_MM_DD_HHNNSS
-    return F.to_timestamp(dt, "yyyy_MM_dd_HHmmss")
+    # try_to_timestamp, not to_timestamp: Catalyst's constraint
+    # propagation can replay this expression against OTHER filename
+    # columns across an equi-join (e.g. the binaryFile scan of a mixed
+    # RGB+IR tree in roi_pipeline), and ANSI mode would throw on the
+    # non-matching names instead of nulling them out. The listing regex
+    # has already guaranteed parseability for every row we keep.
+    return F.try_to_timestamp(dt, F.lit("yyyy_MM_dd_HHmmss"))
 
 
 def scan_archive(

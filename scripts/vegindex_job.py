@@ -54,7 +54,8 @@ def main(argv: list[str] | None = None) -> str:
         "job",
         choices=[
             "gcc-summary", "ndvi-summary", "update-gcc", "update-ndvi",
-            "generate-roi", "update-roi",
+            "generate-roi", "update-roi", "generate-ir", "update-ir",
+            "generate-ndvi",
         ],
     )
     ap.add_argument("--archive", required=True)
@@ -118,12 +119,14 @@ def main(argv: list[str] | None = None) -> str:
         ndvits, _ = catalog.get_ndvi_timeseries(spark, args.archive, args.site, args.roi)
         out = update_ndvi_summary(existing, ndvits, nday=args.nday, nmin=args.nmin, **qc)
         default = f"{args.site}_{args.roi}_ndvi_{args.nday}day.csv"
-    elif args.job in ("generate-roi", "update-roi"):
-        # E1: archive -> tier-1 roistats (generate_roi_timeseries.py /
-        # update_roi_timeseries.py twins)
+    elif args.job in ("generate-roi", "update-roi", "generate-ir", "update-ir"):
+        # E1: archive -> tier-1 roistats / IR roistats
+        # (generate/update_roi[_ir]_timeseries.py twins)
         from python_vegindex_spark.operators.roi_pipeline import (
             fake_decode,
+            generate_roi_ir_stats,
             generate_roi_stats,
+            update_roi_ir_stats,
             update_roi_stats,
         )
 
@@ -133,27 +136,51 @@ def main(argv: list[str] | None = None) -> str:
         kw = dict(
             lat=args.lat, lon=args.lon, tzoffset=args.tzoffset, decode_fn=decode,
         )
-        if args.job == "generate-roi":
-            out = generate_roi_stats(
-                spark, args.archive, args.site, args.roi, **kw
-            )
+        is_ir = args.job.endswith("-ir")
+        gen = generate_roi_ir_stats if is_ir else generate_roi_stats
+        upd = update_roi_ir_stats if is_ir else update_roi_stats
+        get = (
+            catalog.get_roi_ir_timeseries if is_ir else catalog.get_roi_timeseries
+        )
+        if args.job.startswith("generate"):
+            out = gen(spark, args.archive, args.site, args.roi, **kw)
         else:
-            existing, _ = catalog.get_roi_timeseries(
-                spark, args.archive, args.site, args.roi
-            )
-            out = update_roi_stats(
-                existing, spark, args.archive, args.site, args.roi, **kw
-            )
+            existing, _ = get(spark, args.archive, args.site, args.roi)
+            out = upd(existing, spark, args.archive, args.site, args.roi, **kw)
         out = out.drop("ts")
-        default = f"{args.site}_{args.roi}_roistats.csv"
+        suffix = "IR_roistats" if is_ir else "roistats"
+        default = f"{args.site}_{args.roi}_{suffix}.csv"
+    elif args.job == "generate-ndvi":
+        # tier-1.5: RGB + IR roistats -> NDVI timeseries
+        # (generate_ndvi_timeseries.py twin; it has no update twin in the
+        # reference's console scripts either)
+        from python_vegindex_spark.operators.paired import generate_ndvi_table
+
+        rgb, _ = catalog.get_roi_timeseries(spark, args.archive, args.site, args.roi)
+        ir, _ = catalog.get_roi_ir_timeseries(
+            spark, args.archive, args.site, args.roi
+        )
+        out = generate_ndvi_table(rgb, ir).drop("ts")
+        default = f"{args.site}_{args.roi}_NDVI_roistats.csv"
 
     path = args.out or os.path.join(roi_dir, default)
-    sort_cols = (
-        ["date", "local_std_time"]
-        if args.job in ("generate-roi", "update-roi")
-        else ["date"]
+    tier1_jobs = (
+        "generate-roi", "update-roi", "generate-ir", "update-ir", "generate-ndvi",
     )
-    write_headered_csv(out, path, build_props(args, args.nday), sort_cols=sort_cols)
+    sort_cols = ["date", "local_std_time"] if args.job in tier1_jobs else ["date"]
+    # IR CSV renders its percentiles as integers (ir_roitimeseries.py
+    # format_csvrow '{:.0f}'); the NDVI CSV is uniformly %.4f
+    # (generate_ndvi_timeseries.py writeCSV float_format)
+    float_decimals = None
+    default_decimals = 5
+    if args.job in ("generate-ir", "update-ir"):
+        float_decimals = {f"ir_{q}_qtl": 0 for q in (5, 10, 25, 50, 75, 90, 95)}
+    elif args.job == "generate-ndvi":
+        default_decimals = 4
+    write_headered_csv(
+        out, path, build_props(args, args.nday), sort_cols=sort_cols,
+        float_decimals=float_decimals, default_decimals=default_decimals,
+    )
     n = out.count()
     print(f"WROTE {n} rows -> {path}")
     return path
