@@ -5,6 +5,9 @@
     python scripts/vegindex_job.py ndvi-summary --archive DIR --site S --roi ...
     python scripts/vegindex_job.py update-gcc   --archive DIR --site S --roi ...
     python scripts/vegindex_job.py update-ndvi  --archive DIR --site S --roi ...
+    python scripts/vegindex_job.py generate-roi|update-roi|generate-ir|update-ir \
+        --archive DIR --site S --roi ... --lat L --lon L [--codec fake]
+    python scripts/vegindex_job.py generate-ndvi --archive DIR --site S --roi ...
 
 Reads the canonical roistats / NDVI CSVs via sources.catalog, runs the
 flagship pipelines (operators/vegindex_summary), and writes the result
