@@ -100,8 +100,20 @@ def hf_quantile_expr(
     if qtype == 7:
         out = F.percentile(c_, F.lit(q))
         return out.alias(alias) if alias else out
-    a, b, cc, d = _HF_ABCD[qtype - 1]
     arr = F.array_sort(F.collect_list(c_))  # collect_list drops nulls
+    out = hf_quantile_from_sorted(arr, q, qtype)
+    return out.alias(alias) if alias else out
+
+
+def hf_quantile_from_sorted(arr: Column, q: float, qtype: int) -> Column:
+    """HF quantile arithmetic over a pre-sorted, null-free array column —
+    the finish step of the two-phase form. Letting several quantiles of
+    the same measure share ONE ``array_sort(collect_list(...))`` aggregate
+    buffer (instead of one buffer per quantile) divides the aggregate
+    state that crosses the shuffle by the number of quantiles."""
+    if not 1 <= qtype <= 9:
+        raise ValueError(f"qtype must be 1..9, got {qtype}")
+    a, b, cc, d = _HF_ABCD[qtype - 1]
     n = F.size(arr)
     h = F.lit(a) + (n + F.lit(b)) * F.lit(q) - F.lit(1.0)
     j = h.cast("long")  # trunc toward zero, matching python modf
@@ -109,14 +121,13 @@ def hf_quantile_expr(
     yj = F.element_at(arr, (j + 1).cast("int"))
     yj1 = F.element_at(arr, F.least(j + 2, n.cast("long")).cast("int"))
     interp = yj + (yj1 - yj) * (F.lit(cc) + F.lit(d) * g)
-    out = (
+    return (
         F.when(n == 0, F.lit(None).cast("double"))
         .when(j < 0, F.element_at(arr, 1))
         .when(j >= n.cast("long"), F.element_at(arr, n.cast("int")))
         .when(g == 0, yj)
         .otherwise(interp)
     )
-    return out.alias(alias) if alias else out
 
 
 def percentile_expr(col: str | Column, q: float, alias: str | None = None) -> Column:

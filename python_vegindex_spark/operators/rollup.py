@@ -51,7 +51,6 @@ from ..functions.timeutil import epoch_us
 
 from ..config import RollupConfig
 from ..functions.buckets import bucket_center, bucket_start, midpoint_anchor
-from ..functions.quantile import hf_quantile_expr
 
 # measure families rolled up with mean/std (reference A3)
 MEAN_STD_MEASURES = ["text_len", "latency_delta_s", "fcc", "rcc_like", "r_dn", "g_dn", "b_dn"]
@@ -85,17 +84,31 @@ def _agg_exprs(cfg: RollupConfig) -> list[Column]:
     for m in MEAN_STD_MEASURES:
         exprs.append(F.avg(m).alias(f"{m}_mean"))
         exprs.append(F.stddev_pop(m).alias(f"{m}_std"))
+    # ONE aggregate buffer per percentile measure, shared by all the
+    # requested quantiles (p50/p75/p90 and any others): percentile /
+    # percentile_approx take an ARRAY of fractions, and the non-type-7
+    # HF estimators share a single array_sort(collect_list(...)).
+    # Separate per-quantile aggregates each buffer EVERY value of the
+    # group through partial aggregation and the shuffle — merging them
+    # divides the rollup's aggregate-state bytes by len(percentiles),
+    # the dominant shuffle traffic at scale (the scalar states are tiny
+    # next to the value buffers). ``_pct_finish_cols`` unwraps the
+    # shared buffers back into the public per-quantile columns.
+    qarr = F.array(*[F.lit(q) for q in cfg.percentiles])
     for m in PCT_MEASURES:
-        for q in cfg.percentiles:
-            if cfg.approx_percentiles:
-                pct = F.percentile_approx(
-                    F.col(m), F.lit(q), F.lit(cfg.approx_accuracy)
-                ).cast("double")
-            else:
-                # type 7 -> Spark's exact percentile (hot path); other
-                # HF types -> the exact array_sort expression
-                pct = hf_quantile_expr(F.col(m), q, cfg.quantile_type)
-            exprs.append(pct.alias(f"{m}_{int(round(q * 100))}"))
+        if cfg.approx_percentiles:
+            exprs.append(
+                F.percentile_approx(
+                    F.col(m), qarr, F.lit(cfg.approx_accuracy)
+                ).alias(f"_{m}_pq")
+            )
+        elif cfg.quantile_type == 7:
+            # Spark's exact percentile IS HF-7 (hot path)
+            exprs.append(F.percentile(F.col(m), qarr).alias(f"_{m}_pq"))
+        else:
+            exprs.append(
+                F.array_sort(F.collect_list(F.col(m))).alias(f"_{m}_sorted")
+            )
     # representative row: lexicographic min over (|delta|, ts, payload)
     payload = F.struct(
         F.abs(epoch_us(F.col("ts")) - epoch_us(F.col("_anchor"))).alias("d"),
@@ -112,6 +125,31 @@ def _agg_exprs(cfg: RollupConfig) -> list[Column]:
     )
     exprs.append(F.min(payload).alias("_mid"))
     return exprs
+
+
+def _pct_finish_cols(cfg: RollupConfig) -> tuple[list[Column], list[str]]:
+    """Per-quantile output columns computed from the shared aggregate
+    buffers of :func:`_agg_exprs`, plus the buffer columns to drop."""
+    from ..functions.quantile import hf_quantile_from_sorted
+
+    cols: list[Column] = []
+    drop: list[str] = []
+    for m in PCT_MEASURES:
+        for i, q in enumerate(cfg.percentiles):
+            name = f"{m}_{int(round(q * 100))}"
+            if cfg.approx_percentiles or cfg.quantile_type == 7:
+                c = F.element_at(F.col(f"_{m}_pq"), i + 1).cast("double")
+            else:
+                c = hf_quantile_from_sorted(
+                    F.col(f"_{m}_sorted"), q, cfg.quantile_type
+                )
+            cols.append(c.alias(name))
+        drop.append(
+            f"_{m}_pq"
+            if (cfg.approx_percentiles or cfg.quantile_type == 7)
+            else f"_{m}_sorted"
+        )
+    return cols, drop
 
 
 def _stat_cols(cfg: RollupConfig) -> list[str]:
@@ -157,18 +195,39 @@ def _gap_fill_from_agg(
     """
     from pyspark.sql.window import Window
 
-    from ..functions.buckets import _bucket_seq
+    from ..functions.buckets import tier_nday
 
     payload = [c for c in agg.columns if c not in (*series_cols, "bucket_start")]
     w = Window.partitionBy(*series_cols).orderBy("bucket_start")
     withprev = agg.withColumn("_prev_b", F.lag("bucket_start").over(w))
-    # buckets in (prev, current]; a series' first row emits just itself
-    arr = F.when(F.col("_prev_b").isNull(), F.array(F.col("bucket_start"))).otherwise(
-        F.filter(
-            _bucket_seq(F.col("_prev_b"), F.col("bucket_start"), tier),
-            lambda d: d > F.col("_prev_b"),
+    # Buckets in (prev, current]. The hot path — a series' first row, or
+    # consecutive non-empty buckets (no gap) — emits just the row's own
+    # bucket with NO array/sequence work; the sequence construction runs
+    # only on actual gap rows. (The previous form ran an ArrayFilter
+    # lambda — a CodegenFallback, interpreted per row — on EVERY
+    # aggregate row, which doubled the rollup stage wall at 47.8 M
+    # turns. Consecutive doy-anchored starts are <= nday days apart,
+    # including the year-boundary restart, so datediff <= nday detects
+    # "no bucket in between" exactly.)
+    prev_b = F.col("_prev_b")
+    cur_b = F.col("bucket_start")
+    if tier == "hourly":
+        step = F.expr("INTERVAL 1 HOUR")
+        no_gap = prev_b.isNull() | (cur_b == prev_b + step)
+        gap_arr = F.sequence(prev_b + step, cur_b, step)
+    else:
+        n = tier_nday(tier)
+        no_gap = prev_b.isNull() | (F.datediff(cur_b, prev_b) <= n)
+        days = F.sequence(
+            F.date_add(prev_b, 1), cur_b, F.expr("INTERVAL 1 DAY")
         )
-    )
+        gap_arr = (
+            days
+            if n == 1
+            # keep only doy-lattice days: restarts at Jan 1 for free
+            else F.filter(days, lambda d: (F.dayofyear(d) - 1) % n == 0)
+        )
+    arr = F.when(no_gap, F.array(cur_b)).otherwise(gap_arr)
     exploded = withprev.select(
         *series_cols,
         F.col("bucket_start").alias("_data_b"),
@@ -213,6 +272,10 @@ def rollup(
         )
 
     agg = df.groupBy(*series_cols, "bucket_start").agg(*_agg_exprs(cfg))
+    # unwrap the shared percentile buffers into the public per-quantile
+    # columns BEFORE gap-fill, so the gap-fill payload carries scalars
+    pct_cols, pct_drop = _pct_finish_cols(cfg)
+    agg = agg.select("*", *pct_cols).drop(*pct_drop)
 
     if gap_fill:
         agg = _gap_fill_from_agg(agg, tier, series_cols)

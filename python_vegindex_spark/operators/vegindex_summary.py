@@ -127,9 +127,10 @@ def generate_gcc_summary(
         F.col("_rcc").alias("rcc"),
     )
 
-    def _q(c: str, q: float) -> Column:
-        return F.percentile(F.col(c), F.lit(q))
-
+    # one shared percentile buffer per measure (see rollup._agg_exprs):
+    # percentile(col, array(...)) buffers each group's values ONCE for
+    # all three quantiles instead of once per quantile
+    qarr = F.array(F.lit(0.5), F.lit(0.75), F.lit(0.9))
     agg = d.groupBy("bucket_start").agg(
         F.count(F.when(ok, 1)).alias("image_count"),
         F.min(mid_payload).alias("_mid"),
@@ -141,16 +142,20 @@ def generate_gcc_summary(
         F.stddev_pop("b_mean").alias("b_std"),
         F.avg("_gcc").alias("gcc_mean"),
         F.stddev_pop("_gcc").alias("gcc_std"),
-        _q("_gcc", 0.5).alias("gcc_50"),
-        _q("_gcc", 0.75).alias("gcc_75"),
-        _q("_gcc", 0.9).alias("gcc_90"),
+        F.percentile(F.col("_gcc"), qarr).alias("_gcc_pq"),
         F.avg("_rcc").alias("rcc_mean"),
         F.stddev_pop("_rcc").alias("rcc_std"),
-        _q("_rcc", 0.5).alias("rcc_50"),
-        _q("_rcc", 0.75).alias("rcc_75"),
-        _q("_rcc", 0.9).alias("rcc_90"),
+        F.percentile(F.col("_rcc"), qarr).alias("_rcc_pq"),
         F.max("solar_elev").alias("max_solar_elev"),
     )
+    agg = agg.select(
+        "*",
+        *[
+            F.element_at(F.col(f"_{m}_pq"), i + 1).alias(f"{m}_{p}")
+            for m in ("gcc", "rcc")
+            for i, p in enumerate((50, 75, 90))
+        ],
+    ).drop("_gcc_pq", "_rcc_pq")
 
     lo = F.col("_lo")
     if spine_start is not None:
@@ -271,11 +276,19 @@ def generate_ndvi_summary_table(
         F.percentile(F.col("_gcc"), F.lit(0.9)).alias("gcc_90"),
         F.avg("NDVI_c").alias("ndvi_mean"),
         F.stddev_pop("NDVI_c").alias("ndvi_std"),
-        F.percentile(F.col("NDVI_c"), F.lit(0.5)).alias("ndvi_50"),
-        F.percentile(F.col("NDVI_c"), F.lit(0.75)).alias("ndvi_75"),
-        F.percentile(F.col("NDVI_c"), F.lit(0.9)).alias("ndvi_90"),
+        # one shared buffer for the three NDVI quantiles (see above)
+        F.percentile(
+            F.col("NDVI_c"), F.array(F.lit(0.5), F.lit(0.75), F.lit(0.9))
+        ).alias("_ndvi_pq"),
         F.max("solar_elev").alias("max_solar_elev"),
     )
+    agg = agg.select(
+        "*",
+        *[
+            F.element_at(F.col("_ndvi_pq"), i + 1).alias(f"ndvi_{p}")
+            for i, p in enumerate((50, 75, 90))
+        ],
+    ).drop("_ndvi_pq")
     lo = F.col("_lo")
     if spine_start is not None:
         lo = F.least(lo, F.lit(spine_start).cast("date"))
