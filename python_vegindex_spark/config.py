@@ -97,3 +97,7 @@ class RollupConfig:
                 "approx_percentiles (t-digest) only approximates the "
                 "type-7 estimator; set quantile_type=7 or disable approx"
             )
+        if any(not 0.0 <= q <= 1.0 for q in self.percentiles):
+            raise ValueError(
+                f"percentiles must be in [0, 1], got {self.percentiles}"
+            )

@@ -94,8 +94,8 @@ def _agg_exprs(cfg: RollupConfig) -> list[Column]:
     # the dominant shuffle traffic at scale (the scalar states are tiny
     # next to the value buffers). ``_pct_finish_cols`` unwraps the
     # shared buffers back into the public per-quantile columns.
-    qarr = F.array(*[F.lit(q) for q in cfg.percentiles])
-    for m in PCT_MEASURES:
+    qarr = F.array(*[F.lit(float(q)) for q in cfg.percentiles])
+    for m in PCT_MEASURES if cfg.percentiles else []:
         if cfg.approx_percentiles:
             exprs.append(
                 F.percentile_approx(
@@ -134,7 +134,7 @@ def _pct_finish_cols(cfg: RollupConfig) -> tuple[list[Column], list[str]]:
 
     cols: list[Column] = []
     drop: list[str] = []
-    for m in PCT_MEASURES:
+    for m in PCT_MEASURES if cfg.percentiles else []:
         for i, q in enumerate(cfg.percentiles):
             name = f"{m}_{int(round(q * 100))}"
             if cfg.approx_percentiles or cfg.quantile_type == 7:
@@ -205,10 +205,11 @@ def _gap_fill_from_agg(
     # bucket with NO array/sequence work; the sequence construction runs
     # only on actual gap rows. (The previous form ran an ArrayFilter
     # lambda — a CodegenFallback, interpreted per row — on EVERY
-    # aggregate row, which doubled the rollup stage wall at 47.8 M
-    # turns. Consecutive doy-anchored starts are <= nday days apart,
-    # including the year-boundary restart, so datediff <= nday detects
-    # "no bucket in between" exactly.)
+    # aggregate row; keeping it off the no-gap path measured ~7-12 %
+    # off the gold-tier stage walls at 47.8 M turns. Consecutive
+    # doy-anchored starts are <= nday days apart, including the
+    # year-boundary restart, so datediff <= nday detects "no bucket in
+    # between" exactly.)
     prev_b = F.col("_prev_b")
     cur_b = F.col("bucket_start")
     if tier == "hourly":

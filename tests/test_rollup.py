@@ -116,3 +116,15 @@ def test_rollup_config_rejects_bad_quantile_type():
         RollupConfig(quantile_type=0)
     with pytest.raises(ValueError, match="type-7"):
         RollupConfig(approx_percentiles=True, quantile_type=6)
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        RollupConfig(percentiles=(0.5, 1.5))
+
+
+def test_rollup_empty_percentiles(spark, turns_sdf):
+    """percentiles=() is a legal config: no percentile buffer is
+    aggregated and no p-columns appear in the output."""
+    cfg = RollupConfig(tier="daily", nmin=2, percentiles=())
+    out = rollup(turn_features(turns_sdf), cfg)
+    assert not [c for c in out.columns if c.startswith("_")]
+    assert "fcc_50" not in out.columns and "fcc_mean" in out.columns
+    assert out.count() > 0
