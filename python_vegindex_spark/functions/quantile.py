@@ -59,7 +59,21 @@ _HF_ABCD = [
 def hf_quantile_numpy(values, q: float, qtype: int = 7) -> float:
     """All nine HF sample quantiles on a 1-D array, NaNs excluded —
     the numpy oracle mirroring reference quantile.py:15-76 (including its
-    modf/trunc handling of the h < 0 edge)."""
+    modf/trunc handling of the h < 0 edge).
+
+    Faithful-quirk notes (fuzz-verified against the reference function
+    itself, tests/test_quantile.py::test_hf_reference_differential_fuzz):
+
+    * When h = a + (n+b)q - 1 lands in (-1, 0) the reference
+      EXTRAPOLATES below y[0]: modf() yields j == -0.0, which passes its
+      ``j < 0`` guard, leaving a negative g in the interpolation term.
+      numpy's named HF methods clamp to y[0] there — so small-q results
+      deliberately differ from numpy and match the reference.
+    * The one deliberate divergence: for types whose h reaches (n-1, n)
+      (e.g. type 6, n=5, q=0.95) the reference crashes with IndexError
+      on y[j+1]; this oracle (and the Spark expression) clamps to
+      y[n-1] — defined exactly where the reference dies, never
+      different where it returns."""
     if not 1 <= qtype <= 9:
         raise ValueError(f"qtype must be 1..9, got {qtype}")
     x = np.asarray(values, dtype=np.float64)

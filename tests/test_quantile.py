@@ -132,3 +132,114 @@ def test_hf_quantile_expr_grouped(spark):
     for g in ("a", "b"):
         vals = pdf.loc[pdf["g"] == g, "v"].to_numpy()
         assert out[g] == pytest.approx(hf_quantile_numpy(vals, 0.9, 5), rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# differential fuzz against the reference's own quantile() implementation
+#
+# The reference (quantile.py:65-76) EXTRAPOLATES below y[0] when
+# a + (n+b)q - 1 lands in (-1, 0): modf() returns j == -0.0 there, which
+# fails the `j < 0` guard, leaving a NEGATIVE g in the interpolation term.
+# numpy's named HF methods clamp instead, so small-q parity must be tested
+# against the reference itself, not numpy. The reference also CRASHES
+# (IndexError on y[j+1]) for types whose h reaches (n-1, n) — e.g. type 6,
+# n=5, q=0.95 — where our implementation clamps to y[n-1]; that is the one
+# deliberate divergence (never wrong, only defined-where-the-reference-dies).
+
+_REF_QUANTILE = "/root/reference/src/vegindex/quantile.py"
+
+
+def _load_ref_quantile():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("_ref_quantile", _REF_QUANTILE)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.quantile
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(_REF_QUANTILE),
+    reason="reference repo not present",
+)
+def test_hf_reference_differential_fuzz():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ref_quantile = _load_ref_quantile()
+    from python_vegindex_spark.functions.quantile import hf_quantile_numpy
+
+    @given(
+        xs=st.lists(
+            st.floats(
+                allow_nan=False,
+                allow_infinity=False,
+                min_value=-1e6,
+                max_value=1e6,
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        q=st.floats(min_value=0.0, max_value=1.0),
+        qtype=st.integers(min_value=1, max_value=9),
+    )
+    @settings(max_examples=1500, deadline=None)
+    def _case(xs, q, qtype):
+        got = hf_quantile_numpy(xs, q, qtype)
+        try:
+            exp = ref_quantile(list(xs), q, qtype)
+        except IndexError:
+            # reference reads y[j+1] == y[n]: our clamp returns the max
+            assert got == pytest.approx(max(xs), rel=1e-12, abs=1e-12)
+            return
+        assert got == pytest.approx(exp, rel=1e-12, abs=1e-12), (
+            len(xs), q, qtype,
+        )
+
+    _case()
+
+
+def test_hf_spark_expr_differential_grid(spark):
+    """One Spark job, many groups x all 9 types x boundary/interior/
+    negative-g q values: the JVM expression must agree with the numpy
+    oracle on every cell (including the small-q extrapolation region)."""
+    import pandas as pd
+
+    from python_vegindex_spark.functions.quantile import (
+        hf_quantile_expr,
+        hf_quantile_numpy,
+    )
+
+    rng = np.random.default_rng(11)
+    frames = []
+    for gid in range(60):
+        n = int(rng.integers(1, 41))
+        # rounding injects duplicate order statistics
+        frames.append(
+            pd.DataFrame(
+                {"g": gid, "v": rng.normal(scale=100, size=n).round(1)}
+            )
+        )
+    pdf = pd.concat(frames, ignore_index=True)
+    qs = (0.0, 0.02, 0.35, 0.5, 0.97, 1.0)
+    aggs = [
+        hf_quantile_expr("v", q, qtype, alias=f"t{qtype}_q{int(q * 100)}")
+        for qtype in range(1, 10)
+        for q in qs
+    ]
+    out = (
+        spark.createDataFrame(pdf)
+        .groupBy("g")
+        .agg(*aggs)
+        .toPandas()
+        .set_index("g")
+    )
+    for gid, sub in pdf.groupby("g"):
+        vals = sub["v"].to_numpy()
+        for qtype in range(1, 10):
+            for q in qs:
+                got = out.loc[gid, f"t{qtype}_q{int(q * 100)}"]
+                exp = hf_quantile_numpy(vals, q, qtype)
+                assert got == pytest.approx(exp, rel=1e-12, abs=1e-12), (
+                    gid, len(vals), qtype, q,
+                )
