@@ -100,3 +100,126 @@ def test_spine_gap_fill_and_restart(spark):
         dt.date(2009, 1, 1),  # restart
         dt.date(2009, 1, 8),
     ]
+
+
+# ---------------------------------------------------------------------------
+# differential fuzz: bucket_start_cursor vs the reference's own daterange2
+# consumed by a faithful sequential-cursor walk
+# (generate_summary_timeseries.py:295-307: each bucket [start, start+nday)
+# consumes rows in order; the final bucket of a year thereby swallows
+# early-January rows before the Jan-1 bucket sees them)
+
+_REF_VEGINDEX = "/root/reference/src/vegindex/vegindex.py"
+
+
+def _load_ref_daterange2():
+    """Execute ONLY the reference's daterange2 function, read from its
+    source at runtime (the module itself needs `ephem`, absent here; we
+    run the function as an oracle the same way golden tests read the
+    reference's fixture CSVs — nothing is vendored into this repo)."""
+    import ast
+
+    src = open(_REF_VEGINDEX).read()
+    tree = ast.parse(src)
+    fn = next(
+        (
+            n
+            for n in tree.body
+            if isinstance(n, ast.FunctionDef) and n.name == "daterange2"
+        ),
+        None,
+    )
+    if fn is None:
+        return None
+    ns = {"date": dt.date, "timedelta": dt.timedelta}
+    exec(  # noqa: S102 - trusted-for-testing reference source, read-only
+        compile(ast.Module(body=[fn], type_ignores=[]), _REF_VEGINDEX, "exec"),
+        ns,
+    )
+    return ns["daterange2"]
+
+
+def _ref_cursor_assign(dates, nday):
+    """Bucket-start per row index, exactly as the reference's row loop
+    assigns them: iterate daterange2 buckets in order, consume every
+    not-yet-consumed row whose date falls in [start, start + nday)."""
+    dr = list(_DR2(dates[0], dates[-1], nday))
+    out = {}
+    idx = 0
+    for start in dr:
+        end = start + dt.timedelta(days=nday)
+        while idx < len(dates) and start <= dates[idx] < end:
+            out[idx] = start
+            idx += 1
+    return out
+
+
+_DR2 = None
+
+
+def test_bucket_cursor_matches_reference_daterange2_fuzz(spark):
+    global _DR2
+    import os
+
+    import numpy as np
+    import pytest
+
+    if not os.path.exists(_REF_VEGINDEX):
+        pytest.skip("reference repo not present")
+    _DR2 = _load_ref_daterange2()
+    if _DR2 is None:
+        pytest.skip("reference module not importable here")
+
+    from python_vegindex_spark.functions.buckets import bucket_start_cursor
+
+    rng = np.random.default_rng(23)
+    scenarios = []  # (sid, nday, [timestamps])
+    sid = 0
+    for nday in (2, 3, 5, 7, 14):
+        for _ in range(8):
+            # spans that cross year boundaries and the 2020 leap year
+            y0 = int(rng.integers(2018, 2022))
+            start = dt.datetime(y0, 1, 1) + dt.timedelta(
+                days=int(rng.integers(0, 365)),
+                seconds=int(rng.integers(0, 86400)),
+            )
+            span_days = int(rng.integers(30, 800))
+            n_rows = int(rng.integers(2, 120))
+            offs = np.sort(rng.uniform(0, span_days * 86400.0, size=n_rows))
+            tss = [start + dt.timedelta(seconds=float(s)) for s in offs]
+            scenarios.append((sid, nday, tss))
+            sid += 1
+
+    TIER_NDAY.setdefault("2day", 2)
+    TIER_NDAY.setdefault("5day", 5)
+    TIER_NDAY.setdefault("14day", 14)
+
+    by_nday = {}
+    for s in scenarios:
+        by_nday.setdefault(s[1], []).append(s)
+
+    mismatches = []
+    for nday, group in by_nday.items():
+        rows = []
+        for sid_, _, tss in group:
+            ssy = tss[0].year
+            for i, ts in enumerate(tss):
+                rows.append({"sid": sid_, "i": i, "ts": ts, "ssy": ssy})
+        df = spark.createDataFrame(pd.DataFrame(rows))
+        got = {
+            (r["sid"], r["i"]): r["b"]
+            for r in df.select(
+                "sid",
+                "i",
+                bucket_start_cursor(
+                    F.col("ts"), f"{nday}day", F.col("ssy")
+                ).alias("b"),
+            ).collect()
+        }
+        for sid_, _, tss in group:
+            exp = _ref_cursor_assign([t.date() for t in tss], nday)
+            assert len(exp) == len(tss), (sid_, nday, "reference left rows unassigned")
+            for i in range(len(tss)):
+                if got[(sid_, i)] != exp[i]:
+                    mismatches.append((sid_, nday, i, tss[i], got[(sid_, i)], exp[i]))
+    assert not mismatches, mismatches[:10]
