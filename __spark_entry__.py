@@ -224,6 +224,49 @@ def q_vegindex_summary_3day(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("date")
 
 
+def q_vegindex_summary_yearboundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship summary over a MULTI-YEAR series, oracle-checking the
+    reference's sequential-cursor year-boundary spill-over
+    (generate_summary_timeseries.py:295-305 + vegindex.py:50-63 via
+    functions/buckets.bucket_start_cursor): events timestamps are fanned
+    across 730 days spanning two Jan-1 boundaries (one after a leap
+    year), nday=7, so Jan 1-5 2025 belongs to the Dec-30-2024 bucket and
+    Jan 1-6 2026 to the Dec-31-2025 bucket, and the gap-fill spine
+    restarts its doy lattice at each Jan 1. The DuckDB oracle implements
+    the identical cursor rule (overflow = final-bucket offset + nday -
+    days-in-previous-year) independently."""
+    from python_vegindex_spark.operators.vegindex_summary import generate_gcc_summary
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
+    ts2 = F.col("ts") + F.make_dt_interval(days=(F.col("event_id") % 730).cast("int"))
+    r = 50.0 + F.pmod(F.col("value"), F.lit(100.0))
+    g = 60.0 + F.pmod(F.col("value") * 7.0, F.lit(100.0))
+    b = 40.0 + F.pmod(F.col("value") * 13.0, F.lit(100.0))
+    roistats = ev.select(
+        ts2.alias("ts"),
+        F.concat(F.lit("e"), F.col("event_id").cast("string")).alias("filename"),
+        (F.pmod(F.col("event_id"), F.lit(80)) - 5).cast("double").alias("solar_elev"),
+        F.when(F.col("event_id") % 13 == 0, 1).otherwise(0).alias("awbflag"),
+        r.alias("r_mean"),
+        g.alias("g_mean"),
+        b.alias("b_mean"),
+        (g / (r + g + b)).alias("gcc"),
+    )
+    out = generate_gcc_summary(roistats, nday=7, nmin=4)
+    return out.select(
+        F.col("date").cast("timestamp").alias("date"),
+        "year", "doy", "image_count", "midday_filename",
+        F.round("midday_gcc", 6).alias("midday_gcc"),
+        F.round("gcc_mean", 6).alias("gcc_mean"),
+        F.round("gcc_std", 6).alias("gcc_std"),
+        F.round("gcc_50", 6).alias("gcc_50"),
+        F.round("gcc_75", 6).alias("gcc_75"),
+        F.round("gcc_90", 6).alias("gcc_90"),
+        F.round("rcc_mean", 6).alias("rcc_mean"),
+        F.round("max_solar_elev", 6).alias("max_solar_elev"),
+    ).orderBy("date")
+
+
 # (qtype, q) pairs exercising every non-default HF estimator family
 _HF_COMBOS = [(1, 0.35), (3, 0.5), (4, 0.9), (5, 0.75), (6, 0.9), (8, 0.5), (9, 0.25)]
 
@@ -808,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summary_threshold_nullout": q_summary_threshold_nullout,
         "hf_quantile_types": q_hf_quantile_types,
         "vegindex_summary_3day": q_vegindex_summary_3day,
+        "vegindex_summary_yearboundary": q_vegindex_summary_yearboundary,
         "interval_join_agg": q_interval_join_agg,
         "merge_upsert_checksum": q_merge_upsert_checksum,
         "dedup_exact_docs": q_dedup_exact_docs,
@@ -1071,6 +1115,90 @@ SELECT CAST(s.bucket_start + 1 AS TIMESTAMP) AS date,
        CASE WHEN COALESCE(a.image_count, 0) >= 6 THEN round(a.rcc_mean, 6) END AS rcc_mean,
        CASE WHEN COALESCE(a.image_count, 0) > 0 THEN round(a.max_solar_elev, 6) END AS max_solar_elev
 FROM spine s LEFT JOIN agg a ON s.bucket_start = a.bucket_start
+ORDER BY date
+""",
+        "vegindex_summary_yearboundary": """
+WITH r AS (
+  SELECT ts + (event_id % 730) * INTERVAL 1 DAY AS ts,
+         'e' || CAST(event_id AS VARCHAR) AS filename,
+         CAST(event_id % 80 - 5 AS DOUBLE) AS solar_elev,
+         CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END AS awbflag,
+         50.0 + fmod(value, 100.0) AS r_mean,
+         60.0 + fmod(value * 7.0, 100.0) AS g_mean,
+         40.0 + fmod(value * 13.0, 100.0) AS b_mean
+  FROM events WHERE event_id % 11 = 0
+),
+-- select_rows (pre-awb) defines spine bounds and the series-start year
+sel AS (
+  SELECT *, g_mean / (r_mean + g_mean + b_mean) AS gcc,
+         r_mean / (r_mean + g_mean + b_mean) AS rcc,
+         make_date(year(ts), 1, 1) + CAST((dayofyear(ts) - 1) // 7 * 7 AS INT) AS naive_b,
+         make_date(year(ts), 1, 1) - make_date(year(ts) - 1, 1, 1) AS prev_days
+  FROM r
+  WHERE (r_mean + g_mean + b_mean) BETWEEN 100.0 AND 665.0
+    AND solar_elev >= 10.0
+    AND r_mean IS NOT NULL
+),
+bounds AS (SELECT min(naive_b) AS lo, max(naive_b) AS hi, year(min(ts)) AS y0 FROM sel),
+-- awb skip + the sequential-cursor year-boundary rule: each year's final
+-- bucket spans the full 7-day window past Dec 31, so rows with
+-- doy <= overflow(prev year) fall into the PREVIOUS year's final bucket
+-- (except in the series' first year)
+qc AS (
+  SELECT s.*,
+         CASE WHEN year(s.ts) > b.y0
+                   AND dayofyear(s.ts) <= (s.prev_days - 1) // 7 * 7 + 7 - s.prev_days
+              THEN make_date(year(s.ts) - 1, 1, 1) + CAST((s.prev_days - 1) // 7 * 7 AS INT)
+              ELSE s.naive_b END AS bucket_start
+  FROM sel s, bounds b
+  WHERE s.awbflag <> 1
+),
+mid AS (
+  SELECT bucket_start, filename AS midday_filename, gcc AS midday_gcc
+  FROM (
+    SELECT bucket_start, filename, gcc,
+           row_number() OVER (
+             PARTITION BY bucket_start
+             ORDER BY abs(epoch_us(ts) - epoch_us(CAST(bucket_start + 3 AS TIMESTAMP) + INTERVAL 12 HOUR)), ts, filename
+           ) AS rn
+    FROM qc
+  ) WHERE rn = 1
+),
+agg AS (
+  SELECT bucket_start,
+         CAST(count(*) AS INT) AS image_count,
+         avg(gcc) AS gcc_mean,
+         stddev_pop(gcc) AS gcc_std,
+         quantile_cont(gcc, 0.5) AS gcc_50,
+         quantile_cont(gcc, 0.75) AS gcc_75,
+         quantile_cont(gcc, 0.9) AS gcc_90,
+         avg(rcc) AS rcc_mean,
+         max(solar_elev) AS max_solar_elev
+  FROM qc GROUP BY bucket_start
+),
+-- gap-fill spine on the naive doy lattice (restarts at Jan 1 each year)
+spine AS (
+  SELECT d AS bucket_start FROM (
+    SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+    FROM bounds
+  ) WHERE (dayofyear(d) - 1) % 7 = 0
+)
+SELECT CAST(s.bucket_start + 3 AS TIMESTAMP) AS date,
+       year(s.bucket_start + 3) AS year,
+       dayofyear(s.bucket_start + 3) AS doy,
+       COALESCE(a.image_count, 0) AS image_count,
+       CASE WHEN COALESCE(a.image_count, 0) > 0 THEN m.midday_filename END AS midday_filename,
+       CASE WHEN COALESCE(a.image_count, 0) > 0 THEN round(m.midday_gcc, 6) END AS midday_gcc,
+       CASE WHEN COALESCE(a.image_count, 0) >= 4 THEN round(a.gcc_mean, 6) END AS gcc_mean,
+       CASE WHEN COALESCE(a.image_count, 0) >= 4 THEN round(a.gcc_std, 6) END AS gcc_std,
+       CASE WHEN COALESCE(a.image_count, 0) >= 4 THEN round(a.gcc_50, 6) END AS gcc_50,
+       CASE WHEN COALESCE(a.image_count, 0) >= 4 THEN round(a.gcc_75, 6) END AS gcc_75,
+       CASE WHEN COALESCE(a.image_count, 0) >= 4 THEN round(a.gcc_90, 6) END AS gcc_90,
+       CASE WHEN COALESCE(a.image_count, 0) >= 4 THEN round(a.rcc_mean, 6) END AS rcc_mean,
+       CASE WHEN COALESCE(a.image_count, 0) > 0 THEN round(a.max_solar_elev, 6) END AS max_solar_elev
+FROM spine s
+LEFT JOIN agg a ON s.bucket_start = a.bucket_start
+LEFT JOIN mid m ON s.bucket_start = m.bucket_start
 ORDER BY date
 """,
         "hf_quantile_types": _hf_oracle_sql(),
