@@ -1,0 +1,214 @@
+"""Differential test against the reference's OWN flagship script.
+
+The strongest parity evidence available in this sandbox: run the
+reference's ``generate_summary_timeseries.main()`` (vegindex 0.10.2,
+/root/reference/src) in-process over a randomized multi-year tier-1
+roistats CSV written by the reference's own ``ROITimeSeries.writeCSV``,
+then run the engine's ``generate_gcc_summary`` via the CLI twin
+(``scripts/vegindex_job.py gcc-summary``) on the very same CSV, and
+compare the two output summary files column by column.
+
+This covers the whole E2 chain at once — select_rows QC, the awb skip,
+daterange2 bucket anchoring WITH the sequential-cursor year-boundary
+spill-over (the input spans two Jan-1 boundaries, one after a leap
+year), gap-fill, nanmean/population-nanstd, exact HF-7 percentiles,
+midday argmin, count tiering, and the 32-column CSV rendering — against
+the reference binary-for-binary rather than against a re-implemented
+oracle.
+
+The reference needs ``ephem`` and ``PIL`` at import time (absent from
+this container); both are only used by code paths the summary job never
+touches (sun-elevation recompute, image decode), so empty module stubs
+are installed. ``utils.getsiteinfo``'s HTTP probe is patched to fail
+fast (the sandbox is offline) so it falls through to the reference's
+own local site_info.csv fallback, which we provide.
+
+Floats are compared at 1.5e-5 (one ulp of the 5-decimal CSV rendering):
+the reference aggregates with numpy pairwise summation, the engine with
+JVM streaming sums, so the last printed digit of a mean can legally
+differ by one.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import sys
+import types
+
+import numpy as np
+import pandas as pd
+import pytest
+
+REF_SRC = "/root/reference/src"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+
+def _import_reference():
+    """Import the reference package with stubs for its image/astronomy
+    deps (PIL, ephem) that are genuinely absent from this container and
+    unused by the summary job."""
+    if "ephem" not in sys.modules:
+        sys.modules["ephem"] = types.ModuleType("ephem")
+    if "PIL" not in sys.modules:
+        pil = types.ModuleType("PIL")
+        img = types.ModuleType("PIL.Image")
+        pil.Image = img
+        sys.modules["PIL"] = pil
+        sys.modules["PIL.Image"] = img
+    if REF_SRC not in sys.path:
+        sys.path.insert(0, REF_SRC)
+    import vegindex as vi
+    from vegindex import generate_summary_timeseries as gst
+    from vegindex import utils as vutils
+    from vegindex.roitimeseries import ROITimeSeries
+
+    return vi, gst, vutils, ROITimeSeries
+
+
+def _synth_roistats_rows(seed: int, n: int):
+    """Randomized tier-1 rows spanning 2019-06-01 .. 2021-02-20 — two
+    Jan-1 boundaries (2020 is a leap year), QC-boundary straddlers on
+    brightness and solar elevation, ~10% awb-flagged rows."""
+    rng = np.random.default_rng(seed)
+    t0 = dt.datetime(2019, 6, 1)
+    span_s = int((dt.datetime(2021, 2, 20) - t0).total_seconds())
+    # unique timestamps: the reference's midday argmin tie-break is
+    # file order, the engine's is (delta, ts, ...) — equal deltas with
+    # equal timestamps would be legitimately ambiguous
+    offsets = rng.choice(span_s, size=n, replace=False)
+    # force a cluster inside each year-boundary spill window so the
+    # cursor rule is actually exercised (doy <= 5 after leap 2020,
+    # doy <= 6 after 2020->2021 is nday-dependent; cover Jan 1-6)
+    jan_targets = []
+    for jan1 in (dt.datetime(2020, 1, 1), dt.datetime(2021, 1, 1)):
+        for k in range(6):
+            jan_targets.append(
+                int((jan1 - t0).total_seconds()) + k * 86400 + int(rng.integers(0, 86400))
+            )
+    offsets = np.concatenate([offsets, np.array(jan_targets)])
+    rows = []
+    for i, off in enumerate(sorted(set(int(o) for o in offsets))):
+        ts = t0 + dt.timedelta(seconds=off)
+        r, g, b = (float(x) for x in rng.uniform(20.0, 250.0, 3))
+        dnsum = r + g + b
+        qr = np.sort(rng.integers(0, 256, 7)).astype(float)
+        qg = np.sort(rng.integers(0, 256, 7)).astype(float)
+        qb = np.sort(rng.integers(0, 256, 7)).astype(float)
+        row = {
+            "date": ts.date(),
+            "local_std_time": ts.strftime("%H:%M:%S"),
+            "datetime": ts,
+            "doy": ts.timetuple().tm_yday,
+            "filename": "diffsite_{:%Y_%m_%d_%H%M%S}.jpg".format(ts),
+            "solar_elev": float(rng.uniform(-10.0, 75.0)),
+            "exposure": int(rng.integers(1, 300)),
+            "awbflag": int(rng.random() < 0.10),
+            "mask_index": 1,
+            "gcc": g / dnsum,
+            "rcc": r / dnsum,
+            "r_mean": r,
+            "r_std": float(rng.uniform(0.0, 60.0)),
+            "g_mean": g,
+            "g_std": float(rng.uniform(0.0, 60.0)),
+            "b_mean": b,
+            "b_std": float(rng.uniform(0.0, 60.0)),
+            "r_g_correl": float(rng.uniform(-1.0, 1.0)),
+            "g_b_correl": float(rng.uniform(-1.0, 1.0)),
+            "b_r_correl": float(rng.uniform(-1.0, 1.0)),
+        }
+        for band, qs in (("r", qr), ("g", qg), ("b", qb)):
+            for pct, val in zip((5, 10, 25, 50, 75, 90, 95), qs):
+                row[f"{band}_{pct}_qtl"] = float(val)
+        rows.append(row)
+    return rows
+
+
+def _write_fixture(tmp_path, site, roi, rows, ROITimeSeries):
+    """Write the tier-1 CSV with the reference's own writer so the
+    reference job reads exactly the bytes its user would produce."""
+    arch = tmp_path / "archive"
+    roidir = arch / site / "ROI"
+    roidir.mkdir(parents=True)
+    (arch / "site_info.csv").write_text(
+        "# site info\n"
+        "sitename,lat,lon,elev,start_date,end_date,tzoffset,nimage\n"
+        f"{site},42.5,-72.2,300,2019-01-01,2021-12-31,-5,300\n"
+    )
+    roits = ROITimeSeries(site="", ROIListID=roi)  # site="" skips siteinfo
+    roits.site = site
+    roits.rows = rows
+    roits.writeCSV(str(roidir / f"{site}_{roi}_roistats.csv"))
+    return arch
+
+
+def _read_summary_csv(path):
+    df = pd.read_csv(path, comment="#", na_values=["NA", "None"])
+    return df.sort_values("date").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("seed,nday", [(101, 3), (202, 1), (303, 3)])
+def test_reference_script_vs_engine_cli(spark, tmp_path, monkeypatch, seed, nday):
+    vi, gst, vutils, ROITimeSeries = _import_reference()
+    import requests
+
+    site, roi = "diffsite", "DB_0001"
+    rows = _synth_roistats_rows(seed, n=500)
+    arch = _write_fixture(tmp_path, site, roi, rows, ROITimeSeries)
+
+    # --- reference run (in-process, offline) -------------------------
+    def _no_net(*a, **k):
+        raise requests.exceptions.ConnectionError("sandbox is offline")
+
+    monkeypatch.setattr(vutils.requests, "get", _no_net)
+    monkeypatch.setattr(vi.config, "archive_dir", str(arch))
+    monkeypatch.setattr(vi.config, "site_info_file", str(arch / "site_info.csv"))
+    monkeypatch.setattr(gst, "archive_dir", str(arch))
+    monkeypatch.setattr(
+        sys, "argv", ["generate_summary_timeseries", "-p", str(nday), site, roi]
+    )
+    gst.main()
+
+    out = arch / site / "ROI" / f"{site}_{roi}_{nday}day.csv"
+    ref_out = tmp_path / "reference_summary.csv"
+    out.rename(ref_out)
+
+    # --- engine run (CLI twin on the same CSV, same thresholds) ------
+    import vegindex_job
+
+    vegindex_job.main(
+        [
+            "gcc-summary",
+            "--archive", str(arch),
+            "--site", site,
+            "--roi", roi,
+            "--nday", str(nday),
+            "--nmin", "1",
+        ]
+    )
+
+    ref = _read_summary_csv(ref_out)
+    eng = _read_summary_csv(out)
+
+    assert list(ref.columns) == list(eng.columns)
+    assert len(ref) == len(eng), (len(ref), len(eng))
+    # the spill windows must actually contain data for this to be a
+    # year-boundary test at all
+    jan = eng[(eng["doy"] <= 7) | (eng["doy"] >= 359)]
+    assert (jan["image_count"] > 0).any()
+
+    exact_cols = ["date", "year", "doy", "image_count", "midday_filename"]
+    for c in exact_cols:
+        pd.testing.assert_series_equal(ref[c], eng[c], check_names=False)
+    float_cols = [c for c in ref.columns if c not in exact_cols]
+    for c in float_cols:
+        a, b = ref[c].astype(float).values, eng[c].astype(float).values
+        both_nan = np.isnan(a) & np.isnan(b)
+        close = np.isclose(a, b, atol=1.5e-5, rtol=0.0, equal_nan=True)
+        bad = ~(both_nan | close)
+        assert not bad.any(), (
+            c,
+            ref.loc[bad, ["date", c]].head(),
+            eng.loc[bad, [c]].head(),
+        )
