@@ -214,37 +214,60 @@ def generate_ndvi_summary_table(
     brt_max: float = 665.0,
     spine_start=None,
     series_start=None,
+    qc_mode: str = "reference",
 ) -> DataFrame:
     """NDVI timeseries DataFrame -> n-day NDVI summary, the second
     flagship job (generate_ndvi_summary_timeseries.py:229-470), in
     NDVI_SUMMARY_FIELDS order. ``spine_start``/``series_start`` mirror
     :func:`generate_gcc_summary` (used by :func:`update_ndvi_summary`).
 
-    Faithful quirks: per-row gcc uses the STORED gcc and only counts
-    (and only contributes) where dnsum > 0 (the img_cnt guard,
-    :339-346); ndvi stats are over ALL QC'd rows' NDVI_c regardless of
-    the dnsum guard; the F3 range filter (NDVI_c in [-1, 1],
-    ndvitimeseries.py:621-642) is applied as in the reference's
-    filter_rows call (:245-247); sub-threshold buckets keep midday_* and
-    max_solar_elev, stats go ND.
+    ``qc_mode`` controls which rows feed the summary:
+
+    * ``"reference"`` (default, bug-compatible): ONLY the F3 range
+      filter (NDVI_c in [-1, 1]) applies. The reference script calls
+      ``select_rows`` but then overwrites its result with
+      ``filter_rows(...)``, which iterates ``self.rows`` — the FULL
+      unfiltered table (generate_ndvi_summary_timeseries.py:235-252,
+      ndvitimeseries.py:621-642) — so the time-of-day / brightness /
+      solar-elevation QC has NO effect on the released NDVI summary.
+      The tod/brt/sunelev parameters are accepted but unused here.
+    * ``"conjunctive"``: the repaired semantics — select_rows QC AND
+      the NDVI range filter both apply. (The reference's own
+      update_ndvi_summary_timeseries.py:237-243 applies ONLY
+      select_rows and no NDVI filter, disagreeing with its generate
+      twin; as with the update-path rcc np.mean quirk, the engine
+      uses one consistent semantic per mode rather than mirroring the
+      scripts' mutual inconsistency.)
+
+    Faithful quirks (both modes): per-row gcc uses the STORED gcc and
+    only counts (and only contributes) where dnsum > 0 (the img_cnt
+    guard, :339-346); ndvi stats are over ALL selected rows' NDVI_c
+    regardless of the dnsum guard; sub-threshold buckets keep midday_*
+    and max_solar_elev, stats go ND.
     """
     from ..sources.summary_export import NDVI_SUMMARY_FIELDS
 
+    if qc_mode not in ("reference", "conjunctive"):
+        raise ValueError(f"qc_mode must be 'reference' or 'conjunctive', got {qc_mode!r}")
     tier = f"{int(nday)}day"
-    brt = F.col("r_mean") + F.col("g_mean") + F.col("b_mean")
-    tod = F.date_format("ts", "HH:mm:ss")
-    qc = ndvits.filter(
-        (tod >= tod_min)
-        & (tod <= tod_max)
-        & brt.between(brt_min, brt_max)
-        & (F.col("solar_elev") >= sunelev_min)
-        & F.col("r_mean").isNotNull()
-        & F.col("NDVI_c").between(-1.0, 1.0)
-    )
+    ndvi_ok = F.col("NDVI_c").between(-1.0, 1.0)
+    if qc_mode == "reference":
+        qc = ndvits.filter(ndvi_ok)
+    else:
+        brt = F.col("r_mean") + F.col("g_mean") + F.col("b_mean")
+        tod = F.date_format("ts", "HH:mm:ss")
+        qc = ndvits.filter(
+            (tod >= tod_min)
+            & (tod <= tod_max)
+            & brt.between(brt_min, brt_max)
+            & (F.col("solar_elev") >= sunelev_min)
+            & F.col("r_mean").isNotNull()
+            & ndvi_ok
+        )
 
-    # dt_first/dt_last come after BOTH select_rows and filter_rows in the
-    # NDVI job (generate_ndvi_summary_timeseries.py:235-265; the awb skip
-    # is commented out there, :306-307), so bounds come from qc itself.
+    # dt_first/dt_last come from the filter_rows output — the qc set of
+    # the active mode (generate_ndvi_summary_timeseries.py:253-265; the
+    # awb skip is commented out there, :306-307).
     naive_b = bucket_start(F.col("ts"), tier)
     y0 = F.year(F.min("ts"))
     if series_start is not None:
@@ -398,6 +421,11 @@ def update_ndvi_summary(
     Invariant (tested): ``update_ndvi_summary(generate(old_rows),
     all_rows) == generate(all_rows)`` row-for-row; the recompute window
     is cursor-bucket-defined exactly as in :func:`update_gcc_summary`.
+    ``qc_mode`` passes through to :func:`generate_ndvi_summary_table`
+    (default "reference"); note the reference's own update script
+    applies select_rows and NO NDVI filter — the opposite quirk of its
+    generate twin — so an engine update keeps the generate semantics to
+    preserve the update == full-recompute invariant.
     """
     import datetime as _dt
 

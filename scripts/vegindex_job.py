@@ -71,6 +71,13 @@ def main(argv: list[str] | None = None) -> str:
     ap.add_argument("--sunelev-min", type=float, default=10.0)
     ap.add_argument("--brt-min", type=float, default=100.0)
     ap.add_argument("--brt-max", type=float, default=665.0)
+    ap.add_argument(
+        "--ndvi-qc", choices=["reference", "conjunctive"], default="reference",
+        help="NDVI summary row selection: 'reference' = NDVI range filter "
+             "only (bug-compatible with generate_ndvi_summary_timeseries.py, "
+             "whose filter_rows call discards the select_rows result); "
+             "'conjunctive' = QC thresholds AND the NDVI range filter",
+    )
     ap.add_argument("--lat", type=float, default=None, help="site latitude (roi jobs)")
     ap.add_argument("--lon", type=float, default=None, help="site longitude (roi jobs)")
     ap.add_argument("--tzoffset", type=float, default=0.0)
@@ -106,7 +113,9 @@ def main(argv: list[str] | None = None) -> str:
         default = f"{args.site}_{args.roi}_{args.nday}day.csv"
     elif args.job == "ndvi-summary":
         ndvits, _ = catalog.get_ndvi_timeseries(spark, args.archive, args.site, args.roi)
-        out = generate_ndvi_summary_table(ndvits, nday=args.nday, nmin=args.nmin, **qc)
+        out = generate_ndvi_summary_table(
+            ndvits, nday=args.nday, nmin=args.nmin, qc_mode=args.ndvi_qc, **qc
+        )
         default = f"{args.site}_{args.roi}_ndvi_{args.nday}day.csv"
     elif args.job == "update-gcc":
         existing, props = catalog.get_gcc_timeseries(
@@ -120,7 +129,9 @@ def main(argv: list[str] | None = None) -> str:
             spark, args.archive, args.site, args.roi, nday=args.nday, nmin=0
         )
         ndvits, _ = catalog.get_ndvi_timeseries(spark, args.archive, args.site, args.roi)
-        out = update_ndvi_summary(existing, ndvits, nday=args.nday, nmin=args.nmin, **qc)
+        out = update_ndvi_summary(
+            existing, ndvits, nday=args.nday, nmin=args.nmin, qc_mode=args.ndvi_qc, **qc
+        )
         default = f"{args.site}_{args.roi}_ndvi_{args.nday}day.csv"
     elif args.job in ("generate-roi", "update-roi", "generate-ir", "update-ir"):
         # E1: archive -> tier-1 roistats / IR roistats

@@ -148,6 +148,155 @@ def _read_summary_csv(path):
     return df.sort_values("date").reset_index(drop=True)
 
 
+NDVI_TS_COLS = [
+    "date", "local_std_time", "doy", "filename_rgb", "filename_ir",
+    "solar_elev", "exposure_rgb", "exposure_ir", "mask_index",
+    "r_mean", "g_mean", "b_mean",
+    "ir_mean", "ir_std", "ir_5_qtl", "ir_10_qtl", "ir_25_qtl",
+    "ir_50_qtl", "ir_75_qtl", "ir_90_qtl", "ir_95_qtl",
+    "gcc", "Y", "Z_prime", "R_prime", "Y_prime", "X_prime", "NDVI_c",
+]  # generate_ndvi_timeseries.py:207-248 (prune + rename)
+
+
+def _synth_ndvi_ts(seed: int, n: int) -> pd.DataFrame:
+    """Randomized NDVI tier-1 rows in the reference's own column set,
+    spanning a Jan-1 boundary, with NDVI_c straddling the [-1, 1]
+    filter_rows range so the F3 filter is exercised on both sides."""
+    rng = np.random.default_rng(seed)
+    t0 = dt.datetime(2020, 10, 1)
+    span_s = int((dt.datetime(2021, 3, 10) - t0).total_seconds())
+    offsets = sorted(set(int(o) for o in rng.choice(span_s, size=n, replace=False)))
+    rows = []
+    for off in offsets:
+        ts = t0 + dt.timedelta(seconds=off)
+        r, g, b = (float(x) for x in rng.uniform(20.0, 250.0, 3))
+        rows.append(
+            {
+                "date": ts.date().isoformat(),
+                "local_std_time": ts.strftime("%H:%M:%S"),
+                "doy": ts.timetuple().tm_yday,
+                "filename_rgb": "ndvisite_{:%Y_%m_%d_%H%M%S}.jpg".format(ts),
+                "filename_ir": "ndvisite_IR_{:%Y_%m_%d_%H%M%S}.jpg".format(ts),
+                "solar_elev": float(rng.uniform(-10.0, 75.0)),
+                "exposure_rgb": int(rng.integers(1, 300)),
+                "exposure_ir": int(rng.integers(1, 300)),
+                "mask_index": 1,
+                "r_mean": r, "g_mean": g, "b_mean": b,
+                "ir_mean": float(rng.uniform(20.0, 250.0)),
+                "ir_std": float(rng.uniform(0.0, 60.0)),
+                **{
+                    f"ir_{p}_qtl": float(v)
+                    for p, v in zip(
+                        (5, 10, 25, 50, 75, 90, 95),
+                        np.sort(rng.integers(0, 256, 7)).astype(float),
+                    )
+                },
+                "gcc": g / (r + g + b),
+                "Y": float(rng.uniform(0.0, 250.0)),
+                "Z_prime": float(rng.uniform(0.0, 50.0)),
+                "R_prime": float(rng.uniform(0.0, 50.0)),
+                "Y_prime": float(rng.uniform(0.0, 50.0)),
+                "X_prime": float(rng.uniform(-50.0, 50.0)),
+                "NDVI_c": float(rng.uniform(-1.3, 1.3)),
+            }
+        )
+    return pd.DataFrame(rows)[NDVI_TS_COLS]
+
+
+def _write_ndvi_fixture(tmp_path, site, roi, pdf: pd.DataFrame):
+    """Reference tier-1 NDVI CSV exactly as generate_ndvi_timeseries
+    writeCSV produces it (generate_ndvi_timeseries.py:254-303): pandas
+    to_csv with na_rep='NA', float_format='%.4f', prepended '#' header."""
+    arch = tmp_path / "archive"
+    roidir = arch / site / "ROI"
+    roidir.mkdir(parents=True)
+    (arch / "site_info.csv").write_text(
+        "# site info\n"
+        "sitename,lat,lon,elev,start_date,end_date,tzoffset,nimage\n"
+        f"{site},42.5,-72.2,300,2019-01-01,2021-12-31,-5,300\n"
+    )
+    path = roidir / f"{site}_{roi}_NDVI_roistats.csv"
+    roitype, seqno = roi.split("_")
+    header = "".join(
+        [
+            "#\n",
+            f"# NDVI statistics timeseries for {site}\n",
+            "#\n",
+            f"# Site: {site}\n",
+            f"# Veg Type: {roitype}\n",
+            f"# ROI ID Number: {seqno}\n",
+            "# Lat: 42.5\n# Lon: -72.2\n# Elev: 300\n# UTC Offset: -5\n",
+            "# Resize Flag: False\n# Version: 1\n",
+            "# Creation Date: 2021-03-11\n# Creation Time: 01:02:03\n",
+            "# Update Date: 2021-03-11\n# Update Time: 01:02:03\n",
+            "#\n",
+        ]
+    )
+    body = pdf.to_csv(sep=",", na_rep="NA", float_format="%.4f", index=False)
+    path.write_text(header + body)
+    return arch
+
+
+@pytest.mark.parametrize("seed,nday", [(404, 3)])
+def test_reference_ndvi_summary_vs_engine_cli(spark, tmp_path, monkeypatch, seed, nday):
+    """Same differential, second flagship: the reference's
+    generate_ndvi_summary_timeseries.main() vs the engine's ndvi-summary
+    CLI twin over a randomized tier-1 NDVI table crossing Jan 1."""
+    vi, _, vutils, _ = _import_reference()
+    from vegindex import generate_ndvi_summary_timeseries as gnst
+    import requests
+
+    site, roi = "ndvisite", "DB_0001"
+    arch = _write_ndvi_fixture(tmp_path, site, roi, _synth_ndvi_ts(seed, n=400))
+
+    def _no_net(*a, **k):
+        raise requests.exceptions.ConnectionError("sandbox is offline")
+
+    monkeypatch.setattr(vutils.requests, "get", _no_net)
+    monkeypatch.setattr(vi.config, "archive_dir", str(arch))
+    monkeypatch.setattr(vi.config, "site_info_file", str(arch / "site_info.csv"))
+    monkeypatch.setattr(gnst, "archive_dir", str(arch))
+    monkeypatch.setattr(
+        sys, "argv", ["generate_ndvi_summary_timeseries", "-p", str(nday), site, roi]
+    )
+    gnst.main()
+
+    out = arch / site / "ROI" / f"{site}_{roi}_ndvi_{nday}day.csv"
+    ref_out = tmp_path / "reference_ndvi_summary.csv"
+    out.rename(ref_out)
+
+    import vegindex_job
+
+    vegindex_job.main(
+        [
+            "ndvi-summary",
+            "--archive", str(arch),
+            "--site", site,
+            "--roi", roi,
+            "--nday", str(nday),
+            "--nmin", "1",
+        ]
+    )
+
+    ref = _read_summary_csv(ref_out)
+    eng = _read_summary_csv(out)
+    assert list(ref.columns) == list(eng.columns)
+    assert len(ref) == len(eng), (len(ref), len(eng))
+
+    exact_cols = [
+        "date", "year", "doy", "image_count",
+        "midday_rgb_filename", "midday_ir_filename",
+    ]
+    for c in exact_cols:
+        pd.testing.assert_series_equal(ref[c], eng[c], check_names=False)
+    for c in [c for c in ref.columns if c not in exact_cols]:
+        a, b = ref[c].astype(float).values, eng[c].astype(float).values
+        both_nan = np.isnan(a) & np.isnan(b)
+        close = np.isclose(a, b, atol=1.5e-5, rtol=0.0, equal_nan=True)
+        bad = ~(both_nan | close)
+        assert not bad.any(), (c, ref.loc[bad, ["date", c]].head())
+
+
 @pytest.mark.parametrize("seed,nday", [(101, 3), (202, 1), (303, 3)])
 def test_reference_script_vs_engine_cli(spark, tmp_path, monkeypatch, seed, nday):
     vi, gst, vutils, ROITimeSeries = _import_reference()

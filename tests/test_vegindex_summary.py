@@ -297,15 +297,22 @@ def ndvits_pdf():
     return pd.DataFrame(rows)
 
 
-def _ndvi_oracle(pdf: pd.DataFrame, nday: int, nmin: int) -> dict:
+def _ndvi_oracle(pdf: pd.DataFrame, nday: int, nmin: int, qc_mode: str = "reference") -> dict:
     df = pdf.copy()
-    brt = df.r_mean + df.g_mean + df.b_mean
-    df = df[
-        brt.between(100.0, 665.0)
-        & (df.solar_elev >= 10.0)
-        & df.r_mean.notna()
-        & df.NDVI_c.between(-1.0, 1.0)
-    ].sort_values("ts", kind="mergesort")
+    if qc_mode == "reference":
+        # bug-compatible with the reference script: filter_rows iterates
+        # self.rows, discarding the select_rows result entirely
+        # (generate_ndvi_summary_timeseries.py:235-252)
+        keep = df.NDVI_c.between(-1.0, 1.0)
+    else:
+        brt = df.r_mean + df.g_mean + df.b_mean
+        keep = (
+            brt.between(100.0, 665.0)
+            & (df.solar_elev >= 10.0)
+            & df.r_mean.notna()
+            & df.NDVI_c.between(-1.0, 1.0)
+        )
+    df = df[keep].sort_values("ts", kind="mergesort")
     df["date"] = df.ts.dt.date
 
     def bstart(d):
@@ -343,19 +350,21 @@ def _ndvi_oracle(pdf: pd.DataFrame, nday: int, nmin: int) -> dict:
     return out
 
 
-@pytest.mark.parametrize("nday,nmin", [(3, 2)])
-def test_generate_ndvi_summary_matches_oracle(spark, ndvits_pdf, nday, nmin):
+@pytest.mark.parametrize(
+    "nday,nmin,qc_mode", [(3, 2, "reference"), (3, 2, "conjunctive")]
+)
+def test_generate_ndvi_summary_matches_oracle(spark, ndvits_pdf, nday, nmin, qc_mode):
     from python_vegindex_spark.operators.vegindex_summary import (
         generate_ndvi_summary_table,
     )
     from python_vegindex_spark.sources.summary_export import NDVI_SUMMARY_FIELDS
 
     got = generate_ndvi_summary_table(
-        spark.createDataFrame(ndvits_pdf), nday=nday, nmin=nmin
+        spark.createDataFrame(ndvits_pdf), nday=nday, nmin=nmin, qc_mode=qc_mode
     )
     assert got.columns == NDVI_SUMMARY_FIELDS
     got_rows = {r["date"]: r for r in got.collect()}
-    exp = _ndvi_oracle(ndvits_pdf, nday, nmin)
+    exp = _ndvi_oracle(ndvits_pdf, nday, nmin, qc_mode)
     assert set(got_rows) == set(exp)
     for center, e in exp.items():
         g = got_rows[center]
