@@ -148,6 +148,103 @@ def _read_summary_csv(path):
     return df.sort_values("date").reset_index(drop=True)
 
 
+@pytest.mark.parametrize("seed,nday", [(505, 3)])
+def test_reference_update_script_vs_engine_cli(spark, tmp_path, monkeypatch, seed, nday):
+    """Differential for the INCREMENTAL flow: reference
+    update_summary_timeseries.main() vs the engine's update-gcc CLI twin.
+
+    Both read the same v1 summary (generated by the reference script
+    over the first ~60% of rows) plus the full tier-1 CSV, re-open the
+    last bucket, and recompute forward. The reference's tail cutoff is
+    ``last_date - timedelta(days=nday/2)`` where Python date arithmetic
+    IGNORES the fractional day (update_summary_timeseries.py:249-256),
+    so it equals the engine's ``nday // 2`` — the cutoffs agree exactly.
+    The reference's np.mean/np.std (non-nan) rcc quirk (:452-453) is
+    inert here because every synthetic row has dnsum > 0. The split
+    point is mid-year (2020-09-01) so the reference's
+    re-anchor-on-first-new-row behavior cannot rebuild a frozen
+    previous-year bucket from spill-over rows (the one documented
+    divergence of update_gcc_summary)."""
+    vi, gst, vutils, ROITimeSeries = _import_reference()
+    from vegindex import update_summary_timeseries as ust
+    import requests
+    import shutil
+
+    site, roi = "diffsite", "DB_0001"
+    rows = _synth_roistats_rows(seed, n=500)
+    cut = dt.datetime(2020, 9, 1)
+    part1 = [r for r in rows if r["datetime"] <= cut]
+    assert len(part1) > 100 and len(part1) < len(rows)
+    arch = _write_fixture(tmp_path, site, roi, part1, ROITimeSeries)
+    roidir = arch / site / "ROI"
+    roistats_csv = roidir / f"{site}_{roi}_roistats.csv"
+    summary_csv = roidir / f"{site}_{roi}_{nday}day.csv"
+
+    def _no_net(*a, **k):
+        raise requests.exceptions.ConnectionError("sandbox is offline")
+
+    monkeypatch.setattr(vutils.requests, "get", _no_net)
+    monkeypatch.setattr(vi.config, "archive_dir", str(arch))
+    monkeypatch.setattr(vi.config, "site_info_file", str(arch / "site_info.csv"))
+    monkeypatch.setattr(gst, "archive_dir", str(arch))
+    monkeypatch.setattr(ust, "archive_dir", str(arch))
+
+    # v1 summary over part1, via the reference's own generate script
+    monkeypatch.setattr(
+        sys, "argv", ["generate_summary_timeseries", "-p", str(nday), site, roi]
+    )
+    gst.main()
+    v1 = tmp_path / "summary_v1.csv"
+    shutil.copy(summary_csv, v1)
+
+    # extend the tier-1 CSV to the full row set (the nightly append)
+    roits = ROITimeSeries(site="", ROIListID=roi)
+    roits.site = site
+    roits.rows = rows
+    roits.writeCSV(str(roistats_csv))
+
+    # reference incremental update -> v2_ref
+    monkeypatch.setattr(
+        sys, "argv", ["update_summary_timeseries", "-p", str(nday), site, roi]
+    )
+    ust.main()
+    ref_out = tmp_path / "reference_updated.csv"
+    summary_csv.rename(ref_out)
+
+    # engine incremental update from the same v1 + full tier-1 -> v2_eng
+    shutil.copy(v1, summary_csv)
+    import vegindex_job
+
+    vegindex_job.main(
+        [
+            "update-gcc",
+            "--archive", str(arch),
+            "--site", site,
+            "--roi", roi,
+            "--nday", str(nday),
+            "--nmin", "1",
+        ]
+    )
+
+    ref = _read_summary_csv(ref_out)
+    eng = _read_summary_csv(summary_csv)
+    assert list(ref.columns) == list(eng.columns)
+    assert len(ref) == len(eng), (len(ref), len(eng))
+    # the update must actually have appended buckets past the v1 tail
+    v1_rows = _read_summary_csv(v1)
+    assert len(ref) > len(v1_rows)
+
+    exact_cols = ["date", "year", "doy", "image_count", "midday_filename"]
+    for c in exact_cols:
+        pd.testing.assert_series_equal(ref[c], eng[c], check_names=False)
+    for c in [c for c in ref.columns if c not in exact_cols]:
+        a, b = ref[c].astype(float).values, eng[c].astype(float).values
+        both_nan = np.isnan(a) & np.isnan(b)
+        close = np.isclose(a, b, atol=1.5e-5, rtol=0.0, equal_nan=True)
+        bad = ~(both_nan | close)
+        assert not bad.any(), (c, ref.loc[bad, ["date", c]].head())
+
+
 NDVI_TS_COLS = [
     "date", "local_std_time", "doy", "filename_rgb", "filename_ir",
     "solar_elev", "exposure_rgb", "exposure_ir", "mask_index",
