@@ -245,6 +245,147 @@ def test_reference_update_script_vs_engine_cli(spark, tmp_path, monkeypatch, see
         assert not bad.any(), (c, ref.loc[bad, ["date", c]].head())
 
 
+def test_reference_update_yearboundary_quirk_not_replicated(
+    spark, tmp_path, monkeypatch
+):
+    """Prove the documented divergence of update_gcc_summary is real and
+    deliberate: when an incremental update re-opens a year's FIRST
+    bucket, the reference's update script re-anchors daterange2 on the
+    first re-selected row (update_summary_timeseries.py:250-282) and so
+    pulls the previous year's spill-over rows INTO the Jan-1 bucket —
+    double-counting them (they already sit in the frozen Dec bucket from
+    the prior run) and disagreeing with the reference's OWN full
+    generate script. The engine's update excludes rows whose cursor
+    bucket precedes the re-opened bucket and therefore preserves
+    update == full-recompute == reference-full.
+
+    Deterministic layout (nday=3): one QC-passing row per day at 10:00,
+    2021-12-20 .. 2022-01-10. 2021 has 365 days, so its final bucket
+    starts Dec 30 (doy 364) and overflows 1 day — Jan 1 2022 belongs to
+    it. v1 covers rows through Jan 2, so v1's last bucket is the
+    Jan-1-2022 bucket (center Jan 2) and the update's cutoff lands on
+    Jan 1 — the corruption trigger."""
+    vi, gst, vutils, ROITimeSeries = _import_reference()
+    from vegindex import update_summary_timeseries as ust
+    import requests
+    import shutil
+
+    site, roi, nday = "diffsite", "DB_0001", 3
+    rows = []
+    day0 = dt.datetime(2021, 12, 20, 10, 0, 0)
+    for k in range(22):  # Dec 20 .. Jan 10
+        ts = day0 + dt.timedelta(days=k)
+        r, g, b = 80.0 + k, 120.0 + k, 60.0 + k  # brt in [260, 323] — passes QC
+        rows.append(
+            {
+                "date": ts.date(),
+                "local_std_time": ts.strftime("%H:%M:%S"),
+                "datetime": ts,
+                "doy": ts.timetuple().tm_yday,
+                "filename": "diffsite_{:%Y_%m_%d_%H%M%S}.jpg".format(ts),
+                "solar_elev": 30.0,
+                "exposure": 100,
+                "awbflag": 0,
+                "mask_index": 1,
+                "gcc": g / (r + g + b),
+                "rcc": r / (r + g + b),
+                "r_mean": r, "r_std": 10.0,
+                "g_mean": g, "g_std": 10.0,
+                "b_mean": b, "b_std": 10.0,
+                "r_g_correl": 0.5, "g_b_correl": 0.5, "b_r_correl": 0.5,
+                **{
+                    f"{band}_{p}_qtl": 100.0
+                    for band in "rgb"
+                    for p in (5, 10, 25, 50, 75, 90, 95)
+                },
+            }
+        )
+    part1 = [x for x in rows if x["datetime"].date() <= dt.date(2022, 1, 2)]
+    arch = _write_fixture(tmp_path, site, roi, part1, ROITimeSeries)
+    roidir = arch / site / "ROI"
+    roistats_csv = roidir / f"{site}_{roi}_roistats.csv"
+    summary_csv = roidir / f"{site}_{roi}_{nday}day.csv"
+
+    def _no_net(*a, **k):
+        raise requests.exceptions.ConnectionError("sandbox is offline")
+
+    monkeypatch.setattr(vutils.requests, "get", _no_net)
+    monkeypatch.setattr(vi.config, "archive_dir", str(arch))
+    monkeypatch.setattr(vi.config, "site_info_file", str(arch / "site_info.csv"))
+    monkeypatch.setattr(gst, "archive_dir", str(arch))
+    monkeypatch.setattr(ust, "archive_dir", str(arch))
+
+    monkeypatch.setattr(
+        sys, "argv", ["generate_summary_timeseries", "-p", str(nday), site, roi]
+    )
+    gst.main()
+    v1 = tmp_path / "summary_v1.csv"
+    shutil.copy(summary_csv, v1)
+    v1_df = _read_summary_csv(v1)
+    # v1 sanity: Jan 1 spilled into the Dec-30 bucket (center Dec 31)
+    dec31 = v1_df[v1_df["date"] == "2021-12-31"].iloc[0]
+    jan2 = v1_df[v1_df["date"] == "2022-01-02"].iloc[0]
+    assert int(dec31["image_count"]) == 3  # Dec 30, Dec 31, Jan 1
+    assert int(jan2["image_count"]) == 1  # Jan 2 only
+
+    # full tier-1 + reference incremental update -> corrupted Jan bucket
+    roits = ROITimeSeries(site="", ROIListID=roi)
+    roits.site = site
+    roits.rows = rows
+    roits.writeCSV(str(roistats_csv))
+    monkeypatch.setattr(
+        sys, "argv", ["update_summary_timeseries", "-p", str(nday), site, roi]
+    )
+    ust.main()
+    ref_upd = _read_summary_csv(summary_csv)
+    summary_csv.unlink()
+
+    # reference FULL generate over the same full tier-1
+    monkeypatch.setattr(
+        sys, "argv", ["generate_summary_timeseries", "-p", str(nday), site, roi]
+    )
+    gst.main()
+    ref_full = _read_summary_csv(summary_csv)
+    summary_csv.unlink()
+
+    # engine incremental update from the same v1
+    shutil.copy(v1, summary_csv)
+    import vegindex_job
+
+    vegindex_job.main(
+        [
+            "update-gcc",
+            "--archive", str(arch),
+            "--site", site,
+            "--roi", roi,
+            "--nday", str(nday),
+            "--nmin", "1",
+        ]
+    )
+    eng_upd = _read_summary_csv(summary_csv)
+
+    # the reference's update disagrees with its own full run: the Jan-1
+    # bucket re-swallowed the already-frozen Jan 1 spill row
+    rf = ref_full.set_index("date")["image_count"]
+    ru = ref_upd.set_index("date")["image_count"]
+    assert int(rf["2022-01-02"]) == 2  # Jan 2, Jan 3
+    assert int(ru["2022-01-02"]) == 3  # Jan 1 double-counted
+    assert int(rf["2021-12-31"]) == int(ru["2021-12-31"]) == 3
+
+    # the engine's update equals the reference's FULL run everywhere
+    assert len(eng_upd) == len(ref_full)
+    for c in ["date", "year", "doy", "image_count", "midday_filename"]:
+        pd.testing.assert_series_equal(ref_full[c], eng_upd[c], check_names=False)
+    for c in [
+        c
+        for c in ref_full.columns
+        if c not in ("date", "year", "doy", "image_count", "midday_filename")
+    ]:
+        a = ref_full[c].astype(float).values
+        b = eng_upd[c].astype(float).values
+        assert np.allclose(a, b, atol=1.5e-5, rtol=0.0, equal_nan=True), c
+
+
 NDVI_TS_COLS = [
     "date", "local_std_time", "doy", "filename_rgb", "filename_ir",
     "solar_elev", "exposure_rgb", "exposure_ir", "mask_index",
