@@ -232,12 +232,12 @@ def generate_ndvi_summary_table(
       solar-elevation QC has NO effect on the released NDVI summary.
       The tod/brt/sunelev parameters are accepted but unused here.
     * ``"conjunctive"``: the repaired semantics — select_rows QC AND
-      the NDVI range filter both apply. (The reference's own
-      update_ndvi_summary_timeseries.py:237-243 applies ONLY
-      select_rows and no NDVI filter, disagreeing with its generate
-      twin; as with the update-path rcc np.mean quirk, the engine
-      uses one consistent semantic per mode rather than mirroring the
-      scripts' mutual inconsistency.)
+      the NDVI range filter both apply. (The reference's
+      update_ndvi_summary_timeseries would have applied ONLY
+      select_rows, :237-243 — but that script is an unfinished stub
+      that exits at :221 before any update logic runs, so the generate
+      script's behavior is the only released NDVI-summary semantics;
+      see tests/test_reference_differential.py.)
 
     Faithful quirks (both modes): per-row gcc uses the STORED gcc and
     only counts (and only contributes) where dnsum > 0 (the img_cnt
@@ -412,20 +412,22 @@ def update_ndvi_summary(
     nmin: int = 1,
     **qc,
 ) -> DataFrame:
-    """The update_ndvi_summary_timeseries flow over DataFrames — the
-    NDVI twin of :func:`update_gcc_summary` (the reference script,
-    update_ndvi_summary_timeseries.py:200-460, mirrors
-    update_summary_timeseries.py: re-open the last summary bucket,
-    recompute from there over the NDVI tier-1 table, keep older rows).
+    """The incremental-NDVI flow over DataFrames — the NDVI twin of
+    :func:`update_gcc_summary`, COMPLETING the reference's
+    update_ndvi_summary_timeseries: that script is an unfinished stub in
+    vegindex 0.10.2 (it crashes at :214 as shipped, and with the crash
+    repaired it reads the summary and sys.exit(0)s at :221 — its
+    select_rows/aggregation/insert_row body, :237-460, is dead code;
+    pinned in tests/test_reference_differential.py). This twin applies
+    update_summary_timeseries.py's proven pattern (re-open the last
+    summary bucket, recompute forward, keep older rows) to the NDVI
+    table with the generate script's row-selection semantics.
 
     Invariant (tested): ``update_ndvi_summary(generate(old_rows),
     all_rows) == generate(all_rows)`` row-for-row; the recompute window
     is cursor-bucket-defined exactly as in :func:`update_gcc_summary`.
     ``qc_mode`` passes through to :func:`generate_ndvi_summary_table`
-    (default "reference"); note the reference's own update script
-    applies select_rows and NO NDVI filter — the opposite quirk of its
-    generate twin — so an engine update keeps the generate semantics to
-    preserve the update == full-recompute invariant.
+    (default "reference").
     """
     import datetime as _dt
 

@@ -453,7 +453,11 @@ def _write_ndvi_fixture(tmp_path, site, roi, pdf: pd.DataFrame):
         "sitename,lat,lon,elev,start_date,end_date,tzoffset,nimage\n"
         f"{site},42.5,-72.2,300,2019-01-01,2021-12-31,-5,300\n"
     )
-    path = roidir / f"{site}_{roi}_NDVI_roistats.csv"
+    _rewrite_ndvi_csv(roidir / f"{site}_{roi}_NDVI_roistats.csv", site, roi, pdf)
+    return arch
+
+
+def _rewrite_ndvi_csv(path, site, roi, pdf: pd.DataFrame):
     roitype, seqno = roi.split("_")
     header = "".join(
         [
@@ -472,7 +476,149 @@ def _write_ndvi_fixture(tmp_path, site, roi, pdf: pd.DataFrame):
     )
     body = pdf.to_csv(sep=",", na_rep="NA", float_format="%.4f", index=False)
     path.write_text(header + body)
-    return arch
+
+
+def _ndvi_row(ts: dt.datetime, ndvi: float, solar: float = 30.0) -> dict:
+    r, g, b = 80.0, 120.0, 60.0  # brt 260 — passes QC
+    return {
+        "date": ts.date().isoformat(),
+        "local_std_time": ts.strftime("%H:%M:%S"),
+        "doy": ts.timetuple().tm_yday,
+        "filename_rgb": "ndvisite_{:%Y_%m_%d_%H%M%S}.jpg".format(ts),
+        "filename_ir": "ndvisite_IR_{:%Y_%m_%d_%H%M%S}.jpg".format(ts),
+        "solar_elev": solar,
+        "exposure_rgb": 100, "exposure_ir": 100, "mask_index": 1,
+        "r_mean": r, "g_mean": g, "b_mean": b,
+        "ir_mean": 150.0, "ir_std": 10.0,
+        **{f"ir_{p}_qtl": 100.0 for p in (5, 10, 25, 50, 75, 90, 95)},
+        "gcc": g / (r + g + b),
+        "Y": 100.0, "Z_prime": 15.0, "R_prime": 8.0,
+        "Y_prime": 10.0, "X_prime": 5.0,
+        "NDVI_c": ndvi,
+    }
+
+
+def test_reference_ndvi_update_is_a_stub_and_engine_completes_it(
+    spark, tmp_path, monkeypatch
+):
+    """Pin a reference finding: vegindex 0.10.2's update-ndvi console
+    script is an UNFINISHED STUB. As shipped it (a) crashes at
+    update_ndvi_summary_timeseries.py:214 (`vi.NDVISummaryTimeSeries` on
+    the package, whose __init__ exposes only `config`; and the kwarg is
+    `ndays=` where the class takes `nday=`), and (b) even with those two
+    crashes repaired, it reads the existing summary, prints the row
+    count, and `sys.exit(0)`s at :221 — every line below (select_rows,
+    daterange2, the aggregation loop, insert_row, writeCSV) is dead
+    code. There is no released incremental-NDVI behavior to port.
+
+    So the test asserts exactly that (the repaired script exits 0 and
+    leaves the summary file untouched), then asserts the engine's
+    update-ndvi twin — which completes the flow with the generate
+    script's semantics — equals the reference's own FULL generate run
+    over the extended tier-1 table, including on the two planted
+    filter-edge rows: row A (June 20, solar_elev 5 — fails QC, passes
+    NDVI; the generate script keeps it) and row B (June 21, NDVI_c 1.2
+    — passes QC, fails NDVI; the generate script drops it)."""
+    vi, _, vutils, _ = _import_reference()
+    from vegindex import generate_ndvi_summary_timeseries as gnst
+    from vegindex import update_ndvi_summary_timeseries as unst
+    from vegindex.ndvi_summary_timeseries import NDVISummaryTimeSeries
+    import requests
+    import shutil
+
+    def _fixed_ctor(site="", ROIListID="", ndays=1, **kw):
+        # repairs crash (a) only — the intended class with the intended
+        # kwarg spelling — so the script can reach its own sys.exit(0)
+        return NDVISummaryTimeSeries(site=site, ROIListID=ROIListID, nday=ndays, **kw)
+
+    monkeypatch.setattr(vi, "NDVISummaryTimeSeries", _fixed_ctor, raising=False)
+
+    site, roi, nday = "ndvisite", "DB_0001", 3
+    rows = []
+    for k in range(24):  # June 1 .. June 24
+        ts = dt.datetime(2022, 6, 1, 10, 0, 0) + dt.timedelta(days=k)
+        if ts.day == 20:
+            rows.append(_ndvi_row(ts, ndvi=0.5, solar=5.0))  # row A
+        elif ts.day == 21:
+            rows.append(_ndvi_row(ts, ndvi=1.2))  # row B
+        else:
+            rows.append(_ndvi_row(ts, ndvi=0.5))
+    pdf_full = pd.DataFrame(rows)[NDVI_TS_COLS]
+    pdf_part1 = pdf_full[pdf_full["date"] <= "2022-06-15"]
+
+    arch = _write_ndvi_fixture(tmp_path, site, roi, pdf_part1)
+    roidir = arch / site / "ROI"
+    ndvits_csv = roidir / f"{site}_{roi}_NDVI_roistats.csv"
+    summary_csv = roidir / f"{site}_{roi}_ndvi_{nday}day.csv"
+
+    def _no_net(*a, **k):
+        raise requests.exceptions.ConnectionError("sandbox is offline")
+
+    monkeypatch.setattr(vutils.requests, "get", _no_net)
+    monkeypatch.setattr(vi.config, "archive_dir", str(arch))
+    monkeypatch.setattr(vi.config, "site_info_file", str(arch / "site_info.csv"))
+    monkeypatch.setattr(gnst, "archive_dir", str(arch))
+    monkeypatch.setattr(unst, "archive_dir", str(arch))
+
+    monkeypatch.setattr(
+        sys, "argv", ["generate_ndvi_summary_timeseries", "-p", str(nday), site, roi]
+    )
+    gnst.main()
+    v1 = tmp_path / "ndvi_summary_v1.csv"
+    shutil.copy(summary_csv, v1)
+
+    # extend tier-1 to the full set; the reference's update script (with
+    # its crash repaired) reads the summary and exits 0 without touching
+    # it — the shipped stub behavior
+    _rewrite_ndvi_csv(ndvits_csv, site, roi, pdf_full)
+    monkeypatch.setattr(
+        sys, "argv", ["update_ndvi_summary_timeseries", "-p", str(nday), site, roi]
+    )
+    before = summary_csv.read_bytes()
+    with pytest.raises(SystemExit) as exc:
+        unst.main()
+    assert exc.value.code == 0  # update_ndvi_summary_timeseries.py:221
+    assert summary_csv.read_bytes() == before  # nothing was updated
+    summary_csv.unlink()
+
+    # the reference's own full generate over the same full tier-1
+    monkeypatch.setattr(
+        sys, "argv", ["generate_ndvi_summary_timeseries", "-p", str(nday), site, roi]
+    )
+    gnst.main()
+    ref_full = _read_summary_csv(summary_csv)
+    summary_csv.unlink()
+
+    # the engine's update from the same v1
+    shutil.copy(v1, summary_csv)
+    import vegindex_job
+
+    vegindex_job.main(
+        [
+            "update-ndvi",
+            "--archive", str(arch),
+            "--site", site,
+            "--roi", roi,
+            "--nday", str(nday),
+            "--nmin", "1",
+        ]
+    )
+    eng_upd = _read_summary_csv(summary_csv)
+
+    # June-19 bucket (18-20) holds row A; June-22 bucket (21-23) holds B
+    rf = ref_full.set_index("date")["image_count"]
+    assert int(rf["2022-06-19"]) == 3  # generate keeps QC-failing A
+    assert int(rf["2022-06-22"]) == 2  # generate drops NDVI-failing B
+
+    assert len(eng_upd) == len(ref_full)
+    exact = ["date", "year", "doy", "image_count",
+             "midday_rgb_filename", "midday_ir_filename"]
+    for c in exact:
+        pd.testing.assert_series_equal(ref_full[c], eng_upd[c], check_names=False)
+    for c in [c for c in ref_full.columns if c not in exact]:
+        a = ref_full[c].astype(float).values
+        b = eng_upd[c].astype(float).values
+        assert np.allclose(a, b, atol=1.5e-5, rtol=0.0, equal_nan=True), c
 
 
 @pytest.mark.parametrize("seed,nday", [(404, 3)])
