@@ -478,6 +478,132 @@ def _rewrite_ndvi_csv(path, site, roi, pdf: pd.DataFrame):
     path.write_text(header + body)
 
 
+def test_reference_e3_ndvi_generation_vs_engine_cli(spark, tmp_path, monkeypatch):
+    """Differential for the E3 pipeline: the reference's
+    generate_ndvi_timeseries.main() (pandas merge_asof nearest +/-10 min
+    + Petach algebra + null/zero-exposure drops) vs the engine's
+    generate-ndvi CLI twin, over randomized RGB and IR tier-1 CSVs
+    written by the reference's own writers. IR timestamps are offset by
+    -12..+12 minutes so the tolerance boundary is exercised, and planted
+    rows hit each F4 drop: an RGB row with exposure 0, an IR row with
+    exposure 0, and an RGB row with missing DN means."""
+    vi, _, vutils, ROITimeSeries = _import_reference()
+    from vegindex import generate_ndvi_timeseries as gnt
+    from vegindex.ir_roitimeseries import IRROITimeSeries
+    import requests
+
+    site, roi = "diffsite", "DB_0001"
+    rng = np.random.default_rng(606)
+    rgb_rows, ir_rows = [], []
+    day0 = dt.datetime(2022, 6, 1)
+    for k in range(40):
+        for hour in (10, 14):
+            ts = day0 + dt.timedelta(days=k, hours=hour)
+            i = len(rgb_rows)
+            r, g, b = (float(x) for x in rng.uniform(20.0, 250.0, 3))
+            exposure = 0 if i == 11 else int(rng.integers(1, 300))
+            na_means = i == 23  # F4: null DN means -> dropped
+            base = {
+                "date": ts.date(),
+                "local_std_time": ts.strftime("%H:%M:%S"),
+                "datetime": ts,
+                "doy": ts.timetuple().tm_yday,
+                "solar_elev": float(rng.uniform(5.0, 70.0)),
+                "exposure": exposure,
+                "awbflag": 0,
+                "mask_index": 1,
+            }
+            nd = "NA"
+            rgb_rows.append(
+                {
+                    **base,
+                    "filename": "diffsite_{:%Y_%m_%d_%H%M%S}.jpg".format(ts),
+                    "gcc": nd if na_means else g / (r + g + b),
+                    "rcc": nd if na_means else r / (r + g + b),
+                    "r_mean": nd if na_means else r,
+                    "r_std": nd if na_means else 10.0,
+                    "g_mean": nd if na_means else g,
+                    "g_std": nd if na_means else 10.0,
+                    "b_mean": nd if na_means else b,
+                    "b_std": nd if na_means else 10.0,
+                    "r_g_correl": nd if na_means else 0.5,
+                    "g_b_correl": nd if na_means else 0.5,
+                    "b_r_correl": nd if na_means else 0.5,
+                    **{
+                        f"{band}_{p}_qtl": nd if na_means else 100.0
+                        for band in "rgb"
+                        for p in (5, 10, 25, 50, 75, 90, 95)
+                    },
+                }
+            )
+            # IR partner at a -12..+12 min offset with odd seconds (no
+            # equidistant nearest-ties); every other row also gets a far
+            # decoy so direction choice matters
+            off = int(rng.integers(-12, 13))
+            its = ts + dt.timedelta(minutes=off, seconds=7)
+            ir_rows.append(
+                {
+                    "date": its.date(),
+                    "local_std_time": its.strftime("%H:%M:%S"),
+                    "datetime": its,
+                    "doy": its.timetuple().tm_yday,
+                    "filename": "diffsite_IR_{:%Y_%m_%d_%H%M%S}.jpg".format(its),
+                    "solar_elev": float(rng.uniform(5.0, 70.0)),
+                    "exposure": 0 if i == 31 else int(rng.integers(1, 300)),
+                    "awbflag": 0,
+                    "mask_index": 1,
+                    "ir_mean": float(rng.uniform(20.0, 250.0)),
+                    "ir_std": 10.0,
+                    **{f"ir_{p}_qtl": 100.0 for p in (5, 10, 25, 50, 75, 90, 95)},
+                }
+            )
+    arch = _write_fixture(tmp_path, site, roi, rgb_rows, ROITimeSeries)
+    roidir = arch / site / "ROI"
+    irts = IRROITimeSeries(site="", ROIListID=roi)
+    irts.site = site
+    irts.rows = ir_rows
+    irts.writeCSV(str(roidir / f"{site}_{roi}_IR_roistats.csv"))
+
+    def _no_net(*a, **k):
+        raise requests.exceptions.ConnectionError("sandbox is offline")
+
+    monkeypatch.setattr(vutils.requests, "get", _no_net)
+    monkeypatch.setattr(vi.config, "archive_dir", str(arch))
+    monkeypatch.setattr(vi.config, "site_info_file", str(arch / "site_info.csv"))
+    monkeypatch.setattr(gnt, "archive_dir", str(arch))
+    monkeypatch.setattr(
+        sys, "argv", ["generate_ndvi_timeseries", site, roi]
+    )
+    gnt.main()
+
+    out = roidir / f"{site}_{roi}_NDVI_roistats.csv"
+    ref_out = tmp_path / "reference_ndvi_ts.csv"
+    out.rename(ref_out)
+
+    import vegindex_job
+
+    vegindex_job.main(
+        ["generate-ndvi", "--archive", str(arch), "--site", site, "--roi", roi]
+    )
+
+    ref = pd.read_csv(ref_out, comment="#", na_values=["NA"])
+    eng = pd.read_csv(out, comment="#", na_values=["NA"])
+    assert list(ref.columns) == list(eng.columns)
+    assert len(ref) == len(eng), (len(ref), len(eng))
+    # the drops must have fired: fewer output rows than RGB input rows
+    assert len(ref) < len(rgb_rows)
+
+    exact = ["date", "local_std_time", "doy", "filename_rgb", "filename_ir",
+             "exposure_rgb", "exposure_ir", "mask_index"]
+    for c in exact:
+        pd.testing.assert_series_equal(ref[c], eng[c], check_names=False)
+    for c in [c for c in ref.columns if c not in exact]:
+        a, b = ref[c].astype(float).values, eng[c].astype(float).values
+        both_nan = np.isnan(a) & np.isnan(b)
+        close = np.isclose(a, b, atol=1.5e-4, rtol=0.0, equal_nan=True)
+        assert (both_nan | close).all(), (c, ref.loc[~(both_nan | close), [c]].head())
+
+
 def _ndvi_row(ts: dt.datetime, ndvi: float, solar: float = 30.0) -> dict:
     r, g, b = 80.0, 120.0, 60.0  # brt 260 — passes QC
     return {
