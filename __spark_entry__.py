@@ -267,6 +267,94 @@ def q_vegindex_summary_yearboundary(spark: SparkSession, sf_dir: str) -> DataFra
     ).orderBy("date")
 
 
+def q_ndvi_summary_3day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SECOND flagship (generate_ndvi_summary_timeseries ->
+    operators/vegindex_summary.generate_ndvi_summary_table) oracle-
+    checked: events mapped into the NDVI tier-1 shape with NDVI_c
+    values straddling [-1, 1], then the released reference semantics
+    (qc_mode='reference': the NDVI range filter ONLY — the script's
+    filter_rows call discards its select_rows result) + anchored
+    buckets + gap-fill + nmin tiering + HF-7 stats. DuckDB mirrors the
+    arithmetic independently."""
+    from python_vegindex_spark.operators.vegindex_summary import (
+        generate_ndvi_summary_table,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 53 == 0)
+    r = 50.0 + F.pmod(F.col("value"), F.lit(100.0))
+    g = 60.0 + F.pmod(F.col("value") * 7.0, F.lit(100.0))
+    b = 40.0 + F.pmod(F.col("value") * 13.0, F.lit(100.0))
+    ndvits = ev.select(
+        "ts",
+        F.concat(F.lit("e"), F.col("event_id").cast("string")).alias("filename_rgb"),
+        F.concat(F.lit("i"), F.col("event_id").cast("string")).alias("filename_ir"),
+        (F.pmod(F.col("event_id"), F.lit(80)) - 5).cast("double").alias("solar_elev"),
+        r.alias("r_mean"),
+        g.alias("g_mean"),
+        b.alias("b_mean"),
+        (g / (r + g + b)).alias("gcc"),
+        (F.pmod(F.col("value") * 17.0, F.lit(2.4)) - 1.2).alias("NDVI_c"),
+    )
+    out = generate_ndvi_summary_table(ndvits, nday=3, nmin=5)
+    return out.select(
+        F.col("date").cast("timestamp").alias("date"),
+        "year", "doy", "image_count",
+        "midday_rgb_filename", "midday_ir_filename",
+        F.round("midday_ndvi", 6).alias("midday_ndvi"),
+        F.round("gcc_90", 6).alias("gcc_90"),
+        F.round("ndvi_mean", 6).alias("ndvi_mean"),
+        F.round("ndvi_std", 6).alias("ndvi_std"),
+        F.round("ndvi_50", 6).alias("ndvi_50"),
+        F.round("ndvi_90", 6).alias("ndvi_90"),
+        F.round("max_solar_elev", 6).alias("max_solar_elev"),
+    ).orderBy("date")
+
+
+def q_gcc_update_equals_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL flow under the driver's oracle gate: build the
+    v1 summary from the pre-Jan-20 prefix, then run update_gcc_summary
+    (operators/vegindex_summary.py — re-open the provisional tail
+    bucket, recompute forward, keep frozen rows) with the full tier-1
+    set. The DuckDB oracle computes the FULL recompute directly, so a
+    hash match certifies the engine's update == full-recompute
+    invariant end-to-end on driver data."""
+    from python_vegindex_spark.operators.vegindex_summary import (
+        generate_gcc_summary,
+        update_gcc_summary,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 97 == 0)
+    r = 50.0 + F.pmod(F.col("value"), F.lit(100.0))
+    g = 60.0 + F.pmod(F.col("value") * 7.0, F.lit(100.0))
+    b = 40.0 + F.pmod(F.col("value") * 13.0, F.lit(100.0))
+    roistats = ev.select(
+        "ts",
+        F.concat(F.lit("e"), F.col("event_id").cast("string")).alias("filename"),
+        (F.pmod(F.col("event_id"), F.lit(80)) - 5).cast("double").alias("solar_elev"),
+        F.when(F.col("event_id") % 13 == 0, 1).otherwise(0).alias("awbflag"),
+        r.alias("r_mean"),
+        g.alias("g_mean"),
+        b.alias("b_mean"),
+        (g / (r + g + b)).alias("gcc"),
+    )
+    v1 = generate_gcc_summary(
+        roistats.filter(F.col("ts") < F.lit("2024-01-20").cast("timestamp")),
+        nday=3, nmin=6,
+    )
+    out = update_gcc_summary(v1, roistats, nday=3, nmin=6)
+    return out.select(
+        F.col("date").cast("timestamp").alias("date"),
+        "year", "doy", "image_count", "midday_filename",
+        F.round("midday_gcc", 6).alias("midday_gcc"),
+        F.round("gcc_mean", 6).alias("gcc_mean"),
+        F.round("gcc_std", 6).alias("gcc_std"),
+        F.round("gcc_50", 6).alias("gcc_50"),
+        F.round("gcc_90", 6).alias("gcc_90"),
+        F.round("rcc_mean", 6).alias("rcc_mean"),
+        F.round("max_solar_elev", 6).alias("max_solar_elev"),
+    ).orderBy("date")
+
+
 # (qtype, q) pairs exercising every non-default HF estimator family
 _HF_COMBOS = [(1, 0.35), (3, 0.5), (4, 0.9), (5, 0.75), (6, 0.9), (8, 0.5), (9, 0.25)]
 
@@ -852,6 +940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hf_quantile_types": q_hf_quantile_types,
         "vegindex_summary_3day": q_vegindex_summary_3day,
         "vegindex_summary_yearboundary": q_vegindex_summary_yearboundary,
+        "ndvi_summary_3day": q_ndvi_summary_3day,
+        "gcc_update_equals_full": q_gcc_update_equals_full,
         "interval_join_agg": q_interval_join_agg,
         "merge_upsert_checksum": q_merge_upsert_checksum,
         "dedup_exact_docs": q_dedup_exact_docs,
@@ -1199,6 +1289,125 @@ SELECT CAST(s.bucket_start + 3 AS TIMESTAMP) AS date,
 FROM spine s
 LEFT JOIN agg a ON s.bucket_start = a.bucket_start
 LEFT JOIN mid m ON s.bucket_start = m.bucket_start
+ORDER BY date
+""",
+        "ndvi_summary_3day": """
+WITH r AS (
+  SELECT ts,
+         'e' || CAST(event_id AS VARCHAR) AS filename_rgb,
+         'i' || CAST(event_id AS VARCHAR) AS filename_ir,
+         CAST(event_id % 80 - 5 AS DOUBLE) AS solar_elev,
+         50.0 + fmod(value, 100.0) AS r_mean,
+         60.0 + fmod(value * 7.0, 100.0) AS g_mean,
+         40.0 + fmod(value * 13.0, 100.0) AS b_mean,
+         fmod(value * 17.0, 2.4) - 1.2 AS ndvi
+  FROM events WHERE event_id % 53 = 0
+),
+-- released reference semantics: the NDVI range filter ONLY
+qc AS (
+  SELECT *, g_mean / (r_mean + g_mean + b_mean) AS gcc,
+         make_date(year(ts), 1, 1) + CAST((dayofyear(ts) - 1) // 3 * 3 AS INT) AS bucket_start
+  FROM r WHERE ndvi BETWEEN -1.0 AND 1.0
+),
+mid AS (
+  SELECT bucket_start, filename_rgb AS m_rgb, filename_ir AS m_ir, ndvi AS m_ndvi
+  FROM (
+    SELECT bucket_start, filename_rgb, filename_ir, ndvi,
+           row_number() OVER (
+             PARTITION BY bucket_start
+             ORDER BY abs(epoch_us(ts) - epoch_us(CAST(bucket_start + 1 AS TIMESTAMP) + INTERVAL 12 HOUR)), ts, filename_rgb
+           ) AS rn
+    FROM qc
+  ) WHERE rn = 1
+),
+agg AS (
+  SELECT bucket_start,
+         CAST(count(*) AS INT) AS image_count,
+         quantile_cont(gcc, 0.9) AS gcc_90,
+         avg(ndvi) AS ndvi_mean,
+         stddev_pop(ndvi) AS ndvi_std,
+         quantile_cont(ndvi, 0.5) AS ndvi_50,
+         quantile_cont(ndvi, 0.9) AS ndvi_90,
+         max(solar_elev) AS max_solar_elev
+  FROM qc GROUP BY bucket_start
+),
+bounds AS (SELECT min(bucket_start) AS lo, max(bucket_start) AS hi FROM qc),
+spine AS (
+  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP), INTERVAL 3 DAY)) AS DATE) AS bucket_start
+  FROM bounds
+)
+SELECT CAST(s.bucket_start + 1 AS TIMESTAMP) AS date,
+       year(s.bucket_start + 1) AS year,
+       dayofyear(s.bucket_start + 1) AS doy,
+       COALESCE(a.image_count, 0) AS image_count,
+       CASE WHEN COALESCE(a.image_count, 0) > 0 THEN m.m_rgb END AS midday_rgb_filename,
+       CASE WHEN COALESCE(a.image_count, 0) > 0 THEN m.m_ir END AS midday_ir_filename,
+       CASE WHEN COALESCE(a.image_count, 0) > 0 THEN round(m.m_ndvi, 6) END AS midday_ndvi,
+       CASE WHEN COALESCE(a.image_count, 0) >= 5 THEN round(a.gcc_90, 6) END AS gcc_90,
+       CASE WHEN COALESCE(a.image_count, 0) >= 5 THEN round(a.ndvi_mean, 6) END AS ndvi_mean,
+       CASE WHEN COALESCE(a.image_count, 0) >= 5 THEN round(a.ndvi_std, 6) END AS ndvi_std,
+       CASE WHEN COALESCE(a.image_count, 0) >= 5 THEN round(a.ndvi_50, 6) END AS ndvi_50,
+       CASE WHEN COALESCE(a.image_count, 0) >= 5 THEN round(a.ndvi_90, 6) END AS ndvi_90,
+       CASE WHEN COALESCE(a.image_count, 0) > 0 THEN round(a.max_solar_elev, 6) END AS max_solar_elev
+FROM spine s
+LEFT JOIN agg a ON s.bucket_start = a.bucket_start
+LEFT JOIN mid m ON s.bucket_start = m.bucket_start
+ORDER BY date
+""",
+        "gcc_update_equals_full": """
+WITH r AS (
+  SELECT ts,
+         'e' || CAST(event_id AS VARCHAR) AS filename,
+         CAST(event_id % 80 - 5 AS DOUBLE) AS solar_elev,
+         CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END AS awbflag,
+         50.0 + fmod(value, 100.0) AS r_mean,
+         60.0 + fmod(value * 7.0, 100.0) AS g_mean,
+         40.0 + fmod(value * 13.0, 100.0) AS b_mean
+  FROM events WHERE event_id % 97 = 0
+),
+-- the oracle is the FULL recompute; a hash match against the engine's
+-- two-step generate-then-update output certifies the invariant
+qc AS (
+  SELECT *, g_mean / (r_mean + g_mean + b_mean) AS gcc,
+         r_mean / (r_mean + g_mean + b_mean) AS rcc,
+         make_date(year(ts), 1, 1) + CAST((dayofyear(ts) - 1) // 3 * 3 AS INT) AS bucket_start
+  FROM r
+  WHERE (r_mean + g_mean + b_mean) BETWEEN 100.0 AND 665.0
+    AND solar_elev >= 10.0
+    AND r_mean IS NOT NULL
+    AND awbflag <> 1
+),
+agg AS (
+  SELECT bucket_start,
+         CAST(count(*) AS INT) AS image_count,
+         arg_min(filename, abs(epoch_us(ts) - epoch_us(CAST(bucket_start + 1 AS TIMESTAMP) + INTERVAL 12 HOUR))) AS midday_filename,
+         arg_min(gcc, abs(epoch_us(ts) - epoch_us(CAST(bucket_start + 1 AS TIMESTAMP) + INTERVAL 12 HOUR))) AS midday_gcc,
+         avg(gcc) AS gcc_mean,
+         stddev_pop(gcc) AS gcc_std,
+         quantile_cont(gcc, 0.5) AS gcc_50,
+         quantile_cont(gcc, 0.9) AS gcc_90,
+         avg(rcc) AS rcc_mean,
+         max(solar_elev) AS max_solar_elev
+  FROM qc GROUP BY bucket_start
+),
+bounds AS (SELECT min(bucket_start) AS lo, max(bucket_start) AS hi FROM qc),
+spine AS (
+  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP), INTERVAL 3 DAY)) AS DATE) AS bucket_start
+  FROM bounds
+)
+SELECT CAST(s.bucket_start + 1 AS TIMESTAMP) AS date,
+       year(s.bucket_start + 1) AS year,
+       dayofyear(s.bucket_start + 1) AS doy,
+       COALESCE(a.image_count, 0) AS image_count,
+       CASE WHEN COALESCE(a.image_count, 0) > 0 THEN a.midday_filename END AS midday_filename,
+       CASE WHEN COALESCE(a.image_count, 0) > 0 THEN round(a.midday_gcc, 6) END AS midday_gcc,
+       CASE WHEN COALESCE(a.image_count, 0) >= 6 THEN round(a.gcc_mean, 6) END AS gcc_mean,
+       CASE WHEN COALESCE(a.image_count, 0) >= 6 THEN round(a.gcc_std, 6) END AS gcc_std,
+       CASE WHEN COALESCE(a.image_count, 0) >= 6 THEN round(a.gcc_50, 6) END AS gcc_50,
+       CASE WHEN COALESCE(a.image_count, 0) >= 6 THEN round(a.gcc_90, 6) END AS gcc_90,
+       CASE WHEN COALESCE(a.image_count, 0) >= 6 THEN round(a.rcc_mean, 6) END AS rcc_mean,
+       CASE WHEN COALESCE(a.image_count, 0) > 0 THEN round(a.max_solar_elev, 6) END AS max_solar_elev
+FROM spine s LEFT JOIN agg a ON s.bucket_start = a.bucket_start
 ORDER BY date
 """,
         "hf_quantile_types": _hf_oracle_sql(),
