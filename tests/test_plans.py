@@ -170,3 +170,37 @@ def test_vegindex_summary_plan_is_jvm_only(spark):
     assert "Window" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "mapInPandas"):
         assert marker not in plan, f"Python eval in flagship plan: {marker}"
+
+
+def test_ndvi_summary_plan_is_jvm_only(spark):
+    """The second flagship, generate_ndvi_summary_table (both qc modes):
+    hash aggregates, no Python eval, no window operators — the same
+    single-shuffle plan family as the gcc flagship."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+
+    from python_vegindex_spark.operators.vegindex_summary import (
+        generate_ndvi_summary_table,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for d in range(9):
+        for i in range(3):
+            ts = dt.datetime(2023, 4, 1 + d, 9 + i, 0, 0)
+            r, g, b = (float(v) for v in rng.uniform(40, 120, 3))
+            rows.append(dict(ts=ts, filename_rgb="f.jpg", filename_ir="i.jpg",
+                             solar_elev=40.0, r_mean=r, g_mean=g, b_mean=b,
+                             gcc=g / (r + g + b),
+                             NDVI_c=float(rng.uniform(-1.2, 1.2))))
+    sdf = spark.createDataFrame(pd.DataFrame(rows))
+    for mode in ("reference", "conjunctive"):
+        out = generate_ndvi_summary_table(sdf, nday=3, nmin=2, qc_mode=mode)
+        out.collect()
+        plan = _executed_plan(out)
+        assert "HashAggregate" in plan or "ObjectHashAggregate" in plan, mode
+        assert "Window" not in plan, mode
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "mapInPandas"):
+            assert marker not in plan, f"Python eval in NDVI flagship plan: {marker}"
