@@ -109,6 +109,34 @@ def test_ivf_assignment_is_zero_shuffle(spark):
         assert marker not in plan
 
 
+def test_ivf_pandas_assignment_is_zero_shuffle_and_arrow(spark):
+    """The large-codebook IVF path (codebook beyond literal_codebook_max
+    travels as a pandas-UDF closure) must stay Exchange-free like the
+    literal path, and its Python stage must be the Arrow-vectorized
+    evaluator (ArrowEvalPython), never row-at-a-time BatchEvalPython."""
+    import numpy as np
+    import pandas as pd
+
+    from python_vegindex_spark.operators.similarity import codebook_assign
+
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame(
+        {
+            "id": range(50),
+            "vec": [list(map(float, rng.normal(size=8))) for _ in range(50)],
+        }
+    )
+    corpus = spark.createDataFrame(pdf)
+    cent_rows = [(i, list(map(float, rng.normal(size=8)))) for i in range(80)]
+    assigned = corpus.withColumn(
+        "centroid_id", codebook_assign(cent_rows, "vec", literal_codebook_max=64)
+    )
+    plan = _executed_plan(assigned)
+    assert "Exchange" not in plan, "large-codebook IVF assignment must not shuffle"
+    assert "ArrowEvalPython" in plan, "expected the vectorized Arrow evaluator"
+    assert "BatchEvalPython" not in plan, "row-at-a-time Python eval is forbidden"
+
+
 def test_asof_bucketed_has_no_global_window(spark):
     """The bucketed as-of scale path must not contain any Window
     operator (its whole point is replacing the per-key window sort with
