@@ -110,6 +110,28 @@ def q_latency_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 stateful sessionization, batch twin (operators/sessionize):
+    gap>1h session windows per user over the events stream table — the
+    same strict-gap rule as streaming/stateful.sessionize_stream, here
+    oracle-checkable end to end (one shuffle, plan-asserted)."""
+    from python_vegindex_spark.operators.sessionize import sessionize_batch
+
+    ev = _t(spark, sf_dir, "events")
+    out = sessionize_batch(
+        ev, gap_s=3600.0, key_col="user_id", ts_col="ts",
+        weight="value", tie_break_cols=("event_id",),
+    )
+    return out.select(
+        "user_id",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        F.col("session_start").cast("timestamp").alias("session_start"),
+        F.col("session_end").cast("timestamp").alias("session_end"),
+        F.col("n_turns").cast("long").alias("n_events"),
+        F.round("weight_sum", 6).alias("value_sum"),
+    ).orderBy("user_id", "session_idx")
+
+
 def q_asof_backward_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 as-of join: each click paired with the latest view <= 30 min back."""
     ev = _t(spark, sf_dir, "events")
@@ -932,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekly_anchored_rollup": q_weekly_anchored_rollup,
         "midpoint_rep_rows": q_midpoint_rep_rows,
         "latency_lag_stats": q_latency_lag_stats,
+        "session_stats": q_session_stats,
         "asof_backward_join": q_asof_backward_join,
         "asof_bucketed_join": q_asof_bucketed_join,
         "asof_nearest_join": q_asof_nearest_join,
@@ -1148,6 +1171,27 @@ SELECT user_id, count(*) AS n_gaps,
        round(quantile_cont(gap_s, 0.9), 6) AS gap_p90
 FROM gaps WHERE gap_s IS NOT NULL
 GROUP BY 1 ORDER BY 1
+""",
+        "session_stats": """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 3600000000
+              THEN 1 ELSE 0 END AS brk,
+         event_id
+  FROM events
+), s AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM g
+)
+SELECT user_id, session_idx,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events, ROUND(SUM(value), 6) AS value_sum
+FROM s GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
 """,
         "vegindex_summary_3day": """
 WITH r AS (

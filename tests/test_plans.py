@@ -109,6 +109,22 @@ def test_ivf_assignment_is_zero_shuffle(spark):
         assert marker not in plan
 
 
+def test_sessionize_batch_single_shuffle_no_python(spark, turns_path):
+    """The batch sessionizer's scale contract: ONE shuffle total — the
+    session aggregate's group keys (key, session_idx) are a superset of
+    the lag-window's hash partitioning on the key, so Catalyst must not
+    insert a second Exchange — and every expression is JVM-side."""
+    from python_vegindex_spark.operators.sessionize import sessionize_batch
+
+    bronze = spark.read.parquet(turns_path)
+    sessions = sessionize_batch(bronze, gap_s=3600.0, tie_break_cols=("turn_idx",))
+    assert sessions.count() > 0  # force AQE final plan
+    plan = _executed_plan(sessions)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan
+
+
 def test_ivf_pandas_assignment_is_zero_shuffle_and_arrow(spark):
     """The large-codebook IVF path (codebook beyond literal_codebook_max
     travels as a pandas-UDF closure) must stay Exchange-free like the

@@ -190,3 +190,63 @@ def test_open_tail_sets_timeout_when_flush_enabled():
     out = list(_sessionize(("c",), iter([pdf]), st))
     assert out == []  # only an open tail, nothing closed
     assert st.exists and st.timeout_ms == 30_000
+
+
+# ---------------------------------------------------------------------------
+# batch twin: sessionize_batch over the same input
+
+
+def test_batch_twin_matches_streaming_closed_sessions(spark, dirs):
+    """sessionize_batch is the batch twin of the streaming operator: its
+    output minus each conv's tail session (the one the stream holds open
+    in state) equals the streamed emitted set exactly."""
+    from python_vegindex_spark.operators.sessionize import sessionize_batch
+
+    all_turns = pd.concat([BATCH1, BATCH2], ignore_index=True)
+    spark.createDataFrame(all_turns).write.mode("append").parquet(dirs["in"])
+    _run_available_now(spark, dirs)
+    streamed_df = spark.read.schema(SESSION_SCHEMA).parquet(dirs["out"]).toPandas()
+    streamed = {
+        (r.conv_id, r.session_start.to_pydatetime(), r.session_end.to_pydatetime(),
+         r.n_turns, r.text_len_sum)
+        for r in streamed_df.itertuples()
+    }
+
+    batch = sessionize_batch(
+        spark.createDataFrame(all_turns), gap_s=GAP_S
+    ).toPandas()
+    tail_idx = batch.groupby("conv_id")["session_idx"].transform("max")
+    closed = batch[batch["session_idx"] < tail_idx]
+    got = {
+        (r.conv_id, r.session_start.to_pydatetime(), r.session_end.to_pydatetime(),
+         r.n_turns, r.weight_sum)
+        for r in closed.itertuples()
+    }
+    assert got == streamed
+    # exactly one open tail per conv beyond the closed set
+    assert len(batch) == len(closed) + batch["conv_id"].nunique()
+
+
+def test_batch_gap_boundary_is_strict(spark):
+    """A gap of exactly gap_s stays in the same session; one microsecond
+    more starts a new one (integer-microsecond math, no float drift)."""
+    from python_vegindex_spark.operators.sessionize import sessionize_batch
+
+    rows = pd.DataFrame(
+        {
+            "conv_id": ["e", "e", "e"],
+            "ts": [
+                T0,
+                T0 + dt.timedelta(seconds=GAP_S),  # exactly gap_s: same session
+                T0 + dt.timedelta(seconds=2 * GAP_S, microseconds=1),  # +1us: new
+            ],
+            "text": ["a", "bb", "ccc"],
+        }
+    )
+    out = (
+        sessionize_batch(spark.createDataFrame(rows), gap_s=GAP_S)
+        .orderBy("session_idx")
+        .toPandas()
+    )
+    assert list(out["n_turns"]) == [2, 1]
+    assert list(out["weight_sum"]) == [3, 3]
