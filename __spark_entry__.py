@@ -1624,7 +1624,9 @@ WITH q AS (
   WHERE e.vec_id <> q.query_id
 ), ranked AS (
   SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim,
-         row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rank
+         -- rank by the ROUNDED similarity, like the engine: ranking the raw
+         -- value would order rounding-tie pairs differently
+         row_number() OVER (PARTITION BY query_id ORDER BY round(cs, 6) DESC, neighbor_id) AS rank
   FROM scored
 )
 SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
@@ -2035,7 +2037,9 @@ WITH q AS (
   WHERE e.vec_id <> q.query_id
 ), ranked AS (
   SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim,
-         row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rank
+         -- rank by the ROUNDED similarity, like the engine: ranking the raw
+         -- value would order rounding-tie pairs differently
+         row_number() OVER (PARTITION BY query_id ORDER BY round(cs, 6) DESC, neighbor_id) AS rank
   FROM scored
 )
 SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank

@@ -51,13 +51,21 @@ def dedup_exact(
 
 def _spread(df: DataFrame, parallelism: int | None) -> DataFrame:
     """Repartition an (id, ...) projection by id so per-shingle hashing
-    parallelizes even when the source arrives in fewer partitions than
-    cores. None -> defaultParallelism; 0/negative -> leave as-is."""
+    parallelizes even when the source arrives in FEWER partitions than
+    cores (e.g. one small parquet file). Widen-only by default: a corpus
+    already at or above the target partition count is left untouched —
+    repartitioning it would shuffle raw document text and coalesce a
+    well-partitioned 100-TB input into oversized tasks. None ->
+    defaultParallelism target; 0/negative -> never repartition; an
+    explicit positive value forces that exact count."""
+    if parallelism is not None and parallelism <= 0:
+        return df
     if parallelism is None:
-        parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if parallelism and parallelism > 0:
-        return df.repartition(parallelism, "id")
-    return df
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() >= target:
+            return df
+        return df.repartition(target, "id")
+    return df.repartition(parallelism, "id")
 
 
 def _md5_half(col, half: int):

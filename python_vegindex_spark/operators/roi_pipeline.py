@@ -15,9 +15,11 @@ existing CSV. This module re-expresses both as Spark plans:
   ``spark.read.text`` + key=value parse (roitimeseries.py:233-257
   semantics: only lines with exactly ONE '=' count, value rstripped,
   absent file/key -> ND) joined per image;
-* mask assignment — driver loop over the O(10) ROI-list masks (the same
-  dimension loop the reference runs), each mask shipped inside the
-  Arrow-batched tier-0 closure (:func:`..operators.roi_stats.roi_stats_table`);
+* mask assignment — a when-chain over the O(10) ROI-list mask validity
+  intervals (validated non-overlapping, roilist.py:230-238) tags each
+  image's mask_index in ONE pass; all masks ship together inside the
+  Arrow-batched tier-0 closure (:func:`..operators.roi_stats.roi_stats_table`),
+  so the archive is binary-scanned exactly once, not once per mask;
 * solar elevation — the JVM NOAA expression at the image's UTC instant
   (``local ts - tzoffset`` hours, utils.py:288-313);
 * gcc/rcc from band means where brt > 0 (roitimeseries.py:481-492).
@@ -77,19 +79,32 @@ def read_meta_sidecars(spark: SparkSession, meta_paths) -> DataFrame:
         spark.read.option("recursiveFileLookup", "true")
         .option("pathGlobFilter", "*.meta")
         .text(meta_paths)
-        .select(F.input_file_name().alias("meta_path"), "value")
+        .select(
+            F.input_file_name().alias("meta_path"),
+            "value",
+            # in-file line order: text rows of one (tiny, single-split)
+            # sidecar stay in one partition in file order, where
+            # monotonically_increasing_id is strictly increasing
+            F.monotonically_increasing_id().alias("line_id"),
+        )
     )
     parts = F.split("value", "=")
     kv = txt.filter(F.size(parts) == 2).select(
         "meta_path",
         F.element_at(parts, 1).alias("k"),
         F.rtrim(F.element_at(parts, 2)).alias("v"),
+        "line_id",
     )
+
+    def _last(key: str):
+        # the reference's dict assignment keeps the LAST occurrence of a
+        # duplicated key (get_im_metadata builds a dict line by line) —
+        # max_by over the line id, ignoring other keys' rows
+        is_k = F.col("k") == key
+        return F.max_by(F.when(is_k, F.col("v")), F.when(is_k, F.col("line_id")))
+
     agg = kv.groupBy("meta_path").agg(
-        F.first(F.when(F.col("k") == "exposure", F.col("v")), ignorenulls=True)
-        .alias("_exp"),
-        F.first(F.when(F.col("k") == "balance", F.col("v")), ignorenulls=True)
-        .alias("_bal"),
+        _last("exposure").alias("_exp"), _last("balance").alias("_bal")
     )
     return agg.select(
         F.regexp_extract("meta_path", r"([^/]+)\.meta$", 1).alias("img_base"),
@@ -120,8 +135,9 @@ def _tier1_stats_core(
     mask_load_fn: Callable[[str], np.ndarray] | None,
     exclude_filenames: DataFrame | None,
 ) -> DataFrame:
-    """Shared RGB/IR tier-1 core: archive listing -> per-mask-interval
-    binary scan -> per-image stats kernel -> ``.meta`` sidecar join.
+    """Shared RGB/IR tier-1 core: archive listing -> one-pass mask-index
+    assignment -> single binary scan -> per-image stats kernel ->
+    ``.meta`` sidecar join.
     Returns (filename, ts, mask_index, exposure, awbflag, <stats...>).
 
     ``exclude_filenames`` (a 1-column ``filename`` DataFrame) anti-joins
@@ -155,40 +171,58 @@ def _tier1_stats_core(
 
     meta = read_meta_sidecars(spark, os.path.join(archive_dir, site))
 
-    parts = []
+    if not masks:
+        raise ValueError(f"ROI list {roilist_id} has no masks")
+    # single-pass mask-interval assignment: validity intervals are
+    # validated non-overlapping (roilist.py:230-238), so a when-chain
+    # over the O(10) masks assigns each image its one mask_index and the
+    # whole archive flows through ONE binary scan — never one scan (and
+    # one full byte read) per mask
+    assign = None
     for m in masks:
-        mask_arr = mask_load(
+        cond = F.col("ts").between(m["start_ts"], m["end_ts"])
+        val = F.lit(int(m["mask_index"]))
+        assign = F.when(cond, val) if assign is None else assign.when(cond, val)
+    imgs = imgs.withColumn("mask_index", assign).filter(
+        F.col("mask_index").isNotNull()
+    )
+    mask_arrs = {
+        int(m["mask_index"]): mask_load(
             catalog.roi_path(archive_dir, site, m["maskfile"])
         )
-        sel = imgs.filter(F.col("ts").between(m["start_ts"], m["end_ts"]))
-        stats = stats_table_fn(
-            sel.join(binary, on="filename"),
-            mask=mask_arr,
-            decode_fn=decode_fn,
-            id_col="filename",
-            content_col="content",
-        ).withColumnRenamed("image_id", "filename")
-        parts.append(
-            sel.select("filename", "ts")
-            .join(stats, on="filename")
-            .withColumn("mask_index", F.lit(int(m["mask_index"])))
-        )
-    if not parts:
-        raise ValueError(f"ROI list {roilist_id} has no masks")
-    all_stats = parts[0]
-    for p in parts[1:]:
-        all_stats = all_stats.unionByName(p)
+        for m in masks
+    }
+
+    stats = stats_table_fn(
+        imgs.join(binary, on="filename"),
+        mask=mask_arrs,
+        mask_index_col="mask_index",
+        decode_fn=decode_fn,
+        id_col="filename",
+        content_col="content",
+    ).withColumnRenamed("image_id", "filename")
+    all_stats = imgs.select("filename", "ts", "mask_index").join(
+        stats, on="filename"
+    )
 
     base = F.regexp_replace("filename", r"\.[^.]+$", "")
+    # no broadcast hint: the sidecar table is O(images in the archive) —
+    # unbounded at the design point — so the join stays a shuffle join
+    # (AQE still broadcasts it at runtime when it is actually small)
     return all_stats.withColumn("img_base", base).join(
-        F.broadcast(meta), on="img_base", how="left"
+        meta, on="img_base", how="left"
     )
 
 
 def _ts_label_cols(lat: float, lon: float, tzoffset: float) -> list:
     """date/local time/doy/solar_elev projection shared by both tiers
     (create_row, roitimeseries.py:444-478 / ir_roitimeseries.py:281-308)."""
-    utc_ts = F.col("ts") - F.make_interval(hours=F.lit(float(tzoffset)))
+    # seconds, not make_interval(hours=...): Spark int-casts a fractional
+    # hour (5.5 -> 5h), which would shift half-hour zones (e.g. -3.5,
+    # +5.75) by up to 45 min and flip images near the sunelev_min gate
+    utc_ts = F.col("ts") - F.make_dt_interval(
+        secs=F.lit(round(float(tzoffset) * 3600.0, 6))
+    )
     return [
         F.to_date("ts").alias("date"),
         F.date_format("ts", "HH:mm:ss").alias("local_std_time"),

@@ -163,60 +163,75 @@ def _decode_unavailable(raw: bytes) -> np.ndarray:
 
 def _stats_map_table(
     images: DataFrame,
-    mask: np.ndarray,
+    mask: np.ndarray | dict[int, np.ndarray],
     stats_fn,
     schema: T.StructType,
     decode_fn: Callable[[bytes], np.ndarray] | None,
     id_col: str,
     content_col: str,
+    mask_index_col: str | None = None,
 ) -> DataFrame:
     """Shared mapInPandas plumbing for the per-image stats kernels: the
-    tiny mask ships to executors inside the Arrow-batched closure (the
+    tiny mask(s) ship to executors inside the Arrow-batched closure (the
     broadcast-dimension pattern); images stream through ``mapInPandas``
-    so a 100 TB archive never concentrates anywhere. ``decode_fn``
-    injects the codec (absent here -> NotImplementedError, honestly
-    stubbed)."""
+    so a 100 TB archive never concentrates anywhere. ``mask`` is either
+    one array, or a dict keyed by mask index with ``mask_index_col``
+    naming the per-row index column — the multi-mask form lets a whole
+    archive flow through ONE binary scan instead of one scan per mask.
+    ``decode_fn`` injects the codec (absent here -> NotImplementedError,
+    honestly stubbed)."""
     decode = decode_fn or _decode_unavailable
-    mask_arr = np.ascontiguousarray(mask.astype(bool))
+    if isinstance(mask, dict):
+        if mask_index_col is None:
+            raise ValueError("mask dict requires mask_index_col")
+        masks = {int(k): np.ascontiguousarray(v.astype(bool)) for k, v in mask.items()}
+    else:
+        masks = {0: np.ascontiguousarray(mask.astype(bool))}
+    in_cols = [id_col, content_col] + ([mask_index_col] if mask_index_col else [])
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            mis = pdf[mask_index_col] if mask_index_col else [0] * len(pdf)
             rows = []
-            for image_id, raw in zip(pdf[id_col], pdf[content_col]):
+            for image_id, raw, mi in zip(pdf[id_col], pdf[content_col], mis):
                 arr = decode(bytes(raw))
-                stats = stats_fn(arr[..., 0], arr[..., 1], arr[..., 2], mask_arr)
+                stats = stats_fn(
+                    arr[..., 0], arr[..., 1], arr[..., 2], masks[int(mi)]
+                )
                 stats["image_id"] = str(image_id)
                 rows.append(stats)
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    return images.select(id_col, content_col).mapInPandas(_batches, schema=schema)
+    return images.select(*in_cols).mapInPandas(_batches, schema=schema)
 
 
 def roi_stats_table(
     images: DataFrame,
-    mask: np.ndarray,
+    mask: np.ndarray | dict[int, np.ndarray],
     decode_fn: Callable[[bytes], np.ndarray] | None = None,
     id_col: str = "image_id",
     content_col: str = "content",
+    mask_index_col: str | None = None,
 ) -> DataFrame:
     """Distributed roistats: (image_id, content: binary) -> one stats row
     per image (generate_roi_timeseries main loop re-expressed)."""
     return _stats_map_table(
         images, mask, roi_stats_arrays, ROI_STATS_SCHEMA,
-        decode_fn, id_col, content_col,
+        decode_fn, id_col, content_col, mask_index_col,
     )
 
 
 def roi_ir_stats_table(
     images: DataFrame,
-    mask: np.ndarray,
+    mask: np.ndarray | dict[int, np.ndarray],
     decode_fn: Callable[[bytes], np.ndarray] | None = None,
     id_col: str = "image_id",
     content_col: str = "content",
+    mask_index_col: str | None = None,
 ) -> DataFrame:
     """Distributed IR roistats: the generate_roi_ir_timeseries inner loop
     (ir_roitimeseries.py create_row) as the same streaming plan."""
     return _stats_map_table(
         images, mask, roi_ir_stats_arrays, IR_STATS_SCHEMA,
-        decode_fn, id_col, content_col,
+        decode_fn, id_col, content_col, mask_index_col,
     )

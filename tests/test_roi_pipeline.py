@@ -175,3 +175,59 @@ def test_generate_roi_cli_roundtrip(spark, archive):
     assert r["exposure"] == 144 and r["awbflag"] == 1 and r["mask_index"] == 2
     assert r["gcc"] is not None and abs(r["gcc"] - 1 / 3) < 0.1
     assert r["ts"] == dt.datetime(2022, 6, 20, 11, 45, 0)
+
+
+def test_meta_duplicate_key_last_wins(spark, tmp_path):
+    """get_im_metadata builds a dict line by line, so a duplicated key's
+    LAST occurrence wins (re-written/appended sidecars)."""
+    d = tmp_path / "dup"
+    d.mkdir()
+    with open(d / "img_2022_06_01_120000.meta", "w") as f:
+        f.write("exposure=100\nbalance=0\nexposure=250\nbalance=1\n")
+    out = read_meta_sidecars(spark, str(d)).collect()
+    assert len(out) == 1
+    assert out[0]["exposure"] == 250
+    assert out[0]["awbflag"] == 1
+
+
+def test_fractional_tzoffset_shifts_exactly(spark):
+    """tzoffset=5.5 must shift the solar-elevation instant by exactly
+    5h30m (make_interval(hours=5.5) would truncate to 5h)."""
+    from pyspark.sql import functions as F
+
+    from python_vegindex_spark.functions.astro import solar_elevation
+    from python_vegindex_spark.operators.roi_pipeline import _ts_label_cols
+
+    df = spark.createDataFrame(
+        [("f.jpg", dt.datetime(2024, 6, 1, 12, 0, 0))], "filename string, ts timestamp"
+    )
+    got = df.select(*_ts_label_cols(45.0, -70.0, 5.5)).first()["solar_elev"]
+    want = df.select(
+        solar_elevation(
+            F.col("ts") - F.expr("INTERVAL 5 HOURS 30 MINUTES"),
+            F.lit(45.0),
+            F.lit(-70.0),
+        ).alias("se")
+    ).first()["se"]
+    assert got == pytest.approx(want, abs=1e-9)
+    # and it is NOT the truncated-hour instant
+    trunc = df.select(
+        solar_elevation(
+            F.col("ts") - F.expr("INTERVAL 5 HOURS"), F.lit(45.0), F.lit(-70.0)
+        ).alias("se")
+    ).first()["se"]
+    assert abs(got - trunc) > 1e-6
+
+
+def test_tier1_single_binary_scan(spark, archive):
+    """The archive's bytes are read by exactly ONE binaryFile scan
+    regardless of how many masks the ROI list carries (mask_index is a
+    one-pass when-chain, never a per-mask rescan)."""
+    root = archive[0]
+    out = generate_roi_stats(
+        spark, root, SITE, "DB_0001",
+        lat=42.5378, lon=-72.1715, tzoffset=-5.0, decode_fn=fake_decode,
+    )
+    assert out.count() == 6  # force AQE final plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan binaryFile") == 1, plan
