@@ -121,3 +121,50 @@ def test_tiny_image_skips_guards():
     bright = np.full((10, 10), 250, dtype=np.uint8)
     s2 = roi_stats_arrays(bright, bright, bright, m)
     assert s2["g_mean"] == pytest.approx(250.0)
+
+
+def test_roi_stats_table_multi_mask(spark):
+    """The multi-mask form: a dict of masks + a per-row mask_index column
+    routes each image through its own mask inside ONE kernel pass."""
+
+    def fake_decode(raw: bytes) -> np.ndarray:
+        seed = int.from_bytes(raw[:4], "big")
+        rng = np.random.default_rng(seed)
+        return rng.integers(20, 200, (H, W, 3)).astype(np.uint8)
+
+    m1 = _mask()
+    m2 = np.zeros((H, W), dtype=bool)
+    m2[H // 2 :, :] = True
+    pdf = pd.DataFrame(
+        {
+            "image_id": [f"img{i}" for i in range(4)],
+            "content": [int(i).to_bytes(4, "big") for i in range(4)],
+            "mask_index": [1, 2, 1, 2],
+        }
+    )
+    out = roi_stats_table(
+        spark.createDataFrame(pdf),
+        mask={1: m1, 2: m2},
+        mask_index_col="mask_index",
+        decode_fn=fake_decode,
+    ).collect()
+    byid = {r["image_id"]: r for r in out}
+    assert len(byid) == 4
+    for i, m in [(0, m1), (1, m2), (2, m1), (3, m2)]:
+        arr = fake_decode(int(i).to_bytes(4, "big"))
+        exp = roi_stats_arrays(arr[..., 0], arr[..., 1], arr[..., 2], m)
+        assert byid[f"img{i}"]["g_mean"] == pytest.approx(exp["g_mean"], rel=1e-12)
+        assert byid[f"img{i}"]["r_g_correl"] == pytest.approx(
+            exp["r_g_correl"], rel=1e-12
+        )
+    # the two masks genuinely differ for the same image
+    arr = fake_decode(int(0).to_bytes(4, "big"))
+    e1 = roi_stats_arrays(arr[..., 0], arr[..., 1], arr[..., 2], m1)
+    e2 = roi_stats_arrays(arr[..., 0], arr[..., 1], arr[..., 2], m2)
+    assert e1["g_mean"] != e2["g_mean"]
+
+
+def test_roi_stats_table_mask_dict_requires_index_col(spark):
+    pdf = pd.DataFrame({"image_id": ["x"], "content": [b"1234"]})
+    with pytest.raises(ValueError, match="mask_index_col"):
+        roi_stats_table(spark.createDataFrame(pdf), mask={1: _mask()})
