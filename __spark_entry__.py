@@ -208,6 +208,34 @@ def q_asof_forward_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def _synth_roistats(ev, ts=None, with_awb: bool = True, ndvi: bool = False):
+    """Deterministic events -> tier-1 roistats projection shared by the
+    four flagship-summary queries (ONE definition so the Spark-side
+    copies cannot drift from each other; each query's DuckDB mirror
+    inlines the identical arithmetic)."""
+    r = 50.0 + F.pmod(F.col("value"), F.lit(100.0))
+    g = 60.0 + F.pmod(F.col("value") * 7.0, F.lit(100.0))
+    b = 40.0 + F.pmod(F.col("value") * 13.0, F.lit(100.0))
+    cols = [(ts if ts is not None else F.col("ts")).alias("ts")]
+    if ndvi:
+        cols += [
+            F.concat(F.lit("e"), F.col("event_id").cast("string")).alias("filename_rgb"),
+            F.concat(F.lit("i"), F.col("event_id").cast("string")).alias("filename_ir"),
+        ]
+    else:
+        cols += [F.concat(F.lit("e"), F.col("event_id").cast("string")).alias("filename")]
+    cols += [(F.pmod(F.col("event_id"), F.lit(80)) - 5).cast("double").alias("solar_elev")]
+    if with_awb:
+        cols += [F.when(F.col("event_id") % 13 == 0, 1).otherwise(0).alias("awbflag")]
+    cols += [
+        r.alias("r_mean"), g.alias("g_mean"), b.alias("b_mean"),
+        (g / (r + g + b)).alias("gcc"),
+    ]
+    if ndvi:
+        cols += [(F.pmod(F.col("value") * 17.0, F.lit(2.4)) - 1.2).alias("NDVI_c")]
+    return ev.select(*cols)
+
+
 def q_vegindex_summary_3day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FLAGSHIP reference job (generate_summary_timeseries ->
     operators/vegindex_summary.generate_gcc_summary) oracle-checked:
@@ -218,19 +246,7 @@ def q_vegindex_summary_3day(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_vegindex_spark.operators.vegindex_summary import generate_gcc_summary
 
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 139 == 0)
-    r = 50.0 + F.pmod(F.col("value"), F.lit(100.0))
-    g = 60.0 + F.pmod(F.col("value") * 7.0, F.lit(100.0))
-    b = 40.0 + F.pmod(F.col("value") * 13.0, F.lit(100.0))
-    roistats = ev.select(
-        "ts",
-        F.concat(F.lit("e"), F.col("event_id").cast("string")).alias("filename"),
-        (F.pmod(F.col("event_id"), F.lit(80)) - 5).cast("double").alias("solar_elev"),
-        F.when(F.col("event_id") % 13 == 0, 1).otherwise(0).alias("awbflag"),
-        r.alias("r_mean"),
-        g.alias("g_mean"),
-        b.alias("b_mean"),
-        (g / (r + g + b)).alias("gcc"),
-    )
+    roistats = _synth_roistats(ev)
     out = generate_gcc_summary(roistats, nday=3, nmin=6)
     return out.select(
         F.col("date").cast("timestamp").alias("date"),
@@ -261,19 +277,7 @@ def q_vegindex_summary_yearboundary(spark: SparkSession, sf_dir: str) -> DataFra
 
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
     ts2 = F.col("ts") + F.make_dt_interval(days=(F.col("event_id") % 730).cast("int"))
-    r = 50.0 + F.pmod(F.col("value"), F.lit(100.0))
-    g = 60.0 + F.pmod(F.col("value") * 7.0, F.lit(100.0))
-    b = 40.0 + F.pmod(F.col("value") * 13.0, F.lit(100.0))
-    roistats = ev.select(
-        ts2.alias("ts"),
-        F.concat(F.lit("e"), F.col("event_id").cast("string")).alias("filename"),
-        (F.pmod(F.col("event_id"), F.lit(80)) - 5).cast("double").alias("solar_elev"),
-        F.when(F.col("event_id") % 13 == 0, 1).otherwise(0).alias("awbflag"),
-        r.alias("r_mean"),
-        g.alias("g_mean"),
-        b.alias("b_mean"),
-        (g / (r + g + b)).alias("gcc"),
-    )
+    roistats = _synth_roistats(ev, ts=ts2)
     out = generate_gcc_summary(roistats, nday=7, nmin=4)
     return out.select(
         F.col("date").cast("timestamp").alias("date"),
@@ -303,20 +307,7 @@ def q_ndvi_summary_3day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 53 == 0)
-    r = 50.0 + F.pmod(F.col("value"), F.lit(100.0))
-    g = 60.0 + F.pmod(F.col("value") * 7.0, F.lit(100.0))
-    b = 40.0 + F.pmod(F.col("value") * 13.0, F.lit(100.0))
-    ndvits = ev.select(
-        "ts",
-        F.concat(F.lit("e"), F.col("event_id").cast("string")).alias("filename_rgb"),
-        F.concat(F.lit("i"), F.col("event_id").cast("string")).alias("filename_ir"),
-        (F.pmod(F.col("event_id"), F.lit(80)) - 5).cast("double").alias("solar_elev"),
-        r.alias("r_mean"),
-        g.alias("g_mean"),
-        b.alias("b_mean"),
-        (g / (r + g + b)).alias("gcc"),
-        (F.pmod(F.col("value") * 17.0, F.lit(2.4)) - 1.2).alias("NDVI_c"),
-    )
+    ndvits = _synth_roistats(ev, with_awb=False, ndvi=True)
     out = generate_ndvi_summary_table(ndvits, nday=3, nmin=5)
     return out.select(
         F.col("date").cast("timestamp").alias("date"),
@@ -346,19 +337,7 @@ def q_gcc_update_equals_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 97 == 0)
-    r = 50.0 + F.pmod(F.col("value"), F.lit(100.0))
-    g = 60.0 + F.pmod(F.col("value") * 7.0, F.lit(100.0))
-    b = 40.0 + F.pmod(F.col("value") * 13.0, F.lit(100.0))
-    roistats = ev.select(
-        "ts",
-        F.concat(F.lit("e"), F.col("event_id").cast("string")).alias("filename"),
-        (F.pmod(F.col("event_id"), F.lit(80)) - 5).cast("double").alias("solar_elev"),
-        F.when(F.col("event_id") % 13 == 0, 1).otherwise(0).alias("awbflag"),
-        r.alias("r_mean"),
-        g.alias("g_mean"),
-        b.alias("b_mean"),
-        (g / (r + g + b)).alias("gcc"),
-    )
+    roistats = _synth_roistats(ev)
     v1 = generate_gcc_summary(
         roistats.filter(F.col("ts") < F.lit("2024-01-20").cast("timestamp")),
         nday=3, nmin=6,
@@ -500,13 +479,22 @@ def q_merge_upsert_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _prefix_fp(n: int = 16):
+    """md5 of the lowercased, whitespace-collapsed first ``n`` chars — the
+    shared candidate-blocking key used by q_dedup_exact_docs,
+    q_ngram_jaccard_verify and q_dedup_cluster_sizes (one definition so
+    the three derivations cannot drift apart; the DuckDB mirrors inline
+    the identical expression)."""
+    return F.md5(
+        F.lower(F.substring(F.regexp_replace(F.trim("text"), r"\s+", " "), 1, n))
+    )
+
+
 def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on a 16-char normalized prefix (forces collisions on
     this corpus; md5 keys so DuckDB can reproduce the fingerprint)."""
     docs = _t(spark, sf_dir, "documents")
-    keyed = docs.withColumn(
-        "fp", F.md5(F.lower(F.substring(F.regexp_replace(F.trim("text"), r"\s+", " "), 1, 16)))
-    )
+    keyed = docs.withColumn("fp", _prefix_fp())
     return (
         keyed.groupBy("fp")
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").cast("long").alias("dup_count"))
@@ -619,8 +607,12 @@ def q_paired_index_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
     xp = zp - yp
     ndvi = (xp - rp) / (xp + rp)
     return (
-        paired.select("event_id", F.round(ndvi, 6).alias("ndvi_c"))
-        .filter(F.col("ndvi_c").between(-1.0, 1.0))
+        # filter on the RAW ratio (filter_rows semantics, and how the
+        # oracle's WHERE runs), then round for display — filtering the
+        # rounded value would keep raw values just outside [-1, 1]
+        paired.select("event_id", ndvi.alias("_raw"))
+        .filter(F.col("_raw").between(-1.0, 1.0))
+        .select("event_id", F.round("_raw", 6).alias("ndvi_c"))
         .orderBy("event_id")
     )
 
@@ -701,15 +693,13 @@ def q_fingerprint_dup_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hf7_from_sorted(arr, q: float):
-    """Exact Hyndman-Fan type-7 quantile over a sorted array column
-    (quantile.py:42-76 semantics, h = (n-1)q + 1, linear interpolation)."""
-    n = F.size(arr)
-    h = (n - 1) * F.lit(q) + 1
-    j = F.floor(h).cast("int")
-    g = h - j
-    vj = F.element_at(arr, j).cast("double")
-    vj1 = F.element_at(arr, F.least(j + 1, n)).cast("double")
-    return vj + g * (vj1 - vj)
+    """Exact HF type-7 quantile over a sorted array column — delegates to
+    the ENGINE implementation (functions/quantile.hf_quantile_from_sorted)
+    so the driver exercises the same arithmetic it oracles, instead of a
+    re-derivation that could silently drift."""
+    from python_vegindex_spark.functions.quantile import hf_quantile_from_sorted
+
+    return hf_quantile_from_sorted(arr.cast("array<double>"), q, 7)
 
 
 def q_word_len_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -790,10 +780,7 @@ def q_ngram_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/dedup.ngram_jaccard; DuckDB recomputes the identical
     shingle sets and set algebra."""
     docs = _t(spark, sf_dir, "documents")
-    fp = F.md5(
-        F.lower(F.substring(F.regexp_replace(F.trim("text"), r"\s+", " "), 1, 16))
-    )
-    keyed = docs.select("doc_id", fp.alias("fp"))
+    keyed = docs.select("doc_id", _prefix_fp().alias("fp"))
     pairs = (
         keyed.alias("a")
         .join(keyed.alias("b"), on="fp")
@@ -815,10 +802,7 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_vegindex_spark.operators.dedup import dedup_clusters
 
     docs = _t(spark, sf_dir, "documents")
-    fp = F.md5(
-        F.lower(F.substring(F.regexp_replace(F.trim("text"), r"\s+", " "), 1, 16))
-    )
-    keyed = docs.select("doc_id", fp.alias("fp"))
+    keyed = docs.select("doc_id", _prefix_fp().alias("fp"))
     cand = (
         keyed.alias("a")
         .join(keyed.alias("b"), on="fp")
@@ -1005,7 +989,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _ROLLUP_STATS = """
-        count(*) AS n,
+        count(value) AS n,
         round(avg(value), 6) AS v_mean,
         round(stddev_pop(value), 6) AS v_std,
         round(min(value), 6) AS v_min,
@@ -1013,6 +997,29 @@ _ROLLUP_STATS = """
         round(quantile_cont(value, 0.5), 6) AS v_50,
         round(quantile_cont(value, 0.75), 6) AS v_75,
         round(quantile_cont(value, 0.9), 6) AS v_90
+"""
+
+
+# exact cosine top-k oracle, shared by ann_cosine_topk and ivf_topk (the
+# IVF query probes every centroid, so its contract is exact-search parity)
+_EXACT_TOPK_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS cs
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim,
+         -- rank by the ROUNDED similarity, like the engine: ranking the raw
+         -- value would order rounding-tie pairs differently
+         row_number() OVER (PARTITION BY query_id ORDER BY round(cs, 6) DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
@@ -1204,23 +1211,46 @@ WITH r AS (
          40.0 + fmod(value * 13.0, 100.0) AS b_mean
   FROM events WHERE event_id % 139 = 0
 ),
-qc AS (
+-- select_rows (pre-awb) defines spine bounds and the series-start year,
+-- exactly like the engine (vegindex_summary.py: qc_sel drives bounds)
+sel AS (
   SELECT *, g_mean / (r_mean + g_mean + b_mean) AS gcc,
          r_mean / (r_mean + g_mean + b_mean) AS rcc,
-         make_date(year(ts), 1, 1) + CAST((dayofyear(ts) - 1) // 3 * 3 AS INT) AS bucket_start
+         make_date(year(ts), 1, 1) + CAST((dayofyear(ts) - 1) // 3 * 3 AS INT) AS naive_b,
+         make_date(year(ts), 1, 1) - make_date(year(ts) - 1, 1, 1) AS prev_days
   FROM r
   WHERE strftime(ts, '%H:%M:%S') >= '00:00:00'
     AND strftime(ts, '%H:%M:%S') <= '23:59:59'
     AND (r_mean + g_mean + b_mean) BETWEEN 100.0 AND 665.0
     AND solar_elev >= 10.0
     AND r_mean IS NOT NULL
-    AND awbflag <> 1
+),
+bounds AS (SELECT min(naive_b) AS lo, max(naive_b) AS hi, year(min(ts)) AS y0 FROM sel),
+-- awb skip + the sequential-cursor year-boundary spill rule
+qc AS (
+  SELECT s.*,
+         CASE WHEN year(s.ts) > b.y0
+                   AND dayofyear(s.ts) <= (s.prev_days - 1) // 3 * 3 + 3 - s.prev_days
+              THEN make_date(year(s.ts) - 1, 1, 1) + CAST((s.prev_days - 1) // 3 * 3 AS INT)
+              ELSE s.naive_b END AS bucket_start
+  FROM sel s, bounds b
+  WHERE s.awbflag <> 1
+),
+-- midday row picked ATOMICALLY with the engine's tie-break (d, ts, filename)
+mid AS (
+  SELECT bucket_start, filename AS midday_filename, gcc AS midday_gcc
+  FROM (
+    SELECT bucket_start, filename, gcc,
+           row_number() OVER (
+             PARTITION BY bucket_start
+             ORDER BY abs(epoch_us(ts) - epoch_us(CAST(bucket_start + 1 AS TIMESTAMP) + INTERVAL 12 HOUR)), ts, filename
+           ) AS rn
+    FROM qc
+  ) WHERE rn = 1
 ),
 agg AS (
   SELECT bucket_start,
          CAST(count(*) AS INT) AS image_count,
-         arg_min(filename, abs(epoch_us(ts) - epoch_us(CAST(bucket_start + 1 AS TIMESTAMP) + INTERVAL 12 HOUR))) AS midday_filename,
-         arg_min(gcc, abs(epoch_us(ts) - epoch_us(CAST(bucket_start + 1 AS TIMESTAMP) + INTERVAL 12 HOUR))) AS midday_gcc,
          avg(r_mean) AS r_mean,
          avg(gcc) AS gcc_mean,
          stddev_pop(gcc) AS gcc_std,
@@ -1230,17 +1260,19 @@ agg AS (
          max(solar_elev) AS max_solar_elev
   FROM qc GROUP BY bucket_start
 ),
-bounds AS (SELECT min(bucket_start) AS lo, max(bucket_start) AS hi FROM qc),
+-- gap-fill spine on the naive doy lattice (restarts at Jan 1 each year)
 spine AS (
-  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP), INTERVAL 3 DAY)) AS DATE) AS bucket_start
-  FROM bounds
+  SELECT d AS bucket_start FROM (
+    SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+    FROM bounds
+  ) WHERE (dayofyear(d) - 1) % 3 = 0
 )
 SELECT CAST(s.bucket_start + 1 AS TIMESTAMP) AS date,
        year(s.bucket_start + 1) AS year,
        dayofyear(s.bucket_start + 1) AS doy,
        COALESCE(a.image_count, 0) AS image_count,
-       CASE WHEN COALESCE(a.image_count, 0) > 0 THEN a.midday_filename END AS midday_filename,
-       CASE WHEN COALESCE(a.image_count, 0) > 0 THEN round(a.midday_gcc, 6) END AS midday_gcc,
+       CASE WHEN COALESCE(a.image_count, 0) > 0 THEN m.midday_filename END AS midday_filename,
+       CASE WHEN COALESCE(a.image_count, 0) > 0 THEN round(m.midday_gcc, 6) END AS midday_gcc,
        CASE WHEN COALESCE(a.image_count, 0) >= 6 THEN round(a.r_mean, 6) END AS r_mean,
        CASE WHEN COALESCE(a.image_count, 0) >= 6 THEN round(a.gcc_mean, 6) END AS gcc_mean,
        CASE WHEN COALESCE(a.image_count, 0) >= 6 THEN round(a.gcc_std, 6) END AS gcc_std,
@@ -1248,7 +1280,9 @@ SELECT CAST(s.bucket_start + 1 AS TIMESTAMP) AS date,
        CASE WHEN COALESCE(a.image_count, 0) >= 6 THEN round(a.gcc_90, 6) END AS gcc_90,
        CASE WHEN COALESCE(a.image_count, 0) >= 6 THEN round(a.rcc_mean, 6) END AS rcc_mean,
        CASE WHEN COALESCE(a.image_count, 0) > 0 THEN round(a.max_solar_elev, 6) END AS max_solar_elev
-FROM spine s LEFT JOIN agg a ON s.bucket_start = a.bucket_start
+FROM spine s
+LEFT JOIN agg a ON s.bucket_start = a.bucket_start
+LEFT JOIN mid m ON s.bucket_start = m.bucket_start
 ORDER BY date
 """,
         "vegindex_summary_yearboundary": """
@@ -1347,11 +1381,23 @@ WITH r AS (
          fmod(value * 17.0, 2.4) - 1.2 AS ndvi
   FROM events WHERE event_id % 53 = 0
 ),
--- released reference semantics: the NDVI range filter ONLY
-qc AS (
+-- released reference semantics: the NDVI range filter ONLY; bounds come
+-- from this same set (the engine's qc drives bounds in reference mode)
+sel AS (
   SELECT *, g_mean / (r_mean + g_mean + b_mean) AS gcc,
-         make_date(year(ts), 1, 1) + CAST((dayofyear(ts) - 1) // 3 * 3 AS INT) AS bucket_start
+         make_date(year(ts), 1, 1) + CAST((dayofyear(ts) - 1) // 3 * 3 AS INT) AS naive_b,
+         make_date(year(ts), 1, 1) - make_date(year(ts) - 1, 1, 1) AS prev_days
   FROM r WHERE ndvi BETWEEN -1.0 AND 1.0
+),
+bounds AS (SELECT min(naive_b) AS lo, max(naive_b) AS hi, year(min(ts)) AS y0 FROM sel),
+-- sequential-cursor year-boundary spill rule, like the engine
+qc AS (
+  SELECT s.*,
+         CASE WHEN year(s.ts) > b.y0
+                   AND dayofyear(s.ts) <= (s.prev_days - 1) // 3 * 3 + 3 - s.prev_days
+              THEN make_date(year(s.ts) - 1, 1, 1) + CAST((s.prev_days - 1) // 3 * 3 AS INT)
+              ELSE s.naive_b END AS bucket_start
+  FROM sel s, bounds b
 ),
 mid AS (
   SELECT bucket_start, filename_rgb AS m_rgb, filename_ir AS m_ir, ndvi AS m_ndvi
@@ -1375,10 +1421,11 @@ agg AS (
          max(solar_elev) AS max_solar_elev
   FROM qc GROUP BY bucket_start
 ),
-bounds AS (SELECT min(bucket_start) AS lo, max(bucket_start) AS hi FROM qc),
 spine AS (
-  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP), INTERVAL 3 DAY)) AS DATE) AS bucket_start
-  FROM bounds
+  SELECT d AS bucket_start FROM (
+    SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+    FROM bounds
+  ) WHERE (dayofyear(d) - 1) % 3 = 0
 )
 SELECT CAST(s.bucket_start + 1 AS TIMESTAMP) AS date,
        year(s.bucket_start + 1) AS year,
@@ -1410,22 +1457,42 @@ WITH r AS (
   FROM events WHERE event_id % 97 = 0
 ),
 -- the oracle is the FULL recompute; a hash match against the engine's
--- two-step generate-then-update output certifies the invariant
-qc AS (
+-- two-step generate-then-update output certifies the invariant.
+-- Pre-awb bounds + cursor spill + atomic midday, like the engine.
+sel AS (
   SELECT *, g_mean / (r_mean + g_mean + b_mean) AS gcc,
          r_mean / (r_mean + g_mean + b_mean) AS rcc,
-         make_date(year(ts), 1, 1) + CAST((dayofyear(ts) - 1) // 3 * 3 AS INT) AS bucket_start
+         make_date(year(ts), 1, 1) + CAST((dayofyear(ts) - 1) // 3 * 3 AS INT) AS naive_b,
+         make_date(year(ts), 1, 1) - make_date(year(ts) - 1, 1, 1) AS prev_days
   FROM r
   WHERE (r_mean + g_mean + b_mean) BETWEEN 100.0 AND 665.0
     AND solar_elev >= 10.0
     AND r_mean IS NOT NULL
-    AND awbflag <> 1
+),
+bounds AS (SELECT min(naive_b) AS lo, max(naive_b) AS hi, year(min(ts)) AS y0 FROM sel),
+qc AS (
+  SELECT s.*,
+         CASE WHEN year(s.ts) > b.y0
+                   AND dayofyear(s.ts) <= (s.prev_days - 1) // 3 * 3 + 3 - s.prev_days
+              THEN make_date(year(s.ts) - 1, 1, 1) + CAST((s.prev_days - 1) // 3 * 3 AS INT)
+              ELSE s.naive_b END AS bucket_start
+  FROM sel s, bounds b
+  WHERE s.awbflag <> 1
+),
+mid AS (
+  SELECT bucket_start, filename AS midday_filename, gcc AS midday_gcc
+  FROM (
+    SELECT bucket_start, filename, gcc,
+           row_number() OVER (
+             PARTITION BY bucket_start
+             ORDER BY abs(epoch_us(ts) - epoch_us(CAST(bucket_start + 1 AS TIMESTAMP) + INTERVAL 12 HOUR)), ts, filename
+           ) AS rn
+    FROM qc
+  ) WHERE rn = 1
 ),
 agg AS (
   SELECT bucket_start,
          CAST(count(*) AS INT) AS image_count,
-         arg_min(filename, abs(epoch_us(ts) - epoch_us(CAST(bucket_start + 1 AS TIMESTAMP) + INTERVAL 12 HOUR))) AS midday_filename,
-         arg_min(gcc, abs(epoch_us(ts) - epoch_us(CAST(bucket_start + 1 AS TIMESTAMP) + INTERVAL 12 HOUR))) AS midday_gcc,
          avg(gcc) AS gcc_mean,
          stddev_pop(gcc) AS gcc_std,
          quantile_cont(gcc, 0.5) AS gcc_50,
@@ -1434,24 +1501,27 @@ agg AS (
          max(solar_elev) AS max_solar_elev
   FROM qc GROUP BY bucket_start
 ),
-bounds AS (SELECT min(bucket_start) AS lo, max(bucket_start) AS hi FROM qc),
 spine AS (
-  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP), INTERVAL 3 DAY)) AS DATE) AS bucket_start
-  FROM bounds
+  SELECT d AS bucket_start FROM (
+    SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+    FROM bounds
+  ) WHERE (dayofyear(d) - 1) % 3 = 0
 )
 SELECT CAST(s.bucket_start + 1 AS TIMESTAMP) AS date,
        year(s.bucket_start + 1) AS year,
        dayofyear(s.bucket_start + 1) AS doy,
        COALESCE(a.image_count, 0) AS image_count,
-       CASE WHEN COALESCE(a.image_count, 0) > 0 THEN a.midday_filename END AS midday_filename,
-       CASE WHEN COALESCE(a.image_count, 0) > 0 THEN round(a.midday_gcc, 6) END AS midday_gcc,
+       CASE WHEN COALESCE(a.image_count, 0) > 0 THEN m.midday_filename END AS midday_filename,
+       CASE WHEN COALESCE(a.image_count, 0) > 0 THEN round(m.midday_gcc, 6) END AS midday_gcc,
        CASE WHEN COALESCE(a.image_count, 0) >= 6 THEN round(a.gcc_mean, 6) END AS gcc_mean,
        CASE WHEN COALESCE(a.image_count, 0) >= 6 THEN round(a.gcc_std, 6) END AS gcc_std,
        CASE WHEN COALESCE(a.image_count, 0) >= 6 THEN round(a.gcc_50, 6) END AS gcc_50,
        CASE WHEN COALESCE(a.image_count, 0) >= 6 THEN round(a.gcc_90, 6) END AS gcc_90,
        CASE WHEN COALESCE(a.image_count, 0) >= 6 THEN round(a.rcc_mean, 6) END AS rcc_mean,
        CASE WHEN COALESCE(a.image_count, 0) > 0 THEN round(a.max_solar_elev, 6) END AS max_solar_elev
-FROM spine s LEFT JOIN agg a ON s.bucket_start = a.bucket_start
+FROM spine s
+LEFT JOIN agg a ON s.bucket_start = a.bucket_start
+LEFT JOIN mid m ON s.bucket_start = m.bucket_start
 ORDER BY date
 """,
         "hf_quantile_types": _hf_oracle_sql(),
@@ -1613,25 +1683,7 @@ SELECT lang, count(*) AS n_docs,
        round(avg(CASE WHEN tokens >= 50 THEN 1 ELSE 0 END), 6) AS share_long
 FROM t GROUP BY 1 ORDER BY 1
 """,
-        "ann_cosine_topk": """
-WITH q AS (
-  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)
-), scored AS (
-  SELECT q.query_id, e.vec_id AS neighbor_id,
-         list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
-           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS cs
-  FROM embeddings e CROSS JOIN q
-  WHERE e.vec_id <> q.query_id
-), ranked AS (
-  SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim,
-         -- rank by the ROUNDED similarity, like the engine: ranking the raw
-         -- value would order rounding-tie pairs differently
-         row_number() OVER (PARTITION BY query_id ORDER BY round(cs, 6) DESC, neighbor_id) AS rank
-  FROM scored
-)
-SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
-FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
-""",
+        "ann_cosine_topk": _EXACT_TOPK_ORACLE,
         "tpch_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
@@ -2026,25 +2078,8 @@ FROM votes GROUP BY doc_id ORDER BY id
 """,
         # full-probe IVF must equal exact brute-force search — the
         # oracle is simply DuckDB's exact cosine top-k
-        "ivf_topk": """
-WITH q AS (
-  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)
-), scored AS (
-  SELECT q.query_id, e.vec_id AS neighbor_id,
-         list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
-           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS cs
-  FROM embeddings e CROSS JOIN q
-  WHERE e.vec_id <> q.query_id
-), ranked AS (
-  SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim,
-         -- rank by the ROUNDED similarity, like the engine: ranking the raw
-         -- value would order rounding-tie pairs differently
-         row_number() OVER (PARTITION BY query_id ORDER BY round(cs, 6) DESC, neighbor_id) AS rank
-  FROM scored
-)
-SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
-FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
-""",
+        # the IVF invariant at full probe IS exact search: shared oracle
+        "ivf_topk": _EXACT_TOPK_ORACLE,
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
         "media_stub_features": _media_oracle_sql(),
     }
