@@ -80,6 +80,24 @@ def read_properties(
     return props
 
 
+def sentinel_cast(name: str, dtype: T.DataType):
+    """One typed column from its raw string column: every reference
+    missing-value spelling -> NULL, then a tolerant cast. Integer fields
+    coerce through double first (the reference's
+    ``_int_or_none(_float_or_none(...))`` — e.g. exposure written as
+    "34.0", ndvitimeseries.py:730-732) — a direct string->int cast would
+    NULL those. THE one definition of the sentinel/cast pipeline, shared
+    by read_headered_csv and vegindex_tables._typed_scan."""
+    c = F.col(name)
+    for miss in MISSING_INPUTS:
+        c = F.nullif(c, F.lit(miss))
+    if isinstance(dtype, T.IntegerType):
+        c = c.try_cast("double").try_cast("int")
+    else:
+        c = c.try_cast(dtype.simpleString())
+    return c.alias(name)
+
+
 def read_headered_csv(
     spark: SparkSession, path: str, schema: T.StructType
 ) -> tuple[DataFrame, dict[str, str]]:
@@ -91,13 +109,7 @@ def read_headered_csv(
         .option("nullValue", "NA")
         .csv(path)
     )
-    cols = []
-    for f_ in schema.fields:
-        c = F.col(f_.name)
-        for miss in MISSING_INPUTS:
-            c = F.nullif(c, F.lit(miss))
-        cols.append(c.try_cast(f_.dataType.simpleString()).alias(f_.name))
-    return raw.select(*cols), props
+    return raw.select(*[sentinel_cast(f_.name, f_.dataType) for f_ in schema.fields]), props
 
 
 def write_headered_csv(
@@ -107,18 +119,43 @@ def write_headered_csv(
     sort_cols: list[str],
     float_decimals: dict[str, int] | None = None,
     default_decimals: int = 5,
-) -> None:
+    banner: str | None = None,
+    plain_cols_for_row=None,
+) -> int:
     """Reference-format export: '# key: value' header, sorted rows,
     fixed decimals, NA sentinels (gcctimeseries.py:570-722 conventions;
     NULL renders as ``NA`` in numeric columns and ``None`` in string
-    columns, matching config.py:61-63 ND_FLOAT/ND_STRING).
+    columns, matching config.py:61-63 ND_FLOAT/ND_STRING). Returns the
+    row count written (so callers never re-execute the plan to count).
+
+    ``banner`` reproduces the reference's free-text header prologue
+    (``#\\n# {banner}\\n#`` before the key-value lines, e.g. 'ROI color
+    statistics timeseries for harvard', roitimeseries.py:742-744).
+
+    ``plain_cols_for_row(row) -> set[str] | None`` names float columns
+    that THIS row formats with plain ``{}`` (full repr) instead of fixed
+    decimals — the reference's sub-threshold/no-data branches switch
+    per-row formats this way (gcctimeseries.py:497-531,
+    ndvi_summary_timeseries.py:432-459).
+
+    Spark integer columns that pandas upcast to float64 (because they
+    carry NULLs) still render as plain ints, matching the reference's
+    '{}' for exposure/awbflag/mask_index.
+
     Collects — use only for summary tiers / golden comparison."""
     string_cols = {
         f_.name for f_ in df.schema.fields if isinstance(f_.dataType, T.StringType)
     }
+    int_cols = {
+        f_.name
+        for f_ in df.schema.fields
+        if isinstance(f_.dataType, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+    }
     pdf = df.orderBy(*sort_cols).toPandas()
     float_decimals = float_decimals or {}
     buf = io.StringIO()
+    if banner is not None:
+        buf.write(f"#\n# {banner}\n#\n")
     for k, v in properties.items():
         buf.write(f"# {k}: {v}\n")
     buf.write("#\n")
@@ -127,17 +164,23 @@ def write_headered_csv(
     import numpy as np
     import pandas as pd
 
-    def fmt(v, col) -> str:
+    def fmt(v, col, plain) -> str:
         if v is None or (isinstance(v, float) and np.isnan(v)) or v is pd.NaT:
             return ND_STRING if col in string_cols else ND_FLOAT
         if isinstance(v, (float, np.floating)):
+            if col in int_cols:  # nullable int upcast by pandas
+                return str(int(v))
+            if plain and col in plain:
+                return f"{v}"
             return f"{v:.{float_decimals.get(col, default_decimals)}f}"
         if isinstance(v, pd.Timestamp):
             return v.strftime("%Y-%m-%d %H:%M:%S")
         return str(v)
 
     for row in pdf.itertuples(index=False):
-        buf.write(",".join(fmt(v, c) for v, c in zip(row, cols)) + "\n")
+        plain = plain_cols_for_row(row) if plain_cols_for_row else None
+        buf.write(",".join(fmt(v, c, plain) for v, c in zip(row, cols)) + "\n")
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as f:
         f.write(buf.getvalue())
+    return len(pdf)

@@ -6,9 +6,9 @@ has no Iceberg runtime jar, so TableIO emulates the same surface on
 parquet directories:
 
 * ``upsert``   — MERGE on keys: read target, anti-join, union, rewrite.
-  At scale the rewrite is confined to affected partitions via dynamic
-  partition overwrite (spark.sql.sources.partitionOverwriteMode=dynamic),
-  exactly the partitions the update keys touch.
+  At scale the rewrite is confined to affected partitions via a
+  per-write dynamic partition overwrite (DataFrameWriter option, never
+  the session conf), exactly the partitions the update keys touch.
 * ``append``   — plain append.
 * ``read``     — schema-stable read that tolerates a missing table.
 
@@ -25,10 +25,16 @@ from pyspark.sql import functions as F
 
 
 def exists(path: str) -> bool:
-    return os.path.exists(path) and any(
-        n.endswith(".parquet") or n == "_SUCCESS" or not n.startswith(".")
-        for n in os.listdir(path)
-    )
+    """True only on parquet evidence (.parquet files or a _SUCCESS
+    marker, possibly inside partition subdirectories) — stray leftovers
+    like a _temporary dir from an interrupted write do not count, so
+    read() keeps its missing-table -> None contract."""
+    if not os.path.isdir(path):
+        return False
+    for root, _dirs, files in os.walk(path):
+        if any(n.endswith(".parquet") or n == "_SUCCESS" for n in files):
+            return True
+    return False
 
 
 def read(spark: SparkSession, path: str) -> DataFrame | None:
@@ -69,12 +75,19 @@ def upsert(
         return n_up
 
     if partition_by:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         touched = updates.select(*partition_by).distinct()
         base = existing.join(F.broadcast(touched), on=partition_by, how="left_semi")
         kept = base.join(updates.select(*keys), on=keys, how="left_anti")
         out = kept.unionByName(updates).localCheckpoint(eager=True)
-        out.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+        # per-write dynamic overwrite: scoped to THIS write, so the
+        # session-global partitionOverwriteMode (and every later
+        # partitioned overwrite's full-replace semantics) is untouched
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_by)
+            .parquet(path)
+        )
     else:
         kept = existing.join(updates.select(*keys), on=keys, how="left_anti")
         out = kept.unionByName(updates).localCheckpoint(eager=True)

@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .csv_compat import MISSING_INPUTS, head_lines, read_properties
+from .csv_compat import head_lines, read_properties, sentinel_cast
 
 # ---------------------------------------------------------------------------
 # schemas (header-driven: column name -> Spark type)
@@ -106,22 +106,9 @@ def _typed_scan(
         .option("header", "true")
         .csv(path)
     )
-    out = []
-    for name in cols:
-        c = F.col(name)
-        for miss in MISSING_INPUTS:
-            c = F.nullif(c, F.lit(miss))
-        typ = _col_type(name)
-        if isinstance(typ, T.IntegerType):
-            # the reference coerces int fields through float first
-            # (``_int_or_none(_float_or_none(...))``, e.g. exposure
-            # values written as "34.0"; ndvitimeseries.py:730-732) —
-            # a direct string->int cast would NULL those
-            c = c.try_cast("double").try_cast("int")
-        else:
-            c = c.try_cast(typ.simpleString())
-        out.append(c.alias(name))
-    return raw.select(*out), props
+    # sentinel handling + tolerant casts live in ONE place
+    # (csv_compat.sentinel_cast, shared with read_headered_csv)
+    return raw.select(*[sentinel_cast(n, _col_type(n)) for n in cols]), props
 
 
 def _with_ts(df: DataFrame) -> DataFrame:

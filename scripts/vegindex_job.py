@@ -29,26 +29,109 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_props(args, nday: int) -> dict[str, str]:
-    """Canonical summary header (gcctimeseries.py:584-722 field set)."""
-    roitype, seqno = args.roi.split("_")
+def _stamps(existing_props: dict[str, str] | None = None) -> dict[str, str]:
+    """Creation/Update stamps. Updates PRESERVE the existing file's
+    Creation Date/Time (the reference reads created_at back from the
+    header and re-writes it, gcctimeseries readCSV/writeCSV) and bump
+    only the Update stamps."""
     now = dt.datetime.now()
+    d, t = now.strftime("%Y-%m-%d"), now.strftime("%H:%M:%S")
+    ex = existing_props or {}
     return {
-        "Site": args.site,
-        "Veg Type": roitype,
-        "ROI ID Number": seqno,
-        "Image Count Threshold": str(args.nmin),
-        "Aggregation Period": str(nday),
-        "Solar Elevation Min": str(args.sunelev_min),
+        "Creation Date": ex.get("Creation Date", d),
+        "Creation Time": ex.get("Creation Time", t),
+        "Update Date": d,
+        "Update Time": t,
+    }
+
+
+def _site_props(args) -> dict[str, str]:
+    """Site/ROI identity + location block shared by every header family
+    (Lat/Lon/Elev written when provided — the reference always carries
+    them from site info, and its readers fall back to config defaults
+    when absent)."""
+    roitype, seqno = args.roi.split("_")
+    p = {"Site": args.site, "Veg Type": roitype, "ROI ID Number": seqno}
+    if args.lat is not None:
+        p["Lat"] = str(args.lat)
+    if args.lon is not None:
+        p["Lon"] = str(args.lon)
+    if args.elev is not None:
+        p["Elev"] = str(args.elev)
+    p["UTC Offset"] = str(args.tzoffset)
+    return p
+
+
+def build_props(
+    args, nday: int, existing_props: dict[str, str] | None = None
+) -> dict[str, str]:
+    """Summary-family header (gcctimeseries.py:584-625 /
+    ndvi_summary_timeseries.py:502-541 field set and order)."""
+    p = _site_props(args)
+    p.update(
+        {
+            "Image Count Threshold": str(args.nmin),
+            "Aggregation Period": str(nday),
+            "Solar Elevation Min": str(args.sunelev_min),
+            "Time of Day Min": args.tod_min,
+            "Time of Day Max": args.tod_max,
+            "ROI Brightness Min": str(int(args.brt_min)),
+            "ROI Brightness Max": str(int(args.brt_max)),
+        }
+    )
+    p.update(_stamps(existing_props))
+    return p
+
+
+def build_tier1_props(
+    args, existing_props: dict[str, str] | None = None
+) -> dict[str, str]:
+    """Tier-1 header family (roitimeseries.py:746-755 /
+    ir_roitimeseries.py:498-506 / generate_ndvi_timeseries.py:265-273):
+    identity + location + Resize Flag + Version, no QC-threshold keys."""
+    p = _site_props(args)
+    p.update({"Resize Flag": "False", "Version": "1"})
+    p.update(_stamps(existing_props))
+    return p
+
+
+def check_update_thresholds(existing_props: dict[str, str], args, nday: int) -> None:
+    """The reference update refuses to mix QC regimes: the requested
+    thresholds must match the existing file's header or it exits 1
+    (update_summary_timeseries.py:160-177; it checks nmin / brt_min /
+    brt_max / tod_min / sunelev_min — tod_max and nday are checked here
+    too, same refusal). Keys absent from the header are skipped."""
+
+    def _num(s: str) -> float | str:
+        try:
+            return float(s)
+        except ValueError:
+            return s.strip()
+
+    wanted = {
+        "Image Count Threshold": args.nmin,
+        "Aggregation Period": nday,
+        "Solar Elevation Min": args.sunelev_min,
         "Time of Day Min": args.tod_min,
         "Time of Day Max": args.tod_max,
-        "ROI Brightness Min": str(int(args.brt_min)),
-        "ROI Brightness Max": str(int(args.brt_max)),
-        "Creation Date": now.strftime("%Y-%m-%d"),
-        "Creation Time": now.strftime("%H:%M:%S"),
-        "Update Date": now.strftime("%Y-%m-%d"),
-        "Update Time": now.strftime("%H:%M:%S"),
+        "ROI Brightness Min": args.brt_min,
+        "ROI Brightness Max": args.brt_max,
     }
+    for key, want in wanted.items():
+        if key not in existing_props:
+            continue
+        have = _num(existing_props[key])
+        want_n = _num(str(want))
+        if (
+            isinstance(have, float)
+            and isinstance(want_n, float)
+            and have == want_n
+        ) or str(have) == str(want_n):
+            continue
+        sys.stderr.write(
+            f"{key} requested ({want}) doesn't match CSV header ({existing_props[key]})\n"
+        )
+        sys.exit(1)
 
 
 def main(argv: list[str] | None = None) -> str:
@@ -80,6 +163,7 @@ def main(argv: list[str] | None = None) -> str:
     )
     ap.add_argument("--lat", type=float, default=None, help="site latitude (roi jobs)")
     ap.add_argument("--lon", type=float, default=None, help="site longitude (roi jobs)")
+    ap.add_argument("--elev", type=float, default=None, help="site elevation (header)")
     ap.add_argument("--tzoffset", type=float, default=0.0)
     ap.add_argument(
         "--codec", choices=["none", "fake"], default="none",
@@ -101,6 +185,7 @@ def main(argv: list[str] | None = None) -> str:
     )
 
     spark = get_spark("vegindex-job", master=args.master)
+    existing_props = None
     qc = dict(
         tod_min=args.tod_min, tod_max=args.tod_max,
         sunelev_min=args.sunelev_min, brt_min=args.brt_min, brt_max=args.brt_max,
@@ -118,16 +203,18 @@ def main(argv: list[str] | None = None) -> str:
         )
         default = f"{args.site}_{args.roi}_ndvi_{args.nday}day.csv"
     elif args.job == "update-gcc":
-        existing, props = catalog.get_gcc_timeseries(
+        existing, existing_props = catalog.get_gcc_timeseries(
             spark, args.archive, args.site, args.roi, nday=args.nday, nmin=0
         )  # nmin=0: take stored values as-is; the regenerate applies tiering
+        check_update_thresholds(existing_props, args, args.nday)
         roistats, _ = catalog.get_roi_timeseries(spark, args.archive, args.site, args.roi)
         out = update_gcc_summary(existing, roistats, nday=args.nday, nmin=args.nmin, **qc)
         default = f"{args.site}_{args.roi}_{args.nday}day.csv"
     elif args.job == "update-ndvi":  # update_ndvi_summary_timeseries.py twin
-        existing, props = catalog.get_ndvi_summary(
+        existing, existing_props = catalog.get_ndvi_summary(
             spark, args.archive, args.site, args.roi, nday=args.nday, nmin=0
         )
+        check_update_thresholds(existing_props, args, args.nday)
         ndvits, _ = catalog.get_ndvi_timeseries(spark, args.archive, args.site, args.roi)
         out = update_ndvi_summary(
             existing, ndvits, nday=args.nday, nmin=args.nmin, qc_mode=args.ndvi_qc, **qc
@@ -182,20 +269,69 @@ def main(argv: list[str] | None = None) -> str:
         "generate-roi", "update-roi", "generate-ir", "update-ir", "generate-ndvi",
     )
     sort_cols = ["date", "local_std_time"] if args.job in tier1_jobs else ["date"]
-    # IR CSV renders its percentiles as integers (ir_roitimeseries.py
-    # format_csvrow '{:.0f}'); the NDVI CSV is uniformly %.4f
+    # per-family fixed formats: RGB and IR quantiles render as integers
+    # (roitimeseries.py:662-689 / ir_roitimeseries.py format_csvrow
+    # '{:.0f}'); the NDVI CSV is uniformly %.4f
     # (generate_ndvi_timeseries.py writeCSV float_format)
     float_decimals = None
     default_decimals = 5
-    if args.job in ("generate-ir", "update-ir"):
+    if args.job in ("generate-roi", "update-roi"):
+        float_decimals = {
+            f"{band}_{q}_qtl": 0
+            for band in ("r", "g", "b")
+            for q in (5, 10, 25, 50, 75, 90, 95)
+        }
+    elif args.job in ("generate-ir", "update-ir"):
         float_decimals = {f"ir_{q}_qtl": 0 for q in (5, 10, 25, 50, 75, 90, 95)}
     elif args.job == "generate-ndvi":
         default_decimals = 4
-    write_headered_csv(
-        out, path, build_props(args, args.nday), sort_cols=sort_cols,
+
+    # per-family header + banner (reference writeCSV prologues)
+    banners = {
+        "gcc-summary": f"{args.nday}-day summary product timeseries for {args.site}",
+        "update-gcc": f"{args.nday}-day summary product timeseries for {args.site}",
+        "ndvi-summary": f"{args.nday}-day NDVI summary timeseries for {args.site}",
+        "update-ndvi": f"{args.nday}-day NDVI summary timeseries for {args.site}",
+        "generate-roi": f"ROI color statistics timeseries for {args.site}",
+        "update-roi": f"ROI color statistics timeseries for {args.site}",
+        "generate-ir": f"ROI IR statistics timeseries for {args.site}",
+        "update-ir": f"ROI IR statistics timeseries for {args.site}",
+        "generate-ndvi": f"NDVI statistics timeseries for {args.site}",
+    }
+    if args.job in tier1_jobs:
+        props = build_tier1_props(args, existing_props)
+    else:
+        props = build_props(args, args.nday, existing_props)
+
+    # the reference's sub-threshold / no-data rows switch those fields to
+    # plain '{}' (full float repr) — reproduce per row
+    plain_rule = None
+    if args.job in ("gcc-summary", "update-gcc"):
+        from python_vegindex_spark.sources.summary_export import GCC_SUMMARY_FIELDS
+
+        sub_plain = set(GCC_SUMMARY_FIELDS[10:27])  # stats + max_solar_elev
+        zero_plain = set(GCC_SUMMARY_FIELDS[5:27])  # midday block too
+
+        def plain_rule(row, nmin=args.nmin):  # gcctimeseries.py:497-531
+            if row.image_count == 0:
+                return zero_plain
+            if row.image_count < nmin:
+                return sub_plain
+            return None
+
+    elif args.job in ("ndvi-summary", "update-ndvi"):
+        from python_vegindex_spark.sources.summary_export import NDVI_SUMMARY_FIELDS
+
+        all_plain = set(NDVI_SUMMARY_FIELDS[6:14])  # midday_ndvi..max_solar_elev
+
+        def plain_rule(row, nmin=args.nmin):  # ndvi_summary_timeseries.py:432-459
+            return all_plain if row.image_count < nmin else None
+
+    n = write_headered_csv(
+        out, path, props, sort_cols=sort_cols,
         float_decimals=float_decimals, default_decimals=default_decimals,
+        banner=banners[args.job], plain_cols_for_row=plain_rule,
     )
-    n = out.count()
     print(f"WROTE {n} rows -> {path}")
     return path
 

@@ -95,3 +95,41 @@ def test_retention_compaction(spark, turns, tmp_path):
     # every dropped row is still represented in chunk points
     total_points = chunks.agg(F.sum("n_points")).collect()[0][0]
     assert total_points == n0
+
+
+def test_tableio_exists_ignores_stray_files(tmp_path):
+    """A _temporary leftover from an interrupted write is NOT a table;
+    read() must keep its missing-table -> None contract."""
+    from python_vegindex_spark.sources import tableio
+
+    p = tmp_path / "tbl"
+    (p / "_temporary").mkdir(parents=True)
+    assert not tableio.exists(str(p))
+    (p / "part-000.parquet").write_bytes(b"")
+    assert tableio.exists(str(p))
+
+
+def test_tableio_upsert_does_not_leak_overwrite_mode(spark, tmp_path):
+    """upsert's dynamic partition overwrite must be per-write: the
+    session conf stays untouched, so later partitioned overwrites keep
+    full-replace semantics."""
+    import pandas as pd
+
+    from python_vegindex_spark.sources import tableio
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(key, None)
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2], "d": ["a", "b"], "v": [1.0, 2.0]})
+    )
+    path = str(tmp_path / "t")
+    tableio.upsert(spark, df, path, keys=["k"], partition_by=["d"])
+    upd = spark.createDataFrame(pd.DataFrame({"k": [2], "d": ["b"], "v": [9.0]}))
+    tableio.upsert(spark, upd, path, keys=["k"], partition_by=["d"])
+    assert spark.conf.get(key, None) == before
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: 1.0, 2: 9.0}
+    # a later full overwrite really replaces: partition 'a' disappears
+    repl = spark.createDataFrame(pd.DataFrame({"k": [3], "d": ["b"], "v": [7.0]}))
+    tableio.overwrite(repl, path, partition_by=["d"])
+    assert {r["k"] for r in spark.read.parquet(path).collect()} == {3}

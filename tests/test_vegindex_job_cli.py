@@ -131,3 +131,92 @@ def test_update_ndvi_job_end_to_end(spark, synth_ndvi_archive):
                 assert uv == pytest.approx(gv, rel=1e-9), (d_, c)
             else:
                 assert uv == gv, (d_, c)
+
+
+def test_update_preserves_creation_and_guards_thresholds(
+    spark, synth_archive, tmp_path
+):
+    """update-gcc keeps the existing header's Creation Date/Time (the
+    reference re-writes created_at read from the header) and refuses —
+    exit 1, like update_summary_timeseries.py:160-177 — when the
+    requested QC thresholds differ from the header's."""
+    import vegindex_job
+
+    roi_dir = os.path.join(synth_archive, "mysite", "ROI")
+    vegindex_job.main(
+        [
+            "gcc-summary", "--archive", synth_archive, "--site", "mysite",
+            "--roi", "DB_0001", "--nday", "3", "--nmin", "2",
+            "--master", "local[4]",
+        ]
+    )
+    summary_path = os.path.join(roi_dir, "mysite_DB_0001_3day.csv")
+    # pin a recognizable Creation stamp into the existing file
+    txt = open(summary_path).read()
+    txt = txt.replace(
+        "# Creation Date: ", "# Creation Date: 2017-02-16\n# _was: ", 1
+    )
+    open(summary_path, "w").write(txt)
+
+    vegindex_job.main(
+        [
+            "update-gcc", "--archive", synth_archive, "--site", "mysite",
+            "--roi", "DB_0001", "--nday", "3", "--nmin", "2",
+            "--master", "local[4]",
+        ]
+    )
+    hdr = open(summary_path).read()
+    assert "# Creation Date: 2017-02-16" in hdr, "creation stamp not preserved"
+    # banner prologue present (gcctimeseries.py:586-591)
+    assert "# 3-day summary product timeseries for mysite" in hdr
+
+    with pytest.raises(SystemExit) as e:
+        vegindex_job.main(
+            [
+                "update-gcc", "--archive", synth_archive, "--site", "mysite",
+                "--roi", "DB_0001", "--nday", "3", "--nmin", "2",
+                "--brt-min", "130", "--master", "local[4]",
+            ]
+        )
+    assert e.value.code == 1
+
+
+def test_subthreshold_rows_render_plain_floats(spark, tmp_path):
+    """0 < image_count < nmin rows print the stats block with plain '{}'
+    full precision (gcctimeseries.py:510-519) while the midday block
+    stays %.5f; zero-count rows print everything plain. Deterministic
+    writer-level check (exact bytes)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "image_count": [0, 2, 9],
+            "midday_gcc": [None, 0.25, 0.5],
+            "gcc_mean": [None, None, 0.4],
+            "max_solar_elev": [None, 53.5, 53.5],
+        }
+    )
+    out = str(tmp_path / "plain.csv")
+    sub_plain = {"gcc_mean", "max_solar_elev"}
+    zero_plain = {"midday_gcc", "gcc_mean", "max_solar_elev"}
+
+    def rule(row, nmin=5):
+        if row.image_count == 0:
+            return zero_plain
+        if row.image_count < nmin:
+            return sub_plain
+        return None
+
+    write_headered_csv(
+        spark.createDataFrame(pdf).coalesce(1),
+        out,
+        {"Site": "x"},
+        sort_cols=["image_count"],
+        plain_cols_for_row=rule,
+    )
+    data = [ln.rstrip("\n") for ln in open(out) if not ln.startswith("#")][1:]
+    assert data[0] == "0,NA,NA,NA"
+    # sub-threshold: midday %.5f, max_solar_elev plain (no trailing zeros)
+    assert data[1] == "2,0.25000,NA,53.5"
+    # above threshold: everything fixed 5 decimals
+    assert data[2] == "9,0.50000,0.40000,53.50000"
