@@ -114,10 +114,15 @@ def encode_chunks(
             if len(pdf) == 0:
                 continue
             # hold back the trailing (possibly incomplete) group
+            # (null-safe: `col == None` is all-False, which would flush a
+            # group whose key contains a NULL while its rows are still
+            # arriving — emitting duplicate (series, bucket) chunk rows)
             last_mask = np.ones(len(pdf), dtype=bool)
             tail_key = tuple(pdf.iloc[-1][k] for k in keys)
             for k, kv in zip(keys, tail_key):
-                last_mask &= (pdf[k] == kv).to_numpy()
+                col = pdf[k]
+                eq = col.isna() if pd.isna(kv) else (col == kv)
+                last_mask &= eq.to_numpy(dtype=bool)
             if last_mask.all():
                 pending = pdf
                 continue

@@ -125,13 +125,16 @@ def solar_elevation(ts: Column, lat: Column, lon: Column) -> Column:
 
 
 def deg_to_dms(deg: Column) -> Column:
-    """Decimal degrees -> 'D:M:S.s' string (utils.py:258-269)."""
-    sign = F.when(deg < 0, -1).otherwise(1)
+    """Decimal degrees -> 'D:M:S.s' string (utils.py:258-269). Unlike
+    the reference pair (deg2dms drops the sign whenever int(angle) == 0,
+    and dms2deg ignores signs entirely), this pair round-trips — the
+    sign is a string prefix, so -0.5 -> '-0:30:0.0', not '0:30:0.0'."""
     a = F.abs(deg)
     d = F.floor(a)
     m = F.floor((a - d) * 60)
     s = F.round(((a - d) * 60 - m) * 60, 2)
-    return F.concat_ws(":", (sign * d).cast("long"), m.cast("long"), s)
+    body = F.concat_ws(":", d.cast("long"), m.cast("long"), s)
+    return F.concat(F.when(deg < 0, F.lit("-")).otherwise(F.lit("")), body)
 
 
 def dms_to_deg(dms: Column) -> Column:

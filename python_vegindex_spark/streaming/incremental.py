@@ -99,7 +99,7 @@ def incremental_rollup(
     existing = tableio.read(spark, gold_path)
 
     if hw is None or existing is None:
-        slice_turns = new
+        slice_df = new.withColumn("_helper", F.lit(False))
         invalid = None
     else:
         # per-conv invalidation start: min(last gold bucket, first new bucket)
@@ -125,21 +125,35 @@ def incremental_rollup(
             .filter(bucket_start(F.col("ts"), tier) >= F.col("invalid_from"))
             .drop("invalid_from")
         )
-        # each conv's last turn BEFORE the slice, for lag correctness
+        # each conv's last turn BEFORE the slice, for lag correctness —
+        # picked by max turn_idx (ts as tie-break), because turn_features'
+        # lag window orders by turn_idx: choosing by max ts would hand the
+        # recomputed region a different lag base whenever ts is not
+        # monotonic in turn_idx (clock skew), breaking increment == full
         older = turns.join(F.broadcast(invalid), on="conv_id").filter(
             bucket_start(F.col("ts"), tier) < F.col("invalid_from")
         )
         prev_payload = F.struct(
-            F.col("ts").alias("_o"), *[F.col(c) for c in turns.columns]
+            F.col("turn_idx").alias("_o"),
+            F.col("ts").alias("_o2"),
+            *[F.col(c) for c in turns.columns],
         )
         prev_rows = (
             older.groupBy("conv_id")
             .agg(F.max(prev_payload).alias("_m"))
             .select(*[F.col("_m")[c].alias(c) for c in turns.columns])
         )
-        slice_turns = slice_turns.unionByName(prev_rows)
+        slice_df = slice_turns.withColumn("_helper", F.lit(False)).unionByName(
+            prev_rows.withColumn("_helper", F.lit(True))
+        )
 
-    rows_in = slice_turns.count()
+    # ONE materialization reused by the lineage count, the rollup input,
+    # and the watermark — without it each action re-scans bronze and
+    # re-runs the invalidation joins (3 full scans per run)
+    slice_df = slice_df.localCheckpoint(eager=True)
+    real_rows = slice_df.filter(~F.col("_helper"))
+    # lineage counts INGESTED rows only, never the synthetic lag helpers
+    rows_in = real_rows.count()
     if rows_in == 0:
         metrics = {
             "run_id": run_id, "tier": tier, "rows_in": 0, "rows_out": 0,
@@ -148,7 +162,7 @@ def incremental_rollup(
         _append_lineage(spark, store, metrics)
         return metrics
 
-    feats = turn_features(slice_turns)
+    feats = turn_features(slice_df.drop("_helper"))
     if invalid is not None:
         # drop the lag-helper rows (anything before the invalidation start)
         feats = feats.join(F.broadcast(invalid), on="conv_id").filter(
@@ -160,7 +174,10 @@ def incremental_rollup(
         spark, out, gold_path, keys=["conv_id", "bucket_start"]
     )
 
-    hw_new = new.agg(F.max("ts")).collect()[0][0] or hw
+    # max over the checkpointed non-helper rows == max over `new` (old
+    # rows in invalidated buckets all have ts <= the previous watermark),
+    # without a third bronze scan
+    hw_new = real_rows.agg(F.max("ts")).collect()[0][0] or hw
     ck_row = spark.createDataFrame(
         [(tier, hw_new, run_id)], "tier string, high_water_ts timestamp, run_id string"
     )

@@ -87,7 +87,9 @@ def _sessionize(
     pdf = pdf.sort_values("ts", kind="mergesort")
     ts_us = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
     tls = pdf["text_len"].to_numpy(dtype="int64")
-    gap_us = int(pdf["gap_s"].iloc[0] * 1_000_000)
+    # round, not truncate: int(1.001 * 1e6) is 1000999, which would split
+    # exact-gap boundaries the batch twin (sessionize_batch) keeps together
+    gap_us = int(round(pdf["gap_s"].iloc[0] * 1_000_000))
 
     if state.exists:
         start_us, last_us, n, s = state.get
@@ -159,7 +161,9 @@ def sessionize_stream(
     prepped = stream.select(
         "conv_id",
         "ts",
-        F.length("text").cast("long").alias("text_len"),
+        # coalesce: a NULL text would reach pandas as float64 NaN, and
+        # numpy's NaN->int64 cast silently yields INT64_MIN garbage sums
+        F.coalesce(F.length("text"), F.lit(0)).cast("long").alias("text_len"),
         F.lit(float(gap_s)).alias("gap_s"),
         F.lit(flush_ms).cast("long").alias("flush_ms"),
     )

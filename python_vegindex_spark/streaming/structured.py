@@ -146,7 +146,14 @@ def streaming_chunk_encoder(
         )
         .select(
             *series_cols,
-            F.col("w.start").alias("bucket_start"),
+            # daily buckets are DateType in the batch encoder
+            # (buckets.bucket_start: nday==1 -> to_date) — match it so
+            # streaming chunk rows union/append cleanly onto batch tables
+            (
+                F.to_date("w.start")
+                if window_len == "1 day"
+                else F.col("w.start")
+            ).alias("bucket_start"),
             "pts",
         )
     )

@@ -116,3 +116,38 @@ def test_chunks_spark_roundtrip(spark):
         .toPandas().sort_values(["series", "bucket_start"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(r1, r2)
+
+
+def test_chunks_null_series_key_spans_arrow_batches(spark):
+    """A group whose series key contains NULL must still emit exactly ONE
+    chunk row when its rows span Arrow batch boundaries (the tail
+    holdback comparison has to be null-safe: `col == None` is all-False
+    and would flush the group early, duplicating its (series, bucket)
+    key)."""
+    from python_vegindex_spark.codecs.chunks import decode_chunks, encode_chunks
+
+    n = 40  # one bucket, one (null) series -> must become one chunk row
+    pdf = pd.DataFrame(
+        {
+            "series": ["s0"] * n,
+            "tool": [None] * n,
+            "ts": pd.to_datetime(
+                1_700_000_000_000_000 + np.arange(n) * 1_000_000, unit="us"
+            ),
+            "value": np.round(np.linspace(0.0, 1.0, n), 4),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(1)
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        chunks = encode_chunks(
+            df, tier="hourly", series_cols=["series", "tool"]
+        ).toPandas()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    assert len(chunks) == 1, chunks[["series", "tool", "n_points"]]
+    assert int(chunks["n_points"].iloc[0]) == n

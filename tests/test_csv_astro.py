@@ -84,12 +84,17 @@ def test_solar_elevation_sanity(spark):
 
 
 def test_dms_roundtrip(spark):
-    pdf = pd.DataFrame({"deg": [42.5378, -72.1715, 0.25]})
+    # -0.5 pins the sign-prefix fix: the reference's deg2dms drops the
+    # sign whenever int(angle) == 0 ('-0.5' -> '00:30:00')
+    pdf = pd.DataFrame({"deg": [42.5378, -72.1715, 0.25, -0.5, -0.0169]})
     df = spark.createDataFrame(pdf)
     out = df.select(
-        dms_to_deg(deg_to_dms(F.col("deg"))).alias("back"), "deg"
+        deg_to_dms(F.col("deg")).alias("dms"),
+        dms_to_deg(deg_to_dms(F.col("deg"))).alias("back"),
+        "deg",
     ).toPandas()
     np.testing.assert_allclose(out["back"], out["deg"], atol=1e-4)
+    assert out.loc[out["deg"] == -0.5, "dms"].iloc[0].startswith("-0:30")
 
 
 def test_read_properties_hash_in_value(tmp_path):

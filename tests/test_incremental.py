@@ -133,3 +133,45 @@ def test_tableio_upsert_does_not_leak_overwrite_mode(spark, tmp_path):
     repl = spark.createDataFrame(pd.DataFrame({"k": [3], "d": ["b"], "v": [7.0]}))
     tableio.overwrite(repl, path, partition_by=["d"])
     assert {r["k"] for r in spark.read.parquet(path).collect()} == {3}
+
+
+def test_resume_equivalence_with_clock_skew(spark, tmp_path):
+    """The lag-helper row must be the conv's max-TURN_IDX row (the lag
+    window's ordering key), not its max-ts row: with clock-skewed turns
+    (ts not monotonic in turn_idx) the two differ and the recomputed
+    region's first latency delta would diverge from a full recompute."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        # old region (before the watermark): turn 4's ts is EARLIER than
+        # turn 3's (clock skew), so max-ts picks turn 3, max-turn_idx
+        # picks turn 4 — only the latter matches turn_features' lag
+        ("c", 0, "user", "a", "", t0),
+        ("c", 1, "assistant", "bb", "", t0 + dt.timedelta(minutes=1)),
+        ("c", 2, "user", "ccc", "", t0 + dt.timedelta(minutes=2)),
+        ("c", 3, "assistant", "dddd", "", t0 + dt.timedelta(minutes=4)),
+        ("c", 4, "user", "eeeee", "", t0 + dt.timedelta(minutes=3)),
+        # new region: next day (so the daily bucket boundary separates it)
+        ("c", 5, "assistant", "ffffff", "", t0 + dt.timedelta(days=1)),
+        ("c", 6, "user", "ggggggg", "", t0 + dt.timedelta(days=1, minutes=2)),
+    ]
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    turns = spark.createDataFrame(rows, schema)
+    cfg = RollupConfig(tier="daily", nmin=1)
+    store = RollupStore(str(tmp_path / "skew_store"))
+
+    cut = t0 + dt.timedelta(hours=12)
+    m1 = incremental_rollup(spark, turns.filter(F.col("ts") < F.lit(cut)), store, cfg)
+    m2 = incremental_rollup(spark, turns, store, cfg)
+    assert m1["rows_in"] == 5 and m2["rows_in"] == 2  # helpers never counted
+
+    got = tableio.read(spark, store.gold("daily")).toPandas()
+    exp = rollup(turn_features(turns), cfg).toPandas()
+    g, e = _norm(got), _norm(exp)
+    assert len(g) == len(e)
+    pd.testing.assert_frame_equal(
+        g, e[g.columns.tolist()], check_exact=False, rtol=1e-12
+    )

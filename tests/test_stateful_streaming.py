@@ -250,3 +250,43 @@ def test_batch_gap_boundary_is_strict(spark):
     )
     assert list(out["n_turns"]) == [2, 1]
     assert list(out["weight_sum"]) == [3, 3]
+
+
+def test_gap_threshold_rounds_not_truncates():
+    """gap_s=1.001: int(1.001*1e6) truncates to 1000999 and would SPLIT
+    two turns exactly 1.001s apart; the batch twin rounds — the stream
+    must agree at the exact-gap boundary."""
+    from python_vegindex_spark.streaming.stateful import _sessionize
+
+    pdf = _mk_turns([("g", 0.0, "a")])
+    pdf = pd.concat(
+        [pdf, _mk_turns([("g", 1.001 / 60.0, "b")])], ignore_index=True
+    )
+    pdf["text_len"] = pdf["text"].str.len().astype("int64")
+    pdf["gap_s"] = 1.001
+    pdf["flush_ms"] = 0
+    st = _FakeState()
+    out = list(_sessionize(("g",), iter([pdf]), st))
+    assert out == []  # one OPEN session: the pair was NOT split
+    assert st.exists and st.get[2] == 2  # n_turns in state
+
+
+def test_null_text_counts_as_zero_length(spark, dirs):
+    """A NULL text must contribute 0 to text_len_sum (end to end through
+    sessionize_stream's coalesce), not the INT64_MIN garbage numpy
+    produces casting NaN to int64."""
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["m", "m", "m"],
+            "ts": [T0, T0 + dt.timedelta(minutes=1), T0 + dt.timedelta(minutes=30)],
+            "text": ["abc", None, "z"],
+        }
+    )
+    spark.createDataFrame(
+        pdf, "conv_id string, ts timestamp, text string"
+    ).write.mode("append").parquet(dirs["in"])
+    _run_available_now(spark, dirs)
+    got = spark.read.schema(SESSION_SCHEMA).parquet(dirs["out"]).collect()
+    assert len(got) == 1  # the 30-min gap closed one session
+    assert got[0]["n_turns"] == 2
+    assert got[0]["text_len_sum"] == 3  # 3 + 0 for the NULL text

@@ -108,3 +108,28 @@ def test_streaming_chunk_encoder_rejects_doy_tiers(spark):
 
     with pytest.raises(ValueError, match="batch-only"):
         streaming_chunk_encoder(spark, "/nonexistent", tier="3day")
+
+
+def test_streaming_daily_bucket_is_date_like_batch(spark, tmp_path):
+    """Daily-tier streaming chunks must carry DateType bucket_start like
+    the batch encoder (buckets.bucket_start: nday==1 -> to_date), so the
+    two outputs union/append onto one table."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    in_dir = str(tmp_path / "turns_in")
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c"],
+            "turn_idx": [0],
+            "role": ["user"],
+            "text": ["x"],
+            "tool": [""],
+            "ts": pd.to_datetime(["2026-01-01 10:00:00"]),
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(in_dir)
+    enc = streaming_chunk_encoder(spark, in_dir, tier="daily")
+    assert isinstance(enc.schema["bucket_start"].dataType, T.DateType)
+    enc_h = streaming_chunk_encoder(spark, in_dir, tier="hourly")
+    assert isinstance(enc_h.schema["bucket_start"].dataType, T.TimestampType)
