@@ -17,8 +17,11 @@ provides two distributed strategies with identical semantics:
   hot key is split across time — the scale path for skewed keys.
 
 Tie semantics (both): equal distance before/after -> the earlier
-(backward) right row wins, matching pandas' searchsorted behavior; equal
-ts on the right -> smallest right tie-break column wins.
+(backward) right row wins, matching pandas' searchsorted behavior; a
+right row AT the left timestamp matches in every direction (merge_asof's
+``allow_exact_matches=True`` default); equal ts on the right -> the
+smallest payload struct wins (value-deterministic, unlike pandas'
+positional tie-break — requires orderable payload columns).
 """
 
 from __future__ import annotations
@@ -63,14 +66,28 @@ def asof_join(
         F.struct(*[F.col(c) for c in lcols]).alias("_lrow"),
         F.lit(None).cast(rrow_type).alias("_rrow"),
     )
-    r_tag = right.select(
-        *on,
-        F.col(right_ts).alias("_t"),
-        F.lit(0).alias("_is_left"),
-        F.lit(None).cast(lrow_type).alias("_lrow"),
-        F.struct(
-            F.col(right_ts).alias("_rts"), *[F.col(c) for c in payload_cols]
-        ).alias("_rrow"),
+    # Equal-ts right rows collapse to the smallest payload struct FIRST, so
+    # the window picks are value-deterministic and match the bucketed
+    # variant's min(struct) tie-break (pandas merge_asof is positional on
+    # ties — input-order-dependent — so both strategies standardize on the
+    # value-deterministic pick instead).
+    r_tag = (
+        right.select(
+            *on,
+            F.col(right_ts).alias("_t"),
+            F.struct(
+                F.col(right_ts).alias("_rts"), *[F.col(c) for c in payload_cols]
+            ).alias("_rrow"),
+        )
+        .groupBy(*on, "_t")
+        .agg(F.min("_rrow").alias("_rrow"))
+        .select(
+            *on,
+            "_t",
+            F.lit(0).alias("_is_left"),
+            F.lit(None).cast(lrow_type).alias("_lrow"),
+            "_rrow",
+        )
     )
     u = l_tag.unionByName(r_tag)
 
@@ -103,7 +120,11 @@ def asof_join(
     if direction == "backward":
         best = F.when(prev_ok, F.col("_prev"))
     elif direction == "forward":
-        best = F.when(next_ok, F.col("_next"))
+        # a same-instant right row sorts BEFORE the left row, so it lands in
+        # _prev (prev_d == 0), not _next — merge_asof's allow_exact_matches
+        best = F.when(prev_ok & (prev_d == 0), F.col("_prev")).when(
+            next_ok, F.col("_next")
+        )
     else:  # nearest; tie -> backward
         best = (
             F.when(prev_ok & next_ok, F.when(next_d < prev_d, F.col("_next")).otherwise(F.col("_prev")))

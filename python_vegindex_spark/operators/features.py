@@ -69,6 +69,10 @@ def turn_features_physical(
     typical conversations, but it forces each conv into a single task; at
     10^12-turn scale a pathological multi-billion-turn conv would bottleneck
     one executor, and the join variant hash-distributes by (conv, idx).
+    PRECONDITION for the join variant: turn_idx is dense per conv (the
+    bronze ingest contract). On gappy turn_idx the window takes the
+    previous EXISTING turn while the join yields null at a gap — run the
+    window variant on pre-filtered/gappy inputs.
     """
     # Project text -> scalars BEFORE any shuffle: the window (or join)
     # must never move the text payload. At 100 TB the text column is
@@ -86,7 +90,9 @@ def turn_features_physical(
         .otherwise(F.size(F.split(F.trim("text"), r"\s+")))
         .cast("double")
         .alias("word_count"),
-        (F.col("tool") != "").cast("int").alias("tool_call"),
+        # null-safe: external bronze parquet may carry NULL tool (synth
+        # writes ''); a null flag would silently drop rows from avg/sum
+        (F.coalesce(F.col("tool"), F.lit("")) != "").cast("int").alias("tool_call"),
     )
 
     if lag_via_join:

@@ -79,14 +79,27 @@ def synth_media(spark, n: int = 200, seed: int = 42) -> DataFrame:
 
 
 def repartition_by_bytes(
-    df: DataFrame, size_col_expr=None, target_bytes: int = 128 * 1024 * 1024
+    df: DataFrame,
+    size_col_expr=None,
+    target_bytes: int = 128 * 1024 * 1024,
+    total_bytes: int | None = None,
 ) -> DataFrame:
     """Partition fat-row tables by a byte budget instead of row count:
-    estimates total payload bytes and repartitions so each task holds
-    ~target_bytes of media."""
-    size_col = size_col_expr if size_col_expr is not None else F.length("payload")
-    total = df.agg(F.sum(size_col)).collect()[0][0] or 0
-    parts = max(1, int(total // target_bytes) + 1)
+    repartitions so each task holds ~target_bytes of media.
+
+    Pass ``total_bytes`` when known (e.g. from table/file metadata) to
+    skip the sizing scan — otherwise this runs ONE eager pass over the
+    size column and the repartition recomputes the lineage, so for
+    file-backed tables prefer metadata or tune
+    ``spark.sql.files.maxPartitionBytes`` at the scan instead. Round-robin
+    balances rows, not bytes: with wildly mixed payload sizes (KB images
+    next to GB videos) split oversized payloads upstream or sort-by-size
+    first; the budget here bounds the AVERAGE task, not the max.
+    """
+    if total_bytes is None:
+        size_col = size_col_expr if size_col_expr is not None else F.length("payload")
+        total_bytes = df.agg(F.sum(size_col)).collect()[0][0] or 0
+    parts = max(1, int(total_bytes // target_bytes) + 1)
     return df.repartition(parts)
 
 
@@ -114,7 +127,16 @@ def extract_media_features(
         for pdf in batches:
             feats, means, stds = [], [], []
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
-                arr = decoder(bytes(payload), kind)
+                # null payload / empty decode -> null feature row, not a
+                # task failure (one corrupt record must not kill the job)
+                arr = None
+                if payload is not None:
+                    arr = decoder(bytes(payload), kind)
+                if arr is None or arr.size == 0:
+                    feats.append(None)
+                    means.append(None)
+                    stds.append(None)
+                    continue
                 # resize/pool to fixed dim (the real resize happens in the
                 # decoder for images; this is the shape contract)
                 pooled = np.interp(

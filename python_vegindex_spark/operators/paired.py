@@ -205,8 +205,15 @@ def paired_summary(
     series_cols: list[str],
     nmin: int = 1,
 ) -> DataFrame:
-    """NDVI summary tier: the E2 rollup shape over ndvi_c
-    (generate_ndvi_summary_timeseries.py:279-463)."""
+    """NDVI summary tier: the E2 rollup SHAPE over ndvi_c
+    (generate_ndvi_summary_timeseries.py:279-463), with calendar-anchored
+    buckets (doy restarts each year). For the reference's sequential-
+    cursor year-boundary spill-over (daterange2's final bucket of a year
+    consuming early next-year rows) use
+    ``operators.vegindex_summary.generate_ndvi_summary``, which is
+    differential-tested against the reference script; this helper and the
+    two diverge only in the buckets flanking year boundaries when nday
+    does not divide the year length."""
     return rollup_series(
         index_df,
         tier=tier,

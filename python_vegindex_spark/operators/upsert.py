@@ -20,9 +20,12 @@ from pyspark.sql import functions as F
 def merge_upsert(base: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
     """WHEN MATCHED UPDATE, WHEN NOT MATCHED INSERT — as a dataframe op.
 
-    Requires identical schemas. The anti-join shuffles on the key
-    columns; with updates typically << base, AQE broadcasts the update
-    side of the anti-join.
+    Requires identical schemas, and ``updates`` MUST be key-unique —
+    duplicate update keys both survive the union (Iceberg MERGE INTO
+    rejects this case at runtime; here it would silently double rows).
+    Collapse a multi-version batch with :func:`dedup_by_key` first.
+    The anti-join shuffles on the key columns; with updates typically
+    << base, AQE broadcasts the update side of the anti-join.
     """
     kept = base.join(updates.select(*keys), on=keys, how="left_anti")
     return kept.unionByName(updates)

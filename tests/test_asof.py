@@ -77,3 +77,47 @@ def test_bucketed_equivalent(spark, streams, direction):
         .toPandas().sort_values(["k", "lid"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a[["k", "lid", "r_ts", "r_rv"]], b[["k", "lid", "r_ts", "r_rv"]])
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_exact_match_and_duplicate_right_ts(spark, direction):
+    """Regression: a right row AT the left ts matches in every direction
+    (merge_asof allow_exact_matches), and duplicate right timestamps
+    resolve to the smallest payload, identically in both strategies."""
+    t0 = pd.Timestamp("2024-03-01")
+    lpdf = pd.DataFrame(
+        [
+            {"k": "a", "lid": "a0", "ts": t0 + pd.Timedelta(seconds=100), "lv": 0.0},
+            {"k": "a", "lid": "a1", "ts": t0 + pd.Timedelta(seconds=500), "lv": 1.0},
+        ]
+    )
+    rpdf = pd.DataFrame(
+        [
+            {"k": "a", "ts": t0 + pd.Timedelta(seconds=100), "rv": 30.0},
+            {"k": "a", "ts": t0 + pd.Timedelta(seconds=100), "rv": 10.0},
+            {"k": "a", "ts": t0 + pd.Timedelta(seconds=400), "rv": 20.0},
+        ]
+    )
+    l, r = spark.createDataFrame(lpdf), spark.createDataFrame(rpdf)
+    got = (
+        asof_join(l, r, on=["k"], direction=direction, tolerance_s=600, payload_cols=["rv"])
+        .toPandas().sort_values("lid").reset_index(drop=True)
+    )
+    # a0 sits exactly on a duplicated right ts: exact match wins in every
+    # direction; the duplicate collapses to the smaller payload (10.0)
+    assert got.loc[0, "r_rv"] == 10.0
+    expected_a1 = {"backward": 20.0, "forward": None, "nearest": 20.0}[direction]
+    if expected_a1 is None:
+        assert pd.isna(got.loc[1, "r_rv"])
+    else:
+        assert got.loc[1, "r_rv"] == expected_a1
+    b = (
+        asof_join_bucketed(
+            l, r, on=["k"], left_keys=["lid"], direction=direction,
+            tolerance_s=600, payload_cols=["rv"],
+        )
+        .toPandas().sort_values("lid").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["k", "lid", "r_ts", "r_rv"]], b[["k", "lid", "r_ts", "r_rv"]]
+    )

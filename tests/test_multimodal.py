@@ -55,3 +55,28 @@ def test_frame_sampling(spark):
     dur = vids.set_index("media_id")["duration_ms"]
     expected_counts = (np.maximum(dur - 1, 0) // 5000) + 1
     assert (per["count"] == expected_counts.loc[per.index]).all()
+
+
+def test_null_payload_yields_null_features(spark):
+    """Regression: a NULL payload (or an empty decode) must produce a
+    null feature row, not fail the whole Spark task."""
+    media = synth_media(spark, n=6).withColumn(
+        "payload",
+        F.when(F.col("media_id") % 3 == 0, F.lit(None).cast("binary")).otherwise(
+            F.col("payload")
+        ),
+    )
+    empty_for_audio = lambda p, k: (
+        np.array([]) if k == "audio" else media_decode_stub(p, k)
+    )
+    feats = (
+        extract_media_features(media, decoder=empty_for_audio)
+        .toPandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    assert len(feats) == 6
+    nulled = feats["media_id"].mod(3).eq(0) | feats["kind"].eq("audio")
+    assert feats.loc[nulled, "feat_mean"].isna().all()
+    assert feats.loc[nulled, "feat"].isna().all()
+    assert feats.loc[~nulled, "feat_mean"].notna().all()
