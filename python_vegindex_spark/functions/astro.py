@@ -128,12 +128,17 @@ def deg_to_dms(deg: Column) -> Column:
     """Decimal degrees -> 'D:M:S.s' string (utils.py:258-269). Unlike
     the reference pair (deg2dms drops the sign whenever int(angle) == 0,
     and dms2deg ignores signs entirely), this pair round-trips — the
-    sign is a string prefix, so -0.5 -> '-0:30:0.0', not '0:30:0.0'."""
-    a = F.abs(deg)
-    d = F.floor(a)
-    m = F.floor((a - d) * 60)
-    s = F.round(((a - d) * 60 - m) * 60, 2)
-    body = F.concat_ws(":", d.cast("long"), m.cast("long"), s)
+    sign is a string prefix, so -0.5 -> '-0:30:0.0', not '0:30:0.0'.
+
+    Seconds are rounded in integer centiseconds FIRST and then
+    decomposed, so the round carries into minutes/degrees
+    (29.9999999 -> '30:0:0.0', never a non-canonical '29:59:60.0')."""
+    total_cs = F.round(F.abs(deg) * 360000).cast("long")
+    d = F.floor(total_cs / 360000).cast("long")
+    rem = total_cs - d * 360000
+    m = F.floor(rem / 6000).cast("long")
+    s = (rem - m * 6000).cast("double") / 100.0
+    body = F.concat_ws(":", d, m, s)
     return F.concat(F.when(deg < 0, F.lit("-")).otherwise(F.lit("")), body)
 
 

@@ -34,7 +34,12 @@ def tier_nday(tier: str) -> int:
     if tier in TIER_NDAY:
         return TIER_NDAY[tier]
     if tier.endswith("day") and tier[:-3].isdigit():
-        return int(tier[:-3])
+        n = int(tier[:-3])
+        if n < 1:
+            # '0day' would divide by zero in bucket_start -> NULL buckets
+            # that silently collapse every row into one group
+            raise ValueError(f"tier nday must be >= 1, got {tier!r}")
+        return n
     raise KeyError(f"unknown tier {tier!r}")
 
 

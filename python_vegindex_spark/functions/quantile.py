@@ -17,8 +17,13 @@ NaN handling: the reference's quantile() counts NaNs in n (quantile.py:64)
 but its callers guarantee NaN-free input via select_rows' brightness
 floor (roitimeseries.py:826-834 with MIN_BRT=100 > 0, config.py:47) and
 the dnsum>0 guard (generate_summary_timeseries.py:328-336). We make the
-same guarantee explicit: nulls/NaNs are filtered before aggregation, so
-both paths see clean vectors.
+same guarantee explicit AT THE EXPRESSION LEVEL: the aggregate paths map
+NaN -> NULL (:func:`nan_to_null`) before aggregating — Spark's
+``percentile``/``collect_list`` drop nulls but sort NaN greatest — so
+the Spark expressions and the numpy oracle (which np.isnan-filters) see
+identical clean vectors even when a NaN slips past upstream QC.
+:func:`hf_quantile_from_sorted` is the exception: it takes a pre-built
+array and trusts the CALLER to have NaN-filtered it.
 """
 
 from __future__ import annotations
@@ -26,6 +31,14 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+
+def nan_to_null(c: Column) -> Column:
+    """NaN -> NULL (as double) so aggregates drop NaN exactly like the
+    numpy oracle's isnan filter. Pure codegen'd CASE WHEN; nulls pass
+    through unchanged."""
+    d = c.cast("double")
+    return F.when(~F.isnan(d), d)
 
 
 def hf7_numpy(values, q: float) -> float:
@@ -108,7 +121,7 @@ def hf_quantile_expr(
     per-group bucket sizes (thousands of rows), not whole-table
     aggregates — exactly the reference's usage envelope, where every
     shipped call site is qtype=7 anyway (quantile.py callers)."""
-    c_ = F.col(col) if isinstance(col, str) else col
+    c_ = nan_to_null(F.col(col) if isinstance(col, str) else col)
     if not 1 <= qtype <= 9:
         raise ValueError(f"qtype must be 1..9, got {qtype}")
     if qtype == 7:
@@ -120,7 +133,9 @@ def hf_quantile_expr(
 
 
 def hf_quantile_from_sorted(arr: Column, q: float, qtype: int) -> Column:
-    """HF quantile arithmetic over a pre-sorted, null-free array column —
+    """HF quantile arithmetic over a pre-sorted, null- and NaN-free array
+    column (callers building the array from raw measures should wrap them
+    in :func:`nan_to_null` first) —
     the finish step of the two-phase form. Letting several quantiles of
     the same measure share ONE ``array_sort(collect_list(...))`` aggregate
     buffer (instead of one buffer per quantile) divides the aggregate
@@ -145,8 +160,8 @@ def hf_quantile_from_sorted(arr: Column, q: float, qtype: int) -> Column:
 
 
 def percentile_expr(col: str | Column, q: float, alias: str | None = None) -> Column:
-    """Exact type-7 percentile as a JVM aggregate expression."""
-    c = F.col(col) if isinstance(col, str) else col
+    """Exact type-7 percentile as a JVM aggregate expression (NaN-safe)."""
+    c = nan_to_null(F.col(col) if isinstance(col, str) else col)
     out = F.percentile(c, F.lit(q))
     return out.alias(alias) if alias else out
 

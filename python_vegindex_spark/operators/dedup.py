@@ -16,11 +16,14 @@ shuffle-conscious:
                 pairs (verification primitive; not for blind N^2 use).
 
 All JVM-side expressions (md5/xxhash64, transform/filter/aggregate on
-arrays). No Python UDFs. The default base hash is the portable
-md5-derived one (:func:`_md5_half`) so every stage is reproducible
-bit-for-bit by an independent SQL engine; pass ``hash_kind='xxhash64'``
-for the faster non-cryptographic variant when cross-engine
-verifiability doesn't matter.
+arrays). No Python UDFs. In the minhash/simhash/LSH stages the default
+base hash is the portable md5-derived one (:func:`_md5_half`) so those
+stages are reproducible bit-for-bit by an independent SQL engine; pass
+``hash_kind='xxhash64'`` for the faster non-cryptographic variant when
+cross-engine verifiability doesn't matter. :func:`dedup_exact` defaults
+the other way (xxhash64 fingerprint — its RESULT is verified by grouping
+on normalized text, hash-independent); pass ``hash_kind='md5'`` there
+when the fingerprint column itself must be externally reproducible.
 """
 
 from __future__ import annotations
@@ -32,15 +35,31 @@ from ..functions.text import char_ngrams, fingerprint64, word_ngrams
 
 
 def dedup_exact(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_kind: str = "xxhash64",
 ) -> DataFrame:
     """Keep the lowest-id representative per exact (normalized) text.
 
     Returns (fingerprint, keep_id, dup_count). One shuffle on the
-    64-bit fingerprint — effectively uniform, no skew handling needed.
+    fingerprint — effectively uniform, no skew handling needed.
+
+    ``hash_kind``: 'xxhash64' (default) is the fast 64-bit JVM
+    fingerprint; 'md5' fingerprints with the hex digest (string) when the
+    fingerprint column itself must be reproducible by an external engine
+    (``md5(lower(regexp_replace(trim(text), '\\s+', ' ')))`` anywhere).
+    The grouping result is identical either way.
     """
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    if hash_kind == "xxhash64":
+        fp = fingerprint64(F.col(text_col))
+    elif hash_kind == "md5":
+        fp = F.md5(norm)
+    else:
+        raise ValueError(f"hash_kind must be 'md5' or 'xxhash64', got {hash_kind!r}")
     return (
-        df.withColumn("fingerprint", fingerprint64(F.col(text_col)))
+        df.withColumn("fingerprint", fp)
         .groupBy("fingerprint")
         .agg(
             F.min(id_col).alias("keep_id"),
@@ -169,7 +188,25 @@ def minhash_lsh_pairs(
     (``md5(string_agg(m, ','))`` in DuckDB) so candidate generation is
     cross-engine verifiable; 'xxhash64' packs the bucket into a long
     (8 shuffle bytes vs 32) when verifiability doesn't matter.
+
+    Signatures must carry at least ``bands * rows_per_band`` hashes —
+    enforced per row (otherwise the out-of-range band slices would all
+    hash the empty array to ONE shared bucket, silently degenerating the
+    self-join to O(N^2) with garbage candidates).
     """
+    need = bands * rows_per_band
+    sigs = sigs.withColumn(
+        "minhash",
+        F.when(F.size("minhash") >= need, F.col("minhash")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("minhash_lsh_pairs: signature has "),
+                    F.size("minhash").cast("string"),
+                    F.lit(f" hashes, need bands*rows_per_band={need}"),
+                )
+            )
+        ),
+    )
     if bucket_kind == "md5":
         def _bucket(b):
             sl = F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)

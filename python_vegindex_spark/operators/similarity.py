@@ -40,6 +40,39 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared top-k tail: rank (query_id, neighbor_id, cos_sim) candidates
+    per query by (cos desc, id asc — deterministic ties) and keep k."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def _hamming1_probes(
+    bucketed: DataFrame, num_planes: int, id_alias: str, vec_alias: str
+) -> DataFrame:
+    """Explode each (id, vec, bucket) row into its own bucket plus every
+    Hamming-1 probe bucket (each of ``num_planes`` bits flipped) — the
+    multi-probe trick that recovers near-boundary neighbors without a
+    second hash family."""
+    return bucketed.select(
+        F.col("id").alias(id_alias),
+        F.col("vec").alias(vec_alias),
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), i))
+                    for i in range(num_planes)
+                ],
+            )
+        ).alias("bucket"),
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -70,14 +103,7 @@ def cosine_topk(
             F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_to).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def hyperplane_components(dim: int, h: int, seed: int) -> list[float]:
@@ -110,10 +136,23 @@ def lsh_buckets(
     seed: int = 7,
 ) -> DataFrame:
     """(id, bucket) — sign pattern of projections on ``num_planes``
-    deterministic hyperplanes, packed into a long."""
+    deterministic hyperplanes, packed into a long.
+
+    ``dim`` must equal the actual embedding length — enforced per row
+    (``zip_with`` null-pads a mismatched pair, the null dot product fails
+    every sign test, and EVERY row would land in bucket 0, silently
+    degenerating downstream bucket joins to a full cross join)."""
+    vec = F.when(F.size(F.col(vec_col)) == dim, F.col(vec_col)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"lsh_buckets: dim={dim} but embedding length is "),
+                F.size(F.col(vec_col)).cast("string"),
+            )
+        )
+    )
     bucket = F.lit(0).cast("long")
     for h in range(num_planes):
-        sign = F.when(_dot(F.col(vec_col), _hyperplane(dim, h, seed)) >= 0, 1).otherwise(0)
+        sign = F.when(_dot(vec, _hyperplane(dim, h, seed)) >= 0, 1).otherwise(0)
         bucket = bucket.bitwiseOR(F.shiftleft(sign.cast("long"), h))
     return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), bucket.alias("bucket"))
 
@@ -292,12 +331,7 @@ def ivf_topk(
             F.round(cosine(F.col("q_vec"), F.col("vec")), round_to).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def embedding_near_dup_pairs(
@@ -324,31 +358,12 @@ def embedding_near_dup_pairs(
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     elif method == "lsh":
         cb = lsh_buckets(emb, dim, num_planes, id_col, vec_col, seed)
-        probes = cb.select(
-            "id",
-            "vec",
-            F.explode(
-                F.array(
-                    F.col("bucket"),
-                    *[
-                        F.col("bucket").bitwiseXOR(
-                            F.shiftleft(F.lit(1).cast("long"), i)
-                        )
-                        for i in range(num_planes)
-                    ],
-                )
-            ).alias("bucket"),
-        )
+        probes = _hamming1_probes(cb, num_planes, "id_b", "vb")
         base = cb.select(
             F.col("id").alias("id_a"), F.col("vec").alias("va"), "bucket"
         )
         pairs = (
-            base.join(
-                probes.select(
-                    F.col("id").alias("id_b"), F.col("vec").alias("vb"), "bucket"
-                ),
-                on="bucket",
-            )
+            base.join(probes, on="bucket")
             .filter(F.col("id_a") < F.col("id_b"))
             .dropDuplicates(["id_a", "id_b"])
         )
@@ -381,19 +396,7 @@ def ann_topk_lsh(
     distance 1 (flip each bit) to recover near-boundary neighbors."""
     cb = lsh_buckets(corpus, dim, num_planes, id_col, vec_col, seed)
     qb = lsh_buckets(queries, dim, num_planes, id_col, vec_col, seed)
-    probes = qb.select(
-        F.col("id").alias("query_id"),
-        F.col("vec").alias("q_vec"),
-        F.explode(
-            F.array(
-                F.col("bucket"),
-                *[
-                    F.col("bucket").bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), i))
-                    for i in range(num_planes)
-                ],
-            )
-        ).alias("bucket"),
-    )
+    probes = _hamming1_probes(qb, num_planes, "query_id", "q_vec")
     scored = (
         cb.join(probes, on="bucket")
         .filter(F.col("id") != F.col("query_id"))
@@ -404,9 +407,4 @@ def ann_topk_lsh(
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-    )
+    return _rank_topk(scored, k)

@@ -223,3 +223,15 @@ def test_bucket_cursor_matches_reference_daterange2_fuzz(spark):
                 if got[(sid_, i)] != exp[i]:
                     mismatches.append((sid_, nday, i, tss[i], got[(sid_, i)], exp[i]))
     assert not mismatches, mismatches[:10]
+
+
+def test_tier_nday_rejects_zero():
+    """'0day' would divide by zero -> NULL buckets collapsing every row
+    into one group; must raise instead."""
+    import pytest
+
+    from python_vegindex_spark.functions.buckets import tier_nday
+
+    assert tier_nday("3day") == 3
+    with pytest.raises(ValueError, match="nday"):
+        tier_nday("0day")

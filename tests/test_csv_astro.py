@@ -180,3 +180,18 @@ def test_solar_elevation_no_python_in_plan(spark):
         solar_elevation(F.col("ts"), F.lit(42.0), F.lit(-72.0)).alias("e")
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_deg_to_dms_carries_rounded_seconds(spark):
+    """Regression: rounding seconds to 2 decimals used to produce a
+    non-canonical 60.0-seconds field ('29:59:60.0'); the round must
+    carry into minutes/degrees."""
+    pdf = pd.DataFrame({"deg": [29.9999999, 0.99999999, 60.504167]})
+    out = (
+        spark.createDataFrame(pdf)
+        .select(deg_to_dms(F.col("deg")).alias("dms"), "deg")
+        .toPandas()
+    )
+    assert out.loc[0, "dms"] == "30:0:0.0"
+    assert out.loc[1, "dms"] == "1:0:0.0"
+    assert out.loc[2, "dms"] == "60:30:15.0"

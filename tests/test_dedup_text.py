@@ -171,3 +171,47 @@ def test_simhash_pairs_rejects_bad_block_layout(spark):
         simhash_pairs(sigs, tables=4, prefix_bits=17)
     with pytest.raises(ValueError, match="prefix_bits"):
         simhash_pairs(sigs, tables=4, prefix_bits=0)
+
+
+def test_lsh_pairs_rejects_short_signatures(spark):
+    """Regression: bands*rows_per_band beyond the signature length used
+    to slice empty arrays -> md5('') -> ONE shared bucket for every doc
+    (silent O(N^2) garbage candidates). Must raise instead."""
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["alpha beta gamma delta", "unrelated words entirely here"]})
+    )
+    sigs = minhash_signatures(docs, num_hashes=8)
+    with pytest.raises(Exception, match="need bands"):
+        minhash_lsh_pairs(sigs, bands=16, rows_per_band=4).collect()
+    # matching layout still works
+    ok = minhash_lsh_pairs(sigs, bands=4, rows_per_band=2).collect()
+    assert isinstance(ok, list)
+
+
+def test_dedup_exact_md5_matches_xxhash_grouping(spark):
+    from python_vegindex_spark.operators.dedup import dedup_exact
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": ["Hello  World", "hello world", "other", "OTHER "],
+            }
+        )
+    )
+    fast = {
+        (r["keep_id"], r["dup_count"])
+        for r in dedup_exact(docs).collect()
+    }
+    portable = dedup_exact(docs, hash_kind="md5")
+    rows = portable.collect()
+    assert {(r["keep_id"], r["dup_count"]) for r in rows} == fast == {(1, 2), (3, 2)}
+    # md5 fingerprints are the plain hex digest of the normalized text
+    import hashlib
+
+    assert {r["fingerprint"] for r in rows} == {
+        hashlib.md5(b"hello world").hexdigest(),
+        hashlib.md5(b"other").hexdigest(),
+    }
+    with pytest.raises(ValueError, match="hash_kind"):
+        dedup_exact(docs, hash_kind="sha1")

@@ -243,3 +243,31 @@ def test_hf_spark_expr_differential_grid(spark):
                 assert got == pytest.approx(exp, rel=1e-12, abs=1e-12), (
                     gid, len(vals), qtype, q,
                 )
+
+
+def test_expr_paths_filter_nan_like_numpy_oracle(spark):
+    """Regression: the expression paths must map NaN -> NULL before
+    aggregating (Spark sorts NaN greatest, the numpy oracle filters it)."""
+    import math
+
+    from python_vegindex_spark.functions.quantile import (
+        hf_quantile_expr,
+        hf_quantile_numpy,
+        percentile_expr,
+    )
+
+    vals = [1.0, 2.0, 3.0, float("nan")]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    row = df.agg(
+        percentile_expr("v", 0.9, alias="p90"),
+        hf_quantile_expr("v", 0.9, qtype=7, alias="t7"),
+        hf_quantile_expr("v", 0.9, qtype=6, alias="t6"),
+        hf_quantile_expr("v", 0.5, qtype=1, alias="t1"),
+    ).collect()[0]
+    assert row["p90"] == pytest.approx(hf_quantile_numpy(vals, 0.9, 7))
+    assert row["t7"] == pytest.approx(hf_quantile_numpy(vals, 0.9, 7))
+    assert row["t6"] == pytest.approx(hf_quantile_numpy(vals, 0.9, 6))
+    assert row["t1"] == pytest.approx(hf_quantile_numpy(vals, 0.5, 1))
+    assert not any(
+        v is not None and math.isnan(v) for v in row.asDict().values()
+    )

@@ -177,3 +177,15 @@ def test_ivf_large_codebook_recall(spark):
     e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
     a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
     assert len(e & a) / len(e) >= 0.9
+
+
+def test_lsh_buckets_rejects_dim_mismatch(spark, emb_df):
+    """Regression: a wrong dim used to null-pad the dot product and send
+    EVERY vector to bucket 0 (downstream bucket joins degenerate to a
+    full cross join). Must raise instead."""
+    from python_vegindex_spark.operators.similarity import lsh_buckets
+
+    with pytest.raises(Exception, match="embedding length"):
+        lsh_buckets(emb_df, dim=DIM + 1).collect()
+    ok = lsh_buckets(emb_df, dim=DIM).select("bucket").distinct().count()
+    assert ok > 1
