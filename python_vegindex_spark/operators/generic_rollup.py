@@ -41,9 +41,16 @@ def rollup_series(
     v_mean, v_std (population), v_{q} exact percentiles, v_min, v_max —
     nulled below ``nmin`` per the reference tiering. ``round_to`` rounds
     float aggregates for stable cross-engine comparison.
+
+    NaN ≡ NULL (dropped before every aggregate, n included) — the
+    engine-wide rule (functions/quantile module docstring); Spark's
+    avg/percentile would otherwise propagate a stray NaN that the
+    reference's nanmean semantics and the oracles drop.
     """
+    from ..functions.quantile import nan_to_null
+
     ts = F.col(ts_col)
-    v = F.col(value_col)
+    v = nan_to_null(F.col(value_col))
     d = df.withColumn("bucket_start", bucket_start(ts, tier))
 
     def _r(c: Column) -> Column:

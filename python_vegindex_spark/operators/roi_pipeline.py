@@ -193,17 +193,18 @@ def _tier1_stats_core(
         for m in masks
     }
 
-    stats = stats_table_fn(
+    # ts and mask_index ride THROUGH the mapInPandas stage — re-joining
+    # them from the listing afterwards would re-execute the listing scan
+    # and shuffle O(archive) rows for two tiny columns
+    all_stats = stats_table_fn(
         imgs.join(binary, on="filename"),
         mask=mask_arrs,
         mask_index_col="mask_index",
         decode_fn=decode_fn,
         id_col="filename",
         content_col="content",
+        passthrough_cols=["ts", "mask_index"],
     ).withColumnRenamed("image_id", "filename")
-    all_stats = imgs.select("filename", "ts", "mask_index").join(
-        stats, on="filename"
-    )
 
     base = F.regexp_replace("filename", r"\.[^.]+$", "")
     # no broadcast hint: the sidecar table is O(images in the archive) —

@@ -170,6 +170,7 @@ def _stats_map_table(
     id_col: str,
     content_col: str,
     mask_index_col: str | None = None,
+    passthrough_cols: list[str] | None = None,
 ) -> DataFrame:
     """Shared mapInPandas plumbing for the per-image stats kernels: the
     tiny mask(s) ship to executors inside the Arrow-batched closure (the
@@ -179,7 +180,11 @@ def _stats_map_table(
     naming the per-row index column — the multi-mask form lets a whole
     archive flow through ONE binary scan instead of one scan per mask.
     ``decode_fn`` injects the codec (absent here -> NotImplementedError,
-    honestly stubbed)."""
+    honestly stubbed). ``passthrough_cols`` ride along unchanged and are
+    appended after the stats columns — carrying tiny metadata (ts, mask
+    index) THROUGH the stage saves the caller a re-join against the
+    listing, i.e. a second listing scan plus a shuffle over O(archive)
+    rows."""
     decode = decode_fn or _decode_unavailable
     if isinstance(mask, dict):
         if mask_index_col is None:
@@ -187,7 +192,13 @@ def _stats_map_table(
         masks = {int(k): np.ascontiguousarray(v.astype(bool)) for k, v in mask.items()}
     else:
         masks = {0: np.ascontiguousarray(mask.astype(bool))}
+    passthrough = list(passthrough_cols or [])
     in_cols = [id_col, content_col] + ([mask_index_col] if mask_index_col else [])
+    in_cols += [c for c in passthrough if c not in in_cols]
+    out_schema = T.StructType(
+        list(schema.fields) + [images.schema[c] for c in passthrough]
+    )
+    stat_names = [f.name for f in schema.fields]
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -200,9 +211,12 @@ def _stats_map_table(
                 )
                 stats["image_id"] = str(image_id)
                 rows.append(stats)
-            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+            out = pd.DataFrame(rows, columns=stat_names)
+            for c in passthrough:
+                out[c] = pdf[c].to_numpy()
+            yield out
 
-    return images.select(*in_cols).mapInPandas(_batches, schema=schema)
+    return images.select(*in_cols).mapInPandas(_batches, schema=out_schema)
 
 
 def roi_stats_table(
@@ -212,12 +226,13 @@ def roi_stats_table(
     id_col: str = "image_id",
     content_col: str = "content",
     mask_index_col: str | None = None,
+    passthrough_cols: list[str] | None = None,
 ) -> DataFrame:
     """Distributed roistats: (image_id, content: binary) -> one stats row
     per image (generate_roi_timeseries main loop re-expressed)."""
     return _stats_map_table(
         images, mask, roi_stats_arrays, ROI_STATS_SCHEMA,
-        decode_fn, id_col, content_col, mask_index_col,
+        decode_fn, id_col, content_col, mask_index_col, passthrough_cols,
     )
 
 
@@ -228,10 +243,11 @@ def roi_ir_stats_table(
     id_col: str = "image_id",
     content_col: str = "content",
     mask_index_col: str | None = None,
+    passthrough_cols: list[str] | None = None,
 ) -> DataFrame:
     """Distributed IR roistats: the generate_roi_ir_timeseries inner loop
     (ir_roitimeseries.py create_row) as the same streaming plan."""
     return _stats_map_table(
         images, mask, roi_ir_stats_arrays, IR_STATS_SCHEMA,
-        decode_fn, id_col, content_col, mask_index_col,
+        decode_fn, id_col, content_col, mask_index_col, passthrough_cols,
     )

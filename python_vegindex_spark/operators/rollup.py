@@ -75,15 +75,22 @@ def qc_filter(features: DataFrame, cfg: RollupConfig) -> DataFrame:
 
 
 def _agg_exprs(cfg: RollupConfig) -> list[Column]:
+    from ..functions.quantile import nan_to_null
+
     ok = F.col("dnsum") > 0  # the image-count guard
     exprs: list[Column] = [
         F.count(F.when(ok, 1)).alias("turn_count"),
         F.max("gate_value").alias("max_gate_value"),
     ]
-    # recomputed composites (A10): derive from raw DN columns in the agg input
+    # recomputed composites (A10): derive from raw DN columns in the agg
+    # input. Every measure aggregate maps NaN -> NULL first (the engine-wide
+    # rule, functions/quantile module docstring): Spark's avg/percentile
+    # would otherwise propagate/sort a stray NaN while the reference's
+    # nanmean and the pandas oracle's isnan filter drop it.
     for m in MEAN_STD_MEASURES:
-        exprs.append(F.avg(m).alias(f"{m}_mean"))
-        exprs.append(F.stddev_pop(m).alias(f"{m}_std"))
+        mc = nan_to_null(F.col(m))
+        exprs.append(F.avg(mc).alias(f"{m}_mean"))
+        exprs.append(F.stddev_pop(mc).alias(f"{m}_std"))
     # ONE aggregate buffer per percentile measure, shared by all the
     # requested quantiles (p50/p75/p90 and any others): percentile /
     # percentile_approx take an ARRAY of fractions, and the non-type-7
@@ -96,18 +103,20 @@ def _agg_exprs(cfg: RollupConfig) -> list[Column]:
     # shared buffers back into the public per-quantile columns.
     qarr = F.array(*[F.lit(float(q)) for q in cfg.percentiles])
     for m in PCT_MEASURES if cfg.percentiles else []:
+        mc = nan_to_null(F.col(m))
         if cfg.approx_percentiles:
             exprs.append(
                 F.percentile_approx(
-                    F.col(m), qarr, F.lit(cfg.approx_accuracy)
+                    mc, qarr, F.lit(cfg.approx_accuracy)
                 ).alias(f"_{m}_pq")
             )
         elif cfg.quantile_type == 7:
             # Spark's exact percentile IS HF-7 (hot path)
-            exprs.append(F.percentile(F.col(m), qarr).alias(f"_{m}_pq"))
+            exprs.append(F.percentile(mc, qarr).alias(f"_{m}_pq"))
         else:
+            # hf_quantile_from_sorted's contract: null- AND NaN-free array
             exprs.append(
-                F.array_sort(F.collect_list(F.col(m))).alias(f"_{m}_sorted")
+                F.array_sort(F.collect_list(mc)).alias(f"_{m}_sorted")
             )
     # representative row: lexicographic min over (|delta|, ts, payload)
     payload = F.struct(

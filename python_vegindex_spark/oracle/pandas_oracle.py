@@ -88,12 +88,17 @@ def _spine(min_b, max_b, tier: str) -> list:
     return out
 
 
-# numpy's own HF-type implementations — an estimator path independent
-# of the engine's hf_quantile_expr / hf_quantile_numpy
-_NP_METHOD = {
-    1: "inverted_cdf", 2: "averaged_inverted_cdf", 3: "closest_observation",
-    4: "interpolated_inverted_cdf", 5: "hazen", 6: "weibull", 7: "linear",
-    8: "median_unbiased", 9: "normal_unbiased",
+# HF plotting-position parameters (Hyndman & Fan 1996, table 1), spelled
+# as the per-type (a, b) offsets plus the (c, d) interpolation weights.
+# The oracle implements the formula itself rather than numpy's named
+# methods: numpy clamps to y[0] when the position lands in (-1, 0),
+# while the semantics under test (reference quantile.py via the engine)
+# EXTRAPOLATE there (trunc toward zero leaves j == -0.0 with negative g),
+# and numpy's averaged type 2 differs from the tabulated-formula type 2.
+_HF_PARAMS = {
+    1: (0.0, 0.0, 1.0, 0.0), 2: (0.5, 0.0, 1.0, 0.0), 3: (0.5, 0.0, 0.0, 0.0),
+    4: (0.0, 0.0, 0.0, 1.0), 5: (0.5, 0.0, 0.0, 1.0), 6: (0.0, 1.0, 0.0, 1.0),
+    8: (1 / 3, 1 / 3, 0.0, 1.0), 9: (3 / 8, 0.25, 0.0, 1.0),
 }
 
 
@@ -101,7 +106,25 @@ def _q7(x: np.ndarray, q: float, qtype: int = 7) -> float:
     x = x[~np.isnan(x)]
     if len(x) == 0:
         return np.nan
-    return float(np.quantile(x, q, method=_NP_METHOD[qtype]))
+    if qtype == 7:
+        # interior by construction (h = (n-1)q + 1 ∈ [1, n]); numpy's
+        # default linear method is exactly HF-7
+        return float(np.quantile(x, q, method="linear"))
+    y = np.sort(x)
+    n = len(y)
+    a, b, c, d = _HF_PARAMS[qtype]
+    pos = a + (n + b) * q - 1.0
+    whole = float(np.trunc(pos))  # toward zero: (-1, 0) -> -0.0, kept
+    frac = pos - whole
+    if whole < 0:
+        return float(y[0])
+    if whole >= n:
+        return float(y[-1])
+    lo = y[int(whole)]
+    hi = y[min(int(whole) + 1, n - 1)]
+    if frac == 0:
+        return float(lo)
+    return float(lo + (hi - lo) * (c + d * frac))
 
 
 MEASURES = ["text_len", "latency_delta_s", "fcc", "rcc_like", "r_dn", "g_dn", "b_dn"]

@@ -128,3 +128,65 @@ def test_rollup_empty_percentiles(spark, turns_sdf):
     assert not [c for c in out.columns if c.startswith("_")]
     assert "fcc_50" not in out.columns and "fcc_mean" in out.columns
     assert out.count() > 0
+
+@pytest.mark.parametrize("qtype", [7, 6])
+def test_rollup_nan_measures_match_oracle(spark, turns_sdf, turns_pdf, qtype):
+    """Regression: a NaN that slips past QC (fcc is not in the QC
+    predicate) must be DROPPED by every measure aggregate — Spark's
+    avg/percentile would otherwise propagate it / sort it greatest,
+    while the reference's nanmean semantics and the pandas oracle's
+    isnan filter drop it."""
+    from pyspark.sql import functions as F
+
+    feats = turn_features(turns_sdf).withColumn(
+        "fcc",
+        F.when(F.col("turn_idx") % 5 == 0, F.lit(float("nan"))).otherwise(
+            F.col("fcc")
+        ),
+    )
+    pf = oracle_features(turns_pdf)
+    pf.loc[pf["turn_idx"] % 5 == 0, "fcc"] = np.nan
+    cfg = RollupConfig(tier="daily", nmin=2, quantile_type=qtype)
+    got = rollup(feats, cfg).toPandas()
+    exp = oracle_rollup(pf, cfg)
+    # sanity: the injection actually reached aggregated buckets
+    assert (pf["turn_idx"] % 5 == 0).any()
+    _assert_frames_match(got, exp, ["conv_id", "bucket_start"])
+    full = got[got.turn_count >= 2]
+    assert np.isfinite(pd.to_numeric(full["fcc_mean"], errors="coerce")).any()
+
+
+def test_rollup_small_q_extrapolates_like_reference(spark, turns_sdf, turns_pdf):
+    """Regression: for non-type-7 estimators at small q the plotting
+    position h lands in (-1, 0) and the reference EXTRAPOLATES below
+    y[0] (trunc-toward-zero quirk); numpy's named HF methods clamp, so
+    the pandas oracle must implement the formula itself. Engine and
+    oracle must agree bucket-for-bucket at q=0.05."""
+    cfg = RollupConfig(
+        tier="daily", nmin=2, quantile_type=8, percentiles=(0.05, 0.5)
+    )
+    got = rollup(turn_features(turns_sdf), cfg).toPandas()
+    exp = oracle_rollup(oracle_features(turns_pdf), cfg)
+    _assert_frames_match(got, exp, ["conv_id", "bucket_start"])
+    # h = 1/3 + (n + 1/3)*0.05 - 1 < 0 for every bucket with n <= 12:
+    # the extrapolation branch genuinely ran somewhere in this data
+    assert ((exp.turn_count >= 2) & (exp.turn_count <= 12)).any()
+
+
+def test_oracle_q7_matches_engine_numpy_hf_grid():
+    """The oracle's independent HF formula agrees with the engine's
+    hf_quantile_numpy (itself fuzz-pinned to the reference function)
+    across every type and the quirk regions (small q, g=0, q=1)."""
+    from python_vegindex_spark.functions.quantile import hf_quantile_numpy
+    from python_vegindex_spark.oracle.pandas_oracle import _q7
+
+    rng = np.random.default_rng(7)
+    for n in (1, 2, 3, 5, 12, 40):
+        x = np.round(rng.normal(size=n), 3)
+        for qtype in range(1, 10):
+            for q in (0.0, 0.01, 0.05, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0):
+                got = _q7(x.copy(), q, qtype)
+                exp = hf_quantile_numpy(x, q, qtype)
+                assert got == pytest.approx(exp, rel=1e-12, abs=1e-12), (
+                    n, qtype, q,
+                )
