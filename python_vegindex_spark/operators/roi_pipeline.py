@@ -138,7 +138,8 @@ def _tier1_stats_core(
     """Shared RGB/IR tier-1 core: archive listing -> one-pass mask-index
     assignment -> single binary scan -> per-image stats kernel ->
     ``.meta`` sidecar join.
-    Returns (filename, ts, mask_index, exposure, awbflag, <stats...>).
+    Returns (filename, <stats...>, ts, mask_index, exposure, awbflag);
+    callers project by name.
 
     ``exclude_filenames`` (a 1-column ``filename`` DataFrame) anti-joins
     already-processed images away — the incremental path
