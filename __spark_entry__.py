@@ -4,6 +4,16 @@ Each ``queries()`` entry runs an engine operator from SURVEY.md §2 over
 the driver's parquet tables; ``oracle_sql()`` gives the DuckDB-runnable
 equivalent. Float aggregates are rounded to fixed decimals on BOTH sides
 so the driver's value hash is stable across engines.
+
+Cross-engine float discipline (verified at sf0.01 AND 10x at sf0.1 via
+``scripts/check_entry.py``): scalar expressions are spelled as the
+IDENTICAL IEEE op sequence on both sides (see :func:`_fmod_naive` — the
+engines' own mod builtins differ by an ulp, enough to flip a filter
+boundary row). Aggregates (avg/percentile) can still differ in the last
+ulp from summation order; at 6-decimal rounding that flips a printed
+digit for ~1 in 10^7 values, which the sf0.01 gate's volume stays
+safely below (observed only at sf0.1: 3 single-digit diffs across 43
+queries, all n-hundred-row aggregate cells).
 """
 
 from __future__ import annotations
@@ -208,14 +218,29 @@ def q_asof_forward_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def _fmod_naive(x, m: float):
+    """``x - floor(x/m) * m`` — the float mod spelled as an EXPLICIT op
+    sequence that the DuckDB mirrors inline verbatim, so both engines run
+    the identical IEEE operations and the result is bit-identical.
+
+    Why not ``%``/``pmod``/``fmod``: Spark's ``%`` is exact IEEE fmod
+    while DuckDB's ``fmod`` is this naive formula — they differ by an ulp
+    for large x/m (observed at sf0.1: ``fmod(1900.6, 2.4)`` =
+    2.1999999999999793 in Spark vs 2.2000000000000455 in DuckDB), which
+    flips a row sitting on a downstream ``BETWEEN`` filter boundary and
+    shifts a whole bucket's stats. Valid for x >= 0 (floor == trunc)."""
+    return x - F.floor(x / m).cast("double") * m
+
+
 def _synth_roistats(ev, ts=None, with_awb: bool = True, ndvi: bool = False):
     """Deterministic events -> tier-1 roistats projection shared by the
     four flagship-summary queries (ONE definition so the Spark-side
     copies cannot drift from each other; each query's DuckDB mirror
-    inlines the identical arithmetic)."""
-    r = 50.0 + F.pmod(F.col("value"), F.lit(100.0))
-    g = 60.0 + F.pmod(F.col("value") * 7.0, F.lit(100.0))
-    b = 40.0 + F.pmod(F.col("value") * 13.0, F.lit(100.0))
+    inlines the identical arithmetic — moduli via :func:`_fmod_naive`'s
+    explicit spelling on both sides)."""
+    r = 50.0 + _fmod_naive(F.col("value"), 100.0)
+    g = 60.0 + _fmod_naive(F.col("value") * 7.0, 100.0)
+    b = 40.0 + _fmod_naive(F.col("value") * 13.0, 100.0)
     cols = [(ts if ts is not None else F.col("ts")).alias("ts")]
     if ndvi:
         cols += [
@@ -224,7 +249,7 @@ def _synth_roistats(ev, ts=None, with_awb: bool = True, ndvi: bool = False):
         ]
     else:
         cols += [F.concat(F.lit("e"), F.col("event_id").cast("string")).alias("filename")]
-    cols += [(F.pmod(F.col("event_id"), F.lit(80)) - 5).cast("double").alias("solar_elev")]
+    cols += [(F.col("event_id") % 80 - 5).cast("double").alias("solar_elev")]
     if with_awb:
         cols += [F.when(F.col("event_id") % 13 == 0, 1).otherwise(0).alias("awbflag")]
     cols += [
@@ -232,7 +257,7 @@ def _synth_roistats(ev, ts=None, with_awb: bool = True, ndvi: bool = False):
         (g / (r + g + b)).alias("gcc"),
     ]
     if ndvi:
-        cols += [(F.pmod(F.col("value") * 17.0, F.lit(2.4)) - 1.2).alias("NDVI_c")]
+        cols += [(_fmod_naive(F.col("value") * 17.0, 2.4) - 1.2).alias("NDVI_c")]
     return ev.select(*cols)
 
 
@@ -1206,9 +1231,9 @@ WITH r AS (
          'e' || CAST(event_id AS VARCHAR) AS filename,
          CAST(event_id % 80 - 5 AS DOUBLE) AS solar_elev,
          CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END AS awbflag,
-         50.0 + fmod(value, 100.0) AS r_mean,
-         60.0 + fmod(value * 7.0, 100.0) AS g_mean,
-         40.0 + fmod(value * 13.0, 100.0) AS b_mean
+         50.0 + (value - floor(value / 100.0) * 100.0) AS r_mean,
+         60.0 + (value * 7.0 - floor(value * 7.0 / 100.0) * 100.0) AS g_mean,
+         40.0 + (value * 13.0 - floor(value * 13.0 / 100.0) * 100.0) AS b_mean
   FROM events WHERE event_id % 139 = 0
 ),
 -- select_rows (pre-awb) defines spine bounds and the series-start year,
@@ -1291,9 +1316,9 @@ WITH r AS (
          'e' || CAST(event_id AS VARCHAR) AS filename,
          CAST(event_id % 80 - 5 AS DOUBLE) AS solar_elev,
          CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END AS awbflag,
-         50.0 + fmod(value, 100.0) AS r_mean,
-         60.0 + fmod(value * 7.0, 100.0) AS g_mean,
-         40.0 + fmod(value * 13.0, 100.0) AS b_mean
+         50.0 + (value - floor(value / 100.0) * 100.0) AS r_mean,
+         60.0 + (value * 7.0 - floor(value * 7.0 / 100.0) * 100.0) AS g_mean,
+         40.0 + (value * 13.0 - floor(value * 13.0 / 100.0) * 100.0) AS b_mean
   FROM events WHERE event_id % 11 = 0
 ),
 -- select_rows (pre-awb) defines spine bounds and the series-start year
@@ -1375,10 +1400,10 @@ WITH r AS (
          'e' || CAST(event_id AS VARCHAR) AS filename_rgb,
          'i' || CAST(event_id AS VARCHAR) AS filename_ir,
          CAST(event_id % 80 - 5 AS DOUBLE) AS solar_elev,
-         50.0 + fmod(value, 100.0) AS r_mean,
-         60.0 + fmod(value * 7.0, 100.0) AS g_mean,
-         40.0 + fmod(value * 13.0, 100.0) AS b_mean,
-         fmod(value * 17.0, 2.4) - 1.2 AS ndvi
+         50.0 + (value - floor(value / 100.0) * 100.0) AS r_mean,
+         60.0 + (value * 7.0 - floor(value * 7.0 / 100.0) * 100.0) AS g_mean,
+         40.0 + (value * 13.0 - floor(value * 13.0 / 100.0) * 100.0) AS b_mean,
+         (value * 17.0 - floor(value * 17.0 / 2.4) * 2.4) - 1.2 AS ndvi
   FROM events WHERE event_id % 53 = 0
 ),
 -- released reference semantics: the NDVI range filter ONLY; bounds come
@@ -1451,9 +1476,9 @@ WITH r AS (
          'e' || CAST(event_id AS VARCHAR) AS filename,
          CAST(event_id % 80 - 5 AS DOUBLE) AS solar_elev,
          CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END AS awbflag,
-         50.0 + fmod(value, 100.0) AS r_mean,
-         60.0 + fmod(value * 7.0, 100.0) AS g_mean,
-         40.0 + fmod(value * 13.0, 100.0) AS b_mean
+         50.0 + (value - floor(value / 100.0) * 100.0) AS r_mean,
+         60.0 + (value * 7.0 - floor(value * 7.0 / 100.0) * 100.0) AS g_mean,
+         40.0 + (value * 13.0 - floor(value * 13.0 / 100.0) * 100.0) AS b_mean
   FROM events WHERE event_id % 97 = 0
 ),
 -- the oracle is the FULL recompute; a hash match against the engine's
