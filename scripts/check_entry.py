@@ -4,7 +4,14 @@ Runs every __spark_entry__.queries() entry on Spark and its oracle_sql()
 on DuckDB over the same sf dir, compares row counts and order-insensitive
 values (columns sorted by name). Usage:
 
-    python scripts/check_entry.py [sf_dir] [query ...]
+    python scripts/check_entry.py [--tol] [sf_dir] [query ...]
+
+``--tol``: when the exact rounded-string compare fails, retry allowing
+each float to differ by at most one 6-decimal rounding quantum and
+report [OK-TOL] if it passes — this separates real semantic mismatches
+from cross-engine aggregate summation-order ulps that flip a 6th
+rounded decimal (observed only at sf0.1 volumes; the driver's sf0.01
+gate uses the exact compare).
 """
 
 from __future__ import annotations
@@ -51,9 +58,42 @@ def frame_sig(df: pd.DataFrame) -> list[str]:
     return sorted(rows)
 
 
+def _tol_equal(sdf: pd.DataFrame, ddf: pd.DataFrame, atol: float = 1.01e-6) -> bool:
+    """Order-insensitive compare allowing floats to differ by at most ONE
+    6-decimal rounding quantum (the queries round to 6 dp on both sides,
+    so a last-ulp summation-order difference in the unrounded aggregate
+    surfaces as exactly 1e-6 post-round); everything else compares
+    exactly."""
+    if len(sdf) != len(ddf) or sorted(sdf.columns) != sorted(ddf.columns):
+        return False
+    cols = sorted(sdf.columns)
+    # align rows by the NON-float columns only — a float differing in its
+    # last digit must not shuffle the row to a different sort position
+    key_cols = [c for c in cols if sdf[c].dtype.kind != "f" and ddf[c].dtype.kind != "f"]
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        k = df[key_cols].map(norm_cell).apply(lambda r: "|".join(r), axis=1)
+        return df[cols].iloc[np.argsort(k.to_numpy(), kind="stable")].reset_index(drop=True)
+
+    a, b = keyed(sdf), keyed(ddf)
+    for c in cols:
+        x, y = a[c], b[c]
+        if x.dtype.kind == "f" or y.dtype.kind == "f":
+            xv = pd.to_numeric(x, errors="coerce").astype(float).to_numpy()
+            yv = pd.to_numeric(y, errors="coerce").astype(float).to_numpy()
+            if not np.allclose(xv, yv, rtol=0.0, atol=atol, equal_nan=True):
+                return False
+        else:
+            if list(x.map(norm_cell)) != list(y.map(norm_cell)):
+                return False
+    return True
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--tol"]
+    use_tol = "--tol" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
     from python_vegindex_spark.session import get_spark
@@ -91,6 +131,12 @@ def main() -> int:
             print(f"[MISMATCH]  {name}: rows {len(sdf)} vs {len(ddf)}")
             failures.append(name)
         elif s_sig != d_sig:
+            if use_tol and _tol_equal(sdf, ddf):
+                print(
+                    f"[OK-TOL]    {name}: {len(sdf)} rows match within one "
+                    "rounding quantum (summation-order ulp only)"
+                )
+                continue
             diff = [(a, b) for a, b in zip(s_sig, d_sig) if a != b][:3]
             print(f"[MISMATCH]  {name}: values differ; first diffs:")
             for a, b in diff:
