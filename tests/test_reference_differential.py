@@ -871,3 +871,115 @@ def test_reference_script_vs_engine_cli(spark, tmp_path, monkeypatch, seed, nday
             ref.loc[bad, ["date", c]].head(),
             eng.loc[bad, [c]].head(),
         )
+
+
+# ---------------------------------------------------------------------------
+# Tier-0 pixel-kernel differential: the reference's own get_dn_means /
+# get_roi_stats / get_roi_IR_stats (roitimeseries.py:55-227,
+# ir_roitimeseries.py:56-121) run on fake-PIL images vs the engine's
+# array kernels on the same bands. Upgrades roi_stats evidence from
+# "matches my numpy re-derivation" to "matches the reference's code".
+
+
+class _FakeIm:
+    """Minimal stand-in for PIL.Image: the reference kernels only call
+    ``im.split()`` and feed each band to ``np.asarray``."""
+
+    def __init__(self, r, g, b):
+        self._bands = (r, g, b)
+
+    def split(self):
+        return self._bands
+
+
+def _na_to_none(v):
+    if isinstance(v, str):  # reference ND_FLOAT sentinel is the string "NA"
+        return None
+    return float(v)
+
+
+def _kernel_cases(seed: int):
+    """Randomized band/mask pairs hitting every guard branch: normal,
+    mostly-dark, mostly-bright, guard-boundary brightness, tiny image
+    (empty 30-px inner crop -> NaN mean -> guards pass, reference
+    roitimeseries.py:123,147), and near-total masking."""
+    rng = np.random.default_rng(seed)
+    cases = []
+
+    def bands(h, w, lo, hi):
+        return tuple(
+            rng.integers(lo, hi, size=(h, w)).astype(np.uint8) for _ in range(3)
+        )
+
+    # normal exposure, 30% masked
+    r, g, b = bands(100, 120, 10, 250)
+    cases.append(("normal", r, g, b, rng.random((100, 120)) < 0.3))
+    # mostly dark: inner-crop brt mean < 30
+    r, g, b = bands(90, 90, 0, 9)
+    cases.append(("dark", r, g, b, rng.random((90, 90)) < 0.3))
+    # mostly bright: inner-crop brt mean > 725
+    r, g, b = bands(90, 90, 243, 256)
+    cases.append(("bright", r, g, b, rng.random((90, 90)) < 0.3))
+    # straddling the dark guard: values near brt ~ 30
+    r, g, b = bands(100, 100, 8, 13)
+    cases.append(("guard-edge", r, g, b, rng.random((100, 100)) < 0.3))
+    # tiny image: 30:-30 crop is empty on a 40x50 frame
+    r, g, b = bands(40, 50, 10, 250)
+    cases.append(("tiny", r, g, b, rng.random((40, 50)) < 0.3))
+    # heavy masking: only ~2% of pixels kept
+    r, g, b = bands(100, 120, 10, 250)
+    cases.append(("heavy-mask", r, g, b, rng.random((100, 120)) >= 0.02))
+    return cases
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_reference_rgb_kernels_vs_engine_arrays(seed):
+    _import_reference()
+    import warnings
+
+    from vegindex import roitimeseries as ref_rt
+
+    from python_vegindex_spark.operators import roi_stats as eng
+
+    for name, r, g, b, mask in _kernel_cases(seed):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            ref_dn = ref_rt.get_dn_means(_FakeIm(r, g, b), mask)
+            ref_full = ref_rt.get_roi_stats(_FakeIm(r, g, b), mask)
+        eng_dn = eng.dn_means_arrays(r, g, b, mask)
+        eng_full = eng.roi_stats_arrays(r, g, b, mask)
+
+        # get_dn_means: [r_mean, g_mean, b_mean, brt] vs (r, g, b, brt)
+        for i, v in enumerate(eng_dn):
+            assert float(ref_dn[i]) == v, (name, "dn_means", i)
+
+        # get_roi_stats: [r{mean,stdev,pcts}, g..., b..., RG, GB, BR]
+        for bi, band in enumerate("rgb"):
+            ref_b = ref_full[bi]
+            assert _na_to_none(ref_b["mean"]) == eng_full[f"{band}_mean"], (name, band)
+            assert _na_to_none(ref_b["stdev"]) == eng_full[f"{band}_std"], (name, band)
+            for q, rp in zip((5, 10, 25, 50, 75, 90, 95), ref_b["percentiles"]):
+                assert _na_to_none(rp) == eng_full[f"{band}_{q}_qtl"], (name, band, q)
+        for ci, col in enumerate(("r_g_correl", "g_b_correl", "b_r_correl")):
+            assert _na_to_none(ref_full[3 + ci]) == eng_full[col], (name, col)
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_reference_ir_kernel_vs_engine_arrays(seed):
+    _import_reference()
+    import warnings
+
+    from vegindex import ir_roitimeseries as ref_ir
+
+    from python_vegindex_spark.operators import roi_stats as eng
+
+    for name, ir, b2, b3, mask in _kernel_cases(seed):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            ref_full = ref_ir.get_roi_IR_stats(_FakeIm(ir, b2, b3), mask)
+        eng_full = eng.roi_ir_stats_arrays(ir, b2, b3, mask)
+
+        assert _na_to_none(ref_full["mean"]) == eng_full["ir_mean"], name
+        assert _na_to_none(ref_full["stdev"]) == eng_full["ir_std"], name
+        for q, rp in zip((5, 10, 25, 50, 75, 90, 95), ref_full["percentiles"]):
+            assert _na_to_none(rp) == eng_full[f"ir_{q}_qtl"], (name, q)
