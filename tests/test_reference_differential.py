@@ -983,3 +983,194 @@ def test_reference_ir_kernel_vs_engine_arrays(seed):
         assert _na_to_none(ref_full["stdev"]) == eng_full["ir_std"], name
         for q, rp in zip((5, 10, 25, 50, 75, 90, 95), ref_full["percentiles"]):
             assert _na_to_none(rp) == eng_full[f"ir_{q}_qtl"], (name, q)
+
+
+# ---------------------------------------------------------------------------
+# E1 script differential: the reference's generate_roi_timeseries.main()
+# over a synthetic archive (fake-PIL codec, NOAA sunelev injected into
+# BOTH sides) vs the engine CLI's generate-roi on the same archive.
+# Covers the whole tier-1 chain: archive scan + year/month pruning,
+# filename-timestamp parse, per-mask interval selection, .meta sidecar
+# exposure/awb extraction, pixel stats, gcc/rcc algebra, and the
+# 5-decimal roistats CSV rendering. The reference's own sunelev needs
+# pyephem (absent); both sides share the engine's NOAA formula, whose
+# own parity is pinned separately against the reference's published
+# golden (tests/test_csv_astro.py, sunelev == -18.98094).
+
+
+class _FakeMaskIm:
+    mode = "L"
+
+    def __init__(self, arr):
+        self._arr = arr
+
+    def __array__(self, dtype=None, copy=None):
+        a = self._arr
+        return a.astype(dtype) if dtype is not None else a
+
+
+class _FakeArchiveIm:
+    """PIL.Image stand-in backed by the engine's fake_decode on the
+    file's bytes, so reference and engine decode identical pixels."""
+
+    def __init__(self, path):
+        from python_vegindex_spark.operators.roi_pipeline import fake_decode
+
+        with open(path, "rb") as f:
+            arr = fake_decode(f.read())
+        self._arr = arr
+        self.size = (arr.shape[1], arr.shape[0])
+        self.mode = "RGB"
+
+    def load(self):
+        pass
+
+    def split(self):
+        return (self._arr[:, :, 0], self._arr[:, :, 1], self._arr[:, :, 2])
+
+
+def _fake_pil_open(path, mode="r"):
+    if str(path).endswith(".npy"):
+        return _FakeMaskIm(np.load(path))
+    return _FakeArchiveIm(path)
+
+
+def _noaa_sunelev(lat, lon, dtval, tzoffset):
+    """Reference-signature twin (utils.py:288-313) over the engine's
+    vectorized NOAA kernel: local standard time + rawOffset -> UTC."""
+    from python_vegindex_spark.functions.astro import _solar_elev_impl
+
+    utcdt = dtval + dt.timedelta(hours=-tzoffset)
+    return float(
+        _solar_elev_impl(
+            pd.Series([utcdt]), pd.Series([float(lat)]), pd.Series([float(lon)])
+        ).iloc[0]
+    )
+
+
+def _write_e1_archive(tmp_path, site, roi, seed=7):
+    """~36 images over Jun-Aug 2022 (month-dir layout), two disjoint
+    mask intervals switching 2022-07-10, meta sidecars on ~40% of
+    images (exposure + balance), one malformed sidecar, one
+    exposure-only sidecar."""
+    rng = np.random.default_rng(seed)
+    arch = tmp_path / "archive"
+    t0 = dt.datetime(2022, 6, 1)
+    span_s = int((dt.datetime(2022, 8, 28) - t0).total_seconds())
+    offs = sorted(set(int(o) for o in rng.choice(span_s, size=36, replace=False)))
+    paths = []
+    for i, off in enumerate(offs):
+        ts = t0 + dt.timedelta(seconds=off)
+        d = arch / site / f"{ts:%Y}" / f"{ts:%m}"
+        d.mkdir(parents=True, exist_ok=True)
+        p = d / f"{site}_{ts:%Y_%m_%d_%H%M%S}.jpg"
+        p.write_bytes(int(i).to_bytes(4, "big") + b"e1-payload")
+        r = rng.random()
+        if r < 0.4:
+            p.with_suffix(".meta").write_text(
+                f"exposure={int(rng.integers(1, 400))}\n"
+                f"balance={int(rng.integers(0, 2))}\n"
+            )
+        elif r < 0.5:
+            p.with_suffix(".meta").write_text("exposure=oops\nnoequals\n")
+        elif r < 0.6:
+            p.with_suffix(".meta").write_text(f"exposure={int(rng.integers(1, 400))}\n")
+        paths.append(p)
+    roi_dir = arch / site / "ROI"
+    roi_dir.mkdir(parents=True)
+    h, w = 48, 64
+    m1 = rng.random((h, w)) < 0.35
+    m2 = rng.random((h, w)) < 0.6
+    np.save(roi_dir / "mask_01.npy", m1)
+    np.save(roi_dir / "mask_02.npy", m2)
+    (roi_dir / f"{site}_{roi}_roi.csv").write_text(
+        f"#\n# ROI List for {site}\n#\n"
+        f"# Site: {site}\n# Veg Type: DB\n# ROI ID Number: 0001\n"
+        "# Owner: test\n# Creation Date: 2022-06-01\n"
+        "# Creation Time: 00:00:00\n# Update Date: 2022-06-01\n"
+        "# Update Time: 00:00:00\n# Description: differential\n#\n"
+        "start_date,start_time,end_date,end_time,maskfile,sample_image\n"
+        "2022-06-01,00:00:00,2022-07-10,00:00:00,mask_01.npy,s1.jpg\n"
+        "2022-07-10,00:00:00,9999-12-31,00:00:00,mask_02.npy,s2.jpg\n"
+    )
+    (arch / "site_info.csv").write_text(
+        "# site info\n"
+        "sitename,lat,lon,elev,start_date,end_date,tzoffset,nimage\n"
+        f"{site},42.5378,-72.1715,340,2022-01-01,2022-12-31,-5,36\n"
+    )
+    return arch
+
+
+def test_reference_e1_roistats_script_vs_engine_cli(spark, tmp_path, monkeypatch):
+    vi, _, vutils, _ = _import_reference()
+    import requests
+
+    site, roi = "e1site", "DB_0001"
+    arch = _write_e1_archive(tmp_path, site, roi)
+
+    # --- reference run ------------------------------------------------
+    def _no_net(*a, **k):
+        raise requests.exceptions.ConnectionError("sandbox is offline")
+
+    monkeypatch.setattr(vutils.requests, "get", _no_net)
+    monkeypatch.setattr(vutils, "sunelev", _noaa_sunelev)
+    monkeypatch.setattr(vi.config, "archive_dir", str(arch))
+    monkeypatch.setattr(vi.config, "site_info_file", str(arch / "site_info.csv"))
+    sys.modules["PIL.Image"].open = _fake_pil_open
+    try:
+        from vegindex import generate_roi_timeseries as grt
+
+        monkeypatch.setattr(grt, "archive_dir", str(arch))
+        monkeypatch.setattr(grt, "Image", sys.modules["PIL.Image"])
+        monkeypatch.setattr(
+            sys, "argv", ["generate_roi_timeseries", site, roi]
+        )
+        grt.main()
+    finally:
+        del sys.modules["PIL.Image"].open
+
+    out = arch / site / "ROI" / f"{site}_{roi}_roistats.csv"
+    ref_out = tmp_path / "reference_roistats.csv"
+    out.rename(ref_out)
+
+    # --- engine run (CLI twin, same archive) --------------------------
+    import vegindex_job
+
+    vegindex_job.main(
+        [
+            "generate-roi",
+            "--archive", str(arch),
+            "--site", site,
+            "--roi", roi,
+            "--lat", "42.5378",
+            "--lon", "-72.1715",
+            "--elev", "340",
+            "--tzoffset", "-5",
+            "--codec", "fake",
+        ]
+    )
+
+    ref = pd.read_csv(ref_out, comment="#", na_values=["NA"])
+    eng = pd.read_csv(out, comment="#", na_values=["NA"])
+    ref = ref.sort_values("filename").reset_index(drop=True)
+    eng = eng.sort_values("filename").reset_index(drop=True)
+
+    assert list(ref.columns) == list(eng.columns)
+    assert len(ref) == len(eng) == 36, (len(ref), len(eng))
+    # both mask intervals and every sidecar shape must be represented
+    assert set(eng["mask_index"]) == {1, 2}
+    assert eng["exposure"].isna().any() and (eng["exposure"] > 0).any()
+
+    exact_cols = [
+        "date", "local_std_time", "doy", "filename", "exposure",
+        "mask_index", "awbflag",
+    ]
+    for c in exact_cols:
+        pd.testing.assert_series_equal(ref[c], eng[c], check_names=False)
+    float_cols = [c for c in ref.columns if c not in exact_cols]
+    for c in float_cols:
+        a, b = ref[c].astype(float).values, eng[c].astype(float).values
+        both_nan = np.isnan(a) & np.isnan(b)
+        close = np.isclose(a, b, atol=1.5e-5, rtol=0.0, equal_nan=True)
+        bad = ~(both_nan | close)
+        assert not bad.any(), (c, ref.loc[bad, ["filename", c]].head())
