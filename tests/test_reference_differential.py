@@ -1048,23 +1048,21 @@ def _noaa_sunelev(lat, lon, dtval, tzoffset):
     )
 
 
-def _write_e1_archive(tmp_path, site, roi, seed=7):
-    """~36 images over Jun-Aug 2022 (month-dir layout), two disjoint
-    mask intervals switching 2022-07-10, meta sidecars on ~40% of
-    images (exposure + balance), one malformed sidecar, one
-    exposure-only sidecar."""
-    rng = np.random.default_rng(seed)
-    arch = tmp_path / "archive"
-    t0 = dt.datetime(2022, 6, 1)
-    span_s = int((dt.datetime(2022, 8, 28) - t0).total_seconds())
-    offs = sorted(set(int(o) for o in rng.choice(span_s, size=36, replace=False)))
+def _write_e1_images(arch, site, rng, t0, t1, n, ir=False, tagbase=0):
+    """n images with distinct filenames in [t0, t1) under the
+    site/YYYY/MM layout; meta sidecars on ~40% (exposure + balance),
+    ~10% malformed, ~10% exposure-only. tagbase keeps payload bytes
+    (hence decoded pixels) distinct across batches."""
+    prefix = f"{site}_IR" if ir else site
+    span_s = int((t1 - t0).total_seconds())
+    offs = sorted(set(int(o) for o in rng.choice(span_s, size=n, replace=False)))
     paths = []
     for i, off in enumerate(offs):
         ts = t0 + dt.timedelta(seconds=off)
         d = arch / site / f"{ts:%Y}" / f"{ts:%m}"
         d.mkdir(parents=True, exist_ok=True)
-        p = d / f"{site}_{ts:%Y_%m_%d_%H%M%S}.jpg"
-        p.write_bytes(int(i).to_bytes(4, "big") + b"e1-payload")
+        p = d / f"{prefix}_{ts:%Y_%m_%d_%H%M%S}.jpg"
+        p.write_bytes(int(tagbase + i).to_bytes(4, "big") + b"e1-payload")
         r = rng.random()
         if r < 0.4:
             p.with_suffix(".meta").write_text(
@@ -1076,6 +1074,17 @@ def _write_e1_archive(tmp_path, site, roi, seed=7):
         elif r < 0.6:
             p.with_suffix(".meta").write_text(f"exposure={int(rng.integers(1, 400))}\n")
         paths.append(p)
+    return paths
+
+
+def _write_e1_archive(tmp_path, site, roi, seed=7, ir=False, n=36,
+                      t1=dt.datetime(2022, 8, 28)):
+    """Synthetic archive (month-dir layout), two disjoint mask
+    intervals switching 2022-07-10, sidecar variety per
+    _write_e1_images."""
+    rng = np.random.default_rng(seed)
+    arch = tmp_path / "archive"
+    _write_e1_images(arch, site, rng, dt.datetime(2022, 6, 1), t1, n, ir=ir)
     roi_dir = arch / site / "ROI"
     roi_dir.mkdir(parents=True)
     h, w = 48, 64
@@ -1174,3 +1183,139 @@ def test_reference_e1_roistats_script_vs_engine_cli(spark, tmp_path, monkeypatch
         close = np.isclose(a, b, atol=1.5e-5, rtol=0.0, equal_nan=True)
         bad = ~(both_nan | close)
         assert not bad.any(), (c, ref.loc[bad, ["filename", c]].head())
+
+
+def _patch_e1_reference(vi, vutils, arch, monkeypatch):
+    import requests
+
+    def _no_net(*a, **k):
+        raise requests.exceptions.ConnectionError("sandbox is offline")
+
+    monkeypatch.setattr(vutils.requests, "get", _no_net)
+    monkeypatch.setattr(vutils, "sunelev", _noaa_sunelev)
+    monkeypatch.setattr(vi.config, "archive_dir", str(arch))
+    monkeypatch.setattr(vi.config, "site_info_file", str(arch / "site_info.csv"))
+
+
+def _compare_tier1_csvs(ref_path, eng_path, expected_rows=None):
+    ref = pd.read_csv(ref_path, comment="#", na_values=["NA"])
+    eng = pd.read_csv(eng_path, comment="#", na_values=["NA"])
+    ref = ref.sort_values("filename").reset_index(drop=True)
+    eng = eng.sort_values("filename").reset_index(drop=True)
+    assert list(ref.columns) == list(eng.columns)
+    assert len(ref) == len(eng), (len(ref), len(eng))
+    if expected_rows is not None:
+        assert len(ref) == expected_rows, len(ref)
+    exact_cols = [
+        c for c in ("date", "local_std_time", "doy", "filename", "exposure",
+                    "mask_index", "awbflag")
+        if c in ref.columns
+    ]
+    for c in exact_cols:
+        pd.testing.assert_series_equal(ref[c], eng[c], check_names=False)
+    for c in [c for c in ref.columns if c not in exact_cols]:
+        a, b = ref[c].astype(float).values, eng[c].astype(float).values
+        both_nan = np.isnan(a) & np.isnan(b)
+        close = np.isclose(a, b, atol=1.5e-5, rtol=0.0, equal_nan=True)
+        bad = ~(both_nan | close)
+        assert not bad.any(), (c, ref.loc[bad, ["filename", c]].head())
+    return eng
+
+
+def test_reference_e1_ir_script_vs_engine_cli(spark, tmp_path, monkeypatch):
+    """IR twin of the E1 differential: generate_roi_ir_timeseries.main()
+    (site_IR_* filenames, single-band stats) vs the engine CLI's
+    generate-ir on the same archive."""
+    vi, _, vutils, _ = _import_reference()
+
+    site, roi = "e1ir", "DB_0001"
+    arch = _write_e1_archive(tmp_path, site, roi, seed=23, ir=True)
+    _patch_e1_reference(vi, vutils, arch, monkeypatch)
+    sys.modules["PIL.Image"].open = _fake_pil_open
+    try:
+        from vegindex import generate_roi_ir_timeseries as girt
+
+        monkeypatch.setattr(girt, "archive_dir", str(arch))
+        monkeypatch.setattr(girt, "Image", sys.modules["PIL.Image"])
+        monkeypatch.setattr(sys, "argv", ["generate_roi_ir_timeseries", site, roi])
+        girt.main()
+    finally:
+        del sys.modules["PIL.Image"].open
+
+    out = arch / site / "ROI" / f"{site}_{roi}_IR_roistats.csv"
+    ref_out = tmp_path / "reference_ir_roistats.csv"
+    out.rename(ref_out)
+
+    import vegindex_job
+
+    vegindex_job.main(
+        [
+            "generate-ir",
+            "--archive", str(arch), "--site", site, "--roi", roi,
+            "--lat", "42.5378", "--lon", "-72.1715",
+            "--elev", "340", "--tzoffset", "-5", "--codec", "fake",
+        ]
+    )
+    eng = _compare_tier1_csvs(ref_out, out, expected_rows=36)
+    assert set(eng["mask_index"]) == {1, 2}
+
+
+def test_reference_e1_update_script_vs_engine_cli(spark, tmp_path, monkeypatch):
+    """Incremental E1 differential: reference update_roi_timeseries.main()
+    (tail-append after last row + 5 s, per-mask dt_start advance) vs the
+    engine CLI's update-roi, both starting from the same v1 roistats CSV
+    written by the reference's generate script, after 12 new images land
+    in the archive."""
+    import shutil
+
+    vi, _, vutils, _ = _import_reference()
+
+    site, roi = "e1upd", "DB_0001"
+    arch = _write_e1_archive(
+        tmp_path, site, roi, seed=19, n=24, t1=dt.datetime(2022, 7, 20)
+    )
+    _patch_e1_reference(vi, vutils, arch, monkeypatch)
+    csv_path = arch / site / "ROI" / f"{site}_{roi}_roistats.csv"
+    sys.modules["PIL.Image"].open = _fake_pil_open
+    try:
+        from vegindex import generate_roi_timeseries as grt
+        from vegindex import update_roi_timeseries as urt
+
+        monkeypatch.setattr(grt, "archive_dir", str(arch))
+        monkeypatch.setattr(grt, "Image", sys.modules["PIL.Image"])
+        monkeypatch.setattr(urt, "archive_dir", str(arch))
+        monkeypatch.setattr(urt, "Image", sys.modules["PIL.Image"])
+
+        monkeypatch.setattr(sys, "argv", ["generate_roi_timeseries", site, roi])
+        grt.main()
+        v1 = tmp_path / "v1.csv"
+        shutil.copy(csv_path, v1)
+
+        # new images strictly after every v1 row (the reference update
+        # only looks past last_dt + 5 s), spanning the mask-2 interval
+        rng2 = np.random.default_rng(91)
+        _write_e1_images(
+            arch, site, rng2,
+            dt.datetime(2022, 7, 21), dt.datetime(2022, 8, 28), 12, tagbase=100,
+        )
+
+        monkeypatch.setattr(sys, "argv", ["update_roi_timeseries", site, roi])
+        urt.main()
+    finally:
+        del sys.modules["PIL.Image"].open
+
+    ref_out = tmp_path / "reference_updated_roistats.csv"
+    csv_path.rename(ref_out)
+    shutil.copy(v1, csv_path)
+
+    import vegindex_job
+
+    vegindex_job.main(
+        [
+            "update-roi",
+            "--archive", str(arch), "--site", site, "--roi", roi,
+            "--lat", "42.5378", "--lon", "-72.1715",
+            "--elev", "340", "--tzoffset", "-5", "--codec", "fake",
+        ]
+    )
+    _compare_tier1_csvs(ref_out, csv_path, expected_rows=36)
