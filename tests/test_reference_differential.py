@@ -1319,3 +1319,60 @@ def test_reference_e1_update_script_vs_engine_cli(spark, tmp_path, monkeypatch):
         ]
     )
     _compare_tier1_csvs(ref_out, csv_path, expected_rows=36)
+
+
+def test_reference_e1_ir_update_script_vs_engine_cli(spark, tmp_path, monkeypatch):
+    """IR twin of the incremental E1 differential:
+    update_roi_ir_timeseries.main() vs the engine CLI's update-ir."""
+    import shutil
+
+    vi, _, vutils, _ = _import_reference()
+
+    site, roi = "e1irup", "DB_0001"
+    arch = _write_e1_archive(
+        tmp_path, site, roi, seed=29, n=24, ir=True, t1=dt.datetime(2022, 7, 20)
+    )
+    _patch_e1_reference(vi, vutils, arch, monkeypatch)
+    csv_path = arch / site / "ROI" / f"{site}_{roi}_IR_roistats.csv"
+    sys.modules["PIL.Image"].open = _fake_pil_open
+    try:
+        from vegindex import generate_roi_ir_timeseries as girt
+        from vegindex import update_roi_ir_timeseries as uirt
+
+        for mod, name in ((girt, "generate_roi_ir_timeseries"),
+                          (uirt, "update_roi_ir_timeseries")):
+            monkeypatch.setattr(mod, "archive_dir", str(arch))
+            monkeypatch.setattr(mod, "Image", sys.modules["PIL.Image"])
+
+        monkeypatch.setattr(sys, "argv", ["generate_roi_ir_timeseries", site, roi])
+        girt.main()
+        v1 = tmp_path / "v1_ir.csv"
+        shutil.copy(csv_path, v1)
+
+        rng2 = np.random.default_rng(93)
+        _write_e1_images(
+            arch, site, rng2,
+            dt.datetime(2022, 7, 21), dt.datetime(2022, 8, 28), 12,
+            ir=True, tagbase=100,
+        )
+
+        monkeypatch.setattr(sys, "argv", ["update_roi_ir_timeseries", site, roi])
+        uirt.main()
+    finally:
+        del sys.modules["PIL.Image"].open
+
+    ref_out = tmp_path / "reference_updated_ir_roistats.csv"
+    csv_path.rename(ref_out)
+    shutil.copy(v1, csv_path)
+
+    import vegindex_job
+
+    vegindex_job.main(
+        [
+            "update-ir",
+            "--archive", str(arch), "--site", site, "--roi", roi,
+            "--lat", "42.5378", "--lon", "-72.1715",
+            "--elev", "340", "--tzoffset", "-5", "--codec", "fake",
+        ]
+    )
+    _compare_tier1_csvs(ref_out, csv_path, expected_rows=36)
