@@ -956,6 +956,65 @@ def q_media_stub_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def q_sample_docs_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-keyed Bernoulli sample (operators/sampling):
+    the md5-threshold filter is a pure expression, so DuckDB reproduces
+    the EXACT row set — something rand()-based sampling can never do."""
+    from python_vegindex_spark.operators.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(docs, 0.2, ["doc_id"], salt="r3").select(
+        "doc_id", "lang", "n_chars"
+    ).orderBy("doc_id")
+
+
+def q_train_eval_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free deterministic train/eval split, summarized per
+    (split, lang)."""
+    from python_vegindex_spark.operators.sampling import split_train_eval
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        split_train_eval(docs, 0.25, ["doc_id"])
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+def q_pack_chunks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (operators/packing.pack_chunks):
+    per-doc stream coordinates in the per-source token stream, budget
+    4096 (n_chars as the token proxy so both engines share the count)."""
+    from python_vegindex_spark.operators.packing import pack_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_chunks(docs, 4096, ["source"], ["doc_id"], "n_chars").select(
+        "source", "doc_id", "offset", "pack_first", "pack_last", "n_packs_spanned"
+    ).orderBy("source", "doc_id")
+
+
+def q_pack_greedy_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split greedy packing (operators/packing.pack_greedy, an
+    applyInPandas reset-cumsum): per-pack sizes; the DuckDB oracle walks
+    the same first-fit rule with a recursive CTE."""
+    from python_vegindex_spark.operators.packing import pack_greedy
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        pack_greedy(docs, 4096, ["source"], ["doc_id"], "n_chars")
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("pack_tokens"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hourly_rollup_gapfill": q_hourly_rollup_gapfill,
@@ -1001,6 +1060,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_stub_features": q_media_stub_features,
         "embedding_near_dups": q_embedding_near_dups,
         "ivf_topk": q_ivf_topk,
+        "sample_docs_hash": q_sample_docs_hash,
+        "train_eval_split_stats": q_train_eval_split_stats,
+        "pack_chunks_docs": q_pack_chunks_docs,
+        "pack_greedy_sizes": q_pack_greedy_sizes,
     }
 
 
@@ -2107,4 +2170,54 @@ FROM votes GROUP BY doc_id ORDER BY id
         "ivf_topk": _EXACT_TOPK_ORACLE,
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
         "media_stub_features": _media_oracle_sql(),
+        # hex_threshold(0.2) == '33333333': lowercase-hex string compare
+        # is numeric order, identical in both engines
+        "sample_docs_hash": """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE substr(md5(concat_ws('|', 'r3', CAST(doc_id AS VARCHAR))), 1, 8) < '33333333'
+ORDER BY doc_id
+""",
+        # hex_threshold(0.25) == '40000000'
+        "train_eval_split_stats": """
+SELECT CASE WHEN substr(md5(concat_ws('|', 'split', CAST(doc_id AS VARCHAR))), 1, 8)
+            < '40000000' THEN 'eval' ELSE 'train' END AS split,
+       lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars
+FROM documents GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "pack_chunks_docs": """
+WITH d AS (
+  SELECT source, doc_id, n_chars,
+         sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id) - n_chars AS "offset"
+  FROM documents
+)
+SELECT source, doc_id, "offset",
+       "offset" // 4096 AS pack_first,
+       greatest(("offset" + n_chars - 1) // 4096, "offset" // 4096) AS pack_last,
+       greatest(("offset" + n_chars - 1) // 4096, "offset" // 4096)
+         - "offset" // 4096 + 1 AS n_packs_spanned
+FROM d ORDER BY source, doc_id
+""",
+        # the same first-fit walk as packing._greedy_pack_ids: new pack
+        # when the open pack would overflow; oversize doc sits alone
+        "pack_greedy_sizes": """
+WITH RECURSIVE d AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+), walk AS (
+  SELECT source, rn, n_chars, CAST(0 AS BIGINT) AS pack_id, n_chars AS fill
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.source, d.rn, d.n_chars,
+         CASE WHEN w.fill + d.n_chars > 4096 THEN w.pack_id + 1 ELSE w.pack_id END,
+         CASE WHEN w.fill + d.n_chars > 4096 THEN d.n_chars ELSE w.fill + d.n_chars END
+  FROM walk w JOIN d ON d.source = w.source AND d.rn = w.rn + 1
+)
+SELECT source, pack_id, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS pack_tokens
+FROM walk GROUP BY 1, 2 ORDER BY 1, 2
+""",
     }

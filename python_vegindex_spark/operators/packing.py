@@ -1,0 +1,148 @@
+"""Sequence packing — laying variable-length documents into fixed
+token-budget training sequences.
+
+Two standard disciplines, both deterministic per (shard, order):
+
+* :func:`pack_chunks` — concat-and-chunk (the GPT-style loader): within
+  a shard the token stream is documents laid end-to-end, cut every
+  ``budget`` tokens; documents may straddle cuts. Pure window cumsum —
+  one shuffle on the shard key, all JVM, exactly SQL-oracle-able.
+* :func:`pack_greedy` — no-split first-fit in order: a document that
+  would overflow the open pack starts a new one. The pack id of row i
+  depends on every prior row of its shard (a reset-cumsum), which no
+  plain window expresses, so it runs per-shard in ``applyInPandas`` —
+  but NOT row-at-a-time: each step closes one pack via
+  ``np.searchsorted`` on the precomputed cumulative sum, so the Python
+  loop is O(packs · log n) per shard, not O(rows) (same discipline as
+  the codec's cross-group bit packing, codecs/chunks.py).
+
+Scale shape: one shuffle on the shard key either way. Shards are the
+unit of parallelism AND of packing determinism — a 100-TB corpus packs
+as thousands of independent shards, each a single task; hot shards are
+a data-layout choice, not a skew surprise (the shard key is
+pipeline-chosen, e.g. ``pmod(xxhash64(doc_id), n_shards)``).
+
+Extends the engine beyond the reference (no packing there); budget
+semantics are pinned by tests against an independent loop and, for the
+greedy variant, a DuckDB recursive-CTE oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+
+def pack_chunks(
+    df: DataFrame,
+    budget: int,
+    shard_cols: Sequence[str],
+    order_cols: Sequence[str],
+    tokens_col: str,
+) -> DataFrame:
+    """Concat-and-chunk packing: adds per-document stream coordinates.
+
+    Output columns (appended): ``offset`` (start position of the doc in
+    its shard's token stream), ``pack_first`` / ``pack_last`` (ids of
+    the budget-sized chunks containing the doc's first/last token;
+    zero-token docs take pack_first), ``n_packs_spanned``.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    b = int(budget)
+    w = Window.partitionBy(*shard_cols).orderBy(*order_cols)
+    tok = F.col(tokens_col).cast("long")
+    # ONE running sum (aliased, so the window expression isn't duplicated
+    # per derived column), then integer `div` — exact for any long offset,
+    # where floor(x / b) would round through double past 2^53 tokens.
+    d = df.select("*", (F.sum(tok).over(w) - tok).alias("offset"))
+    pack_first = F.expr(f"offset div {b}")
+    pack_last = F.greatest(
+        F.expr(f"(offset + cast({tokens_col} as bigint) - 1) div {b}"), pack_first
+    )
+    return d.select(
+        "*",
+        pack_first.alias("pack_first"),
+        pack_last.alias("pack_last"),
+        (pack_last - pack_first + 1).alias("n_packs_spanned"),
+    )
+
+
+def pack_chunk_stats(
+    df: DataFrame,
+    budget: int,
+    shard_cols: Sequence[str],
+    tokens_col: str,
+) -> DataFrame:
+    """Per-shard chunk-packing summary: docs, tokens, packs
+    (= ceil(tokens/budget)), and pad waste in the final partial pack.
+    Order-independent, so a plain hash aggregate (no window)."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    tok = F.col(tokens_col).cast("long")
+    agg = df.groupBy(*shard_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tok).alias("total_tokens"),
+    )
+    n_packs = F.ceil(F.col("total_tokens") / budget)
+    return agg.select(
+        *shard_cols,
+        "n_docs",
+        "total_tokens",
+        n_packs.alias("n_packs"),
+        (n_packs * budget - F.col("total_tokens")).alias("pad_tokens"),
+    )
+
+
+def _greedy_pack_ids(toks: np.ndarray, budget: int) -> np.ndarray:
+    """Pack ids for one shard's ordered token counts: first-fit in
+    order, new pack when the open pack would overflow (a pack may be
+    exactly full); an oversized document occupies a pack alone. One
+    searchsorted per CLOSED pack."""
+    n = len(toks)
+    out = np.empty(n, dtype=np.int64)
+    cs = np.cumsum(toks, dtype=np.int64)
+    start = 0
+    pid = 0
+    while start < n:
+        base = cs[start - 1] if start else 0
+        # last index whose inclusive cumsum still fits the budget
+        nxt = int(np.searchsorted(cs, base + budget, side="right"))
+        nxt = max(nxt, start + 1)  # oversize doc: advance anyway, alone
+        out[start:nxt] = pid
+        pid += 1
+        start = nxt
+    return out
+
+
+def pack_greedy(
+    df: DataFrame,
+    budget: int,
+    shard_cols: Sequence[str],
+    order_cols: Sequence[str],
+    tokens_col: str,
+) -> DataFrame:
+    """No-split greedy packing: appends ``pack_id`` (0-based per shard,
+    in order). Documents are never split; a pack's total exceeds
+    ``budget`` only when a single document does."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    shard_cols = list(shard_cols)
+    order_cols = list(order_cols)
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("pack_id", T.LongType())]
+    )
+
+    def assign(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        toks = pdf[tokens_col].to_numpy(dtype=np.int64)
+        pdf["pack_id"] = _greedy_pack_ids(toks, budget)
+        return pdf
+
+    return df.groupBy(*shard_cols).applyInPandas(assign, schema)

@@ -1,0 +1,112 @@
+"""Deterministic hash-based sampling / splitting for training-data tables.
+
+``df.sample()`` / ``rand()`` are non-reproducible at scale: task retries,
+AQE re-planning, and partition re-ordering all reshuffle the random
+stream, so two runs of the same pipeline sample different rows. At
+100 TB that breaks caching, incremental rebuilds, and train/eval
+hygiene. The standard fix (used by every large corpus pipeline) is
+content-keyed Bernoulli sampling: a row is kept iff
+``hash(salt || key) < fraction * 2^k`` — a pure per-row expression, so
+
+* identical across runs, executors, retries, and engines;
+* no shuffle, no state — it rides the scan as a plain filter and
+  whole-stage codegen;
+* disjoint salts give independent samples; the same salt gives nested
+  samples (a 1% sample is a subset of the 10% sample).
+
+The hash is the first 8 hex chars of md5 compared AS A STRING against a
+precomputed hex threshold — string comparison over lowercase hex is
+numeric order, and both Spark and DuckDB/ANSI SQL render it identically,
+so every operator here is exactly oracle-checkable (the engine-parity
+trick established in operators/dedup.py).
+
+Extends the engine beyond the reference (no sampling there); the
+reference-adjacent consumer is the flagship rollup's input stage at
+reduced fractions for dev runs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_SPACE = 16**8  # 8 hex chars = 32 bits of the md5 digest
+
+
+def hex_threshold(fraction: float) -> str:
+    """Lowercase-hex string T such that a uniform 8-hex-char draw is
+    ``< T`` with probability ``fraction`` (quantized to 2^-32).
+
+    fraction <= 0 -> "0" (an 8-char hex string is never < "0": equal
+    first char, longer string sorts after). fraction >= 1 -> "g" (every
+    hex digit sorts before 'g'). Both edge strings keep the comparison a
+    plain string compare in any engine."""
+    if fraction <= 0.0:
+        return "0"
+    if fraction >= 1.0:
+        return "g"
+    return format(max(1, int(fraction * _HEX_SPACE)), "08x")
+
+
+def sample_key(key_cols: Sequence[str], salt: str = "") -> Column:
+    """The 8-hex-char draw: ``substr(md5(concat_ws('|', salt, keys)), 1, 8)``.
+    Identical SQL: ``substr(md5(concat_ws('|', salt, keys)), 1, 8)``."""
+    return F.substring(
+        F.md5(F.concat_ws("|", F.lit(salt), *[F.col(c).cast("string") for c in key_cols])),
+        1,
+        8,
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    key_cols: Sequence[str],
+    salt: str = "",
+) -> DataFrame:
+    """Reproducible Bernoulli sample keyed on ``key_cols``.
+
+    Rows whose key hashes below the fraction threshold survive. Keying
+    on a stable id (not the row position) means the SAME logical rows
+    survive across runs and across engines; keying on a grouping column
+    (e.g. conv_id) keeps groups intact (all-or-nothing per key)."""
+    return df.filter(sample_key(key_cols, salt) < F.lit(hex_threshold(fraction)))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_cols: Sequence[str],
+    salt: str = "",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum fractions (e.g. upsample rare languages): a CASE over
+    precomputed hex thresholds, still one scan-level filter."""
+    thr: Column = F.lit(hex_threshold(default_fraction))
+    for stratum, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == stratum, F.lit(hex_threshold(frac))
+        ).otherwise(thr)
+    return df.filter(sample_key(key_cols, salt) < thr)
+
+
+def split_train_eval(
+    df: DataFrame,
+    eval_fraction: float,
+    key_cols: Sequence[str],
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-free deterministic train/eval split: adds a ``split``
+    column ('eval' iff the key hash lands under ``eval_fraction``).
+    Keyed on the dedup key (or conv_id), the same document can never
+    drift between splits across pipeline runs."""
+    return df.withColumn(
+        "split",
+        F.when(
+            sample_key(key_cols, salt) < F.lit(hex_threshold(eval_fraction)),
+            F.lit("eval"),
+        ).otherwise(F.lit("train")),
+    )

@@ -31,6 +31,30 @@ def scratch_dir() -> str:
     return tempfile.gettempdir()
 
 
+def _export_package_to_workers() -> str:
+    """Put this package's parent directory on the Python-worker path.
+
+    Arrow/pandas UDF closures (codecs, roi stats, greedy packing)
+    reference module-level functions, which cloudpickle serializes BY
+    REFERENCE — the worker must be able to ``import
+    python_vegindex_spark``. Under ``spark-submit --py-files`` (the
+    production path) submit handles that; for driver-side/interactive
+    use the workers only inherit the driver's CWD, so a script run from
+    any other directory fails with ModuleNotFoundError. Exporting
+    PYTHONPATH *before* the JVM gateway launches makes local-mode
+    workers inherit it. Returns the resulting PYTHONPATH (also mirrored
+    into ``spark.executorEnv.PYTHONPATH`` — meaningful only when the
+    same path exists on the executors, as in local and single-image
+    container clusters; real multi-node deploys use --py-files)."""
+    parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            parent + (os.pathsep + existing if existing else "")
+        )
+    return os.environ["PYTHONPATH"]
+
+
 def get_spark(
     app_name: str = "python_vegindex_spark",
     master: str | None = None,
@@ -43,6 +67,7 @@ def get_spark(
     cluster and ``master`` is None (cluster manager decides). In the
     sandbox, ``master`` defaults to ``local[$SPARK_GRAFT_CPUS or *]``.
     """
+    worker_pythonpath = _export_package_to_workers()
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
@@ -66,6 +91,7 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.local.dir", os.path.join(scratch_dir(), "vxs-spark-local"))
+        .config("spark.executorEnv.PYTHONPATH", worker_pythonpath)
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
