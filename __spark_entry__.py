@@ -1015,6 +1015,60 @@ def q_pack_greedy_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _eval_split(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Deterministic benchmark carve-out for the decontamination queries:
+    every 50th doc plays the eval set, the rest are the training corpus."""
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return corpus, bench
+
+
+def q_decontam_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam): per-doc count of
+    word 4-grams shared with the eval split — the GPT-3/Pile overlap
+    rule; keys are both md5 halves so DuckDB reproduces them exactly."""
+    from python_vegindex_spark.operators.decontam import contamination_hits
+
+    corpus, bench = _eval_split(_t(spark, sf_dir, "documents"))
+    return contamination_hits(corpus, bench, n=4).orderBy("id")
+
+
+def q_decontam_clean_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The surviving corpus after decontamination, summarized per source
+    (anti-join on the narrow hit list — doc payload never shuffles)."""
+    from python_vegindex_spark.operators.decontam import decontaminate
+
+    corpus, bench = _eval_split(_t(spark, sf_dir, "documents"))
+    return (
+        decontaminate(corpus, bench, n=4)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher Table-A1 quality gates (operators/quality_filter): one
+    shuffle-free projection computing every per-row measure + flag."""
+    from python_vegindex_spark.operators.quality_filter import gopher_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_flags(docs, min_words=30).orderBy("id")
+
+
+def q_repetition_topgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition gate: per-doc modal word 2-gram dominance
+    (top_ngram_fraction — two-stage hash aggregate, deterministic
+    lexicographic tie-break)."""
+    from python_vegindex_spark.operators.quality_filter import top_ngram_fraction
+
+    docs = _t(spark, sf_dir, "documents")
+    return top_ngram_fraction(docs, n=2).orderBy("id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hourly_rollup_gapfill": q_hourly_rollup_gapfill,
@@ -1064,6 +1118,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_eval_split_stats": q_train_eval_split_stats,
         "pack_chunks_docs": q_pack_chunks_docs,
         "pack_greedy_sizes": q_pack_greedy_sizes,
+        "decontam_hits": q_decontam_hits,
+        "decontam_clean_by_source": q_decontam_clean_by_source,
+        "gopher_quality_flags": q_gopher_quality_flags,
+        "repetition_topgram": q_repetition_topgram,
     }
 
 
@@ -1190,6 +1248,44 @@ WITH expected(media_id, kind, feat_mean_raw) AS (VALUES
 SELECT CAST(media_id AS BIGINT) AS media_id, kind,
        round(feat_mean_raw, 6) AS feat_mean
 FROM expected ORDER BY media_id
+"""
+
+
+# shared CTE for the decontamination oracles: word 4-grams of the
+# doc_id%50==0 eval split (bg, keyed by both md5 halves) and the
+# distinct per-doc 8-grams of the remaining corpus (dgc, with doc_grams)
+_DECONTAM_GRAMS_CTE = r"""
+WITH corpus AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
+bench AS (SELECT * FROM documents WHERE doc_id % 50 = 0),
+bg AS (
+  SELECT DISTINCT
+    cast(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) AS gk1,
+    cast(concat('0x', substr(md5(g), 9, 8)) AS BIGINT) AS gk2
+  FROM (
+    SELECT unnest(list_transform(range(1, len(w) - 2),
+                  i -> array_to_string(w[i:i+3], ' '))) AS g
+    FROM (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS w
+          FROM bench)
+    WHERE len(w) >= 4
+  )
+),
+dg AS (
+  SELECT DISTINCT doc_id, g
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w) - 2),
+                  i -> array_to_string(w[i:i+3], ' '))) AS g
+    FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+          FROM corpus)
+    WHERE len(w) >= 4
+  )
+),
+dgc AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY doc_id) AS doc_grams,
+         cast(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) AS gk1,
+         cast(concat('0x', substr(md5(g), 9, 8)) AS BIGINT) AS gk2
+  FROM dg
+)
 """
 
 
@@ -2219,5 +2315,89 @@ WITH RECURSIVE d AS (
 SELECT source, pack_id, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS pack_tokens
 FROM walk GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # word-8-gram overlap vs the doc_id%50==0 eval split; join keys
+        # are the same two md5 halves the Spark side computes
+        "decontam_hits": _DECONTAM_GRAMS_CTE
+        + """
+SELECT dgc.doc_id AS id, dgc.doc_grams, count(*) AS hit_grams,
+       count(*) / dgc.doc_grams AS hit_frac
+FROM dgc JOIN bg USING (gk1, gk2)
+GROUP BY 1, 2 ORDER BY id
+""",
+        "decontam_clean_by_source": _DECONTAM_GRAMS_CTE
+        + """
+, bad AS (
+  SELECT DISTINCT dgc.doc_id FROM dgc JOIN bg USING (gk1, gk2)
+)
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+FROM corpus
+WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+GROUP BY source ORDER BY source
+""",
+        "gopher_quality_flags": r"""
+WITH d AS (
+  SELECT doc_id AS id, text,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+         regexp_split_to_array(trim(text), '\s+') AS w,
+         string_split(text, chr(10)) AS l
+  FROM documents
+), m AS (
+  SELECT id, n_words,
+    CASE WHEN n_words > 0
+         THEN length(array_to_string(w, '')) / n_words END AS mean_word_len,
+    CASE WHEN n_words > 0 THEN
+      ((length(text) - length(replace(text, '#', ''))) / 1
+       + (length(text) - length(replace(text, '...', ''))) / 3) / n_words
+      END AS symbol_ratio,
+    CASE WHEN n_words > 0
+         THEN len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) / n_words
+         END AS alpha_word_frac,
+    len(list_filter(w, x -> list_contains(
+      ['the','and','of','to','is','in','that','it','for','was'], lower(x)
+    ))) AS n_stopwords,
+    CASE WHEN len(l) > 0
+         THEN (len(l) - len(list_distinct(l))) / len(l) END AS dup_line_frac
+  FROM d
+)
+SELECT id, n_words, mean_word_len, symbol_ratio, alpha_word_frac,
+       n_stopwords, dup_line_frac,
+  n_words BETWEEN 30 AND 100000 AS ok_words,
+  mean_word_len BETWEEN 3.0 AND 10.0 AS ok_word_len,
+  symbol_ratio <= 0.1 AS ok_symbols,
+  alpha_word_frac >= 0.8 AS ok_alpha,
+  n_stopwords >= 2 AS ok_stopwords,
+  dup_line_frac <= 0.3 AS ok_dup_lines,
+  coalesce(n_words BETWEEN 30 AND 100000
+           AND mean_word_len BETWEEN 3.0 AND 10.0
+           AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8
+           AND n_stopwords >= 2 AND dup_line_frac <= 0.3, false) AS keep
+FROM m ORDER BY id
+""",
+        # modal word 2-gram per doc; ties -> lexicographically smallest
+        # gram, exactly the Spark min-struct order
+        "repetition_topgram": r"""
+WITH d AS (
+  SELECT doc_id AS id,
+         lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+), g AS (
+  SELECT id, length(t) AS _len,
+         unnest(list_transform(range(1, len(string_split(t, ' '))),
+                i -> array_to_string((string_split(t, ' '))[i:i+1], ' '))) AS g
+  FROM d WHERE len(string_split(t, ' ')) >= 2
+), pg AS (
+  SELECT id, _len, g, count(*) AS cnt FROM g GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT id, _len, g, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY id) AS BIGINT) AS n_grams,
+         row_number() OVER (PARTITION BY id ORDER BY cnt DESC, g ASC) AS rn
+  FROM pg
+)
+SELECT id, n_grams, cnt AS top_cnt, g AS top_gram,
+       cnt * length(g) / _len AS top_char_frac,
+       cnt * length(g) / _len <= 0.2 AS ok_top_ngram
+FROM ranked WHERE rn = 1 ORDER BY id
 """,
     }
