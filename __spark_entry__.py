@@ -1069,6 +1069,16 @@ def q_repetition_topgram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngram_fraction(docs, n=2).orderBy("id")
 
 
+def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus pipeline (plans/corpus.py) as a retention
+    funnel: quality gate -> decontamination vs the eval split -> exact
+    dedup, one (stage, n_docs, chars) row per stage."""
+    from python_vegindex_spark.plans.corpus import corpus_funnel
+
+    corpus, bench = _eval_split(_t(spark, sf_dir, "documents"))
+    return corpus_funnel(corpus, bench, min_words=30, decontam_n=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hourly_rollup_gapfill": q_hourly_rollup_gapfill,
@@ -1122,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_clean_by_source": q_decontam_clean_by_source,
         "gopher_quality_flags": q_gopher_quality_flags,
         "repetition_topgram": q_repetition_topgram,
+        "corpus_funnel": q_corpus_funnel,
     }
 
 
@@ -2399,5 +2410,67 @@ SELECT id, n_grams, cnt AS top_cnt, g AS top_gram,
        cnt * length(g) / _len AS top_char_frac,
        cnt * length(g) / _len <= 0.2 AS ok_top_ngram
 FROM ranked WHERE rn = 1 ORDER BY id
+""",
+        # the whole pipeline mirrored stage by stage: gopher keep
+        # (min_words=30) -> 4-gram decontam vs the eval split -> exact
+        # dedup on md5 of normalized text (lowest doc_id survives)
+        "corpus_funnel": r"""
+WITH all_docs AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
+bench AS (SELECT * FROM documents WHERE doc_id % 50 = 0),
+q AS (
+  SELECT * FROM (
+    SELECT d.*,
+      CASE WHEN length(trim(text)) = 0 THEN 0
+           ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nw,
+      regexp_split_to_array(trim(text), '\s+') AS w,
+      string_split(text, chr(10)) AS l
+    FROM all_docs d
+  )
+  WHERE coalesce(
+    nw BETWEEN 30 AND 100000
+    AND (length(array_to_string(w, '')) / nw) BETWEEN 3.0 AND 10.0
+    AND ((length(text) - length(replace(text, '#', ''))) / 1
+         + (length(text) - length(replace(text, '...', ''))) / 3) / nw <= 0.1
+    AND len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) / nw >= 0.8
+    AND len(list_filter(w, x -> list_contains(
+      ['the','and','of','to','is','in','that','it','for','was'], lower(x)
+    ))) >= 2
+    AND (len(l) - len(list_distinct(l))) / len(l) <= 0.3, false)
+),
+bgr AS (
+  SELECT DISTINCT g FROM (
+    SELECT unnest(list_transform(range(1, len(bw) - 2),
+                  i -> array_to_string(bw[i:i+3], ' '))) AS g
+    FROM (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS bw
+          FROM bench)
+    WHERE len(bw) >= 4
+  )
+),
+hits AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(qw) - 2),
+                  i -> array_to_string(qw[i:i+3], ' '))) AS g
+    FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS qw
+          FROM q)
+    WHERE len(qw) >= 4
+  ) JOIN bgr USING (g)
+),
+dec AS (SELECT * FROM q WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+ded AS (
+  SELECT * FROM dec WHERE doc_id IN (
+    SELECT min(doc_id) FROM dec
+    GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+  )
+)
+SELECT '1_input' AS stage, count(*) AS n_docs,
+       coalesce(CAST(sum(n_chars) AS BIGINT), 0) AS chars FROM all_docs
+UNION ALL SELECT '2_quality', count(*),
+       coalesce(CAST(sum(n_chars) AS BIGINT), 0) FROM q
+UNION ALL SELECT '3_decontam', count(*),
+       coalesce(CAST(sum(n_chars) AS BIGINT), 0) FROM dec
+UNION ALL SELECT '4_dedup', count(*),
+       coalesce(CAST(sum(n_chars) AS BIGINT), 0) FROM ded
+ORDER BY stage
 """,
     }

@@ -1,0 +1,143 @@
+"""End-to-end training-corpus pipeline: quality -> decontam -> dedup -> pack.
+
+The document-side twin of plans/pipeline.py (the transcript rollup job):
+one declarative composition of the engine's training-data operators,
+taking a raw ``documents`` table to packed training shards —
+
+  1. quality gate   — operators/quality_filter.gopher_flags ``keep``
+                      (one shuffle-free projection over the scan);
+  2. decontaminate  — operators/decontam vs a benchmark/eval table
+                      (broadcast semi-join, anti-join removal);
+  3. exact dedup    — lowest-id survivor per normalized text
+                      (md5 fingerprint: one shuffle on a uniform key);
+  4. pack           — operators/packing.pack_chunks concat-and-chunk
+                      stream coordinates per source shard.
+
+Each stage is the already-tested operator — this module only sequences
+them and reports the funnel, so a migrating user gets the whole
+pipeline as one call / one spark-submit job. Scale shape: stages 1-3
+touch the full corpus exactly once each with no payload re-shuffle
+(gates are scans + anti-joins on narrow id lists); only dedup and pack
+shuffle, each on a uniform key (fingerprint / shard).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.decontam import decontaminate
+from ..operators.packing import pack_chunks
+from ..operators.quality_filter import gopher_flags
+
+
+def _dedup_exact_keep(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Lowest-id survivor per exact normalized text (md5 fingerprint so
+    any engine can reproduce the key); payload rejoins by id only."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    keep = (
+        docs.select(F.col(id_col), F.md5(norm).alias("_fp"))
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return docs.join(keep, id_col, "left_semi")
+
+
+def clean_corpus(
+    docs: DataFrame,
+    bench: DataFrame | None = None,
+    min_words: int = 30,
+    decontam_n: int = 4,
+) -> DataFrame:
+    """quality -> decontam -> exact-dedup; returns surviving docs."""
+    kept_ids = gopher_flags(docs, min_words=min_words).filter("keep").select(
+        F.col("id").alias("doc_id")
+    )
+    survivors = docs.join(kept_ids, "doc_id", "left_semi")
+    if bench is not None:
+        survivors = decontaminate(survivors, bench, n=decontam_n)
+    return _dedup_exact_keep(survivors)
+
+
+def corpus_funnel(
+    docs: DataFrame,
+    bench: DataFrame | None = None,
+    min_words: int = 30,
+    decontam_n: int = 4,
+) -> DataFrame:
+    """One row per pipeline stage: (stage, n_docs, chars) — the
+    retention funnel a pipeline owner monitors per ingest batch."""
+    kept_ids = gopher_flags(docs, min_words=min_words).filter("keep").select(
+        F.col("id").alias("doc_id")
+    )
+    quality = docs.join(kept_ids, "doc_id", "left_semi")
+    stages = [("1_input", docs), ("2_quality", quality)]
+    prev = quality
+    if bench is not None:
+        prev = decontaminate(prev, bench, n=decontam_n)
+        stages.append(("3_decontam", prev))
+    stages.append(("4_dedup", _dedup_exact_keep(prev)))
+
+    out = None
+    for name, df in stages:
+        row = df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("n_chars").cast("long"), F.lit(0)).alias("chars"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("stage")
+
+
+def run_corpus_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    bench: DataFrame | None = None,
+    out_root: str | None = None,
+    min_words: int = 30,
+    decontam_n: int = 4,
+    pack_budget: int = 4096,
+    tokens_col: str = "n_chars",
+) -> dict:
+    """Run the full pipeline; write parquet under ``out_root`` when
+    given (clean/ and packed/), else count() to force execution.
+    Returns a metrics dict with the funnel and per-stage walls."""
+    metrics: dict = {"stages": {}}
+
+    def execute(name: str, df: DataFrame) -> int:
+        t0 = time.perf_counter()
+        if out_root:
+            df.write.mode("overwrite").parquet(f"{out_root}/{name}")
+            n = spark.read.parquet(f"{out_root}/{name}").count()
+        else:
+            n = df.count()
+        metrics["stages"][name] = {
+            "wall_s": round(time.perf_counter() - t0, 3),
+            "rows": n,
+        }
+        return n
+
+    t_all = time.perf_counter()
+    clean = clean_corpus(docs, bench, min_words=min_words, decontam_n=decontam_n)
+    execute("clean", clean)
+    clean_src = (
+        spark.read.parquet(f"{out_root}/clean") if out_root else clean
+    )
+    packed = pack_chunks(
+        clean_src, pack_budget, ["source"], ["doc_id"], tokens_col
+    )
+    execute("packed", packed)
+    n_packs = (
+        packed.groupBy("source")
+        .agg((F.max("pack_last") + 1).alias("np"))
+        .agg(F.sum("np"))
+        .collect()[0][0]
+    )
+    metrics["n_input_docs"] = docs.count()
+    metrics["n_clean_docs"] = metrics["stages"]["clean"]["rows"]
+    metrics["n_packs"] = int(n_packs or 0)
+    metrics["wall_s"] = round(time.perf_counter() - t_all, 3)
+    return metrics

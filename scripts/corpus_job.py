@@ -1,0 +1,58 @@
+"""spark-submit job: training-corpus cleaning pipeline over documents.
+
+    spark-submit --master local[N] --py-files /tmp/pvs.zip \
+        scripts/corpus_job.py --docs <parquet> [--bench <parquet>] \
+        [--out DIR] [--min-words 30] [--decontam-n 4] [--budget 4096]
+
+Chains quality gates -> benchmark decontamination -> exact dedup ->
+sequence packing (plans/corpus.py) and prints one marker-prefixed JSON
+metrics line (funnel + per-stage walls).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> dict:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", required=True)
+    ap.add_argument("--bench", default=None)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--min-words", type=int, default=30)
+    ap.add_argument("--decontam-n", type=int, default=4)
+    ap.add_argument("--budget", type=int, default=4096)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from python_vegindex_spark.plans.corpus import run_corpus_pipeline
+    from python_vegindex_spark.session import get_spark
+
+    spark = get_spark("vxs-corpus")
+    docs = spark.read.parquet(args.docs)
+    if "n_chars" not in docs.columns:
+        docs = docs.withColumn("n_chars", F.length("text").cast("long"))
+    if "source" not in docs.columns:
+        docs = docs.withColumn("source", F.lit("default"))
+    bench = spark.read.parquet(args.bench) if args.bench else None
+    metrics = run_corpus_pipeline(
+        spark,
+        docs,
+        bench,
+        out_root=args.out,
+        min_words=args.min_words,
+        decontam_n=args.decontam_n,
+        pack_budget=args.budget,
+    )
+    print("CORPUS_METRICS " + json.dumps(metrics))
+    return metrics
+
+
+if __name__ == "__main__":
+    main()
