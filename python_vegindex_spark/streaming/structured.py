@@ -71,6 +71,35 @@ def streaming_hourly_rollup(
     )
 
 
+def streaming_dedup_turns(
+    spark: SparkSession,
+    input_path: str,
+    watermark: str = "2 hours",
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """Ingestion-time exact dedup of a turn stream.
+
+    At-least-once producers (log shippers, retried writers) duplicate
+    turns; this keeps the FIRST arrival of each key and drops repeats
+    that arrive within the event-time watermark —
+    ``dropDuplicatesWithinWatermark``, so the state store retains each
+    key only until the watermark passes it (bounded state; a plain
+    ``dropDuplicates`` on a stream would grow state forever, which is
+    the 100-TB failure mode). Keys recurring LATER than the watermark
+    are treated as new data, the documented trade-off of every
+    watermarked dedup. State persists across restarts through the sink
+    checkpoint, so a resumed backfill still drops duplicates from
+    before the restart (tested)."""
+    stream = (
+        spark.readStream.schema(TURNS_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_path)
+    )
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def run_available_now(
     df: DataFrame, checkpoint: str, output_path: str
 ) -> None:

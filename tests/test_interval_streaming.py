@@ -115,3 +115,38 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
     e = exp.sort_values(["conv_id", "bucket_start"]).reset_index(drop=True)
     assert len(g) == len(e)
     pd.testing.assert_frame_equal(g, e[g.columns.tolist()])
+
+
+def test_streaming_dedup_drops_retries_across_restart(spark, tmp_path):
+    """streaming_dedup_turns: at-least-once duplicates are dropped within
+    the watermark, INCLUDING repeats arriving in a later micro-batch
+    after a query restart (state restored from the checkpoint)."""
+    from python_vegindex_spark.sources.synth import synth_turns
+    from python_vegindex_spark.streaming.structured import (
+        run_available_now,
+        streaming_dedup_turns,
+    )
+
+    turns = synth_turns(spark, n_convs=8, seed=3, span_days=2)
+    in_dir = str(tmp_path / "dd_in")
+    out_dir = str(tmp_path / "dd_out")
+    ckpt = str(tmp_path / "dd_ckpt")
+
+    # batch 1: every turn written twice (the producer retried everything)
+    turns.write.mode("overwrite").parquet(in_dir)
+    turns.write.mode("append").parquet(in_dir)
+    run_available_now(streaming_dedup_turns(spark, in_dir), ckpt, out_dir)
+
+    # batch 2 (fresh run over the same checkpoint): re-deliver the 5
+    # latest turns a third time — all are within the watermark of the
+    # stream's max event time, so state must still know them
+    late_keys = turns.orderBy(F.col("ts").desc()).limit(5)
+    late_keys.write.mode("append").parquet(in_dir)
+    run_available_now(streaming_dedup_turns(spark, in_dir), ckpt, out_dir)
+
+    got = spark.read.parquet(out_dir)
+    n_unique = turns.select("conv_id", "turn_idx").distinct().count()
+    assert got.count() == n_unique
+    assert (
+        got.groupBy("conv_id", "turn_idx").count().filter("count > 1").count() == 0
+    )
