@@ -46,20 +46,50 @@ def _dedup_exact_keep(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return docs.join(keep, id_col, "left_semi")
 
 
+def _dedup_near_keep(
+    docs: DataFrame,
+    jaccard_min: float = 0.8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Fuzzy dedup: MinHash-LSH candidates -> exact n-gram Jaccard
+    verify -> connected components -> lowest-id survivor per cluster
+    (operators/dedup end to end). Candidates only ever come from banded
+    bucket collisions — never an all-pairs join."""
+    from ..operators.dedup import (
+        dedup_keep_canonical,
+        minhash_lsh_pairs,
+        minhash_signatures,
+        ngram_jaccard,
+    )
+
+    sigs = minhash_signatures(docs, num_hashes=64, shingle_n=shingle_n)
+    cand = minhash_lsh_pairs(sigs, bands=16, rows_per_band=4)
+    pairs = ngram_jaccard(cand, docs, n=shingle_n).filter(
+        F.col("jaccard") >= jaccard_min
+    )
+    return dedup_keep_canonical(docs, pairs.select("id_a", "id_b"))
+
+
 def clean_corpus(
     docs: DataFrame,
     bench: DataFrame | None = None,
     min_words: int = 30,
     decontam_n: int = 4,
+    near_dup_jaccard: float | None = None,
 ) -> DataFrame:
-    """quality -> decontam -> exact-dedup; returns surviving docs."""
+    """quality -> decontam -> exact-dedup [-> fuzzy dedup]; returns
+    surviving docs. ``near_dup_jaccard`` (e.g. 0.8) additionally runs
+    MinHash-LSH near-dup removal at that verified-Jaccard threshold."""
     kept_ids = gopher_flags(docs, min_words=min_words).filter("keep").select(
         F.col("id").alias("doc_id")
     )
     survivors = docs.join(kept_ids, "doc_id", "left_semi")
     if bench is not None:
         survivors = decontaminate(survivors, bench, n=decontam_n)
-    return _dedup_exact_keep(survivors)
+    survivors = _dedup_exact_keep(survivors)
+    if near_dup_jaccard is not None:
+        survivors = _dedup_near_keep(survivors, jaccard_min=near_dup_jaccard)
+    return survivors
 
 
 def corpus_funnel(
@@ -99,6 +129,7 @@ def run_corpus_pipeline(
     out_root: str | None = None,
     min_words: int = 30,
     decontam_n: int = 4,
+    near_dup_jaccard: float | None = None,
     pack_budget: int = 4096,
     tokens_col: str = "n_chars",
 ) -> dict:
@@ -121,7 +152,13 @@ def run_corpus_pipeline(
         return n
 
     t_all = time.perf_counter()
-    clean = clean_corpus(docs, bench, min_words=min_words, decontam_n=decontam_n)
+    clean = clean_corpus(
+        docs,
+        bench,
+        min_words=min_words,
+        decontam_n=decontam_n,
+        near_dup_jaccard=near_dup_jaccard,
+    )
     execute("clean", clean)
     clean_src = (
         spark.read.parquet(f"{out_root}/clean") if out_root else clean

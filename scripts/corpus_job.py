@@ -26,6 +26,10 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--out", default=None)
     ap.add_argument("--min-words", type=int, default=30)
     ap.add_argument("--decontam-n", type=int, default=4)
+    ap.add_argument(
+        "--near-dup-jaccard", type=float, default=None,
+        help="also remove MinHash-LSH near-dups at this verified Jaccard",
+    )
     ap.add_argument("--budget", type=int, default=4096)
     args = ap.parse_args(argv)
 
@@ -48,6 +52,7 @@ def main(argv: list[str] | None = None) -> dict:
         out_root=args.out,
         min_words=args.min_words,
         decontam_n=args.decontam_n,
+        near_dup_jaccard=args.near_dup_jaccard,
         pack_budget=args.budget,
     )
     print("CORPUS_METRICS " + json.dumps(metrics))

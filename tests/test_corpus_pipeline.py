@@ -111,3 +111,25 @@ def test_corpus_job_cli(spark, tmp_path, capsys):
         if ln.startswith("CORPUS_METRICS ")
     ]
     assert json.loads(line[0][len("CORPUS_METRICS "):]) == m
+
+
+def test_clean_corpus_near_dup_option(spark):
+    # doc 6 is a near-duplicate of doc 1 (one word changed) — exact
+    # dedup keeps it, the fuzzy stage removes it at Jaccard 0.8
+    # (doc 5, sharing only the GOOD prefix, stays below 0.8 and survives)
+    base = _docs(spark)
+    near = spark.createDataFrame(
+        [(6, "srcA", GOOD + "extra tail words for doc six variety")],
+        "doc_id long, source string, text string",
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    docs = base.unionByName(near)
+    bench = _bench(spark)
+
+    exact_only = sorted(r["doc_id"] for r in clean_corpus(docs, bench).collect())
+    assert exact_only == [1, 5, 6]
+
+    fuzzy = sorted(
+        r["doc_id"]
+        for r in clean_corpus(docs, bench, near_dup_jaccard=0.8).collect()
+    )
+    assert fuzzy == [1, 5]
