@@ -1857,10 +1857,10 @@ FROM documents GROUP BY 1 ORDER BY 1
 """,
         "text_stats_docs": """
 SELECT doc_id, lang,
-       CASE WHEN length(trim(text)) = 0 THEN 0
+       CASE WHEN coalesce(length(trim(text)), 0) = 0 THEN 0
             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tokens,
        length(text) AS chars,
-       round(CASE WHEN length(trim(text)) = 0 THEN 0
+       round(CASE WHEN coalesce(length(trim(text)), 0) = 0 THEN 0
                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END * 100.0
              / greatest(length(text), 1), 6) AS tokens_per_100_chars
 FROM documents ORDER BY doc_id
@@ -1868,7 +1868,7 @@ FROM documents ORDER BY doc_id
         "lang_quality_summary": """
 WITH t AS (
   SELECT lang,
-         CASE WHEN length(trim(text)) = 0 THEN 0
+         CASE WHEN coalesce(length(trim(text)), 0) = 0 THEN 0
               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tokens
   FROM documents
 )
@@ -1959,7 +1959,7 @@ GROUP BY 1 ORDER BY 1
 WITH t AS (
   SELECT doc_id, text,
          regexp_split_to_array(lower(trim(text)), '\\s+') AS words,
-         CASE WHEN length(trim(text)) = 0 THEN 0
+         CASE WHEN coalesce(length(trim(text)), 0) = 0 THEN 0
               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks
   FROM documents
 ), votes AS (
@@ -2349,7 +2349,7 @@ GROUP BY source ORDER BY source
         "gopher_quality_flags": r"""
 WITH d AS (
   SELECT doc_id AS id, text,
-         CASE WHEN length(trim(text)) = 0 THEN 0
+         CASE WHEN coalesce(length(trim(text)), 0) = 0 THEN 0
               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
          regexp_split_to_array(trim(text), '\s+') AS w,
          string_split(text, chr(10)) AS l
@@ -2420,7 +2420,7 @@ bench AS (SELECT * FROM documents WHERE doc_id % 50 = 0),
 q AS (
   SELECT * FROM (
     SELECT d.*,
-      CASE WHEN length(trim(text)) = 0 THEN 0
+      CASE WHEN coalesce(length(trim(text)), 0) = 0 THEN 0
            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nw,
       regexp_split_to_array(trim(text), '\s+') AS w,
       string_split(text, chr(10)) AS l

@@ -61,7 +61,11 @@ def gopher_flags(
     alpha_word_frac, n_stopwords, dup_line_frac, ok_* flags, keep)."""
     t = F.col(text_col)
     words = F.split(F.trim(t), r"\s+")
-    nw = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(F.size(words))
+    # NULL text -> n_words 0 (Spark's size(NULL) is -1, never let that
+    # leak into measures); empty/whitespace-only text also 0
+    nw = F.when(
+        F.coalesce(F.length(F.trim(t)), F.lit(0)) == 0, F.lit(0)
+    ).otherwise(F.size(words))
     total_chars = F.aggregate(
         words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
     )
@@ -69,8 +73,10 @@ def gopher_flags(
     n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
     alpha_frac = F.when(nw > 0, n_alpha / nw)
     sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
-    n_sw = F.size(
-        F.filter(words, lambda w: F.array_contains(sw, F.lower(w)))
+    # NULL-safe: size(filter(NULL)) is -1; report NULL like SQL engines
+    n_sw = F.when(
+        t.isNotNull(),
+        F.size(F.filter(words, lambda w: F.array_contains(sw, F.lower(w)))),
     )
     symbol_ratio = F.when(
         nw > 0, (_occurrences(t, "#") + _occurrences(t, "...")) / nw

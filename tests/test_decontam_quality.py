@@ -128,3 +128,16 @@ def test_top_ngram_fraction_skips_docs_shorter_than_n(spark):
     )
     got = top_ngram_fraction(df, n=2).collect()
     assert [r["id"] for r in got] == [2]
+
+
+def test_gopher_flags_null_and_blank_text(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "   "), (3, "")], "doc_id long, text string"
+    )
+    got = {r["id"]: r.asDict() for r in gopher_flags(df).collect()}
+    for i in (1, 2, 3):
+        assert got[i]["n_words"] == 0
+        assert got[i]["mean_word_len"] is None
+        assert got[i]["keep"] is False
+    assert got[1]["n_stopwords"] is None  # NULL text -> NULL, like SQL
+    assert got[2]["n_stopwords"] == 0
