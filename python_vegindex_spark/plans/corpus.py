@@ -135,38 +135,45 @@ def run_corpus_pipeline(
 ) -> dict:
     """Run the full pipeline; write parquet under ``out_root`` when
     given (clean/ and packed/), else count() to force execution.
-    Returns a metrics dict with the funnel and per-stage walls."""
+    Returns a metrics dict with the funnel and per-stage walls.
+
+    Each stage is MATERIALIZED before the next consumes it (parquet
+    under ``out_root``, localCheckpoint in bench mode): the fuzzy-dedup
+    stage re-reads its input several times (signatures, the Jaccard
+    verify's two shingle joins, the final anti-join), and re-executing
+    the quality/decontam lineage for each would re-scan the raw corpus
+    4+ times — at the 100-TB design point materialization between
+    stages is the production layout, exactly like plans/pipeline.py's
+    silver table."""
     metrics: dict = {"stages": {}}
 
-    def execute(name: str, df: DataFrame) -> int:
+    def execute(name: str, df: DataFrame) -> tuple[DataFrame, int]:
         t0 = time.perf_counter()
         if out_root:
             df.write.mode("overwrite").parquet(f"{out_root}/{name}")
-            n = spark.read.parquet(f"{out_root}/{name}").count()
+            out = spark.read.parquet(f"{out_root}/{name}")
         else:
-            n = df.count()
+            out = df.localCheckpoint(eager=True)
+        n = out.count()
         metrics["stages"][name] = {
             "wall_s": round(time.perf_counter() - t0, 3),
             "rows": n,
         }
-        return n
+        return out, n
 
     t_all = time.perf_counter()
     clean = clean_corpus(
-        docs,
-        bench,
-        min_words=min_words,
-        decontam_n=decontam_n,
-        near_dup_jaccard=near_dup_jaccard,
+        docs, bench, min_words=min_words, decontam_n=decontam_n
     )
-    execute("clean", clean)
-    clean_src = (
-        spark.read.parquet(f"{out_root}/clean") if out_root else clean
-    )
+    clean, _ = execute("clean", clean)
+    if near_dup_jaccard is not None:
+        clean, _ = execute(
+            "clean_fuzzy", _dedup_near_keep(clean, jaccard_min=near_dup_jaccard)
+        )
     packed = pack_chunks(
-        clean_src, pack_budget, ["source"], ["doc_id"], tokens_col
+        clean, pack_budget, ["source"], ["doc_id"], tokens_col
     )
-    execute("packed", packed)
+    packed, _ = execute("packed", packed)
     n_packs = (
         packed.groupBy("source")
         .agg((F.max("pack_last") + 1).alias("np"))
@@ -174,7 +181,9 @@ def run_corpus_pipeline(
         .collect()[0][0]
     )
     metrics["n_input_docs"] = docs.count()
-    metrics["n_clean_docs"] = metrics["stages"]["clean"]["rows"]
+    metrics["n_clean_docs"] = metrics["stages"][
+        "clean_fuzzy" if near_dup_jaccard is not None else "clean"
+    ]["rows"]
     metrics["n_packs"] = int(n_packs or 0)
     metrics["wall_s"] = round(time.perf_counter() - t_all, 3)
     return metrics

@@ -180,6 +180,112 @@ def synth_turns(
     )
 
 
+def synth_documents(
+    spark: SparkSession,
+    n_docs: int = 100_000,
+    seed: int = 7,
+    mean_words: int = 120,
+    n_sources: int = 20,
+) -> DataFrame:
+    """Deterministic synthetic ``documents`` table for corpus-pipeline
+    tests/benches: (doc_id, text, lang, source, n_chars).
+
+    Same design rules as :func:`synth_turns` — pure ``spark.range`` +
+    value-hash expressions, byte-identical at any parallelism, no
+    driver loops. Planted structure so every pipeline stage has work:
+
+    * ~4% exact duplicates (text derived from an earlier doc's id, so
+      the copy is generated, not joined);
+    * ~3% near duplicates (same parent text with the last word changed
+      — high n-gram Jaccard, distinct fingerprint);
+    * ~5% low-quality spam (one word repeated: fails the Gopher
+      repetition/stopword gates);
+    * ~3% too-short docs (fail the word-count gate).
+    """
+    d = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    u_arch = _u(seed, F.col("doc_id"), F.lit("arch"))
+    # dup/near-dup parents: an earlier doc id from a normal-range hash
+    parent = F.pmod(
+        F.xxhash64(F.lit(seed), F.col("doc_id"), F.lit("par")),
+        F.greatest(F.col("doc_id"), F.lit(1)),
+    )
+    arch = (
+        F.when(u_arch < 0.04, F.lit("dup"))
+        .when(u_arch < 0.07, F.lit("near"))
+        .when(u_arch < 0.12, F.lit("spam"))
+        .when(u_arch < 0.15, F.lit("short"))
+        .otherwise(F.lit("normal"))
+    )
+    d = d.select(
+        "doc_id",
+        arch.alias("arch"),
+        F.when(arch.isin("dup", "near"), parent)
+        .otherwise(F.col("doc_id"))
+        .alias("text_key"),
+    )
+
+    word_pool = F.array(*[F.lit(wd) for wd in _WORDS])
+    # every ~4th word is an English stopword so realistic docs pass the
+    # Gopher stopword gate (spam docs still fail it: one repeated word)
+    stop_pool = F.array(*[
+        F.lit(wd)
+        for wd in ("the", "and", "of", "to", "is", "in", "that", "it")
+    ])
+
+    def words_of(key, n):
+        def pick(i):
+            h = F.xxhash64(F.lit(seed), key, F.lit("w"), i)
+            return F.when(
+                F.pmod(h, F.lit(4)) == 0,
+                F.element_at(stop_pool, F.pmod(h, F.lit(8)).cast("int") + 1),
+            ).otherwise(
+                F.element_at(
+                    word_pool,
+                    F.pmod(h, F.lit(len(_WORDS))).cast("int") + 1,
+                )
+            )
+
+        return F.transform(F.sequence(F.lit(1), n), pick)
+
+    key = F.col("text_key")
+    u_len = _u(seed, key, F.lit("len"))
+    n_words = F.when(F.col("arch") == "short", F.lit(5)).otherwise(
+        (-F.log(u_len) * mean_words).cast("int") + 30
+    )
+    base_words = words_of(key, n_words)
+    spam_word = F.element_at(
+        word_pool,
+        F.pmod(F.xxhash64(F.lit(seed), key, F.lit("sp")), F.lit(len(_WORDS)))
+        .cast("int") + 1,
+    )
+    text = F.when(
+        F.col("arch") == "spam",
+        F.array_join(F.transform(F.sequence(F.lit(1), n_words), lambda i: spam_word), " "),
+    ).when(
+        F.col("arch") == "near",
+        F.concat(
+            F.array_join(F.slice(base_words, 1, n_words - 1), " "),
+            F.lit(" changed"),
+        ),
+    ).otherwise(F.array_join(base_words, " "))
+
+    src = F.format_string(
+        "src%02d",
+        F.pmod(F.xxhash64(F.lit(seed), "doc_id", F.lit("src")), F.lit(n_sources)).cast("int"),
+    )
+    lang = F.element_at(
+        F.array(F.lit("en"), F.lit("es"), F.lit("fr"), F.lit("de")),
+        F.pmod(F.xxhash64(F.lit(seed), "doc_id", F.lit("lg")), F.lit(4)).cast("int") + 1,
+    )
+    return d.select(
+        "doc_id",
+        text.alias("text"),
+        lang.alias("lang"),
+        src.alias("source"),
+        F.length(text).cast("long").alias("n_chars"),
+    )
+
+
 def write_turns(
     df: DataFrame, path: str, partition_by_day: bool = True, mode: str = "overwrite"
 ) -> None:

@@ -133,3 +133,52 @@ def test_clean_corpus_near_dup_option(spark):
         for r in clean_corpus(docs, bench, near_dup_jaccard=0.8).collect()
     )
     assert fuzzy == [1, 5]
+
+
+def test_run_corpus_pipeline_fuzzy_stage(spark, tmp_path):
+    # with near_dup_jaccard the pipeline materializes a clean_fuzzy
+    # stage and the funnel metrics count survivors AFTER fuzzy dedup
+    near = spark.createDataFrame(
+        [(6, "srcA", GOOD + "extra tail words for doc six variety")],
+        "doc_id long, source string, text string",
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    docs = _docs(spark).unionByName(near)
+    out = str(tmp_path / "corpus_fuzzy")
+    m = run_corpus_pipeline(
+        spark, docs, _bench(spark), out_root=out,
+        near_dup_jaccard=0.8, pack_budget=100,
+    )
+    assert set(m["stages"]) == {"clean", "clean_fuzzy", "packed"}
+    assert m["stages"]["clean"]["rows"] == 3      # 1, 5, 6 pass exact
+    assert m["n_clean_docs"] == 2                 # 6 removed by fuzzy
+    fuzzy = spark.read.parquet(out + "/clean_fuzzy")
+    assert sorted(r["doc_id"] for r in fuzzy.collect()) == [1, 5]
+    packed = spark.read.parquet(out + "/packed")
+    assert sorted(r["doc_id"] for r in packed.collect()) == [1, 5]
+
+
+def test_synth_documents_deterministic_and_planted(spark):
+    from python_vegindex_spark.sources.synth import synth_documents
+
+    a = synth_documents(spark, n_docs=2000, seed=7)
+    # parallelism-independent: same content hash at 1 vs 32 partitions
+    def content_hash(df):
+        return (
+            df.select(F.xxhash64(*df.columns).alias("h"))
+            .agg(F.expr("bit_xor(h)")).collect()[0][0]
+        )
+    assert content_hash(a.repartition(32)) == content_hash(a.coalesce(1))
+
+    rows = a.collect()
+    assert len(rows) == 2000
+    texts = [r["text"] for r in rows]
+    # planted exact duplicates exist
+    assert len(set(texts)) < len(texts)
+    # planted near-duplicates: the marker suffix from the generator
+    assert any(t.endswith(" changed") for t in texts)
+    # spam docs are one repeated word
+    assert any(len(set(t.split())) == 1 and len(t.split()) > 4 for t in texts)
+    # most docs pass the quality gate, spam/short fail it
+    from python_vegindex_spark.operators.quality_filter import gopher_flags
+    kept = gopher_flags(a, min_words=30).filter("keep").count()
+    assert 0.7 * 2000 < kept < 0.95 * 2000
