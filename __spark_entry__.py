@@ -1079,6 +1079,129 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_funnel(corpus, bench, min_words=30, decontam_n=4)
 
 
+def _eight_word_lines(docs: DataFrame) -> DataFrame:
+    """Deterministically re-chunk each doc's words into 8-word 'lines'
+    (the synthetic documents carry no newlines) — mirrored verbatim in
+    the DuckDB oracle so the line-level operators see identical text."""
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(words)
+    lines = F.transform(
+        F.sequence(F.lit(0), F.floor((n - 1) / 8).cast("int")),
+        lambda i: F.array_join(F.slice(words, i * 8 + 1, 8), " "),
+    )
+    return docs.withColumn("text", F.array_join(lines, "\n"))
+
+
+def q_boilerplate_strip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style global boilerplate-line removal
+    (operators/text_clean.strip_boilerplate_lines): lines present in
+    >= 3 distinct docs are stripped everywhere, order preserved. Footer
+    and nav lines are planted deterministically so the boilerplate set
+    is non-trivial; the md5 of each rebuilt doc pins the reassembly."""
+    from python_vegindex_spark.operators.text_clean import strip_boilerplate_lines
+
+    docs = _eight_word_lines(_t(spark, sf_dir, "documents"))
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit("\nall rights reserved - example corp"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 10 == 0, F.lit("\nhome | about | contact")
+            ).otherwise(F.lit("")),
+        ),
+    )
+    out = strip_boilerplate_lines(aug, min_docs=3)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        F.md5("text").alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+def q_pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/text_clean.scrub_pii): email/IPv4/phone
+    spans planted deterministically per doc_id, counted on the original
+    text and redacted sequentially; the scrubbed text is md5-pinned.
+    One shuffle-free projection (Java-regex ∩ RE2 patterns, so DuckDB
+    reproduces every span)."""
+    from python_vegindex_spark.operators.text_clean import scrub_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 5 == 0,
+                F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" from 10."),
+                    (did % 200).cast("string"),
+                    F.lit(".0."),
+                    (did % 250).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 0,
+                F.concat(F.lit(" tel +"), F.lpad((did * 37).cast("string"), 10, "0")),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return scrub_pii(aug).select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        F.md5("text").alias("scrubbed_md5"),
+    ).orderBy("doc_id")
+
+
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture resampling (operators/mixture): thin the corpus to
+    a 50/30/20 src0/src1/src2 target at the largest feasible size. The
+    keep fractions derive from per-source counts through a pinned float
+    op order, and row selection is the content-keyed hash filter — so
+    the oracle reproduces the EXACT surviving row set."""
+    from python_vegindex_spark.operators.mixture import mixture_resample
+
+    docs = _t(spark, sf_dir, "documents")
+    weights = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    return (
+        mixture_resample(docs, weights)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def q_semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: embedding-cosine near-dup pairs
+    (exact method — the recall oracle; the LSH variant is the scale
+    path) -> connected components -> keep each cluster's minimum-id
+    member (operators/similarity.embedding_near_dup_pairs +
+    operators/dedup.dedup_keep_canonical)."""
+    from python_vegindex_spark.operators.dedup import dedup_keep_canonical
+    from python_vegindex_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pairs = embedding_near_dup_pairs(emb, threshold=0.4, method="exact")
+    return (
+        dedup_keep_canonical(emb, pairs.select("id_a", "id_b"), id_col="vec_id")
+        .select("vec_id")
+        .orderBy("vec_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hourly_rollup_gapfill": q_hourly_rollup_gapfill,
@@ -1133,6 +1256,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_flags": q_gopher_quality_flags,
         "repetition_topgram": q_repetition_topgram,
         "corpus_funnel": q_corpus_funnel,
+        "boilerplate_strip_docs": q_boilerplate_strip_docs,
+        "pii_scrub_docs": q_pii_scrub_docs,
+        "mixture_resample": q_mixture_resample,
+        "semantic_dedup_survivors": q_semantic_dedup_survivors,
     }
 
 
@@ -2472,5 +2599,151 @@ UNION ALL SELECT '3_decontam', count(*),
 UNION ALL SELECT '4_dedup', count(*),
        coalesce(CAST(sum(n_chars) AS BIGINT), 0) FROM ded
 ORDER BY stage
+""",
+        # global boilerplate-line removal: identical 8-word line synthesis,
+        # planted footer/nav lines, >=3-distinct-doc boilerplate rule, and
+        # ordered reassembly (string_agg ORDER BY pos == Spark's
+        # array_sort(collect_list(struct(pos,line)))); md5 pins the text
+        "boilerplate_strip_docs": r"""
+WITH chunked AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(
+             range(0, CAST(ceil(len(regexp_split_to_array(trim(text), '\s+')) / 8.0) AS BIGINT)),
+             i -> array_to_string(
+                    list_slice(regexp_split_to_array(trim(text), '\s+'), i * 8 + 1, i * 8 + 8), ' ')),
+           chr(10)) AS text
+  FROM documents
+),
+aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'all rights reserved - example corp' ELSE '' END
+         || CASE WHEN doc_id % 10 = 0 THEN chr(10) || 'home | about | contact' ELSE '' END AS text
+  FROM chunked
+),
+lines AS (
+  SELECT doc_id, u['pos'] AS pos, u['line'] AS line
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(len(ls)), i -> {'pos': i, 'line': ls[i + 1]})) AS u
+    FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug)
+  )
+),
+keyed AS (
+  SELECT doc_id, pos, line,
+         CASE WHEN length(lower(regexp_replace(trim(line), '\s+', ' ', 'g'))) > 0
+              THEN md5(lower(regexp_replace(trim(line), '\s+', ' ', 'g'))) END AS line_key
+  FROM lines
+),
+boiler AS (
+  SELECT line_key FROM (
+    SELECT line_key, count(DISTINCT doc_id) AS n_docs
+    FROM keyed WHERE line_key IS NOT NULL GROUP BY line_key
+  ) WHERE n_docs >= 3
+),
+kept AS (
+  SELECT * FROM keyed
+  WHERE line_key IS NULL OR line_key NOT IN (SELECT line_key FROM boiler)
+),
+rebuilt AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM kept GROUP BY doc_id
+)
+SELECT a.doc_id,
+       CAST(len(string_split(a.text, chr(10))) AS INT) AS n_lines,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       md5(coalesce(r.text, '')) AS clean_md5
+FROM aug a LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY a.doc_id
+""",
+        # PII scrub: identical planted spans, Java∩RE2 patterns, counts on
+        # the original text, sequential email->ipv4->phone redaction
+        "pii_scrub_docs": r"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' tel +' || lpad(CAST(doc_id * 37 AS VARCHAR), 10, '0') ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+  CAST(len(regexp_extract_all(text, '\+\d{9,15}\b')) AS INT) AS n_phone,
+  md5(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<ipv4>', 'g'),
+      '\+\d{9,15}\b', '<phone>', 'g')
+  ) AS scrubbed_md5
+FROM aug ORDER BY doc_id
+""",
+        # mixture resampling: the keep-fraction float op order (n/w -> min
+        # -> w*t/n) and the 2^-32 hex-threshold quantization mirror
+        # operators/mixture + operators/sampling term for term, so the
+        # surviving row SET is bit-equal
+        "mixture_resample": """
+WITH counts AS (
+  SELECT source, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY source
+),
+weighted AS (
+  SELECT source, n,
+         CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                     WHEN 'src2' THEN 0.2 ELSE 0.0 END AS w
+  FROM counts
+),
+t AS (SELECT min(n / w) AS t FROM weighted WHERE w > 0 AND n > 0),
+fr AS (
+  SELECT source,
+         CASE WHEN w > 0 AND n > 0 THEN w * (SELECT t FROM t) / n ELSE 0.0 END AS frac
+  FROM weighted
+),
+th AS (
+  SELECT source,
+         CASE WHEN frac <= 0 THEN '0'
+              WHEN frac >= 1 THEN 'g'
+              ELSE printf('%08x', greatest(1, CAST(trunc(frac * 4294967296.0) AS BIGINT)))
+         END AS th
+  FROM fr
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN th ON th.source = d.source
+WHERE substr(md5(concat_ws('|', 'mix', CAST(d.doc_id AS VARCHAR))), 1, 8) < th.th
+ORDER BY d.doc_id
+""",
+        # SemDeDup survivors: exact cosine pair list (same rounded-compare
+        # as the embedding_near_dups oracle) -> recursive min-label
+        # connected components -> drop non-minimum cluster members
+        "semantic_dedup_survivors": """
+WITH RECURSIVE e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+),
+edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+cc(id, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e2.dst, c.label FROM cc c JOIN edges e2 ON c.id = e2.src WHERE c.label < e2.dst
+),
+final AS (SELECT id, min(label) AS cluster_id FROM cc GROUP BY id),
+losers AS (SELECT id FROM final WHERE id <> cluster_id)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT id FROM losers)
+ORDER BY vec_id
 """,
     }
