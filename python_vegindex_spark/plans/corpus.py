@@ -13,6 +13,12 @@ taking a raw ``documents`` table to packed training shards —
   4. pack           — operators/packing.pack_chunks concat-and-chunk
                       stream coordinates per source shard.
 
+Optional stages: global boilerplate-line stripping and PII scrubbing
+before the quality gate (operators/text_clean), MinHash-LSH near-dup
+removal after exact dedup, and source-mixture resampling last
+(operators/mixture — after cleaning, so the stated proportions hold in
+what ships).
+
 Each stage is the already-tested operator — this module only sequences
 them and reports the funnel, so a migrating user gets the whole
 pipeline as one call / one spark-submit job. Scale shape: stages 1-3
@@ -76,10 +82,42 @@ def clean_corpus(
     min_words: int = 30,
     decontam_n: int = 4,
     near_dup_jaccard: float | None = None,
+    boiler_min_docs: int | None = None,
+    scrub_pii_spans: bool = False,
+    mixture_weights: dict[str, float] | None = None,
 ) -> DataFrame:
-    """quality -> decontam -> exact-dedup [-> fuzzy dedup]; returns
-    surviving docs. ``near_dup_jaccard`` (e.g. 0.8) additionally runs
-    MinHash-LSH near-dup removal at that verified-Jaccard threshold."""
+    """[boilerplate strip ->] [PII scrub ->] quality -> decontam ->
+    exact-dedup [-> fuzzy dedup] [-> mixture resample]; returns
+    surviving docs.
+
+    * ``boiler_min_docs`` (e.g. 3) first strips lines shared by that
+      many distinct docs (operators/text_clean) — text edits run BEFORE
+      the quality gates, CCNet-style, so a doc that is boilerplate-only
+      fails ``min_words`` honestly; ``n_chars`` is recomputed.
+    * ``scrub_pii_spans`` redacts email/IPv4/phone spans (a pure
+      projection; the count columns are not kept — the pipeline's
+      contract is the cleaned schema).
+    * ``near_dup_jaccard`` (e.g. 0.8) additionally runs MinHash-LSH
+      near-dup removal at that verified-Jaccard threshold.
+    * ``mixture_weights`` finally thins the CLEANED corpus to the
+      target source mixture (operators/mixture) — last, so the stated
+      proportions hold in what ships, not in what gets filtered."""
+    if boiler_min_docs is not None:
+        from ..operators.text_clean import strip_boilerplate_lines
+
+        stripped = strip_boilerplate_lines(docs, min_docs=boiler_min_docs)
+        docs = (
+            docs.drop("text")
+            .join(stripped.select("doc_id", "text"), "doc_id")
+            .withColumn("n_chars", F.length("text").cast("long"))
+        )
+    if scrub_pii_spans:
+        from ..operators.text_clean import scrub_pii
+
+        docs = scrub_pii(docs).select(*docs.columns)
+        if "n_chars" in docs.columns:
+            # redaction shortens text; keep the packing token proxy honest
+            docs = docs.withColumn("n_chars", F.length("text").cast("long"))
     kept_ids = gopher_flags(docs, min_words=min_words).filter("keep").select(
         F.col("id").alias("doc_id")
     )
@@ -89,6 +127,10 @@ def clean_corpus(
     survivors = _dedup_exact_keep(survivors)
     if near_dup_jaccard is not None:
         survivors = _dedup_near_keep(survivors, jaccard_min=near_dup_jaccard)
+    if mixture_weights is not None:
+        from ..operators.mixture import mixture_resample
+
+        survivors = mixture_resample(survivors, mixture_weights)
     return survivors
 
 
@@ -132,6 +174,9 @@ def run_corpus_pipeline(
     near_dup_jaccard: float | None = None,
     pack_budget: int = 4096,
     tokens_col: str = "n_chars",
+    boiler_min_docs: int | None = None,
+    scrub_pii_spans: bool = False,
+    mixture_weights: dict[str, float] | None = None,
 ) -> dict:
     """Run the full pipeline; write parquet under ``out_root`` when
     given (clean/ and packed/), else count() to force execution.
@@ -162,14 +207,26 @@ def run_corpus_pipeline(
         return out, n
 
     t_all = time.perf_counter()
+    # mixture runs as its own stage AFTER the clean materialization —
+    # its per-source count pass then reads the materialized table
+    # instead of re-executing the whole cleaning lineage
     clean = clean_corpus(
-        docs, bench, min_words=min_words, decontam_n=decontam_n
+        docs,
+        bench,
+        min_words=min_words,
+        decontam_n=decontam_n,
+        boiler_min_docs=boiler_min_docs,
+        scrub_pii_spans=scrub_pii_spans,
     )
     clean, _ = execute("clean", clean)
     if near_dup_jaccard is not None:
         clean, _ = execute(
             "clean_fuzzy", _dedup_near_keep(clean, jaccard_min=near_dup_jaccard)
         )
+    if mixture_weights is not None:
+        from ..operators.mixture import mixture_resample
+
+        clean, _ = execute("mixture", mixture_resample(clean, mixture_weights))
     packed = pack_chunks(
         clean, pack_budget, ["source"], ["doc_id"], tokens_col
     )
@@ -181,9 +238,12 @@ def run_corpus_pipeline(
         .collect()[0][0]
     )
     metrics["n_input_docs"] = docs.count()
-    metrics["n_clean_docs"] = metrics["stages"][
-        "clean_fuzzy" if near_dup_jaccard is not None else "clean"
-    ]["rows"]
+    last_clean_stage = (
+        "mixture"
+        if mixture_weights is not None
+        else ("clean_fuzzy" if near_dup_jaccard is not None else "clean")
+    )
+    metrics["n_clean_docs"] = metrics["stages"][last_clean_stage]["rows"]
     metrics["n_packs"] = int(n_packs or 0)
     metrics["wall_s"] = round(time.perf_counter() - t_all, 3)
     return metrics

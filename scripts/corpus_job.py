@@ -2,7 +2,8 @@
 
     spark-submit --master local[N] --py-files /tmp/pvs.zip \
         scripts/corpus_job.py --docs <parquet> [--bench <parquet>] \
-        [--out DIR] [--min-words 30] [--decontam-n 4] [--budget 4096]
+        [--out DIR] [--min-words 30] [--decontam-n 4] [--budget 4096] \
+        [--boiler-min-docs 3] [--scrub-pii] [--mixture '{"web":0.6,...}']
 
 Chains quality gates -> benchmark decontamination -> exact dedup ->
 sequence packing (plans/corpus.py) and prints one marker-prefixed JSON
@@ -31,7 +32,21 @@ def main(argv: list[str] | None = None) -> dict:
         help="also remove MinHash-LSH near-dups at this verified Jaccard",
     )
     ap.add_argument("--budget", type=int, default=4096)
+    ap.add_argument(
+        "--boiler-min-docs", type=int, default=None,
+        help="strip lines shared by this many distinct docs before the quality gate",
+    )
+    ap.add_argument(
+        "--scrub-pii", action="store_true",
+        help="redact email/IPv4/phone spans before the quality gate",
+    )
+    ap.add_argument(
+        "--mixture", default=None,
+        help='JSON source->weight map, e.g. \'{"web": 0.6, "code": 0.4}\'; '
+        "resamples the cleaned corpus to the largest exact target mixture",
+    )
     args = ap.parse_args(argv)
+    mixture_weights = json.loads(args.mixture) if args.mixture else None
 
     from pyspark.sql import functions as F
 
@@ -54,6 +69,9 @@ def main(argv: list[str] | None = None) -> dict:
         decontam_n=args.decontam_n,
         near_dup_jaccard=args.near_dup_jaccard,
         pack_budget=args.budget,
+        boiler_min_docs=args.boiler_min_docs,
+        scrub_pii_spans=args.scrub_pii,
+        mixture_weights=mixture_weights,
     )
     print("CORPUS_METRICS " + json.dumps(metrics))
     return metrics

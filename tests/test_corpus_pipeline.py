@@ -157,6 +157,78 @@ def test_run_corpus_pipeline_fuzzy_stage(spark, tmp_path):
     assert sorted(r["doc_id"] for r in packed.collect()) == [1, 5]
 
 
+def test_clean_corpus_text_clean_and_mixture_stages(spark):
+    # three docs share a footer line (boilerplate at min_docs=3); doc 7
+    # carries an email; mixture keeps only weighted sources
+    footer = "\nall rights reserved by example corp"
+    rows = [
+        (1, "srcA", GOOD + "extra tail words for doc one variety" + footer),
+        (5, "srcB", GOOD + "a different ending for doc five entirely now" + footer),
+        (7, "srcB", GOOD + "doc seven writes to admin@example.com often" + footer),
+        (9, "srcC", GOOD + "source c doc nine stays unweighted in the mix"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).withColumn("n_chars", F.length("text").cast("long"))
+
+    out = clean_corpus(
+        docs, boiler_min_docs=3, scrub_pii_spans=True,
+        mixture_weights={"srcA": 0.5, "srcB": 0.5},
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    # srcC dropped by the mixture (unweighted); the rest survive (the
+    # binding source keeps everything at these tiny counts)
+    assert 9 not in got and set(got) <= {1, 5, 7}
+    assert 7 in got
+    for r in got.values():
+        assert "all rights reserved" not in r["text"]  # boilerplate gone
+        assert r["n_chars"] == len(r["text"])          # recomputed post-strip
+    assert "admin@example.com" not in got[7]["text"]
+    assert "<email>" in got[7]["text"]
+    # the count columns are NOT part of the pipeline schema
+    assert "n_email" not in out.columns
+
+
+def test_run_corpus_pipeline_mixture_stage(spark, tmp_path):
+    docs = _docs(spark).unionByName(
+        spark.createDataFrame(
+            [(8, "srcC", GOOD + "unweighted source c doc eight ends here")],
+            "doc_id long, source string, text string",
+        ).withColumn("n_chars", F.length("text").cast("long"))
+    )
+    out = str(tmp_path / "corpus_mix")
+    m = run_corpus_pipeline(
+        spark, docs, _bench(spark), out_root=out, pack_budget=100,
+        mixture_weights={"srcA": 0.5, "srcB": 0.5},
+    )
+    assert set(m["stages"]) == {"clean", "mixture", "packed"}
+    assert m["stages"]["clean"]["rows"] == 3   # 1, 5, 8 pass cleaning
+    assert m["n_clean_docs"] == 2              # 8 (srcC) dropped by mixture
+    mixed = spark.read.parquet(out + "/mixture")
+    assert sorted(r["doc_id"] for r in mixed.collect()) == [1, 5]
+
+
+def test_corpus_job_cli_new_flags(spark, tmp_path):
+    import sys
+
+    sys.path.insert(0, "scripts")
+    import corpus_job
+
+    docs_path = str(tmp_path / "docs")
+    _docs(spark).write.parquet(docs_path)
+    m = corpus_job.main(
+        [
+            "--docs", docs_path,
+            "--out", str(tmp_path / "out"),
+            "--budget", "100",
+            "--scrub-pii",
+            "--mixture", '{"srcA": 0.5, "srcB": 0.5}',
+        ]
+    )
+    assert "mixture" in m["stages"]
+    assert m["n_clean_docs"] == m["stages"]["mixture"]["rows"]
+
+
 def test_synth_documents_deterministic_and_planted(spark):
     from python_vegindex_spark.sources.synth import synth_documents
 
