@@ -104,7 +104,13 @@ def strip_boilerplate_lines(
     survivors in original order (``''`` when everything was
     boilerplate). Blank lines always survive (they carry document
     structure and a blank line shared across docs is not boilerplate
-    evidence)."""
+    evidence).
+
+    The exploded line stream feeds both the boilerplate count and the
+    anti-join, so this plan scans ``docs`` twice; at the 100-TB design
+    point materialize ``docs`` (or :func:`doc_lines`) first — exactly
+    what plans/corpus.run_corpus_pipeline's stage materialization does
+    for its other multi-read stage (fuzzy dedup)."""
     lines = doc_lines(docs, text_col, id_col)
     boiler = boilerplate_lines(lines, min_docs).select("line_key")
     # left_anti on a NULL key never matches -> blank lines fall through

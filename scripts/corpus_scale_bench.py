@@ -85,6 +85,12 @@ def main() -> None:
     ap.add_argument("--repeat", type=int, default=2)
     args = ap.parse_args()
 
+    # same node protocol as scale_bench.py (BENCH.md §3.1: DAMON reclaim
+    # serializes multi-GB JVM heaps; restored on exit)
+    import hosttune
+
+    hosttune.tune(enable=os.environ.get("VXS_HOSTTUNE", "1") == "1")
+
     docs_path = f"{SCRATCH}/vxs_docs_{args.ndocs}"
     zip_path = "/tmp/pvs.zip"
     make_zip(zip_path)
