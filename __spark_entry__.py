@@ -1202,6 +1202,113 @@ def q_semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 visual downsample (Jugel VLDB'14) of events to a 64-pixel
+    chart per event_type: first/last/min/max REAL points per pixel,
+    one hash aggregate (operators/downsample.m4_downsample)."""
+    from python_vegindex_spark.operators.downsample import m4_downsample
+
+    ev = _t(spark, sf_dir, "events")
+    return m4_downsample(
+        ev, width=64, series_cols=["event_type"]
+    ).orderBy("event_type", "px")
+
+
+def q_locf_interpolate_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill fillers over the hourly continuous aggregate: LOCF and
+    time-weighted linear interpolation of v_mean across the spine's
+    empty buckets (functions/fill.fill_series)."""
+    from python_vegindex_spark.functions.fill import fill_series
+
+    agg = rollup_series(
+        _t(spark, sf_dir, "events"),
+        tier="hourly",
+        series_cols=["event_type"],
+        value_col="value",
+        percentiles=(),
+    ).select("event_type", "bucket_start", "n", "v_mean")
+    # the spine marks gap buckets with n=0 / NULL stats
+    filled = fill_series(
+        agg, ["event_type"], "bucket_start", ["v_mean"]
+    )
+    return filled.select(
+        "event_type",
+        "bucket_start",
+        "n",
+        "v_mean",
+        F.round("v_mean_locf", 6).alias("v_locf"),
+        F.round("v_mean_interp", 6).alias("v_interp"),
+    ).orderBy("event_type", "bucket_start")
+
+
+def q_counter_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-style increase()/rate() with counter-reset handling
+    (operators/rate.counter_increase): a deterministic sawtooth counter
+    is built per user (integer running sum mod 1000, so both engines
+    agree bit-exactly), then daily increase / resets / rate."""
+    from python_vegindex_spark.operators.rate import counter_increase
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ctr = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.sum(F.pmod(F.col("event_id"), F.lit(7)) + 1).over(w) % 1000).alias(
+            "counter"
+        ),
+    )
+    out = counter_increase(
+        ctr,
+        tier="daily",
+        series_cols=["user_id"],
+        counter_col="counter",
+        order_cols=["event_id"],
+    )
+    return out.withColumn(
+        "bucket_start", F.col("bucket_start").cast("timestamp")
+    ).orderBy("user_id", "bucket_start")
+
+
+def q_sliding_window_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour RANGE window per event_type (the rolling-rate
+    monitor, operators/rate.sliding_time_stats), reduced to the daily
+    PEAK rolling count and its exact integer sum/avg at the peak."""
+    from python_vegindex_spark.operators.rate import sliding_time_stats
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("v_int"),
+    )
+    slid = sliding_time_stats(
+        ev, window_s=3600, series_cols=["event_type"], value_col="v_int",
+        round_to=None,
+    )
+    day = slid.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.struct(
+            F.col("w_n").alias("n"),
+            F.col("w_sum").alias("s"),
+        ).alias("_peak"),
+    )
+    return (
+        day.groupBy("event_type", "day")
+        .agg(F.max("_peak").alias("_m"))
+        .select(
+            "event_type",
+            F.col("day").cast("timestamp").alias("day"),
+            F.col("_m.n").alias("peak_n"),
+            F.col("_m.s").alias("peak_sum"),
+            F.round(
+                F.col("_m.s").cast("double") / F.col("_m.n").cast("double"), 6
+            ).alias("peak_avg"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hourly_rollup_gapfill": q_hourly_rollup_gapfill,
@@ -1260,6 +1367,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_docs": q_pii_scrub_docs,
         "mixture_resample": q_mixture_resample,
         "semantic_dedup_survivors": q_semantic_dedup_survivors,
+        "m4_downsample": q_m4_downsample,
+        "locf_interpolate_fill": q_locf_interpolate_fill,
+        "counter_rate_daily": q_counter_rate_daily,
+        "sliding_window_peak": q_sliding_window_peak,
     }
 
 
@@ -2745,5 +2856,135 @@ losers AS (SELECT id FROM final WHERE id <> cluster_id)
 SELECT vec_id FROM embeddings
 WHERE vec_id NOT IN (SELECT id FROM losers)
 ORDER BY vec_id
+""",
+        # M4 (VLDB'14): integer-us pixel assignment, struct-extreme tie
+        # rules mirrored as two-level filtered aggregates.
+        "m4_downsample": """
+WITH base AS (
+  SELECT event_type, epoch_us(ts) AS tus, value AS v
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL
+), bounds AS (
+  SELECT min(tus) AS t0, max(tus) AS t1 FROM base
+), bk AS (
+  SELECT event_type, tus, v,
+    CASE WHEN t1 > t0
+         THEN least(((tus - t0) * 64) // (t1 - t0), 63)
+         ELSE 0 END AS px
+  FROM base, bounds
+), a1 AS (
+  SELECT event_type, px,
+    min(tus) AS tf, max(tus) AS tl, min(v) AS vmin, max(v) AS vmax
+  FROM bk GROUP BY 1, 2
+), pts AS (
+  SELECT b.event_type, b.px,
+    min(CASE WHEN b.tus = a.tf THEN b.v END) AS vf,
+    max(CASE WHEN b.tus = a.tl THEN b.v END) AS vl,
+    min(CASE WHEN b.v = a.vmin THEN b.tus END) AS t_min_us,
+    min(CASE WHEN b.v = a.vmax THEN b.tus END) AS t_max_us,
+    any_value(a.tf) AS tf, any_value(a.tl) AS tl,
+    any_value(a.vmin) AS vmin, any_value(a.vmax) AS vmax
+  FROM bk b JOIN a1 a USING (event_type, px)
+  GROUP BY 1, 2
+)
+SELECT event_type, px,
+  make_timestamp(tf) AS t_first, round(vf, 6) AS v_first,
+  make_timestamp(tl) AS t_last, round(vl, 6) AS v_last,
+  make_timestamp(t_min_us) AS t_min, round(vmin, 6) AS v_min,
+  make_timestamp(t_max_us) AS t_max, round(vmax, 6) AS v_max
+FROM pts ORDER BY 1, 2
+""",
+        # LOCF + time-weighted linear interpolation over the gap-filled
+        # hourly spine; interpolation spelled as the identical IEEE
+        # sequence prev + (next - prev) * (dt / span).
+        "locf_interpolate_fill": """
+WITH base AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_start, value FROM events
+), agg AS (
+  SELECT event_type, bucket_start,
+         count(value) AS n, round(avg(value), 6) AS v_mean
+  FROM base GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(bucket_start) AS mn, max(bucket_start) AS mx
+  FROM base GROUP BY 1
+), spine AS (
+  SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket_start
+  FROM bounds
+), g AS (
+  SELECT s.event_type, s.bucket_start, coalesce(a.n, 0) AS n, a.v_mean,
+         epoch_us(s.bucket_start) AS tus,
+         CASE WHEN a.v_mean IS NOT NULL THEN epoch_us(s.bucket_start) END AS t_of
+  FROM spine s LEFT JOIN agg a USING (event_type, bucket_start)
+), f AS (
+  SELECT event_type, bucket_start, n, v_mean, tus,
+    last_value(v_mean IGNORE NULLS) OVER w_back AS prev_v,
+    last_value(t_of IGNORE NULLS) OVER w_back AS prev_t,
+    first_value(v_mean IGNORE NULLS) OVER w_fwd AS next_v,
+    first_value(t_of IGNORE NULLS) OVER w_fwd AS next_t
+  FROM g
+  WINDOW
+    w_back AS (PARTITION BY event_type ORDER BY bucket_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_fwd AS (PARTITION BY event_type ORDER BY bucket_start
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, bucket_start, n, v_mean,
+  round(prev_v, 6) AS v_locf,
+  round(CASE WHEN v_mean IS NOT NULL THEN v_mean
+        ELSE prev_v + (next_v - prev_v)
+             * (CAST(tus - prev_t AS DOUBLE) / CAST(next_t - prev_t AS DOUBLE))
+        END, 6) AS v_interp
+FROM f ORDER BY 1, 2
+""",
+        # PromQL increase()/rate() with reset handling over a
+        # deterministic integer sawtooth counter.
+        "counter_rate_daily": """
+WITH ev AS (
+  SELECT user_id, ts, event_id FROM events WHERE user_id < 50
+), ctr AS (
+  SELECT user_id, ts, event_id,
+    (sum((event_id % 7) + 1) OVER
+       (PARTITION BY user_id ORDER BY ts, event_id)) % 1000 AS counter
+  FROM ev
+), d AS (
+  SELECT user_id, date_trunc('day', ts) AS bucket_start, counter,
+    counter - lag(counter) OVER
+      (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+  FROM ctr
+)
+SELECT user_id, bucket_start,
+  count(*) AS n_samples,
+  count(CASE WHEN delta < 0 THEN 1 END) AS n_resets,
+  CAST(coalesce(sum(CASE WHEN delta < 0 THEN counter ELSE delta END), 0)
+       AS BIGINT) AS increase,
+  round(CAST(coalesce(sum(CASE WHEN delta < 0 THEN counter ELSE delta END), 0)
+        AS DOUBLE) / 86400.0, 6) AS rate_per_s
+FROM d GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # trailing 1h RANGE window -> daily peak; integer measure so the
+        # window sum is engine-exact, peak tie-broken by (n, sum).
+        "sliding_window_peak": """
+WITH base AS (
+  SELECT event_type, ts, CAST(floor(value * 100) AS BIGINT) AS v_int
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+), slid AS (
+  SELECT event_type, ts,
+    count(v_int) OVER w AS w_n,
+    sum(v_int) OVER w AS w_sum
+  FROM base
+  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+), d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, w_n, w_sum FROM slid
+), mx AS (
+  SELECT event_type, day, max(w_n) AS peak_n FROM d GROUP BY 1, 2
+)
+SELECT m.event_type, m.day, m.peak_n,
+  CAST(max(d.w_sum) AS BIGINT) AS peak_sum,
+  round(CAST(max(d.w_sum) AS DOUBLE) / CAST(m.peak_n AS DOUBLE), 6) AS peak_avg
+FROM mx m JOIN d
+  ON d.event_type = m.event_type AND d.day = m.day AND d.w_n = m.peak_n
+GROUP BY 1, 2, 3
+ORDER BY 1, 2
 """,
     }

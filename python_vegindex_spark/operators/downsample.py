@@ -1,0 +1,191 @@
+"""Visual downsampling: M4 pixel-exact and LTTB perceptual.
+
+The reference pipeline downsamples by *aggregation* (nday summaries,
+generate_summary_timeseries.py); plotting-grade engines additionally
+ship *shape-preserving* downsamples that pick REAL data points. Two
+published algorithms, both standard in time-series stores:
+
+* :func:`m4_downsample` — M4 (Jugel et al., VLDB 2014): per pixel
+  column keep the first/last/min/max points. Error-free for line
+  rendering at the target width. Pure DataFrame ops: ONE hash
+  aggregate after an integer bucket assignment — one shuffle on
+  (series, pixel), uniform by construction, JVM-only (min/max over
+  structs give the deterministic earliest-ts tie-breaks).
+* :func:`lttb_downsample` — Largest-Triangle-Three-Buckets
+  (Steinarsson 2013): sequential per series (each bucket's pick
+  depends on the previous pick), so it runs as one Arrow-batched
+  ``applyInPandas`` per series — the per-series state is inherent to
+  the algorithm, not an implementation shortcut. Series are spread
+  across executors; within a series the numpy kernel is vectorized
+  per bucket.
+
+Scale shape: M4 is the 100-TB path (shuffle reduces the stream to
+4 points x width x series). LTTB is for series that fit one task
+after M4/rollup pre-reduction — the documented two-stage practice
+(M4 to ~10k points, LTTB to chart width).
+
+Cross-engine notes for the M4 oracle: the pixel index is INTEGER
+arithmetic end-to-end (epoch microseconds, ``div``) — float bucket
+math would disagree in the last ulp at 1e17 magnitudes. NaN values
+are dropped like NULL (engine-wide rule, functions/quantile).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.quantile import nan_to_null
+from ..functions.timeutil import epoch_us
+
+
+def m4_downsample(
+    df: DataFrame,
+    width: int,
+    series_cols: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """M4: per (series, pixel) the first/last/lowest/highest points.
+
+    The time axis [min ts, max ts] over the WHOLE frame (all series
+    share the chart's x-range, per the paper's rendering model) is cut
+    into ``width`` equal pixels; rows land in pixel
+    ``(t - t0) * width div span`` (integer div, last edge clamped).
+    Emits one row per non-empty (series, pixel):
+
+    ``px, t_first, v_first, t_last, v_last, t_min, v_min, t_max, v_max``
+
+    Ties: first/last break on value (min/max among ts ties); the
+    min/max points take the EARLIEST ts among equal values — all four
+    are lexicographic struct extremes, so one hash aggregate computes
+    them with no window. NULL/NaN values are dropped first.
+    """
+    if width < 1:
+        raise ValueError(f"width must be >= 1, got {width}")
+    v = nan_to_null(F.col(value_col))
+    base = (
+        df.where(v.isNotNull() & F.col(ts_col).isNotNull())
+        .select(*series_cols, epoch_us(F.col(ts_col)).alias("_tus"), v.alias("_v"))
+    )
+    bounds = base.agg(
+        F.min("_tus").alias("_t0"), F.max("_tus").alias("_t1")
+    )
+    # one-row bound: broadcast cross join, never a shuffle of `base`
+    px = F.when(
+        F.col("_t1") > F.col("_t0"),
+        F.least(
+            F.expr(f"((_tus - _t0) * {int(width)}) div (_t1 - _t0)"),
+            F.lit(int(width) - 1),
+        ),
+    ).otherwise(F.lit(0))
+    bucketed = base.crossJoin(F.broadcast(bounds)).select(
+        *series_cols, F.col("_tus"), F.col("_v"), px.cast("long").alias("px")
+    )
+
+    def _r(c):
+        return F.round(c, round_to) if round_to is not None else c
+
+    first = F.min(F.struct(F.col("_tus").alias("t"), F.col("_v").alias("v")))
+    last = F.max(F.struct(F.col("_tus").alias("t"), F.col("_v").alias("v")))
+    # earliest ts among the min / max values: order by (+-value, ts)
+    lo = F.min(F.struct(F.col("_v").alias("v"), F.col("_tus").alias("t")))
+    hi = F.min(F.struct((-F.col("_v")).alias("nv"), F.col("_tus").alias("t")))
+    agg = bucketed.groupBy(*series_cols, "px").agg(
+        first.alias("_f"), last.alias("_l"), lo.alias("_lo"), hi.alias("_hi")
+    )
+    return agg.select(
+        *series_cols,
+        "px",
+        F.timestamp_micros(F.col("_f.t")).alias("t_first"),
+        _r(F.col("_f.v")).alias("v_first"),
+        F.timestamp_micros(F.col("_l.t")).alias("t_last"),
+        _r(F.col("_l.v")).alias("v_last"),
+        F.timestamp_micros(F.col("_lo.t")).alias("t_min"),
+        _r(F.col("_lo.v")).alias("v_min"),
+        F.timestamp_micros(F.col("_hi.t")).alias("t_max"),
+        _r(-F.col("_hi.nv")).alias("v_max"),
+    )
+
+
+def _lttb_numpy(ts, vs, n_out):
+    """LTTB over one series (numpy arrays sorted by ts) -> index array.
+
+    Steinarsson 2013 §4.2: endpoints fixed; interior points fall in
+    n_out-2 equal buckets; each bucket keeps the point with the largest
+    triangle area against the PREVIOUS selected point and the NEXT
+    bucket's centroid. Ties keep the earliest point (argmax picks the
+    first maximum).
+    """
+    import numpy as np
+
+    n = len(ts)
+    if n_out >= n:
+        return np.arange(n)
+    if n_out < 3:
+        raise ValueError(f"n_out must be >= 3, got {n_out}")
+    # bucket edges over the interior points [1, n-1)
+    edges = 1 + np.round(
+        np.arange(n_out - 1) * (n - 2) / (n_out - 2)
+    ).astype(np.int64)
+    t = ts.astype(np.float64)
+    sel = np.empty(n_out, dtype=np.int64)
+    sel[0] = 0
+    sel[-1] = n - 1
+    a = 0
+    for i in range(n_out - 2):
+        lo, hi = edges[i], edges[i + 1]
+        nlo, nhi = (edges[i + 1], n - 1) if i == n_out - 3 else (
+            edges[i + 1], edges[i + 2]
+        )
+        if i == n_out - 3:
+            cx, cy = t[n - 1], vs[n - 1]
+        else:
+            cx, cy = t[nlo:nhi].mean(), vs[nlo:nhi].mean()
+        ax, ay = t[a], vs[a]
+        # 2x triangle area for every candidate in the bucket at once
+        area = np.abs(
+            (ax - cx) * (vs[lo:hi] - ay) - (ax - t[lo:hi]) * (cy - ay)
+        )
+        a = lo + int(np.argmax(area))
+        sel[i + 1] = a
+    return sel
+
+
+def lttb_downsample(
+    df: DataFrame,
+    n_out: int,
+    series_cols: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """LTTB to ``n_out`` points per series; output rows are REAL input
+    rows (``ts_col``/``value_col`` only), in ts order per series.
+
+    Grouped ``applyInPandas`` — the algorithm is sequential per series
+    (see module docstring); NULL/NaN rows are dropped before selection.
+    """
+    if n_out < 3:
+        raise ValueError(f"n_out must be >= 3, got {n_out}")
+    import numpy as np  # noqa: F401  (worker-side dependency, checked here)
+
+    keys = list(series_cols)
+    slim = df.where(
+        nan_to_null(F.col(value_col)).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(*keys, ts_col, value_col)
+    schema = slim.schema
+
+    def _one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, value_col], kind="mergesort")
+        idx = _lttb_numpy(
+            pdf[ts_col].astype("int64").to_numpy(),
+            pdf[value_col].to_numpy(dtype="float64"),
+            n_out,
+        )
+        return pdf.iloc[idx]
+
+    return slim.groupBy(*keys).applyInPandas(_one, schema=schema)

@@ -1,0 +1,124 @@
+"""Counter-rate rollups and sliding time-range windows.
+
+Two monitoring-grade operators over the same (series, ts, value) shape
+the rollup family uses:
+
+* :func:`counter_increase` — PromQL-style ``increase()``/``rate()``
+  over MONOTONE COUNTERS that occasionally reset to zero (process
+  restart): per series ordered by ts the per-sample delta is
+  ``v - lag(v)``, and a NEGATIVE delta means the counter restarted, so
+  the sample contributes its own value ``v`` (everything accumulated
+  since the reset). The first sample of a series has no baseline and
+  contributes nothing. Deltas then roll into calendar buckets.
+* :func:`sliding_time_stats` — per-row trailing-window aggregates over
+  a TIME range (``RANGE BETWEEN <seconds> PRECEDING AND CURRENT
+  ROW``), the moving-average / rolling-count primitive. Rows with
+  equal ts are peers and all enter each other's window (SQL RANGE
+  semantics), so the result is order-deterministic under ties.
+
+Both are one window per series (the lag / range frame) — a single
+(series)-keyed shuffle, pure column expressions, JVM window exec, no
+UDFs. Hot series at 100 TB: counters at sample grain can be large per
+series; pre-bucket the lag with the same two-level split the latency
+feature uses (features.py lag_via_join) if a single series outgrows a
+task — the delta definition only needs each sample's predecessor, so
+the decomposition is exact.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.buckets import bucket_start
+from ..functions.timeutil import epoch_us
+
+#: NOMINAL seconds per tier bucket, for rate_per_s. hourly/daily are
+#: exact; weekly uses the nominal 7 days even for the short final
+#: doy-anchored bucket of a year (rate() normalizes by the stated
+#: window, the PromQL convention).
+_TIER_SECONDS = {"hourly": 3600, "daily": 86400, "weekly": 7 * 86400}
+
+
+def counter_increase(
+    df: DataFrame,
+    tier: str,
+    series_cols: Sequence[str],
+    ts_col: str = "ts",
+    counter_col: str = "value",
+    order_cols: Sequence[str] = (),
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Roll per-sample counter deltas into tier buckets.
+
+    ``order_cols`` breaks ts ties deterministically (pass a unique id).
+    Output per (series, bucket_start): ``n_samples``, ``n_resets``,
+    ``increase`` (sum of reset-adjusted deltas) and ``rate_per_s``
+    (increase / bucket seconds; calendar tiers only).
+    """
+    if tier not in _TIER_SECONDS:
+        raise ValueError(f"counter tiers are {sorted(_TIER_SECONDS)}, got {tier!r}")
+    ts = F.col(ts_col)
+    v = F.col(counter_col)
+    w = Window.partitionBy(*[F.col(c) for c in series_cols]).orderBy(
+        ts_col, *order_cols
+    )
+    delta = v - F.lag(v).over(w)
+    adj = F.when(delta < 0, v).otherwise(delta)  # NULL first sample stays NULL
+    d = df.select(
+        *series_cols,
+        bucket_start(ts, tier).alias("bucket_start"),
+        adj.alias("_adj"),
+        (delta < 0).alias("_reset"),
+    )
+
+    def _r(c):
+        return F.round(c, round_to) if round_to is not None else c
+
+    sec = _TIER_SECONDS[tier]
+    return d.groupBy(*series_cols, "bucket_start").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.count(F.when(F.col("_reset"), 1)).alias("n_resets"),
+        F.coalesce(F.sum("_adj"), F.lit(0)).alias("increase"),
+    ).withColumn(
+        "rate_per_s", _r(F.col("increase").cast("double") / F.lit(float(sec)))
+    )
+
+
+def sliding_time_stats(
+    df: DataFrame,
+    window_s: int,
+    series_cols: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Append trailing time-window stats to every row.
+
+    ``w_n`` / ``w_sum`` / ``w_avg`` over ``[ts - window_s, ts]``
+    (inclusive both ends, matching SQL ``RANGE ... PRECEDING``).
+    The frame is a RANGE over epoch microseconds, so unevenly-sampled
+    series window correctly; NULL values count toward nothing.
+    """
+    if window_s <= 0:
+        raise ValueError(f"window_s must be > 0, got {window_s}")
+    tus = epoch_us(F.col(ts_col))
+    d = df.withColumn("_tus", tus)
+    w = (
+        Window.partitionBy(*[F.col(c) for c in series_cols])
+        .orderBy("_tus")
+        .rangeBetween(-int(window_s) * 1_000_000, 0)
+    )
+    v = F.col(value_col)
+
+    def _r(c):
+        return F.round(c, round_to) if round_to is not None else c
+
+    return (
+        d.withColumn("w_n", F.count(v).over(w))
+        .withColumn("w_sum", _r(F.sum(v).over(w)))
+        .withColumn("w_avg", _r(F.avg(v).over(w)))
+        .drop("_tus")
+    )

@@ -1,0 +1,233 @@
+"""Unit tests: M4/LTTB downsampling, LOCF/interp fill, counter rate,
+sliding time windows (operators/downsample, functions/fill,
+operators/rate). Driver-query parity for the same operators lives in
+__spark_entry__ (m4_downsample / locf_interpolate_fill /
+counter_rate_daily / sliding_window_peak oracles)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from python_vegindex_spark.functions.fill import fill_series
+from python_vegindex_spark.operators.downsample import (
+    _lttb_numpy,
+    lttb_downsample,
+    m4_downsample,
+)
+from python_vegindex_spark.operators.rate import (
+    counter_increase,
+    sliding_time_stats,
+)
+
+T0 = datetime(2024, 1, 1)
+
+
+def _ts(seconds: float) -> datetime:
+    return T0 + timedelta(seconds=seconds)
+
+
+# ---------------------------------------------------------------- M4
+
+
+def test_m4_picks_first_last_min_max_per_pixel(spark):
+    # one series, 8 points over [0, 80) s, width=2 -> pixel 0 = [0,40) us-span
+    rows = [
+        ("a", _ts(0), 5.0),     # px0 first
+        ("a", _ts(10), 1.0),    # px0 min
+        ("a", _ts(20), 9.0),    # px0 max
+        ("a", _ts(30), 4.0),    # px0 last
+        ("a", _ts(50), 2.0),
+        ("a", _ts(60), 7.0),
+        ("a", _ts(70), 3.0),
+        ("a", _ts(80), 6.0),    # global max ts -> clamped into px1
+    ]
+    df = spark.createDataFrame(rows, ["s", "ts", "value"])
+    out = {
+        r["px"]: r
+        for r in m4_downsample(df, width=2, series_cols=["s"]).collect()
+    }
+    assert set(out) == {0, 1}
+    p0 = out[0]
+    assert (p0["t_first"], p0["v_first"]) == (_ts(0), 5.0)
+    assert (p0["t_last"], p0["v_last"]) == (_ts(30), 4.0)
+    assert (p0["t_min"], p0["v_min"]) == (_ts(10), 1.0)
+    assert (p0["t_max"], p0["v_max"]) == (_ts(20), 9.0)
+    p1 = out[1]
+    assert (p1["v_first"], p1["v_last"]) == (2.0, 6.0)
+    assert (p1["v_min"], p1["v_max"]) == (2.0, 7.0)
+
+
+def test_m4_tie_breaks_earliest_ts_and_drops_nulls(spark):
+    rows = [
+        ("a", _ts(0), 3.0),
+        ("a", _ts(1), 3.0),   # same min AND max value: earliest ts wins
+        ("a", _ts(2), None),  # dropped
+        ("a", _ts(3), float("nan")),  # dropped
+    ]
+    df = spark.createDataFrame(rows, ["s", "ts", "value"])
+    [r] = m4_downsample(df, width=1, series_cols=["s"]).collect()
+    assert r["t_min"] == _ts(0) and r["t_max"] == _ts(0)
+    assert r["t_last"] == _ts(1)  # null/nan rows never become endpoints
+
+
+def test_m4_single_timestamp_and_width_validation(spark):
+    df = spark.createDataFrame([("a", _ts(0), 1.0)], ["s", "ts", "value"])
+    [r] = m4_downsample(df, width=4, series_cols=["s"]).collect()
+    assert r["px"] == 0  # degenerate span lands in pixel 0, no div-by-zero
+    with pytest.raises(ValueError, match="width"):
+        m4_downsample(df, width=0, series_cols=["s"])
+
+
+def test_m4_plan_is_jvm_only(spark):
+    df = spark.createDataFrame(
+        [("a", _ts(i), float(i % 7)) for i in range(100)], ["s", "ts", "value"]
+    )
+    out = m4_downsample(df, width=8, series_cols=["s"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan
+    assert "HashAggregate" in plan
+
+
+# -------------------------------------------------------------- LTTB
+
+
+def test_lttb_numpy_keeps_endpoints_and_spike():
+    ts = np.arange(5, dtype=np.int64)
+    vs = np.array([0.0, 0.0, 10.0, 0.0, 0.0])
+    sel = _lttb_numpy(ts, vs, 3)
+    assert list(sel) == [0, 2, 4]
+
+
+def test_lttb_numpy_passthrough_and_validation():
+    ts = np.arange(3, dtype=np.int64)
+    vs = np.zeros(3)
+    assert list(_lttb_numpy(ts, vs, 10)) == [0, 1, 2]
+    with pytest.raises(ValueError, match="n_out"):
+        _lttb_numpy(np.arange(9, dtype=np.int64), np.zeros(9), 2)
+
+
+def test_lttb_downsample_selects_real_rows_per_series(spark):
+    rng = np.random.RandomState(11)
+    rows = [
+        (s, _ts(i * 60), float(v))
+        for s in ("a", "b")
+        for i, v in enumerate(rng.randn(200))
+    ]
+    df = spark.createDataFrame(rows, ["s", "ts", "value"])
+    out = lttb_downsample(df, 20, series_cols=["s"]).collect()
+    by_s = {}
+    for r in out:
+        by_s.setdefault(r["s"], []).append((r["ts"], r["value"]))
+    src = {(r[0], r[1], r[2]) for r in rows}
+    for s, pts in by_s.items():
+        assert len(pts) == 20
+        assert pts[0][0] == _ts(0) and pts[-1][0] == _ts(199 * 60)
+        ts_list = [p[0] for p in pts]
+        assert ts_list == sorted(ts_list)
+        for t, v in pts:
+            assert (s, t, v) in src  # every output point is a real row
+
+
+# -------------------------------------------------------------- fill
+
+
+def test_fill_locf_and_even_interp(spark):
+    rows = [
+        ("a", _ts(-3600), None),  # leading gap: nothing to carry
+        ("a", _ts(0), 1.0),
+        ("a", _ts(3600), None),
+        ("a", _ts(7200), None),
+        ("a", _ts(10800), 4.0),
+        ("a", _ts(14400), None),  # trailing gap
+    ]
+    df = spark.createDataFrame(rows, ["s", "bucket_start", "v"])
+    out = (
+        fill_series(df, ["s"], "bucket_start", ["v"])
+        .orderBy("bucket_start")
+        .collect()
+    )
+    assert [r["v_locf"] for r in out] == [None, 1.0, 1.0, 1.0, 4.0, 4.0]
+    interp = [r["v_interp"] for r in out]
+    assert interp[0] is None and interp[-1] is None  # no extrapolation
+    assert interp[1:5] == pytest.approx([1.0, 2.0, 3.0, 4.0])
+
+
+def test_fill_interp_weights_by_time_distance(spark):
+    rows = [
+        ("a", _ts(0), 0.0),
+        ("a", _ts(7 * 3600), None),  # 7/10 of the way
+        ("a", _ts(10 * 3600), 10.0),
+    ]
+    df = spark.createDataFrame(rows, ["s", "bucket_start", "v"])
+    out = (
+        fill_series(df, ["s"], "bucket_start", ["v"], methods=("interp",))
+        .orderBy("bucket_start")
+        .collect()
+    )
+    assert out[1]["v_interp"] == pytest.approx(7.0)
+    assert "v_locf" not in out[0].asDict()
+    with pytest.raises(ValueError, match="methods"):
+        fill_series(df, ["s"], "bucket_start", ["v"], methods=("cubic",))
+
+
+def test_fill_date_order_column_and_series_isolation(spark):
+    rows = [
+        ("a", datetime(2024, 1, 1).date(), 2.0),
+        ("a", datetime(2024, 1, 2).date(), None),
+        ("a", datetime(2024, 1, 3).date(), 6.0),
+        ("b", datetime(2024, 1, 2).date(), None),  # other series: no bleed
+    ]
+    df = spark.createDataFrame(rows, ["s", "bucket_start", "v"])
+    out = {
+        (r["s"], r["bucket_start"]): r
+        for r in fill_series(df, ["s"], "bucket_start", ["v"]).collect()
+    }
+    assert out[("a", datetime(2024, 1, 2).date())]["v_interp"] == pytest.approx(4.0)
+    b = out[("b", datetime(2024, 1, 2).date())]
+    assert b["v_locf"] is None and b["v_interp"] is None
+
+
+# -------------------------------------------------------------- rate
+
+
+def test_counter_increase_handles_resets(spark):
+    rows = [
+        ("a", _ts(0), 1, 5),
+        ("a", _ts(60), 2, 7),    # +2
+        ("a", _ts(120), 3, 2),   # reset: contributes its own value 2
+        ("a", _ts(180), 4, 10),  # +8
+    ]
+    df = spark.createDataFrame(rows, ["s", "ts", "eid", "counter"])
+    [r] = counter_increase(
+        df, tier="daily", series_cols=["s"], counter_col="counter",
+        order_cols=["eid"],
+    ).collect()
+    assert r["n_samples"] == 4 and r["n_resets"] == 1
+    assert r["increase"] == 12  # first sample has no baseline
+    assert r["rate_per_s"] == pytest.approx(12 / 86400, abs=1e-6)
+    with pytest.raises(ValueError, match="tiers"):
+        counter_increase(df, tier="monthly", series_cols=["s"])
+
+
+def test_sliding_time_stats_range_window_and_ties(spark):
+    rows = [
+        ("a", _ts(0), 1),
+        ("a", _ts(0), 2),      # ts tie: peers see each other (RANGE)
+        ("a", _ts(30), 4),
+        ("a", _ts(3600), 8),   # inclusive lower edge: covers t=0
+        ("a", _ts(3601), 16),  # t=0 rows age out
+    ]
+    df = spark.createDataFrame(rows, ["s", "ts", "value"])
+    out = sliding_time_stats(
+        df, window_s=3600, series_cols=["s"], round_to=None
+    ).orderBy("ts", "value").collect()
+    assert [r["w_n"] for r in out] == [2, 2, 3, 4, 3]
+    assert [r["w_sum"] for r in out] == [3, 3, 7, 15, 28]
+    assert out[3]["w_avg"] == pytest.approx(15 / 4)
+    with pytest.raises(ValueError, match="window_s"):
+        sliding_time_stats(df, window_s=0, series_cols=["s"])
