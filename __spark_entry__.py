@@ -1309,6 +1309,21 @@ def q_sliding_window_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly time-weighted average under LOCF weighting (TimescaleDB
+    time_weight analog, operators/rate.time_weighted_avg): irregular
+    samples weighted by actual holding time, covered-span normalized."""
+    from python_vegindex_spark.operators.rate import time_weighted_avg
+
+    ev = _t(spark, sf_dir, "events")
+    return time_weighted_avg(
+        ev,
+        tier="hourly",
+        series_cols=["event_type"],
+        order_cols=["event_id"],
+    ).orderBy("event_type", "bucket_start")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hourly_rollup_gapfill": q_hourly_rollup_gapfill,
@@ -1371,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "locf_interpolate_fill": q_locf_interpolate_fill,
         "counter_rate_daily": q_counter_rate_daily,
         "sliding_window_peak": q_sliding_window_peak,
+        "time_weighted_avg": q_time_weighted_avg,
     }
 
 
@@ -2986,5 +3002,26 @@ FROM mx m JOIN d
   ON d.event_type = m.event_type AND d.day = m.day AND d.w_n = m.peak_n
 GROUP BY 1, 2, 3
 ORDER BY 1, 2
+""",
+        # LOCF time-weighted average: each sample holds to the next (or
+        # the bucket end); covered-span normalization.
+        "time_weighted_avg": """
+WITH base AS (
+  SELECT event_type, ts, value, event_id, date_trunc('hour', ts) AS bucket_start
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL
+), d AS (
+  SELECT event_type, bucket_start, value,
+    epoch_us(coalesce(
+      lead(ts) OVER (PARTITION BY event_type, bucket_start
+                     ORDER BY ts, event_id),
+      bucket_start + INTERVAL 1 HOUR)) - epoch_us(ts) AS dt
+  FROM base
+)
+SELECT event_type, bucket_start,
+  count(*) AS n_samples,
+  CAST(sum(dt) AS BIGINT) AS covered_us,
+  round(sum(value * CAST(dt AS DOUBLE)) / sum(CAST(dt AS DOUBLE)), 6) AS twa
+FROM d GROUP BY 1, 2 ORDER BY 1, 2
 """,
     }

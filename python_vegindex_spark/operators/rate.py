@@ -87,6 +87,64 @@ def counter_increase(
     )
 
 
+def time_weighted_avg(
+    df: DataFrame,
+    tier: str,
+    series_cols: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: Sequence[str] = (),
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Per-bucket time-weighted average under LOCF weighting (the
+    TimescaleDB ``time_weight('locf')`` / Influx ``integral`` analog).
+
+    Each sample's value holds from its own ts to the NEXT sample in the
+    same bucket (the last sample holds to the bucket end), so irregular
+    sampling is weighted by actual coverage instead of sample count.
+    Output per (series, bucket_start): ``n_samples``, ``covered_us``
+    (first sample -> bucket end), ``twa = sum(v * dt) / sum(dt)``.
+    The span before a bucket's first sample is uncovered and excluded
+    (covered-span normalization).
+
+    Rows with equal ts are zero-width except the last of the tie —
+    pass ``order_cols`` (a unique id) so WHICH peer carries the span is
+    deterministic. NULL values are dropped (a NULL sample carries no
+    coverage). One window + one hash aggregate, both on the same
+    (series, bucket) key — a single shuffle, JVM-only.
+    """
+    if tier not in _TIER_SECONDS:
+        raise ValueError(f"twa tiers are {sorted(_TIER_SECONDS)}, got {tier!r}")
+    ts = F.col(ts_col)
+    v = F.col(value_col)
+    # NaN ≡ NULL (engine-wide rule): neither carries coverage
+    d = df.where(
+        v.isNotNull() & ~F.isnan(v.cast("double")) & ts.isNotNull()
+    ).withColumn("bucket_start", bucket_start(ts, tier))
+    w = Window.partitionBy(
+        *[F.col(c) for c in series_cols], F.col("bucket_start")
+    ).orderBy(ts_col, *order_cols)
+    if tier == "hourly":
+        bucket_end = F.col("bucket_start") + F.expr("INTERVAL 1 HOUR")
+    else:
+        days = {"daily": 1, "weekly": 7}[tier]
+        bucket_end = F.to_timestamp(F.date_add(F.col("bucket_start"), days))
+    dt = epoch_us(F.coalesce(F.lead(ts).over(w), bucket_end)) - epoch_us(ts)
+    d = d.withColumn("_dt", dt)
+
+    def _r(c):
+        return F.round(c, round_to) if round_to is not None else c
+
+    return d.groupBy(*series_cols, "bucket_start").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum("_dt").alias("covered_us"),
+        _r(
+            F.sum(v * F.col("_dt").cast("double"))
+            / F.sum(F.col("_dt").cast("double"))
+        ).alias("twa"),
+    )
+
+
 def sliding_time_stats(
     df: DataFrame,
     window_s: int,

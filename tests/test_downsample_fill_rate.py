@@ -214,6 +214,53 @@ def test_counter_increase_handles_resets(spark):
         counter_increase(df, tier="monthly", series_cols=["s"])
 
 
+def test_time_weighted_avg_locf_weighting(spark):
+    from python_vegindex_spark.operators.rate import time_weighted_avg
+
+    rows = [
+        # bucket 00: regular — :00 holds 30 min at 2, :30 holds 30 min at 4
+        ("a", _ts(0), 1, 2.0),
+        ("a", _ts(1800), 2, 4.0),
+        # bucket 01: first sample at :15 -> 45 min covered, twa weighted
+        ("a", _ts(3600 + 900), 3, 2.0),   # holds 15 min
+        ("a", _ts(3600 + 1800), 4, 4.0),  # holds 30 min to bucket end
+        # NULL/NaN samples carry no coverage
+        ("a", _ts(3600 + 2700), 5, None),
+        ("a", _ts(3600 + 2701), 6, float("nan")),
+    ]
+    df = spark.createDataFrame(rows, ["s", "ts", "eid", "value"])
+    out = {
+        r["bucket_start"]: r
+        for r in time_weighted_avg(
+            df, tier="hourly", series_cols=["s"], order_cols=["eid"]
+        ).collect()
+    }
+    b0 = out[_ts(0)]
+    assert b0["n_samples"] == 2
+    assert b0["covered_us"] == 3_600_000_000
+    assert b0["twa"] == pytest.approx(3.0)
+    b1 = out[_ts(3600)]
+    assert b1["covered_us"] == 2700 * 1_000_000
+    assert b1["twa"] == pytest.approx((2.0 * 900 + 4.0 * 1800) / 2700)
+
+
+def test_time_weighted_avg_ts_tie_is_zero_width(spark):
+    from python_vegindex_spark.operators.rate import time_weighted_avg
+
+    rows = [
+        ("a", _ts(0), 1, 100.0),  # tie, earlier eid: zero width
+        ("a", _ts(0), 2, 2.0),    # tie winner holds the whole hour
+    ]
+    df = spark.createDataFrame(rows, ["s", "ts", "eid", "value"])
+    [r] = time_weighted_avg(
+        df, tier="hourly", series_cols=["s"], order_cols=["eid"]
+    ).collect()
+    assert r["covered_us"] == 3_600_000_000
+    assert r["twa"] == pytest.approx(2.0)
+    with pytest.raises(ValueError, match="twa tiers"):
+        time_weighted_avg(df, tier="5day", series_cols=["s"])
+
+
 def test_sliding_time_stats_range_window_and_ties(spark):
     rows = [
         ("a", _ts(0), 1),
