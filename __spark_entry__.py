@@ -1309,6 +1309,16 @@ def q_sliding_window_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_15min_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-hourly continuous aggregate: epoch-anchored 15-minute buckets
+    (time_bucket semantics, functions/buckets.tier_minutes), gap-filled,
+    exact percentiles — the minute-grain twin of hourly_rollup_gapfill."""
+    ev = _t(spark, sf_dir, "events")
+    return rollup_series(
+        ev, tier="15min", series_cols=["event_type"], value_col="value"
+    ).orderBy("event_type", "bucket_start")
+
+
 def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly time-weighted average under LOCF weighting (TimescaleDB
     time_weight analog, operators/rate.time_weighted_avg): irregular
@@ -1387,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_rate_daily": q_counter_rate_daily,
         "sliding_window_peak": q_sliding_window_peak,
         "time_weighted_avg": q_time_weighted_avg,
+        "rollup_15min_gapfill": q_rollup_15min_gapfill,
     }
 
 
@@ -3023,5 +3034,26 @@ SELECT event_type, bucket_start,
   CAST(sum(dt) AS BIGINT) AS covered_us,
   round(sum(value * CAST(dt AS DOUBLE)) / sum(CAST(dt AS DOUBLE)), 6) AS twa
 FROM d GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # epoch-anchored 15-minute buckets: integer-us modulo, the same
+        # arithmetic the Spark side uses (never float bucket math)
+        "rollup_15min_gapfill": f"""
+WITH base AS (
+  SELECT event_type,
+         make_timestamp(epoch_us(ts) - epoch_us(ts) % 900000000) AS bucket_start,
+         value
+  FROM events
+), agg AS (
+  SELECT event_type, bucket_start, {_ROLLUP_STATS}
+  FROM base GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(bucket_start) AS mn, max(bucket_start) AS mx FROM base GROUP BY 1
+), spine AS (
+  SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 15 MINUTE)) AS bucket_start FROM bounds
+)
+SELECT s.event_type, s.bucket_start,
+       coalesce(a.n, 0) AS n, a.v_mean, a.v_std, a.v_min, a.v_max, a.v_50, a.v_75, a.v_90
+FROM spine s LEFT JOIN agg a USING (event_type, bucket_start)
+ORDER BY 1, 2
 """,
     }

@@ -21,10 +21,39 @@ no UDFs, no shuffles.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..config import TIER_NDAY
+from .timeutil import epoch_us
+
+_MIN_RE = re.compile(r"^(\d+)min$")
+
+
+def tier_minutes(tier: str) -> int | None:
+    """Minutes for a fixed-width sub-day tier ("5min", "15min", ...),
+    else None. Minute buckets are EPOCH-anchored (time_bucket
+    semantics): boundary = ts - ts mod step, so widths dividing 86400 s
+    align to UTC midnight; other widths drift across days (documented,
+    like any time_bucket)."""
+    m = _MIN_RE.match(tier)
+    if not m:
+        return None
+    n = int(m.group(1))
+    if n < 1:
+        raise ValueError(f"tier minutes must be >= 1, got {tier!r}")
+    return n
+
+
+def tier_step_seconds(tier: str) -> int | None:
+    """Bucket width in seconds for FIXED-WIDTH tiers (hourly / Nmin);
+    None for calendar day tiers (their width is nominal, see callers)."""
+    if tier == "hourly":
+        return 3600
+    n = tier_minutes(tier)
+    return n * 60 if n is not None else None
 
 
 def tier_nday(tier: str) -> int:
@@ -44,9 +73,17 @@ def tier_nday(tier: str) -> int:
 
 
 def bucket_start(ts: Column, tier: str) -> Column:
-    """Bucket start for a timestamp. DateType for day tiers, TimestampType for hourly."""
+    """Bucket start for a timestamp. DateType for day tiers,
+    TimestampType for hourly / minute tiers."""
     if tier == "hourly":
         return F.date_trunc("hour", ts)
+    m = tier_minutes(tier)
+    if m is not None:
+        # epoch-anchored, pure integer µs arithmetic (pmod keeps floor
+        # semantics even pre-1970)
+        step = m * 60 * 1_000_000
+        t = epoch_us(ts)
+        return F.timestamp_micros(t - F.pmod(t, F.lit(step)))
     n = tier_nday(tier)
     if n == 1:
         return F.to_date(ts)
@@ -81,8 +118,8 @@ def bucket_start_cursor(ts: Column, tier: str, series_start_year: Column) -> Col
     Pure column expressions — no UDFs, no shuffles; nday=1 and hourly
     never spill (their windows can't cross Jan 1).
     """
-    if tier == "hourly":
-        return F.date_trunc("hour", ts)
+    if tier == "hourly" or tier_minutes(tier) is not None:
+        return bucket_start(ts, tier)
     n = tier_nday(tier)
     if n == 1:
         return F.to_date(ts)
@@ -100,8 +137,8 @@ def bucket_start_cursor(ts: Column, tier: str, series_start_year: Column) -> Col
 def bucket_center(start: Column, tier: str) -> Column:
     """Center label: start + floor(n/2) units (truncating fractional days,
     generate_summary_timeseries.py:276-277)."""
-    if tier == "hourly":
-        return start  # hourly buckets are labeled by their start
+    if tier == "hourly" or tier_minutes(tier) is not None:
+        return start  # fixed-width buckets are labeled by their start
     n = tier_nday(tier)
     return F.date_add(start, n // 2)
 
@@ -111,6 +148,9 @@ def midpoint_anchor(start: Column, tier: str) -> Column:
     generate_summary_timeseries.py:297-300)."""
     if tier == "hourly":
         return start + F.expr("INTERVAL 30 MINUTES")
+    m = tier_minutes(tier)
+    if m is not None:
+        return start + F.expr(f"INTERVAL {m * 30} SECONDS")
     center = bucket_center(start, tier)
     return F.to_timestamp(center) + F.expr("INTERVAL 12 HOURS")
 
@@ -125,6 +165,11 @@ def _bucket_seq(min_b: Column, max_b: Column, tier: str) -> Column:
     """
     if tier == "hourly":
         return F.sequence(min_b, max_b, F.expr("INTERVAL 1 HOUR"))
+    m = tier_minutes(tier)
+    if m is not None:
+        # bucket starts are step-aligned, so a fixed-step sequence
+        # between two of them visits exactly the lattice
+        return F.sequence(min_b, max_b, F.expr(f"INTERVAL {m} MINUTES"))
     n = tier_nday(tier)
     days = F.sequence(min_b, max_b, F.expr("INTERVAL 1 DAY"))
     if n == 1:
@@ -154,7 +199,11 @@ def bucket_spine(
     if start_at is not None:
         # extend the spine's lower bound (incremental update: the open
         # tail bucket is re-emitted even when the new data starts later)
-        typ = "timestamp" if tier == "hourly" else "date"
+        typ = (
+            "timestamp"
+            if tier == "hourly" or tier_minutes(tier) is not None
+            else "date"
+        )
         bounds = bounds.withColumn(
             "_min_b", F.least(F.col("_min_b"), F.lit(start_at).cast(typ))
         )

@@ -32,14 +32,23 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.buckets import bucket_start
+from ..functions.buckets import bucket_start, tier_step_seconds
 from ..functions.timeutil import epoch_us
 
-#: NOMINAL seconds per tier bucket, for rate_per_s. hourly/daily are
-#: exact; weekly uses the nominal 7 days even for the short final
+#: NOMINAL seconds per tier bucket, for rate_per_s. hourly/daily/Nmin
+#: are exact; weekly uses the nominal 7 days even for the short final
 #: doy-anchored bucket of a year (rate() normalizes by the stated
 #: window, the PromQL convention).
 _TIER_SECONDS = {"hourly": 3600, "daily": 86400, "weekly": 7 * 86400}
+
+
+def _bucket_seconds(tier: str) -> int:
+    sec = tier_step_seconds(tier) or _TIER_SECONDS.get(tier)
+    if sec is None:
+        raise ValueError(
+            f"fixed-width tiers are {sorted(_TIER_SECONDS)} or 'Nmin', got {tier!r}"
+        )
+    return sec
 
 
 def counter_increase(
@@ -58,8 +67,7 @@ def counter_increase(
     ``increase`` (sum of reset-adjusted deltas) and ``rate_per_s``
     (increase / bucket seconds; calendar tiers only).
     """
-    if tier not in _TIER_SECONDS:
-        raise ValueError(f"counter tiers are {sorted(_TIER_SECONDS)}, got {tier!r}")
+    sec = _bucket_seconds(tier)  # validates: hourly/daily/weekly/Nmin
     ts = F.col(ts_col)
     v = F.col(counter_col)
     w = Window.partitionBy(*[F.col(c) for c in series_cols]).orderBy(
@@ -77,7 +85,6 @@ def counter_increase(
     def _r(c):
         return F.round(c, round_to) if round_to is not None else c
 
-    sec = _TIER_SECONDS[tier]
     return d.groupBy(*series_cols, "bucket_start").agg(
         F.count(F.lit(1)).alias("n_samples"),
         F.count(F.when(F.col("_reset"), 1)).alias("n_resets"),
@@ -113,8 +120,11 @@ def time_weighted_avg(
     coverage). One window + one hash aggregate, both on the same
     (series, bucket) key — a single shuffle, JVM-only.
     """
-    if tier not in _TIER_SECONDS:
-        raise ValueError(f"twa tiers are {sorted(_TIER_SECONDS)}, got {tier!r}")
+    step = tier_step_seconds(tier)
+    if step is None and tier not in ("daily", "weekly"):
+        raise ValueError(
+            f"twa tiers are ['daily', 'hourly', 'weekly'] or 'Nmin', got {tier!r}"
+        )
     ts = F.col(ts_col)
     v = F.col(value_col)
     # NaN ≡ NULL (engine-wide rule): neither carries coverage
@@ -124,8 +134,8 @@ def time_weighted_avg(
     w = Window.partitionBy(
         *[F.col(c) for c in series_cols], F.col("bucket_start")
     ).orderBy(ts_col, *order_cols)
-    if tier == "hourly":
-        bucket_end = F.col("bucket_start") + F.expr("INTERVAL 1 HOUR")
+    if step is not None:
+        bucket_end = F.col("bucket_start") + F.expr(f"INTERVAL {step} SECONDS")
     else:
         days = {"daily": 1, "weekly": 7}[tier]
         bucket_end = F.to_timestamp(F.date_add(F.col("bucket_start"), days))

@@ -235,3 +235,66 @@ def test_tier_nday_rejects_zero():
     assert tier_nday("3day") == 3
     with pytest.raises(ValueError, match="nday"):
         tier_nday("0day")
+
+
+def test_minute_tier_epoch_anchoring(spark):
+    # 15min buckets align to UTC midnight (900 s divides 86400 s)
+    got = _starts(
+        spark,
+        ["2024-03-05 13:00:00", "2024-03-05 13:14:59", "2024-03-05 13:15:00"],
+        "15min",
+    )
+    assert got == [
+        dt.datetime(2024, 3, 5, 13, 0),
+        dt.datetime(2024, 3, 5, 13, 0),
+        dt.datetime(2024, 3, 5, 13, 15),
+    ]
+    # 60min reproduces the hourly truncation exactly
+    assert _starts(spark, ["2024-03-05 13:47:11"], "60min") == [
+        dt.datetime(2024, 3, 5, 13, 0)
+    ]
+
+
+def test_minute_tier_spine_and_anchor(spark):
+    from python_vegindex_spark.functions.buckets import midpoint_anchor as mpa
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "s": ["a", "a"],
+                "ts": pd.to_datetime(["2024-03-05 13:02:00", "2024-03-05 14:04:00"]),
+            }
+        )
+    ).withColumn("bucket_start", bucket_start(F.col("ts"), "15min"))
+    spine = (
+        bucket_spine(df, "15min", ["s"]).orderBy("bucket_start").collect()
+    )
+    starts = [r["bucket_start"] for r in spine]
+    assert starts[0] == dt.datetime(2024, 3, 5, 13, 0)
+    assert starts[-1] == dt.datetime(2024, 3, 5, 14, 0)
+    assert len(starts) == 5  # 13:00 13:15 13:30 13:45 14:00
+    anchor = (
+        df.limit(1)
+        .select(mpa(F.col("bucket_start"), "15min").alias("a"))
+        .collect()[0]["a"]
+    )
+    assert anchor == dt.datetime(2024, 3, 5, 13, 7, 30)
+
+
+def test_minute_tier_rollup_series_gapfill(spark):
+    from python_vegindex_spark.operators.generic_rollup import rollup_series
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, 0, 1), 2.0),
+        ("a", dt.datetime(2024, 1, 1, 0, 4), 4.0),
+        ("a", dt.datetime(2024, 1, 1, 0, 11), 6.0),  # 0:05 and 0:10 gap-filled
+    ]
+    df = spark.createDataFrame(rows, ["s", "ts", "value"])
+    out = (
+        rollup_series(df, tier="5min", series_cols=["s"], percentiles=())
+        .orderBy("bucket_start")
+        .collect()
+    )
+    assert [r["bucket_start"].minute for r in out] == [0, 5, 10]
+    assert [r["n"] for r in out] == [2, 0, 1]
+    assert out[0]["v_mean"] == 3.0 and out[1]["v_mean"] is None
