@@ -148,13 +148,19 @@ def streaming_chunk_encoder(
     from ..codecs.chunks import TS_CODEC, VAL_CODEC, _chunk_schema
     from ..codecs.gorilla import encode_floats_grouped, encode_timestamps_grouped
 
+    from ..functions.buckets import tier_minutes
+
     if tier == "hourly":
         window_len = "1 hour"
     elif tier in ("daily", "1day"):
         window_len = "1 day"
+    elif tier_minutes(tier) is not None:
+        # Spark's window() is epoch-anchored, matching the batch
+        # minute-tier lattice (buckets.tier_minutes) exactly
+        window_len = f"{tier_minutes(tier)} minutes"
     else:
         raise ValueError(
-            f"streaming tiers are 'hourly' or 'daily', got {tier!r} "
+            f"streaming tiers are 'hourly', 'daily' or 'Nmin', got {tier!r} "
             "(doy-anchored multi-day tiers are batch-only)"
         )
     series_cols = list(series_cols or ["conv_id"])

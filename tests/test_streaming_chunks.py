@@ -133,3 +133,47 @@ def test_streaming_daily_bucket_is_date_like_batch(spark, tmp_path):
     assert isinstance(enc.schema["bucket_start"].dataType, T.DateType)
     enc_h = streaming_chunk_encoder(spark, in_dir, tier="hourly")
     assert isinstance(enc_h.schema["bucket_start"].dataType, T.TimestampType)
+
+
+def test_streaming_minute_tier_byte_parity_with_batch(spark, tmp_path):
+    """15min streaming windows sit on the same epoch-anchored lattice as
+    batch buckets.tier_minutes — closed chunks are byte-identical."""
+    turns = synth_turns(spark, n_convs=8, seed=9, span_days=2)
+    in_dir = str(tmp_path / "m_in")
+    out_dir = str(tmp_path / "m_out")
+    ckpt = str(tmp_path / "m_ckpt")
+    turns.write.mode("overwrite").parquet(in_dir)
+    run_available_now(
+        streaming_chunk_encoder(spark, in_dir, tier="15min"), ckpt, out_dir
+    )
+    chunks = spark.read.parquet(out_dir)
+    max_ts = turns.agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - dt.timedelta(hours=2)
+    closed = chunks.filter(
+        F.col("bucket_start") + F.expr("INTERVAL 15 MINUTES") <= F.lit(cutoff)
+    )
+    batch = encode_chunks(
+        turns.select(
+            "conv_id", "ts", F.length("text").cast("double").alias("value")
+        ),
+        tier="15min",
+        series_cols=["conv_id"],
+    ).filter(
+        F.col("bucket_start") + F.expr("INTERVAL 15 MINUTES") <= F.lit(cutoff)
+    )
+    sb = (
+        closed.select("conv_id", "bucket_start", "n_points", "ts_chunk", "val_chunk")
+        .toPandas()
+        .sort_values(["conv_id", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    bb = (
+        batch.select("conv_id", "bucket_start", "n_points", "ts_chunk", "val_chunk")
+        .toPandas()
+        .sort_values(["conv_id", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    assert len(sb) == len(bb) > 0
+    assert (sb["n_points"] == bb["n_points"]).all()
+    assert all(bytes(a) == bytes(b) for a, b in zip(sb["ts_chunk"], bb["ts_chunk"]))
+    assert all(bytes(a) == bytes(b) for a, b in zip(sb["val_chunk"], bb["val_chunk"]))
