@@ -1319,6 +1319,36 @@ def q_rollup_15min_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "bucket_start")
 
 
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly flags (operators/rate.
+    anomaly_zscore): 6 h baseline per event_type, current row and its
+    ts-peers excluded; integer measure so the window moments — and
+    therefore the |z| > 2.5 flag itself — are engine-exact."""
+    from python_vegindex_spark.operators.rate import anomaly_zscore
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    ).select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("v_int"),
+    )
+    out = anomaly_zscore(
+        ev,
+        window_s=6 * 3600,
+        series_cols=["event_type"],
+        value_col="v_int",
+        threshold=2.5,
+        min_baseline=20,
+    )
+    return (
+        out.where("is_anomaly")
+        .select("event_type", "event_id", "ts", "v_int", "base_n", "z")
+        .orderBy("event_type", "event_id")
+    )
+
+
 def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly time-weighted average under LOCF weighting (TimescaleDB
     time_weight analog, operators/rate.time_weighted_avg): irregular
@@ -1398,6 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window_peak": q_sliding_window_peak,
         "time_weighted_avg": q_time_weighted_avg,
         "rollup_15min_gapfill": q_rollup_15min_gapfill,
+        "anomaly_zscore": q_anomaly_zscore,
     }
 
 
@@ -3055,5 +3086,33 @@ SELECT s.event_type, s.bucket_start,
        coalesce(a.n, 0) AS n, a.v_mean, a.v_std, a.v_min, a.v_max, a.v_50, a.v_75, a.v_90
 FROM spine s LEFT JOIN agg a USING (event_type, bucket_start)
 ORDER BY 1, 2
+""",
+        # trailing-window z-score anomalies: integer sums + pinned op
+        # order make the moments AND the |z|>2.5 flag engine-exact
+        "anomaly_zscore": """
+WITH base AS (
+  SELECT event_type, event_id, ts, CAST(floor(value * 100) AS BIGINT) AS v_int
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+), wnd AS (
+  SELECT event_type, event_id, ts, v_int,
+    count(v_int) OVER w AS n,
+    CAST(sum(v_int) OVER w AS DOUBLE) AS s,
+    CAST(sum(v_int * v_int) OVER w AS DOUBLE) AS sq
+  FROM base
+  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+               RANGE BETWEEN 21600000000 PRECEDING AND 1 PRECEDING)
+), zed AS (
+  SELECT event_type, event_id, ts, v_int, n,
+    sqrt(sq / CAST(n AS DOUBLE)
+         - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE))) AS std,
+    (CAST(v_int AS DOUBLE) - s / CAST(n AS DOUBLE))
+      / sqrt(sq / CAST(n AS DOUBLE)
+             - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE))) AS z
+  FROM wnd
+)
+SELECT event_type, event_id, ts, v_int, n AS base_n, round(z, 6) AS z
+FROM zed
+WHERE n >= 20 AND std > 0 AND abs(z) > 2.5
+ORDER BY event_type, event_id
 """,
     }

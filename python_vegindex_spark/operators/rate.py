@@ -155,6 +155,68 @@ def time_weighted_avg(
     )
 
 
+def anomaly_zscore(
+    df: DataFrame,
+    window_s: int,
+    series_cols: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    threshold: float = 3.0,
+    min_baseline: int = 10,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Flag rows whose value deviates > ``threshold`` population z-scores
+    from their own trailing time window (the streaming-monitor rule:
+    baseline = ``[ts - window_s, ts)``, CURRENT ROW AND ITS ts-PEERS
+    EXCLUDED so the anomaly can't contaminate its own baseline and ties
+    are order-independent).
+
+    Appends ``base_n`` / ``base_mean`` / ``base_std`` / ``z`` /
+    ``is_anomaly`` (NULL z when the baseline has < ``min_baseline``
+    rows or zero variance). The baseline moments are derived from the
+    window's integer-safe sum/sum-of-squares when ``value_col`` is
+    integral (engine-exact: ``sqrt(sq/n - (s/n)^2)`` in a pinned op
+    order); float columns get the same formula on float sums. One
+    (series)-keyed RANGE window, JVM-only.
+    """
+    if window_s <= 0:
+        raise ValueError(f"window_s must be > 0, got {window_s}")
+    if min_baseline < 2:
+        raise ValueError(f"min_baseline must be >= 2, got {min_baseline}")
+    tus = epoch_us(F.col(ts_col))
+    d = df.withColumn("_tus", tus)
+    w = (
+        Window.partitionBy(*[F.col(c) for c in series_cols])
+        .orderBy("_tus")
+        .rangeBetween(-int(window_s) * 1_000_000, -1)
+    )
+    v = F.col(value_col)
+    n = F.count(v).over(w)
+    s = F.sum(v).over(w).cast("double")
+    sq = F.sum(v * v).over(w).cast("double")
+    nd = n.cast("double")
+    mean = s / nd
+    var = sq / nd - mean * mean
+    std = F.sqrt(var)
+    z = (v.cast("double") - mean) / std
+
+    def _r(c):
+        return F.round(c, round_to) if round_to is not None else c
+
+    ok = (n >= min_baseline) & (std > 0)
+    return (
+        d.withColumn("base_n", n)
+        .withColumn("base_mean", F.when(ok, _r(mean)))
+        .withColumn("base_std", F.when(ok, _r(std)))
+        .withColumn("z", F.when(ok, _r(z)))
+        .withColumn(
+            "is_anomaly",
+            F.when(ok, F.abs(z) > F.lit(float(threshold))).otherwise(F.lit(False)),
+        )
+        .drop("_tus")
+    )
+
+
 def sliding_time_stats(
     df: DataFrame,
     window_s: int,

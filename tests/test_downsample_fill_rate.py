@@ -261,6 +261,48 @@ def test_time_weighted_avg_ts_tie_is_zero_width(spark):
         time_weighted_avg(df, tier="5day", series_cols=["s"])
 
 
+def test_anomaly_zscore_flags_spike_not_baseline(spark):
+    from python_vegindex_spark.operators.rate import anomaly_zscore
+
+    # alternating 9/11 baseline (mean 10, pop-std 1), then a spike of 20
+    rows = [("a", _ts(i * 60), 9 + 2 * (i % 2)) for i in range(10)]
+    rows.append(("a", _ts(600), 20))
+    df = spark.createDataFrame(rows, ["s", "ts", "value"])
+    out = {
+        r["ts"]: r
+        for r in anomaly_zscore(
+            df, window_s=3600, series_cols=["s"], min_baseline=5
+        ).collect()
+    }
+    spike = out[_ts(600)]
+    assert spike["is_anomaly"] and spike["base_n"] == 10
+    assert spike["base_mean"] == pytest.approx(10.0)
+    assert spike["base_std"] == pytest.approx(1.0)
+    assert spike["z"] == pytest.approx(10.0)
+    # early rows below min_baseline: NULL z, not flagged
+    assert out[_ts(0)]["z"] is None and not out[_ts(0)]["is_anomaly"]
+    # a baseline row well past min_baseline is unflagged (|z| == 1)
+    assert not out[_ts(540)]["is_anomaly"]
+    assert abs(out[_ts(540)]["z"]) == pytest.approx(1.0, abs=0.2)
+
+
+def test_anomaly_zscore_excludes_self_and_ts_peers(spark):
+    from python_vegindex_spark.operators.rate import anomaly_zscore
+
+    rows = [("a", _ts(i * 60), 10) for i in range(6)]
+    # two peers at the same ts: neither sees the other in its baseline
+    rows += [("a", _ts(360), 10), ("a", _ts(360), 1000)]
+    df = spark.createDataFrame(rows, ["s", "ts", "value"])
+    out = anomaly_zscore(
+        df, window_s=3600, series_cols=["s"], min_baseline=5
+    ).where(F.col("ts") == _ts(360)).collect()
+    assert all(r["base_n"] == 6 for r in out)  # peers excluded
+    # zero-variance baseline -> NULL z, never a div-by-zero flag
+    assert all(r["z"] is None and not r["is_anomaly"] for r in out)
+    with pytest.raises(ValueError, match="min_baseline"):
+        anomaly_zscore(df, window_s=60, series_cols=["s"], min_baseline=1)
+
+
 def test_sliding_time_stats_range_window_and_ties(spark):
     rows = [
         ("a", _ts(0), 1),
