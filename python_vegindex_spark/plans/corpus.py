@@ -220,8 +220,16 @@ def run_corpus_pipeline(
     )
     clean, _ = execute("clean", clean)
     if near_dup_jaccard is not None:
-        clean, _ = execute(
-            "clean_fuzzy", _dedup_near_keep(clean, jaccard_min=near_dup_jaccard)
+        # time the CONSTRUCTION too: dedup_clusters inside
+        # _dedup_near_keep runs eagerly (edges checkpoint + CC rounds),
+        # so the fuzzy stage's real work happens before execute() sees
+        # the DataFrame — without this the stage wall under-reports by
+        # the whole minhash/LSH/verify/CC cost
+        t_fz = time.perf_counter()
+        fz = _dedup_near_keep(clean, jaccard_min=near_dup_jaccard)
+        clean, _ = execute("clean_fuzzy", fz)
+        metrics["stages"]["clean_fuzzy"]["wall_s"] = round(
+            time.perf_counter() - t_fz, 3
         )
     if mixture_weights is not None:
         from ..operators.mixture import mixture_resample
