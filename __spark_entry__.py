@@ -1319,6 +1319,17 @@ def q_rollup_15min_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "bucket_start")
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per source with smooth TF-IDF scores
+    (operators/terms.tfidf_top_terms); rank key is integer-exact
+    (tf DESC, df ASC, term ASC) so selection never rides a float."""
+    from python_vegindex_spark.operators.terms import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5).orderBy(
+        "source", "rank"
+    )
+
+
 def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-window z-score anomaly flags (operators/rate.
     anomaly_zscore): 6 h baseline per event_type, current row and its
@@ -1429,6 +1440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_avg": q_time_weighted_avg,
         "rollup_15min_gapfill": q_rollup_15min_gapfill,
         "anomaly_zscore": q_anomaly_zscore,
+        "tfidf_top_terms": q_tfidf_top_terms,
     }
 
 
@@ -3114,5 +3126,32 @@ SELECT event_type, event_id, ts, v_int, n AS base_n, round(z, 6) AS z
 FROM zed
 WHERE n >= 20 AND std > 0 AND abs(z) > 2.5
 ORDER BY event_type, event_id
+""",
+        # top-5 terms per source: integer-exact rank key, smooth-idf
+        # score as a reported value only
+        "tfidf_top_terms": """
+WITH words AS (
+  SELECT doc_id AS id, source,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+), w AS (
+  SELECT * FROM words WHERE length(term) >= 3
+), tf AS (
+  SELECT source, term, count(*) AS tf FROM w GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*) AS df
+  FROM (SELECT DISTINCT id, term FROM w) GROUP BY 1
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), ranked AS (
+  SELECT tf.source, tf.term, tf.tf, df.df,
+    round(tf.tf * (ln(CAST(n.n_docs + 1 AS DOUBLE) / CAST(df.df + 1 AS DOUBLE)) + 1.0), 6) AS tfidf,
+    row_number() OVER (PARTITION BY tf.source
+                       ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rank
+  FROM tf JOIN df USING (term), n
+)
+SELECT source, rank, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf
+FROM ranked WHERE rank <= 5
+ORDER BY source, rank
 """,
     }

@@ -320,3 +320,42 @@ def test_sliding_time_stats_range_window_and_ties(spark):
     assert out[3]["w_avg"] == pytest.approx(15 / 4)
     with pytest.raises(ValueError, match="window_s"):
         sliding_time_stats(df, window_s=0, series_cols=["s"])
+
+
+# ------------------------------------------------------------- terms
+
+
+def test_tfidf_top_terms_ranking_and_scores(spark):
+    from math import log
+
+    from python_vegindex_spark.operators.terms import tfidf_top_terms
+
+    rows = [
+        (1, "web", "apple apple banana common"),
+        (2, "web", "apple cherry common"),
+        (3, "code", "zebra zebra zebra common"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {
+        (r["source"], r["rank"]): r
+        for r in tfidf_top_terms(df, k=2, min_len=3).collect()
+    }
+    web1 = out[("web", 1)]
+    # tf ties broken by df asc: apple tf=3 wins outright
+    assert web1["term"] == "apple" and web1["tf"] == 3 and web1["df"] == 2
+    assert web1["tfidf"] == pytest.approx(3 * (log(4 / 3) + 1.0), abs=1e-6)
+    code1 = out[("code", 1)]
+    assert code1["term"] == "zebra" and code1["df"] == 1
+    # 'common' appears in all docs -> lowest idf, still rankable by tf
+    assert out[("web", 2)]["term"] in ("banana", "cherry", "common")
+    with pytest.raises(ValueError, match="k must"):
+        tfidf_top_terms(df, k=0)
+
+
+def test_tfidf_min_len_and_null_text(spark):
+    from python_vegindex_spark.operators.terms import tfidf_top_terms
+
+    rows = [(1, "a", "is a of the quantum"), (2, "a", None)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = tfidf_top_terms(df, k=10).collect()
+    assert [r["term"] for r in got] == ["quantum", "the"]  # short terms dropped
