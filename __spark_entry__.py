@@ -1319,6 +1319,26 @@ def q_rollup_15min_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "bucket_start")
 
 
+def q_value_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density heatmap (operators/downsample.value_heatmap): row counts
+    per (event_type, day, value bin of width 50) — integer bin index
+    via floor, engine-exact."""
+    from python_vegindex_spark.operators.downsample import value_heatmap
+
+    out = value_heatmap(
+        _t(spark, sf_dir, "events"),
+        tier="daily",
+        bin_width=50.0,
+        series_cols=["event_type"],
+    )
+    return out.select(
+        "event_type",
+        F.col("bucket_start").cast("timestamp").alias("bucket_start"),
+        "v_bin",
+        "n",
+    ).orderBy("event_type", "bucket_start", "v_bin")
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 terms per source with smooth TF-IDF scores
     (operators/terms.tfidf_top_terms); rank key is integer-exact
@@ -1441,6 +1461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_15min_gapfill": q_rollup_15min_gapfill,
         "anomaly_zscore": q_anomaly_zscore,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "value_heatmap": q_value_heatmap,
     }
 
 
@@ -3153,5 +3174,15 @@ WITH words AS (
 SELECT source, rank, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf
 FROM ranked WHERE rank <= 5
 ORDER BY source, rank
+""",
+        # density heatmap: integer floor-div value bins, engine-exact
+        "value_heatmap": """
+SELECT event_type, date_trunc('day', ts) AS bucket_start,
+       CAST(floor(value / 50.0) AS BIGINT) AS v_bin,
+       count(*) AS n
+FROM events
+WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
 """,
     }

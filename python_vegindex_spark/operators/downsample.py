@@ -112,6 +112,39 @@ def m4_downsample(
     )
 
 
+def value_heatmap(
+    df: DataFrame,
+    tier: str,
+    bin_width: float,
+    series_cols: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Density heatmap: row counts per (series, time bucket, value bin).
+
+    The third member of the viz-downsample family (M4 draws lines, LTTB
+    perceptual shapes, heatmaps draw DISTRIBUTIONS — what Grafana/
+    Timescale render when a series has too many points per pixel to
+    line-plot). ``v_bin`` is ``floor(value / bin_width)`` so the bin
+    covers ``[v_bin * bin_width, (v_bin+1) * bin_width)``; NULL/NaN
+    values are dropped. One hash aggregate on a uniform key — the same
+    scale shape as the rollup.
+    """
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be > 0, got {bin_width}")
+    from ..functions.buckets import bucket_start
+
+    v = nan_to_null(F.col(value_col))
+    d = df.where(v.isNotNull() & F.col(ts_col).isNotNull()).select(
+        *series_cols,
+        bucket_start(F.col(ts_col), tier).alias("bucket_start"),
+        F.floor(v / F.lit(float(bin_width))).cast("long").alias("v_bin"),
+    )
+    return d.groupBy(*series_cols, "bucket_start", "v_bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 def _lttb_numpy(ts, vs, n_out):
     """LTTB over one series (numpy arrays sorted by ts) -> index array.
 

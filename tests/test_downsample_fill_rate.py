@@ -359,3 +359,25 @@ def test_tfidf_min_len_and_null_text(spark):
     df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
     got = tfidf_top_terms(df, k=10).collect()
     assert [r["term"] for r in got] == ["quantum", "the"]  # short terms dropped
+
+
+def test_value_heatmap_bins_and_drops_nulls(spark):
+    from python_vegindex_spark.operators.downsample import value_heatmap
+
+    rows = [
+        ("a", _ts(0), 12.0),     # bin 1 at width 10
+        ("a", _ts(1), 19.9),     # bin 1
+        ("a", _ts(2), -0.1),     # bin -1 (floor, not trunc)
+        ("a", _ts(3), None),
+        ("a", _ts(4), float("nan")),
+    ]
+    df = spark.createDataFrame(rows, ["s", "ts", "value"])
+    out = {
+        (r["v_bin"]): r["n"]
+        for r in value_heatmap(
+            df, tier="hourly", bin_width=10.0, series_cols=["s"]
+        ).collect()
+    }
+    assert out == {1: 2, -1: 1}
+    with pytest.raises(ValueError, match="bin_width"):
+        value_heatmap(df, tier="hourly", bin_width=0, series_cols=["s"])
