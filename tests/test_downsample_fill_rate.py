@@ -381,3 +381,39 @@ def test_value_heatmap_bins_and_drops_nulls(spark):
     assert out == {1: 2, -1: 1}
     with pytest.raises(ValueError, match="bin_width"):
         value_heatmap(df, tier="hourly", bin_width=0, series_cols=["s"])
+
+
+# -------------------------------------------------------------- plans
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_new_operator_plans_are_jvm_only_minimal_shuffle(spark):
+    from python_vegindex_spark.operators.rate import time_weighted_avg
+
+    rows = [("a", _ts(i * 60), 1, float(i)) for i in range(50)]
+    df = spark.createDataFrame(rows, ["s", "ts", "eid", "value"])
+
+    # twa: window and aggregate share the (series, bucket) key -> the
+    # plan needs exactly ONE data shuffle
+    twa = time_weighted_avg(
+        df, tier="hourly", series_cols=["s"], order_cols=["eid"]
+    )
+    p = _plan(twa)
+    assert p.count("Exchange hashpartitioning") == 1, p
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in p
+
+    # fill: both directed windows share one partitioning -> one shuffle
+    filled = fill_series(
+        df.select("s", F.col("ts").alias("bucket_start"), F.col("value").alias("v")),
+        ["s"],
+        "bucket_start",
+        ["v"],
+    )
+    p = _plan(filled)
+    assert p.count("Exchange hashpartitioning") == 1, p
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in p
