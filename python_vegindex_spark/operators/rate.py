@@ -1,7 +1,4 @@
-"""Counter-rate rollups and sliding time-range windows.
-
-Two monitoring-grade operators over the same (series, ts, value) shape
-the rollup family uses:
+"""Monitoring-grade operators over the (series, ts, value) rollup shape.
 
 * :func:`counter_increase` — PromQL-style ``increase()``/``rate()``
   over MONOTONE COUNTERS that occasionally reset to zero (process
@@ -10,13 +7,18 @@ the rollup family uses:
   the sample contributes its own value ``v`` (everything accumulated
   since the reset). The first sample of a series has no baseline and
   contributes nothing. Deltas then roll into calendar buckets.
+* :func:`time_weighted_avg` — per-bucket LOCF time-weighted average
+  (TimescaleDB ``time_weight('locf')`` / Influx ``integral`` analog).
+* :func:`anomaly_zscore` — per-row z-score flags against the row's own
+  trailing time window, self and ts-peers excluded.
 * :func:`sliding_time_stats` — per-row trailing-window aggregates over
   a TIME range (``RANGE BETWEEN <seconds> PRECEDING AND CURRENT
   ROW``), the moving-average / rolling-count primitive. Rows with
   equal ts are peers and all enter each other's window (SQL RANGE
   semantics), so the result is order-deterministic under ties.
 
-Both are one window per series (the lag / range frame) — a single
+Each is one window per series (lag / lead / RANGE frame) plus at most
+one hash aggregate on the same or a coarser key — a single
 (series)-keyed shuffle, pure column expressions, JVM window exec, no
 UDFs. Hot series at 100 TB: counters at sample grain can be large per
 series; pre-bucket the lag with the same two-level split the latency
