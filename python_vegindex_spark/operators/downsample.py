@@ -24,6 +24,11 @@ Scale shape: M4 is the 100-TB path (shuffle reduces the stream to
 after M4/rollup pre-reduction — the documented two-stage practice
 (M4 to ~10k points, LTTB to chart width).
 
+The distribution members of the family: :func:`value_heatmap` (counts
+per time-bucket x value-bin) and :func:`histogram_quantile` (PromQL-
+style quantile estimation over those binned counts — the fixed-memory
+quantile sketch, error bounded by the bin width).
+
 Cross-engine notes for the M4 oracle: the pixel index is INTEGER
 arithmetic end-to-end (epoch microseconds, ``div``) — float bucket
 math would disagree in the last ulp at 1e17 magnitudes. NaN values
@@ -35,7 +40,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.quantile import nan_to_null
@@ -222,3 +227,70 @@ def lttb_downsample(
         return pdf.iloc[idx]
 
     return slim.groupBy(*keys).applyInPandas(_one, schema=schema)
+
+
+def histogram_quantile(
+    heatmap: DataFrame,
+    q: float,
+    bin_width: float,
+    series_cols: Sequence[str] = (),
+    bucket_col: str = "bucket_start",
+    bin_col: str = "v_bin",
+    count_col: str = "n",
+) -> DataFrame:
+    """PromQL ``histogram_quantile`` over :func:`value_heatmap` output:
+    estimate the q-quantile per (series, time bucket) from binned
+    counts, linearly interpolating inside the target bin (the uniform-
+    within-bin assumption Prometheus documents)::
+
+        target = q * total_n
+        pick the first bin (ascending) with cum_prev < target <= cum
+        est    = bin*W + W * (target - cum_prev) / bin_n
+
+    This composes the heatmap into a sketch-backed quantile: at 100 TB
+    the raw rows were already reduced to (bucket, bin) integer counts
+    by ONE hash aggregate, and this pass adds one window over those
+    SMALL aggregated rows — the window's cumulative sum shuffles counts,
+    never raw data, on the same (series, bucket) key. Exact percentiles
+    stay the rollup default; this is the fixed-memory alternative whose
+    error is bounded by ``bin_width``.
+
+    All counts are integers and the interpolation is a pinned float op
+    order on a literal ``q``, so results reproduce bit-for-bit across
+    engines. Requires ``0 < q <= 1``.
+
+    Output: series, bucket, ``total_n``, ``q`` and ``est``.
+    """
+    if not 0.0 < q <= 1.0:
+        raise ValueError(f"q must be in (0, 1], got {q}")
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be > 0, got {bin_width}")
+    keys = [*series_cols, bucket_col]
+    w = Window.partitionBy(*[F.col(c) for c in keys]).orderBy(bin_col)
+    wall = (
+        Window.partitionBy(*[F.col(c) for c in keys])
+        .orderBy(bin_col)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    n = F.col(count_col).cast("double")
+    cum = F.sum(count_col).over(w).cast("double")
+    total = F.sum(count_col).over(wall).cast("double")
+    d = (
+        heatmap.withColumn("_cum", cum)
+        .withColumn("total_n", total.cast("long"))
+        .withColumn("_target", F.lit(float(q)) * total)
+        .withColumn("_prev", F.col("_cum") - n)
+    )
+    width = F.lit(float(bin_width))
+    est = F.col(bin_col).cast("double") * width + width * (
+        F.col("_target") - F.col("_prev")
+    ) / n
+    return (
+        d.where((F.col("_prev") < F.col("_target")) & (F.col("_target") <= F.col("_cum")))
+        .select(
+            *keys,
+            "total_n",
+            F.lit(float(q)).alias("q"),
+            F.round(est, 6).alias("est"),
+        )
+    )

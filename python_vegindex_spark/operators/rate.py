@@ -16,6 +16,14 @@
   ROW``), the moving-average / rolling-count primitive. Rows with
   equal ts are peers and all enter each other's window (SQL RANGE
   semantics), so the result is order-deterministic under ties.
+* :func:`ewma_smooth` — finite-window exponential moving average over
+  already-rolled-up bucket rows (Influx ``exponential_moving_average``
+  analog), literal Python-computed weights for cross-engine bit parity.
+* :func:`linear_trend` — per-bucket OLS slope/intercept + Pearson corr
+  of an integral measure vs seconds-within-bucket, from order-free
+  BIGINT moment sums (TimescaleDB ``stats_agg`` analog).
+* :func:`distinct_rollup` — unique-key cardinality per bucket, exact
+  two-phase ``count(distinct)`` by default with a HyperLogLog++ opt-in.
 
 Each is one window per series (lag / lead / RANGE frame) plus at most
 one hash aggregate on the same or a coarser key — a single
@@ -253,4 +261,187 @@ def sliding_time_stats(
         .withColumn("w_sum", _r(F.sum(v).over(w)))
         .withColumn("w_avg", _r(F.avg(v).over(w)))
         .drop("_tus")
+    )
+
+
+def ewma_weights(alpha: float, span_k: int) -> list[float]:
+    """The finite-window EWMA weight vector ``alpha * (1-alpha)^j`` for
+    ``j = 0..span_k-1``, computed ONCE in Python floats so both the
+    Spark plan and any cross-engine oracle consume the IDENTICAL
+    literals (no in-plan ``pow`` whose libm could differ by an ulp)."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if span_k < 1:
+        raise ValueError(f"span_k must be >= 1, got {span_k}")
+    return [alpha * (1.0 - alpha) ** j for j in range(span_k)]
+
+
+def ewma_smooth(
+    df: DataFrame,
+    series_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float = 0.3,
+    span_k: int = 8,
+    out_col: str = "ewma",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Finite-window exponential moving average over ALREADY-AGGREGATED
+    rows (Influx ``exponential_moving_average`` / Grafana smoothing
+    analog): per series ordered by ``order_cols``,
+
+        ewma_t = sum_j w_j * x_{t-j} / sum_j w_j,   w_j = a*(1-a)^j,
+
+    summed over the trailing ``span_k`` rows whose value is non-NULL
+    (missing buckets — e.g. gap-filled empty rollup rows — drop out and
+    the remaining weights renormalize, the standard ignore-missing
+    mode; a row with a NULL value of its own still gets the smoothed
+    trail of its predecessors).
+
+    Shape: this runs AFTER a rollup, on bucket-grain rows — one
+    (series)-keyed window with a ``span_k``-deep lag chain, pure
+    codegen expressions, no extra shuffle beyond the window's. Both
+    accumulations are pinned left-to-right in ``j`` order and the
+    weights are Python-computed literals (:func:`ewma_weights`), so the
+    result is reproducible bit-for-bit across engines given equal
+    inputs.
+    """
+    weights = ewma_weights(alpha, span_k)
+    w = Window.partitionBy(*[F.col(c) for c in series_cols]).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    v = F.col(value_col).cast("double")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j, wj in enumerate(weights):
+        xj = F.lag(v, j).over(w) if j else v
+        num = num + F.when(xj.isNotNull(), F.lit(wj) * xj).otherwise(F.lit(0.0))
+        den = den + F.when(xj.isNotNull(), F.lit(wj)).otherwise(F.lit(0.0))
+    ewma = F.when(den > 0, num / den)
+    if round_to is not None:
+        ewma = F.round(ewma, round_to)
+    return df.withColumn(out_col, ewma)
+
+
+def linear_trend(
+    df: DataFrame,
+    tier: str,
+    series_cols: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Per-bucket OLS line fit + Pearson correlation of an INTEGRAL
+    measure against time (TimescaleDB ``stats_agg``→``slope()``/
+    ``corr()`` analog — "is this metric trending up within the hour?").
+
+    ``x`` = whole seconds since the row's bucket start (sub-second
+    position truncated — the trend is fitted at second resolution so
+    every moment sum stays integer-exact); ``y`` = ``value_col`` cast
+    to long (raise on float columns upstream: quantize first, as the
+    anomaly/heatmap queries do). Per (series, bucket) the six moment
+    sums n/Sx/Sy/Sxx/Sxy/Syy accumulate as BIGINTs — ORDER-FREE and
+    engine-exact — and the derived
+
+        slope     = (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx)
+        intercept = (Sy - slope*Sx) / n          (value at bucket start)
+        corr      = (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx*Sx) * sqrt(n*Syy - Sy*Sy))
+
+    are evaluated in doubles in exactly this op order, so the floats are
+    reproducible bit-for-bit across engines. NULL slope/intercept when
+    n < 2 or all x equal; NULL corr when either variance is zero.
+
+    Scale: ONE hash aggregate on the (series, bucket) key — the rollup's
+    own shuffle shape; the moment products stay within int64 for |y| up
+    to ~3e4 at a billion rows per bucket (x <= 86399; document larger
+    measures down-scale first). 100-TB safe.
+    """
+    _bucket_seconds(tier)  # validates tier
+    ts = F.col(ts_col)
+    b = bucket_start(ts, tier)
+    x = ((epoch_us(ts) - epoch_us(b)) / F.lit(1_000_000)).cast("long")
+    y = F.col(value_col).cast("long")
+    d = df.where(ts.isNotNull() & F.col(value_col).isNotNull()).select(
+        *series_cols,
+        b.alias("bucket_start"),
+        x.alias("_x"),
+        y.alias("_y"),
+    )
+    agg = d.groupBy(*series_cols, "bucket_start").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    syy = F.col("_syy").cast("double")
+    cov_n = n * sxy - sx * sy
+    varx_n = n * sxx - sx * sx
+    vary_n = n * syy - sy * sy
+    slope = F.when((F.col("n") >= 2) & (varx_n > 0), cov_n / varx_n)
+    intercept = F.when(slope.isNotNull(), (sy - slope * sx) / n)
+    corr = F.when(
+        slope.isNotNull() & (vary_n > 0), cov_n / (F.sqrt(varx_n) * F.sqrt(vary_n))
+    )
+
+    def _r(c):
+        return F.round(c, round_to) if round_to is not None else c
+
+    return agg.select(
+        *series_cols,
+        "bucket_start",
+        "n",
+        _r(slope).alias("slope"),
+        _r(intercept).alias("intercept"),
+        _r(corr).alias("corr"),
+    )
+
+
+def distinct_rollup(
+    df: DataFrame,
+    tier: str,
+    series_cols: Sequence[str],
+    key_col: str,
+    ts_col: str = "ts",
+    approx: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Unique-key cardinality per (series, bucket) — the "distinct
+    active users per hour/day" continuous aggregate.
+
+    Default is EXACT ``count(distinct key)``: Spark plans it as two
+    hash aggregates — partial dedup on (series, bucket, key), then the
+    count on (series, bucket) — both on uniform keys, no all-rows
+    collect anywhere, so it holds at 100 TB (the key set per bucket,
+    not the row count, is what must fit a partition's aggregate map,
+    and the FIRST agg dedups map-side before the shuffle).
+    ``approx=True`` switches to HyperLogLog++
+    (``approx_count_distinct``, relative error ``rsd``) — constant
+    sketch memory per bucket, the knob for billion-cardinality keys;
+    off by default for the same reason percentiles default exact
+    (config.RollupConfig.approx_percentiles).
+
+    Output: series, bucket_start, ``n_rows`` and ``n_distinct``.
+    """
+    _bucket_seconds(tier)  # validates tier
+    ts = F.col(ts_col)
+    d = df.where(ts.isNotNull()).select(
+        *series_cols,
+        bucket_start(ts, tier).alias("bucket_start"),
+        F.col(key_col).alias("_k"),
+    )
+    cnt = (
+        F.approx_count_distinct("_k", rsd=rsd)
+        if approx
+        else F.count_distinct(F.col("_k"))
+    )
+    return d.groupBy(*series_cols, "bucket_start").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        cnt.cast("long").alias("n_distinct"),
     )

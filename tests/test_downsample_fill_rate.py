@@ -417,3 +417,208 @@ def test_new_operator_plans_are_jvm_only_minimal_shuffle(spark):
     assert p.count("Exchange hashpartitioning") == 1, p
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert marker not in p
+
+
+# ------------------------------------------------- ewma_smooth
+
+
+def test_ewma_hand_values_and_renormalization(spark):
+    from python_vegindex_spark.operators.rate import ewma_smooth, ewma_weights
+
+    assert ewma_weights(0.5, 3) == [0.5, 0.25, 0.125]
+    rows = [("a", 0, 10.0), ("a", 1, 20.0), ("a", 2, 30.0)]
+    df = spark.createDataFrame(rows, ["s", "i", "v"])
+    out = {
+        r["i"]: r["ewma"]
+        for r in ewma_smooth(df, ["s"], ["i"], "v", alpha=0.5, span_k=2).collect()
+    }
+    # t0: only w0 present -> renormalizes to the raw value
+    assert out[0] == 10.0
+    # t1: (0.5*20 + 0.25*10) / 0.75
+    assert out[1] == pytest.approx(16.666667, abs=1e-6)
+    # t2: (0.5*30 + 0.25*20) / 0.75
+    assert out[2] == pytest.approx(26.666667, abs=1e-6)
+
+
+def test_ewma_skips_nulls_and_isolates_series(spark):
+    from python_vegindex_spark.operators.rate import ewma_smooth
+
+    rows = [
+        ("a", 0, 10.0),
+        ("a", 1, None),   # gap-filled empty bucket
+        ("a", 2, 30.0),
+        ("b", 0, 99.0),
+    ]
+    df = spark.createDataFrame(rows, ["s", "i", "v"])
+    out = {
+        (r["s"], r["i"]): r["ewma"]
+        for r in ewma_smooth(df, ["s"], ["i"], "v", alpha=0.5, span_k=3).collect()
+    }
+    # null row still gets its predecessors' trail: 0.25*10 / 0.25
+    assert out[("a", 1)] == 10.0
+    # t2: w0*30 + w2*10 (the null lag-1 term drops) / (w0 + w2)
+    assert out[("a", 2)] == pytest.approx((0.5 * 30 + 0.125 * 10) / 0.625, abs=1e-6)
+    assert out[("b", 0)] == 99.0  # series isolated
+
+
+def test_ewma_validation():
+    from python_vegindex_spark.operators.rate import ewma_weights
+
+    with pytest.raises(ValueError, match="alpha"):
+        ewma_weights(0.0, 4)
+    with pytest.raises(ValueError, match="alpha"):
+        ewma_weights(1.5, 4)
+    with pytest.raises(ValueError, match="span_k"):
+        ewma_weights(0.5, 0)
+
+
+# ------------------------------------------------ linear_trend
+
+
+def test_linear_trend_perfect_line(spark):
+    from python_vegindex_spark.operators.rate import linear_trend
+
+    # y = 2x + 5 at x = 0/10/20 s into the hour
+    rows = [("a", _ts(0), 5), ("a", _ts(10), 25), ("a", _ts(20), 45)]
+    df = spark.createDataFrame(rows, ["s", "ts", "v"])
+    r = linear_trend(df, "hourly", ["s"], value_col="v").collect()[0]
+    assert r["n"] == 3
+    assert r["slope"] == pytest.approx(2.0)
+    assert r["intercept"] == pytest.approx(5.0)  # value at bucket start
+    assert r["corr"] == pytest.approx(1.0)
+
+
+def test_linear_trend_degenerate_cases(spark):
+    from python_vegindex_spark.operators.rate import linear_trend
+
+    rows = [
+        ("flat", _ts(0), 7), ("flat", _ts(30), 7),        # zero y-variance
+        ("one", _ts(5), 3),                               # n = 1
+        ("same_x", _ts(10), 1), ("same_x", _ts(10), 9),   # zero x-variance
+        ("null", _ts(0), None), ("null", _ts(20), 4),     # null dropped -> n=1
+    ]
+    df = spark.createDataFrame(rows, ["s", "ts", "v"])
+    out = {r["s"]: r for r in linear_trend(df, "hourly", ["s"], value_col="v").collect()}
+    assert out["flat"]["slope"] == 0.0 and out["flat"]["corr"] is None
+    assert out["one"]["slope"] is None and out["one"]["intercept"] is None
+    assert out["same_x"]["slope"] is None
+    assert out["null"]["n"] == 1 and out["null"]["slope"] is None
+    with pytest.raises(ValueError):
+        linear_trend(df, "fortnightly", ["s"], value_col="v")
+
+
+# --------------------------------------------- distinct_rollup
+
+
+def test_distinct_rollup_exact_and_null_keys(spark):
+    from python_vegindex_spark.operators.rate import distinct_rollup
+
+    rows = [
+        ("a", _ts(0), 1), ("a", _ts(1), 1), ("a", _ts(2), 2),
+        ("a", _ts(3), None),                 # row counted, key not
+        ("a", _ts(3700), 1),                 # next hour
+    ]
+    df = spark.createDataFrame(rows, ["s", "ts", "uid"])
+    out = {
+        r["bucket_start"].hour: (r["n_rows"], r["n_distinct"])
+        for r in distinct_rollup(df, "hourly", ["s"], "uid").collect()
+    }
+    assert out == {0: (4, 2), 1: (1, 1)}
+
+
+def test_distinct_rollup_approx_close_to_exact(spark):
+    from python_vegindex_spark.operators.rate import distinct_rollup
+
+    rows = [("a", _ts(i % 3000), i % 500) for i in range(5000)]
+    df = spark.createDataFrame(rows, ["s", "ts", "uid"])
+    exact = distinct_rollup(df, "hourly", ["s"], "uid").collect()[0]
+    approx = distinct_rollup(df, "hourly", ["s"], "uid", approx=True).collect()[0]
+    assert exact["n_distinct"] == 500
+    assert abs(approx["n_distinct"] - 500) <= 50  # rsd=0.05 -> ~2 sigma
+
+
+# ------------------------------------------ histogram_quantile
+
+
+def test_histogram_quantile_interpolation_and_edges(spark):
+    from python_vegindex_spark.operators.downsample import (
+        histogram_quantile,
+        value_heatmap,
+    )
+
+    # bins at width 10: [0,10) x5 rows, [10,20) x5 rows
+    rows = [("a", _ts(i), float(i)) for i in range(10)] + [
+        ("a", _ts(10 + i), 10.0 + i) for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        [(s, t, v) for (s, t, v) in rows][:10] + rows[10:], ["s", "ts", "value"]
+    )
+    hm = value_heatmap(df, tier="hourly", bin_width=10.0, series_cols=["s"])
+    est = lambda q: histogram_quantile(hm, q, 10.0, ["s"]).collect()[0]["est"]
+    # target q*20: 0.5 -> 10 at cum boundary -> upper edge of bin 0
+    assert est(0.5) == 10.0
+    # 0.9 -> target 18 -> bin 1: 10 + 10*(18-10)/10
+    assert est(0.9) == 18.0
+    # q=1 -> upper edge of the last occupied bin
+    assert est(1.0) == 20.0
+
+
+def test_histogram_quantile_negative_bins_and_validation(spark):
+    from python_vegindex_spark.operators.downsample import (
+        histogram_quantile,
+        value_heatmap,
+    )
+
+    rows = [("a", _ts(0), -5.0), ("a", _ts(1), 5.0)]
+    df = spark.createDataFrame(rows, ["s", "ts", "value"])
+    hm = value_heatmap(df, tier="hourly", bin_width=10.0, series_cols=["s"])
+    r = histogram_quantile(hm, 0.5, 10.0, ["s"]).collect()[0]
+    # target 1 -> falls in bin -1: -10 + 10*(1-0)/1
+    assert r["est"] == 0.0 and r["total_n"] == 2
+    with pytest.raises(ValueError, match="q must"):
+        histogram_quantile(hm, 0.0, 10.0, ["s"])
+    with pytest.raises(ValueError, match="q must"):
+        histogram_quantile(hm, 1.5, 10.0, ["s"])
+    with pytest.raises(ValueError, match="bin_width"):
+        histogram_quantile(hm, 0.5, 0.0, ["s"])
+
+
+def test_trend_distinct_ewma_histq_plans_jvm_only(spark):
+    from python_vegindex_spark.operators.downsample import (
+        histogram_quantile,
+        value_heatmap,
+    )
+    from python_vegindex_spark.operators.rate import (
+        distinct_rollup,
+        ewma_smooth,
+        linear_trend,
+    )
+
+    rows = [("a", _ts(i * 60), i, i % 7) for i in range(200)]
+    df = spark.createDataFrame(rows, ["s", "ts", "v", "uid"])
+
+    # trend: one hash-agg shuffle, like the rollup
+    p = _plan(linear_trend(df, "hourly", ["s"], value_col="v"))
+    assert p.count("Exchange hashpartitioning") == 1, p
+    # ewma over pre-aggregated rows: the (series) window shuffle only
+    pre = df.select("s", F.col("ts").alias("bucket_start"), F.col("v").alias("v_mean"))
+    p = _plan(ewma_smooth(pre, ["s"], ["bucket_start"], "v_mean"))
+    assert p.count("Exchange hashpartitioning") == 1, p
+    # distinct: two-phase agg; histq: heatmap agg + window over aggregates
+    for d in (
+        distinct_rollup(df, "hourly", ["s"], "uid"),
+        histogram_quantile(
+            value_heatmap(df, "hourly", 10.0, ["s"], value_col="v"), 0.9, 10.0, ["s"]
+        ),
+    ):
+        p = _plan(d)
+        assert p.count("Exchange hashpartitioning") <= 2, p
+    for op in (
+        linear_trend(df, "hourly", ["s"], value_col="v"),
+        ewma_smooth(pre, ["s"], ["bucket_start"], "v_mean"),
+        distinct_rollup(df, "hourly", ["s"], "uid"),
+        histogram_quantile(value_heatmap(df, "hourly", 10.0, ["s"], value_col="v"), 0.9, 10.0, ["s"]),
+    ):
+        p = _plan(op)
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+            assert marker not in p
