@@ -1395,6 +1395,92 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "bucket_start")
 
 
+
+def q_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finite-window EWMA (operators/rate.ewma_smooth, alpha=0.3, K=8)
+    over an hourly mean built from INTEGER sums (sum(v_int)/n — order-
+    free, so the smoothed trail is reproducible bit-for-bit: the
+    weights are Python-computed literals on both engines)."""
+    from python_vegindex_spark.operators.rate import ewma_smooth
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & ~F.isnan("value") & F.col("ts").isNotNull()
+    )
+    hr = (
+        ev.select(
+            "event_type",
+            bucket_start(F.col("ts"), "hourly").alias("bucket_start"),
+            F.floor(F.col("value") * 100).cast("long").alias("v_int"),
+        )
+        .groupBy("event_type", "bucket_start")
+        .agg(
+            F.round(
+                F.sum("v_int").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("v_mean")
+        )
+    )
+    return ewma_smooth(
+        hr, ["event_type"], ["bucket_start"], "v_mean", alpha=0.3, span_k=8
+    ).orderBy("event_type", "bucket_start")
+
+
+def q_linear_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket OLS trend (operators/rate.linear_trend): slope /
+    intercept / Pearson corr of the quantized value against seconds-
+    within-day, from order-free BIGINT moment sums — the floats are a
+    pinned op order on exact integers, engine-exact."""
+    from python_vegindex_spark.operators.rate import linear_trend
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    ).select(
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("v_int"),
+    )
+    out = linear_trend(ev, "daily", ["event_type"], value_col="v_int")
+    return out.withColumn(
+        "bucket_start", F.col("bucket_start").cast("timestamp")
+    ).orderBy("event_type", "bucket_start")
+
+
+def q_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unique-key cardinality rollup (operators/rate.distinct_rollup):
+    exact two-phase count(distinct user_id) per (event_type, day); the
+    HyperLogLog++ opt-in path is pytest-verified, exact is the
+    oracle-checked default."""
+    from python_vegindex_spark.operators.rate import distinct_rollup
+
+    out = distinct_rollup(
+        _t(spark, sf_dir, "events"), "daily", ["event_type"], "user_id"
+    )
+    return out.withColumn(
+        "bucket_start", F.col("bucket_start").cast("timestamp")
+    ).orderBy("event_type", "bucket_start")
+
+
+def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-style histogram_quantile (operators/downsample) composed
+    over value_heatmap binned counts: p90 per (event_type, day) with
+    linear in-bin interpolation — integer counts + pinned float order,
+    engine-exact."""
+    from python_vegindex_spark.operators.downsample import (
+        histogram_quantile,
+        value_heatmap,
+    )
+
+    hm = value_heatmap(
+        _t(spark, sf_dir, "events"),
+        tier="daily",
+        bin_width=50.0,
+        series_cols=["event_type"],
+    )
+    out = histogram_quantile(hm, 0.9, 50.0, ["event_type"])
+    return out.withColumn(
+        "bucket_start", F.col("bucket_start").cast("timestamp")
+    ).orderBy("event_type", "bucket_start")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hourly_rollup_gapfill": q_hourly_rollup_gapfill,
@@ -1462,6 +1548,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_zscore": q_anomaly_zscore,
         "tfidf_top_terms": q_tfidf_top_terms,
         "value_heatmap": q_value_heatmap,
+        "ewma_hourly": q_ewma_hourly,
+        "linear_trend_daily": q_linear_trend_daily,
+        "distinct_users_daily": q_distinct_users_daily,
+        "histogram_quantile": q_histogram_quantile,
     }
 
 
@@ -3184,5 +3274,105 @@ FROM events
 WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL
 GROUP BY 1, 2, 3
 ORDER BY 1, 2, 3
+""",
+        # finite-window EWMA: weights are the operator's own Python
+        # literals; numerator/denominator accumulate in identical j order
+        "ewma_hourly": """
+WITH hr AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+    round(CAST(CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE), 6) AS v_mean
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT event_type, bucket_start, v_mean,
+  round((0.0
+      + (CASE WHEN v_mean IS NOT NULL THEN CAST(0.3 AS DOUBLE) * (v_mean) ELSE 0.0 END)
+      + (CASE WHEN lag(v_mean, 1) OVER w IS NOT NULL THEN CAST(0.21 AS DOUBLE) * (lag(v_mean, 1) OVER w) ELSE 0.0 END)
+      + (CASE WHEN lag(v_mean, 2) OVER w IS NOT NULL THEN CAST(0.14699999999999996 AS DOUBLE) * (lag(v_mean, 2) OVER w) ELSE 0.0 END)
+      + (CASE WHEN lag(v_mean, 3) OVER w IS NOT NULL THEN CAST(0.10289999999999998 AS DOUBLE) * (lag(v_mean, 3) OVER w) ELSE 0.0 END)
+      + (CASE WHEN lag(v_mean, 4) OVER w IS NOT NULL THEN CAST(0.07202999999999998 AS DOUBLE) * (lag(v_mean, 4) OVER w) ELSE 0.0 END)
+      + (CASE WHEN lag(v_mean, 5) OVER w IS NOT NULL THEN CAST(0.05042099999999998 AS DOUBLE) * (lag(v_mean, 5) OVER w) ELSE 0.0 END)
+      + (CASE WHEN lag(v_mean, 6) OVER w IS NOT NULL THEN CAST(0.035294699999999984 AS DOUBLE) * (lag(v_mean, 6) OVER w) ELSE 0.0 END)
+      + (CASE WHEN lag(v_mean, 7) OVER w IS NOT NULL THEN CAST(0.02470628999999999 AS DOUBLE) * (lag(v_mean, 7) OVER w) ELSE 0.0 END)) / (0.0
+      + (CASE WHEN v_mean IS NOT NULL THEN CAST(0.3 AS DOUBLE) ELSE 0.0 END)
+      + (CASE WHEN lag(v_mean, 1) OVER w IS NOT NULL THEN CAST(0.21 AS DOUBLE) ELSE 0.0 END)
+      + (CASE WHEN lag(v_mean, 2) OVER w IS NOT NULL THEN CAST(0.14699999999999996 AS DOUBLE) ELSE 0.0 END)
+      + (CASE WHEN lag(v_mean, 3) OVER w IS NOT NULL THEN CAST(0.10289999999999998 AS DOUBLE) ELSE 0.0 END)
+      + (CASE WHEN lag(v_mean, 4) OVER w IS NOT NULL THEN CAST(0.07202999999999998 AS DOUBLE) ELSE 0.0 END)
+      + (CASE WHEN lag(v_mean, 5) OVER w IS NOT NULL THEN CAST(0.05042099999999998 AS DOUBLE) ELSE 0.0 END)
+      + (CASE WHEN lag(v_mean, 6) OVER w IS NOT NULL THEN CAST(0.035294699999999984 AS DOUBLE) ELSE 0.0 END)
+      + (CASE WHEN lag(v_mean, 7) OVER w IS NOT NULL THEN CAST(0.02470628999999999 AS DOUBLE) ELSE 0.0 END)), 6) AS ewma
+FROM hr
+WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start)
+ORDER BY 1, 2
+""",
+        # per-bucket OLS fit: BIGINT moment sums (order-free), then the
+        # identical pinned double op order as operators/rate.linear_trend
+        "linear_trend_daily": """
+WITH base AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket_start,
+    CAST(floor((epoch_us(ts) - epoch_us(CAST(date_trunc('day', ts) AS TIMESTAMP)))
+               / 1000000.0) AS BIGINT) AS x,
+    CAST(floor(value * 100) AS BIGINT) AS y
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL
+), sums AS (
+  SELECT event_type, bucket_start,
+    count(*) AS n,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy,
+    CAST(sum(y * y) AS BIGINT) AS syy
+  FROM base GROUP BY 1, 2
+), d AS (
+  SELECT event_type, bucket_start, n,
+    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov_n,
+    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx_n,
+    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary_n,
+    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+  FROM sums
+)
+SELECT event_type, CAST(bucket_start AS TIMESTAMP) AS bucket_start, n,
+  round(CASE WHEN n >= 2 AND varx_n > 0 THEN cov_n / varx_n END, 6) AS slope,
+  round(CASE WHEN n >= 2 AND varx_n > 0
+        THEN (syd - (cov_n / varx_n) * sxd) / CAST(n AS DOUBLE) END, 6) AS intercept,
+  round(CASE WHEN n >= 2 AND varx_n > 0 AND vary_n > 0
+        THEN cov_n / (sqrt(varx_n) * sqrt(vary_n)) END, 6) AS corr
+FROM d ORDER BY 1, 2
+""",
+        # exact distinct cardinality per bucket
+        "distinct_users_daily": """
+SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+  count(*) AS n_rows,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events WHERE ts IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # histogram_quantile over the value_heatmap bins: integer
+        # cumulative counts, pinned interpolation order
+        "histogram_quantile": """
+WITH hm AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket_start,
+    CAST(floor(value / 50.0) AS BIGINT) AS v_bin, count(*) AS n
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL
+  GROUP BY 1, 2, 3
+), c AS (
+  SELECT event_type, bucket_start, v_bin,
+    CAST(n AS DOUBLE) AS nd,
+    CAST(sum(n) OVER (PARTITION BY event_type, bucket_start
+                      ORDER BY v_bin) AS DOUBLE) AS cum,
+    CAST(sum(n) OVER (PARTITION BY event_type, bucket_start) AS DOUBLE) AS total
+  FROM hm
+)
+SELECT event_type, CAST(bucket_start AS TIMESTAMP) AS bucket_start,
+  CAST(total AS BIGINT) AS total_n, CAST(0.9 AS DOUBLE) AS q,
+  round(CAST(v_bin AS DOUBLE) * 50.0
+        + 50.0 * (CAST(0.9 AS DOUBLE) * total - (cum - nd)) / nd, 6) AS est
+FROM c
+WHERE (cum - nd) < CAST(0.9 AS DOUBLE) * total
+  AND CAST(0.9 AS DOUBLE) * total <= cum
+ORDER BY 1, 2
 """,
     }
