@@ -1481,6 +1481,23 @@ def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "bucket_start")
 
 
+
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heartbeat uptime per hour (operators/rate.interval_coverage,
+    TimescaleDB heartbeat_agg analog): every event asserts liveness for
+    300 s; gaps-and-islands merge -> bucket clipping, all integer-us
+    arithmetic so coverage is engine-exact."""
+    from python_vegindex_spark.operators.rate import interval_coverage
+
+    out = interval_coverage(
+        _t(spark, sf_dir, "events"),
+        tier="hourly",
+        series_cols=["event_type"],
+        timeout_s=300,
+    )
+    return out.orderBy("event_type", "bucket_start")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hourly_rollup_gapfill": q_hourly_rollup_gapfill,
@@ -1552,6 +1569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linear_trend_daily": q_linear_trend_daily,
         "distinct_users_daily": q_distinct_users_daily,
         "histogram_quantile": q_histogram_quantile,
+        "interval_coverage": q_interval_coverage,
     }
 
 
@@ -3374,5 +3392,38 @@ FROM c
 WHERE (cum - nd) < CAST(0.9 AS DOUBLE) * total
   AND CAST(0.9 AS DOUBLE) * total <= cum
 ORDER BY 1, 2
+""",
+        # heartbeat uptime: gaps-and-islands merge, integer-us clipping
+        "interval_coverage": """
+WITH t AS (
+  SELECT event_type, epoch_us(ts) AS t FROM events WHERE ts IS NOT NULL
+), m AS (
+  SELECT event_type, t,
+    CASE WHEN lag(t) OVER w IS NULL OR t > lag(t) OVER w + 300000000
+         THEN 1 ELSE 0 END AS brk
+  FROM t WINDOW w AS (PARTITION BY event_type ORDER BY t)
+), isl0 AS (
+  SELECT event_type, t,
+    sum(brk) OVER (PARTITION BY event_type ORDER BY t
+                   ROWS UNBOUNDED PRECEDING) AS iid
+  FROM m
+), isl AS (
+  SELECT event_type, iid, min(t) AS s, max(t) + 300000000 AS e
+  FROM isl0 GROUP BY 1, 2
+), ex AS (
+  SELECT event_type, s, e,
+    unnest(generate_series(s // 3600000000, (e - 1) // 3600000000)) AS bidx
+  FROM isl
+), ov AS (
+  SELECT event_type, bidx,
+    least(e, (bidx + 1) * 3600000000) - greatest(s, bidx * 3600000000) AS ovl
+  FROM ex
+)
+SELECT event_type, make_timestamp(bidx * 3600000000) AS bucket_start,
+  count(*) AS n_islands,
+  CAST(sum(ovl) AS BIGINT) AS uptime_us,
+  round(CAST(CAST(sum(ovl) AS BIGINT) AS DOUBLE)
+        / CAST(3600000000 AS DOUBLE), 6) AS uptime_frac
+FROM ov GROUP BY 1, 2 ORDER BY 1, 2
 """,
     }

@@ -24,6 +24,9 @@
   BIGINT moment sums (TimescaleDB ``stats_agg`` analog).
 * :func:`distinct_rollup` — unique-key cardinality per bucket, exact
   two-phase ``count(distinct)`` by default with a HyperLogLog++ opt-in.
+* :func:`interval_coverage` — heartbeat uptime / SLA coverage per
+  bucket (TimescaleDB ``heartbeat_agg`` analog): gaps-and-islands
+  merge, islands clipped to epoch-anchored buckets, integer-µs exact.
 
 Each is one window per series (lag / lead / RANGE frame) plus at most
 one hash aggregate on the same or a coarser key — a single
@@ -444,4 +447,102 @@ def distinct_rollup(
     return d.groupBy(*series_cols, "bucket_start").agg(
         F.count(F.lit(1)).alias("n_rows"),
         cnt.cast("long").alias("n_distinct"),
+    )
+
+
+def interval_coverage(
+    df: DataFrame,
+    tier: str,
+    series_cols: Sequence[str],
+    timeout_s: float,
+    ts_col: str = "ts",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Heartbeat uptime per calendar bucket (TimescaleDB
+    ``heartbeat_agg`` analog — the SLA/uptime aggregate): every
+    heartbeat at ``ts`` asserts liveness over ``[ts, ts + timeout)``;
+    per (series, bucket) report the length of the UNION of those
+    intervals clipped to the bucket.
+
+    Classic gaps-and-islands, kept integer-exact end to end:
+
+    1. per series ordered by epoch-µs, a row starts a new island when
+       its ts exceeds the previous heartbeat's expiry (equal-length
+       intervals ⇒ expiries are monotone in starts, so ``lag`` IS the
+       running max); island id = running sum of start flags,
+    2. one hash aggregate collapses each island to ``[min, max+T)``,
+    3. each island explodes to the epoch-anchored buckets it spans
+       (``sequence(s div step, (e-1) div step)``) with per-bucket
+       overlap ``min(e, hi) - max(s, lo)`` — pure integer µs,
+    4. one final aggregate sums overlaps per (series, bucket).
+
+    Scale: the window shuffles raw heartbeats ONCE on the series key;
+    everything after runs on collapsed islands (tiny — one row per
+    outage-free run), so the explode is outage-count × span, not
+    row-count, bound. Duplicate-ts heartbeats are tie-safe: a tied row
+    can never open an island, so island boundaries are order-invariant.
+    Fixed-width tiers only (hourly / daily / ``Nmin``) — a coverage
+    fraction needs exact bucket edges, which the doy-anchored weekly
+    tier doesn't have.
+
+    Output: series, ``bucket_start``, ``n_islands``, ``uptime_us``
+    (exact BIGINT), ``uptime_frac`` (uptime_us / bucket_us, pinned
+    division, rounded).
+    """
+    if timeout_s <= 0:
+        raise ValueError(f"timeout_s must be > 0, got {timeout_s}")
+    step_s = tier_step_seconds(tier) or {"hourly": 3600, "daily": 86400}.get(tier)
+    if step_s is None:
+        raise ValueError(
+            f"interval_coverage needs a fixed-width tier (hourly/daily/Nmin), got {tier!r}"
+        )
+    step = int(step_s) * 1_000_000
+    tmo = int(round(float(timeout_s) * 1_000_000))
+    t = epoch_us(F.col(ts_col))
+    d = df.where(F.col(ts_col).isNotNull()).select(
+        *series_cols, t.alias("_t")
+    )
+    w = Window.partitionBy(*[F.col(c) for c in series_cols]).orderBy("_t")
+    prev_end = F.lag("_t").over(w) + F.lit(tmo)
+    brk = F.when(prev_end.isNull() | (F.col("_t") > prev_end), 1).otherwise(0)
+    wc = (
+        Window.partitionBy(*[F.col(c) for c in series_cols])
+        .orderBy("_t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = (
+        d.withColumn("_iid", F.sum(brk).over(wc))
+        .groupBy(*series_cols, "_iid")
+        .agg(
+            F.min("_t").alias("_s"),
+            (F.max("_t") + F.lit(tmo)).alias("_e"),
+        )
+    )
+    lo = F.col("_bidx") * F.lit(step)
+    hi = lo + F.lit(step)
+    overlap = F.least(F.col("_e"), hi) - F.greatest(F.col("_s"), lo)
+    per_bucket = isl.select(
+        *series_cols,
+        "_s",
+        "_e",
+        F.explode(
+            F.sequence(
+                (F.col("_s") / F.lit(step)).cast("long"),
+                ((F.col("_e") - F.lit(1)) / F.lit(step)).cast("long"),
+            )
+        ).alias("_bidx"),
+    ).select(*series_cols, "_bidx", overlap.alias("_ov"))
+    out = per_bucket.groupBy(*series_cols, "_bidx").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("_ov").alias("uptime_us"),
+    )
+    frac = F.col("uptime_us").cast("double") / F.lit(float(step))
+    if round_to is not None:
+        frac = F.round(frac, round_to)
+    return out.select(
+        *series_cols,
+        F.timestamp_micros(F.col("_bidx") * F.lit(step)).alias("bucket_start"),
+        "n_islands",
+        "uptime_us",
+        frac.alias("uptime_frac"),
     )

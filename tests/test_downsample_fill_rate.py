@@ -622,3 +622,77 @@ def test_trend_distinct_ewma_histq_plans_jvm_only(spark):
         p = _plan(op)
         for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
             assert marker not in p
+
+
+# ---------------------------------------------- interval_coverage
+
+
+def test_interval_coverage_merges_and_clips(spark):
+    from python_vegindex_spark.operators.rate import interval_coverage
+
+    rows = [
+        # overlapping pair -> one island [0, 900s)
+        ("a", _ts(0)), ("a", _ts(300)),
+        # distinct island in the same hour [2000, 2600)
+        ("a", _ts(2000)),
+        # island spanning the hour edge [3500, 4100)
+        ("a", _ts(3500)),
+        # other series untouched
+        ("b", _ts(10)),
+    ]
+    df = spark.createDataFrame(rows, ["s", "ts"])
+    out = {
+        (r["s"], r["bucket_start"].hour): r
+        for r in interval_coverage(
+            df, "hourly", ["s"], timeout_s=600
+        ).collect()
+    }
+    a0 = out[("a", 0)]
+    # [0,900) + [2000,2600) + [3500,3600) = 900 + 600 + 100 s
+    assert a0["uptime_us"] == 1_600 * 1_000_000
+    assert a0["n_islands"] == 3
+    assert a0["uptime_frac"] == pytest.approx(1600 / 3600, abs=1e-6)
+    a1 = out[("a", 1)]
+    assert a1["uptime_us"] == 500 * 1_000_000 and a1["n_islands"] == 1
+    assert out[("b", 0)]["uptime_us"] == 600 * 1_000_000
+
+
+def test_interval_coverage_duplicate_ts_and_validation(spark):
+    from python_vegindex_spark.operators.rate import interval_coverage
+
+    rows = [("a", _ts(100)), ("a", _ts(100)), ("a", _ts(100))]
+    df = spark.createDataFrame(rows, ["s", "ts"])
+    r = interval_coverage(df, "hourly", ["s"], timeout_s=60).collect()
+    assert len(r) == 1 and r[0]["uptime_us"] == 60_000_000
+    assert r[0]["n_islands"] == 1
+    with pytest.raises(ValueError, match="timeout_s"):
+        interval_coverage(df, "hourly", ["s"], timeout_s=0)
+    with pytest.raises(ValueError, match="fixed-width"):
+        interval_coverage(df, "weekly", ["s"], timeout_s=60)
+
+
+def test_interval_coverage_minute_tier_full_bucket(spark):
+    from python_vegindex_spark.operators.rate import interval_coverage
+
+    # heartbeats every 60 s with timeout 90 s -> continuous coverage
+    rows = [("a", _ts(i * 60)) for i in range(10)]  # [0, 540] + 90 -> 630 s
+    df = spark.createDataFrame(rows, ["s", "ts"])
+    out = {
+        r["bucket_start"].minute: r["uptime_frac"]
+        for r in interval_coverage(df, "5min", ["s"], timeout_s=90).collect()
+    }
+    assert out[0] == 1.0 and out[5] == 1.0
+    # third bucket covers [600, 630) of [600, 900)
+    assert out[10] == pytest.approx(30 / 300, abs=1e-6)
+
+
+def test_interval_coverage_plan_jvm_only(spark):
+    from python_vegindex_spark.operators.rate import interval_coverage
+
+    rows = [("a", _ts(i * 50)) for i in range(100)]
+    df = spark.createDataFrame(rows, ["s", "ts"])
+    p = _plan(interval_coverage(df, "hourly", ["s"], timeout_s=60))
+    # window on (series) + island agg + bucket agg: raw rows shuffle once
+    assert p.count("Exchange hashpartitioning") <= 3, p
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in p
