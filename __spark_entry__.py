@@ -1498,6 +1498,59 @@ def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("event_type", "bucket_start")
 
 
+
+def _events_vint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with the quantized integer measure the monitoring queries
+    share (floor(value*100) after the NaN/NULL gate) — integer sums keep
+    every downstream float derivation order-free and engine-exact."""
+    return (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull() & ~F.isnan("value") & F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            "ts",
+            F.floor(F.col("value") * 100).cast("long").alias("v_int"),
+        )
+    )
+
+
+def q_seasonal_profile_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonal baseline (operators/rate.seasonal_profile):
+    per (event_type, dow, hour) slot count + population mean/std from
+    integer sums in the anomaly_zscore pinned op order."""
+    from python_vegindex_spark.operators.rate import seasonal_profile
+
+    return seasonal_profile(
+        _events_vint(spark, sf_dir), ["event_type"], value_col="v_int"
+    ).orderBy("event_type", "dow", "hour")
+
+
+def q_seasonal_anomaly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-shuffle seasonal scoring (operators/rate.seasonal_deviation,
+    broadcast profile join) reduced to flagged-row counts per
+    (event_type, dow); the |z| > 2.5 flag is engine-exact because the
+    slot moments come from integer sums."""
+    from python_vegindex_spark.operators.rate import (
+        seasonal_deviation,
+        seasonal_profile,
+    )
+
+    ev = _events_vint(spark, sf_dir)
+    prof = seasonal_profile(ev, ["event_type"], value_col="v_int", round_to=None)
+    scored = seasonal_deviation(
+        ev, prof, ["event_type"], value_col="v_int",
+        threshold=2.5, min_baseline=20,
+    )
+    return (
+        scored.groupBy("event_type", F.dayofweek("ts").alias("dow"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("is_anomaly"), 1)).alias("n_anom"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hourly_rollup_gapfill": q_hourly_rollup_gapfill,
@@ -1570,6 +1623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users_daily": q_distinct_users_daily,
         "histogram_quantile": q_histogram_quantile,
         "interval_coverage": q_interval_coverage,
+        "seasonal_profile_hourly": q_seasonal_profile_hourly,
+        "seasonal_anomaly_counts": q_seasonal_anomaly_counts,
     }
 
 
@@ -3425,5 +3480,53 @@ SELECT event_type, make_timestamp(bidx * 3600000000) AS bucket_start,
   round(CAST(CAST(sum(ovl) AS BIGINT) AS DOUBLE)
         / CAST(3600000000 AS DOUBLE), 6) AS uptime_frac
 FROM ov GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # weekly seasonal slots: integer sums -> pinned mean/std
+        "seasonal_profile_hourly": """
+WITH base AS (
+  SELECT event_type, dayofweek(ts) + 1 AS dow, hour(ts) AS hour,
+    CAST(floor(value * 100) AS BIGINT) AS v
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL
+), s AS (
+  SELECT event_type, dow, hour, count(*) AS n,
+    CAST(sum(v) AS BIGINT) AS sv, CAST(sum(v * v) AS BIGINT) AS sq
+  FROM base GROUP BY 1, 2, 3
+)
+SELECT event_type, dow, hour, n,
+  round(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+  round(sqrt(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS std
+FROM s ORDER BY 1, 2, 3
+""",
+        # broadcast seasonal scoring -> flagged counts; identical z
+        # algebra on both engines (slot moments from integer sums)
+        "seasonal_anomaly_counts": """
+WITH base AS (
+  SELECT event_type, dayofweek(ts) + 1 AS dow, hour(ts) AS hour,
+    CAST(floor(value * 100) AS BIGINT) AS v
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL
+), s AS (
+  SELECT event_type, dow, hour, count(*) AS n,
+    CAST(sum(v) AS BIGINT) AS sv, CAST(sum(v * v) AS BIGINT) AS sq
+  FROM base GROUP BY 1, 2, 3
+), p AS (
+  SELECT event_type, dow, hour, n,
+    CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+    sqrt(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)
+         - (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))) AS std
+  FROM s
+), j AS (
+  SELECT b.event_type, b.dow, b.v, p.n, p.mean, p.std
+  FROM base b JOIN p USING (event_type, dow, hour)
+)
+SELECT event_type, dow, count(*) AS n_rows,
+  count(CASE WHEN n >= 20 AND std > 0
+             AND abs((CAST(v AS DOUBLE) - mean) / std) > CAST(2.5 AS DOUBLE)
+        THEN 1 END) AS n_anom
+FROM j GROUP BY 1, 2 ORDER BY 1, 2
 """,
     }

@@ -27,6 +27,10 @@
 * :func:`interval_coverage` — heartbeat uptime / SLA coverage per
   bucket (TimescaleDB ``heartbeat_agg`` analog): gaps-and-islands
   merge, islands clipped to epoch-anchored buckets, integer-µs exact.
+* :func:`seasonal_profile` / :func:`seasonal_deviation` — weekly
+  (dow x hour) seasonal baselines and zero-shuffle broadcast scoring
+  of live rows against them (the seasonal counterpart of
+  :func:`anomaly_zscore`'s trailing window).
 
 Each is one window per series (lag / lead / RANGE frame) plus at most
 one hash aggregate on the same or a coarser key — a single
@@ -545,4 +549,109 @@ def interval_coverage(
         "n_islands",
         "uptime_us",
         frac.alias("uptime_frac"),
+    )
+
+
+def seasonal_profile(
+    df: DataFrame,
+    series_cols: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Day-of-week x hour-of-day seasonal baseline per series (the
+    Datadog "seasonal/agile baseline" / Prometheus recording-rule
+    pattern: compare now against the same weekly slot, not the trailing
+    window — :func:`anomaly_zscore` covers the trailing kind).
+
+    Output per (series, ``dow`` 1=Sun..7=Sat, ``hour`` 0..23): ``n``,
+    population ``mean``/``std`` derived from sum / sum-of-squares in
+    the same pinned op order as :func:`anomaly_zscore` (integral value
+    columns make the sums order-free and the floats engine-exact).
+
+    ONE hash aggregate; the result is tiny (series x 168 slots) and is
+    meant to be broadcast back against live data
+    (:func:`seasonal_deviation`).
+    """
+    ts = F.col(ts_col)
+    v = F.col(value_col)
+    d = df.where(ts.isNotNull() & v.isNotNull()).select(
+        *series_cols,
+        F.dayofweek(ts).alias("dow"),
+        F.hour(ts).alias("hour"),
+        v.alias("_v"),
+    )
+    agg = d.groupBy(*series_cols, "dow", "hour").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_v").alias("_s"),
+        F.sum(F.col("_v") * F.col("_v")).alias("_sq"),
+    )
+    nd = F.col("n").cast("double")
+    s = F.col("_s").cast("double")
+    sq = F.col("_sq").cast("double")
+    mean = s / nd
+    std = F.sqrt(sq / nd - mean * mean)
+
+    def _r(c):
+        return F.round(c, round_to) if round_to is not None else c
+
+    return agg.select(
+        *series_cols, "dow", "hour", "n", _r(mean).alias("mean"), _r(std).alias("std")
+    )
+
+
+def seasonal_deviation(
+    df: DataFrame,
+    profile: DataFrame,
+    series_cols: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    threshold: float = 3.0,
+    min_baseline: int = 10,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Score every row against its weekly seasonal slot: join
+    ``profile`` (the UNROUNDED-enough output of
+    :func:`seasonal_profile`; pass ``round_to=None`` there for strict
+    reproducibility) on (series, dow, hour) and append ``base_n`` /
+    ``base_mean`` / ``z`` / ``is_anomaly`` (NULL z when the slot has
+    < ``min_baseline`` rows or zero variance — same gating as
+    :func:`anomaly_zscore`).
+
+    Scale shape: the profile is series x 168 rows — broadcast by
+    construction (``F.broadcast``), so the raw stream is scored with
+    ZERO shuffle: scan -> broadcast hash join -> projection.
+    """
+    ts = F.col(ts_col)
+    v = F.col(value_col)
+    prof = F.broadcast(
+        profile.select(
+            *[F.col(c).alias(f"_p_{c}") for c in series_cols],
+            F.col("dow").alias("_p_dow"),
+            F.col("hour").alias("_p_hour"),
+            F.col("n").alias("base_n"),
+            F.col("mean").alias("base_mean"),
+            F.col("std").alias("_p_std"),
+        )
+    )
+    cond = (
+        (F.dayofweek(ts) == F.col("_p_dow"))
+        & (F.hour(ts) == F.col("_p_hour"))
+    )
+    for c in series_cols:
+        cond = cond & (F.col(c) == F.col(f"_p_{c}"))
+    z = (v.cast("double") - F.col("base_mean")) / F.col("_p_std")
+
+    def _r(c):
+        return F.round(c, round_to) if round_to is not None else c
+
+    ok = (F.col("base_n") >= min_baseline) & (F.col("_p_std") > 0)
+    return (
+        df.join(prof, cond, "left")
+        .withColumn("z", F.when(ok, _r(z)))
+        .withColumn(
+            "is_anomaly",
+            F.when(ok, F.abs(z) > F.lit(float(threshold))).otherwise(F.lit(False)),
+        )
+        .drop(*[f"_p_{c}" for c in series_cols], "_p_dow", "_p_hour", "_p_std")
     )

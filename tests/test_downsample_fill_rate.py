@@ -696,3 +696,90 @@ def test_interval_coverage_plan_jvm_only(spark):
     assert p.count("Exchange hashpartitioning") <= 3, p
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert marker not in p
+
+
+# ------------------------------------- seasonal profile / deviation
+
+
+def test_seasonal_profile_slots_and_moments(spark):
+    from python_vegindex_spark.operators.rate import seasonal_profile
+
+    # Mon 2024-01-01 10:xx twice, Tue 2024-01-02 10:xx once
+    rows = [
+        ("a", datetime(2024, 1, 1, 10, 5), 10),
+        ("a", datetime(2024, 1, 1, 10, 50), 30),
+        ("a", datetime(2024, 1, 2, 10, 5), 7),
+        ("a", datetime(2024, 1, 2, 11, 5), None),  # dropped
+    ]
+    df = spark.createDataFrame(rows, ["s", "ts", "v"])
+    out = {
+        (r["dow"], r["hour"]): r
+        for r in seasonal_profile(df, ["s"], value_col="v").collect()
+    }
+    mon = out[(2, 10)]  # Spark dayofweek: 1=Sun, 2=Mon
+    assert mon["n"] == 2 and mon["mean"] == 20.0 and mon["std"] == 10.0
+    tue = out[(3, 10)]
+    assert tue["n"] == 1 and tue["mean"] == 7.0 and tue["std"] == 0.0
+    assert (3, 11) not in out  # the NULL row contributed nothing
+
+
+def test_seasonal_deviation_scores_against_slot(spark):
+    from python_vegindex_spark.operators.rate import (
+        seasonal_deviation,
+        seasonal_profile,
+    )
+
+    # 12 Mondays at 10:00 with value 10, one spike of 40
+    hist = [("a", datetime(2024, 1, 1, 10, 0) + timedelta(days=7 * i), 10)
+            for i in range(12)]
+    df = spark.createDataFrame(hist, ["s", "ts", "v"])
+    prof = seasonal_profile(df, ["s"], value_col="v", round_to=None)
+    live = spark.createDataFrame(
+        [("a", datetime(2024, 6, 24, 10, 30), 40),   # Monday spike
+         ("a", datetime(2024, 6, 24, 10, 31), 10),   # Monday normal
+         ("a", datetime(2024, 6, 25, 10, 30), 40)],  # Tuesday: no slot
+        ["s", "ts", "v"],
+    )
+    out = seasonal_deviation(
+        live, prof, ["s"], value_col="v", threshold=3.0, min_baseline=10
+    ).collect()
+    by_ts = {r["ts"]: r for r in out}
+    spike = by_ts[datetime(2024, 6, 24, 10, 30)]
+    # slot mean 10, std 0 -> zero variance gate: z NULL, not flagged
+    assert spike["base_n"] == 12 and spike["z"] is None
+    assert spike["is_anomaly"] is False
+    # give the slot real variance
+    hist2 = hist + [("a", datetime(2024, 4, 1, 10, 0), 16)]
+    prof2 = seasonal_profile(
+        spark.createDataFrame(hist2, ["s", "ts", "v"]), ["s"],
+        value_col="v", round_to=None,
+    )
+    out2 = {
+        r["ts"]: r
+        for r in seasonal_deviation(
+            live, prof2, ["s"], value_col="v", threshold=3.0, min_baseline=10
+        ).collect()
+    }
+    assert out2[datetime(2024, 6, 24, 10, 30)]["is_anomaly"] is True
+    assert out2[datetime(2024, 6, 24, 10, 31)]["is_anomaly"] is False
+    tue = out2[datetime(2024, 6, 25, 10, 30)]
+    # unmatched slot: no baseline -> never flagged (anomaly_zscore's gate)
+    assert tue["base_n"] is None and tue["is_anomaly"] is False
+
+
+def test_seasonal_deviation_plan_is_broadcast_zero_shuffle(spark):
+    from python_vegindex_spark.operators.rate import (
+        seasonal_deviation,
+        seasonal_profile,
+    )
+
+    rows = [("a", _ts(i * 3600), i % 5) for i in range(500)]
+    df = spark.createDataFrame(rows, ["s", "ts", "v"])
+    prof = seasonal_profile(df, ["s"], value_col="v")
+    scored = seasonal_deviation(df, prof, ["s"], value_col="v")
+    p = _plan(scored)
+    assert "BroadcastHashJoin" in p, p
+    # the RAW side must not shuffle: only the profile agg exchanges
+    assert p.count("Exchange hashpartitioning") <= 1, p
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in p
