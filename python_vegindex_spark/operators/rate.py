@@ -278,8 +278,11 @@ def ewma_weights(alpha: float, span_k: int) -> list[float]:
     literals (no in-plan ``pow`` whose libm could differ by an ulp)."""
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
-    if span_k < 1:
-        raise ValueError(f"span_k must be >= 1, got {span_k}")
+    if not 1 <= span_k <= 128:
+        # each weight becomes one lag expression in the plan; past ~128
+        # the codegen blowup costs more than the tail weights (~(1-a)^128)
+        # could ever contribute
+        raise ValueError(f"span_k must be in [1, 128], got {span_k}")
     return [alpha * (1.0 - alpha) ** j for j in range(span_k)]
 
 

@@ -783,3 +783,11 @@ def test_seasonal_deviation_plan_is_broadcast_zero_shuffle(spark):
     assert p.count("Exchange hashpartitioning") <= 1, p
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert marker not in p
+
+
+def test_ewma_span_cap():
+    from python_vegindex_spark.operators.rate import ewma_weights
+
+    with pytest.raises(ValueError, match="span_k"):
+        ewma_weights(0.5, 129)
+    assert len(ewma_weights(0.5, 128)) == 128
