@@ -229,3 +229,45 @@ def streaming_chunk_encoder(
             )
 
     return pts.mapInPandas(encode_closed, schema)
+
+
+def streaming_seasonal_scorer(
+    spark: SparkSession,
+    input_path: str,
+    profile: DataFrame,
+    value_expr: str = "CAST(length(text) AS DOUBLE)",
+    series_cols: list[str] | None = None,
+    threshold: float = 3.0,
+    min_baseline: int = 10,
+) -> DataFrame:
+    """Score a LIVE turn stream against a batch-computed weekly seasonal
+    baseline (operators/rate.seasonal_profile) — the stream-static
+    enrichment pattern: ``seasonal_deviation`` is STATELESS (broadcast
+    hash join + projections, no window/aggregate), so it applies to a
+    streaming DataFrame unchanged, needs no watermark and holds no
+    state; each micro-batch is scored row-by-row against the broadcast
+    profile with zero shuffle.
+
+    This is the deployment split monitoring systems actually use: the
+    profile refreshes on a slow batch cadence (nightly rollup job), the
+    scorer runs at ingest latency. Flags are identical to the batch
+    scorer's on the same rows (tested), because the operator is the
+    same plan.
+    """
+    from ..operators.rate import seasonal_deviation
+
+    series = list(series_cols) if series_cols is not None else ["role"]
+    stream = (
+        spark.readStream.schema(TURNS_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_path)
+    )
+    live = stream.select(*series, "conv_id", "turn_idx", "ts", F.expr(value_expr).alias("v"))
+    return seasonal_deviation(
+        live,
+        profile,
+        series_cols=series,
+        value_col="v",
+        threshold=threshold,
+        min_baseline=min_baseline,
+    )

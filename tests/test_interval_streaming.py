@@ -150,3 +150,51 @@ def test_streaming_dedup_drops_retries_across_restart(spark, tmp_path):
     assert (
         got.groupBy("conv_id", "turn_idx").count().filter("count > 1").count() == 0
     )
+
+
+def test_streaming_seasonal_scorer_matches_batch(spark, tmp_path):
+    """streaming_seasonal_scorer: stream-static scoring against the
+    batch profile is exactly the batch scorer's output (the operator is
+    stateless, so streaming adds no divergence)."""
+    from python_vegindex_spark.operators.rate import (
+        seasonal_deviation,
+        seasonal_profile,
+    )
+    from python_vegindex_spark.sources.synth import synth_turns
+    from python_vegindex_spark.streaming.structured import (
+        run_available_now,
+        streaming_seasonal_scorer,
+    )
+
+    in_dir = str(tmp_path / "turns_in")
+    out_dir = str(tmp_path / "scored_out")
+    ckpt = str(tmp_path / "ckpt")
+    turns = synth_turns(spark, n_convs=60, seed=3)
+    turns.write.parquet(in_dir)
+
+    live = turns.select(
+        "role", "conv_id", "turn_idx", "ts",
+        F.expr("CAST(length(text) AS DOUBLE)").alias("v"),
+    )
+    prof = seasonal_profile(live, ["role"], value_col="v", round_to=None)
+    expected = {
+        (r["conv_id"], r["turn_idx"]): (r["z"], r["is_anomaly"])
+        for r in seasonal_deviation(
+            live, prof, ["role"], value_col="v",
+            threshold=1.5, min_baseline=5,
+        ).collect()
+    }
+
+    run_available_now(
+        streaming_seasonal_scorer(
+            spark, in_dir, prof, threshold=1.5, min_baseline=5
+        ),
+        ckpt,
+        out_dir,
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["z"], r["is_anomaly"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == expected
+    assert any(flag for _, flag in got.values())  # the threshold bites
