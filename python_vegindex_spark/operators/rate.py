@@ -532,10 +532,13 @@ def interval_coverage(
         *series_cols,
         "_s",
         "_e",
+        # integer div, never float: at minute grain the bucket index
+        # (~3e10) outgrows the double spacing of 1/step, so a float
+        # quotient 1 µs below a boundary would ROUND UP to it
         F.explode(
             F.sequence(
-                (F.col("_s") / F.lit(step)).cast("long"),
-                ((F.col("_e") - F.lit(1)) / F.lit(step)).cast("long"),
+                F.expr(f"_s div {step}"),
+                F.expr(f"(_e - 1) div {step}"),
             )
         ).alias("_bidx"),
     ).select(*series_cols, "_bidx", overlap.alias("_ov"))

@@ -791,3 +791,21 @@ def test_ewma_span_cap():
     with pytest.raises(ValueError, match="span_k"):
         ewma_weights(0.5, 129)
     assert len(ewma_weights(0.5, 128)) == 128
+
+
+def test_interval_coverage_boundary_exact_at_minute_grain(spark):
+    """An island ending EXACTLY on a bucket boundary must not leak a
+    zero-length row into the next bucket — the float-quotient trap the
+    integer div avoids (bucket indices ~3e10 at 1min grain outgrow the
+    double spacing of 1/step)."""
+    from python_vegindex_spark.operators.rate import interval_coverage
+
+    # timeout 60 s: island [2024-01-01 00:00:30, 00:01:30) at 1min grain
+    # ends exactly on the 00:01:30? no — pick ts so end == boundary:
+    # heartbeat at 00:00:00 + timeout 60 -> island [00:00, 00:01) ends
+    # exactly at the 1min boundary
+    df = spark.createDataFrame([("a", _ts(0))], ["s", "ts"])
+    out = interval_coverage(df, "1min", ["s"], timeout_s=60).collect()
+    assert len(out) == 1  # nothing in the second bucket
+    assert out[0]["uptime_us"] == 60_000_000
+    assert out[0]["uptime_frac"] == 1.0
