@@ -320,7 +320,8 @@ def ewma_smooth(
     w = Window.partitionBy(*[F.col(c) for c in series_cols]).orderBy(
         *[F.col(c) for c in order_cols]
     )
-    v = F.col(value_col).cast("double")
+    vc = F.col(value_col).cast("double")
+    v = F.when(~F.isnan(vc), vc)  # NaN ≡ NULL (engine-wide rule)
     num = F.lit(0.0)
     den = F.lit(0.0)
     for j, wj in enumerate(weights):
@@ -371,7 +372,12 @@ def linear_trend(
     b = bucket_start(ts, tier)
     x = ((epoch_us(ts) - epoch_us(b)) / F.lit(1_000_000)).cast("long")
     y = F.col(value_col).cast("long")
-    d = df.where(ts.isNotNull() & F.col(value_col).isNotNull()).select(
+    # NaN ≡ NULL: a NaN would silently cast to 0L and poison the sums
+    d = df.where(
+        ts.isNotNull()
+        & F.col(value_col).isNotNull()
+        & ~F.isnan(F.col(value_col).cast("double"))
+    ).select(
         *series_cols,
         b.alias("bucket_start"),
         x.alias("_x"),
@@ -581,7 +587,9 @@ def seasonal_profile(
     """
     ts = F.col(ts_col)
     v = F.col(value_col)
-    d = df.where(ts.isNotNull() & v.isNotNull()).select(
+    d = df.where(
+        ts.isNotNull() & v.isNotNull() & ~F.isnan(v.cast("double"))
+    ).select(
         *series_cols,
         F.dayofweek(ts).alias("dow"),
         F.hour(ts).alias("hour"),
@@ -651,7 +659,14 @@ def seasonal_deviation(
     def _r(c):
         return F.round(c, round_to) if round_to is not None else c
 
-    ok = (F.col("base_n") >= min_baseline) & (F.col("_p_std") > 0)
+    # NaN value ≡ NULL: without the guard Spark's NaN-is-greatest
+    # comparison would FLAG every NaN row (abs(NaN) > t is true)
+    ok = (
+        (F.col("base_n") >= min_baseline)
+        & (F.col("_p_std") > 0)
+        & v.isNotNull()
+        & ~F.isnan(v.cast("double"))
+    )
     return (
         df.join(prof, cond, "left")
         .withColumn("z", F.when(ok, _r(z)))

@@ -809,3 +809,47 @@ def test_interval_coverage_boundary_exact_at_minute_grain(spark):
     assert len(out) == 1  # nothing in the second bucket
     assert out[0]["uptime_us"] == 60_000_000
     assert out[0]["uptime_frac"] == 1.0
+
+
+def test_new_rate_ops_treat_nan_as_null(spark):
+    from python_vegindex_spark.operators.rate import (
+        ewma_smooth,
+        linear_trend,
+        seasonal_deviation,
+        seasonal_profile,
+    )
+
+    nan = float("nan")
+    # ewma: NaN bucket behaves exactly like a NULL one
+    df = spark.createDataFrame(
+        [("a", 0, 10.0), ("a", 1, nan), ("a", 2, 30.0)], ["s", "i", "v"]
+    )
+    out = {
+        r["i"]: r["ewma"]
+        for r in ewma_smooth(df, ["s"], ["i"], "v", alpha=0.5, span_k=3).collect()
+    }
+    assert out[1] == 10.0
+    assert out[2] == pytest.approx((0.5 * 30 + 0.125 * 10) / 0.625, abs=1e-6)
+
+    # trend: a NaN would otherwise cast to 0L and poison the sums
+    tdf = spark.createDataFrame(
+        [("a", _ts(0), 5.0), ("a", _ts(10), 25.0), ("a", _ts(20), nan)],
+        ["s", "ts", "v"],
+    )
+    [tr] = linear_trend(tdf, "hourly", ["s"], value_col="v").collect()
+    assert tr["n"] == 2 and tr["slope"] == pytest.approx(2.0)
+
+    # seasonal: NaN rows never enter the profile and are never flagged
+    hist = [("a", datetime(2024, 1, 1, 10, 0) + timedelta(days=7 * i), 10.0)
+            for i in range(12)] + [("a", datetime(2024, 4, 1, 10, 0), 16.0)]
+    pdf = spark.createDataFrame(hist + [("a", datetime(2024, 4, 8, 10, 0), nan)],
+                                ["s", "ts", "v"])
+    prof = seasonal_profile(pdf, ["s"], value_col="v", round_to=None)
+    assert prof.collect()[0]["n"] == 13  # NaN row excluded
+    live = spark.createDataFrame(
+        [("a", datetime(2024, 6, 24, 10, 30), nan)], ["s", "ts", "v"]
+    )
+    [r] = seasonal_deviation(
+        live, prof, ["s"], value_col="v", threshold=1.0, min_baseline=5
+    ).collect()
+    assert r["is_anomaly"] is False and r["z"] is None
