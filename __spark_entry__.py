@@ -1551,6 +1551,38 @@ def q_seasonal_anomaly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix (operators/funnel.
+    transition_counts): adjacent event_type pairs per user ordered by
+    (ts, event_id) — integer counts, engine-exact."""
+    from python_vegindex_spark.operators.funnel import transition_counts
+
+    return transition_counts(
+        _t(spark, sf_dir, "events"),
+        ["user_id"],
+        "event_type",
+        order_cols=["event_id"],
+    ).orderBy("from_state", "to_state")
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (operators/funnel.funnel_steps):
+    signup -> click -> purchase within 7 days per step, earliest-
+    qualifying semantics on integral epoch-us mins; reduced to per-step
+    reach counts."""
+    from python_vegindex_spark.operators.funnel import funnel_steps, funnel_summary
+
+    f = funnel_steps(
+        _t(spark, sf_dir, "events"),
+        ["user_id"],
+        "event_type",
+        ["signup", "click", "purchase"],
+        max_gap_s=7 * 86400,
+    )
+    return funnel_summary(f, 3).orderBy("step")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hourly_rollup_gapfill": q_hourly_rollup_gapfill,
@@ -1625,6 +1657,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_coverage": q_interval_coverage,
         "seasonal_profile_hourly": q_seasonal_profile_hourly,
         "seasonal_anomaly_counts": q_seasonal_anomaly_counts,
+        "event_transition_matrix": q_event_transition_matrix,
+        "funnel_conversion": q_funnel_conversion,
     }
 
 
@@ -3528,5 +3562,41 @@ SELECT event_type, dow, count(*) AS n_rows,
              AND abs((CAST(v AS DOUBLE) - mean) / std) > CAST(2.5 AS DOUBLE)
         THEN 1 END) AS n_anom
 FROM j GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # adjacent-pair transition counts per user sequence
+        "event_transition_matrix": """
+WITH d AS (
+  SELECT user_id, event_type,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+)
+SELECT prev AS from_state, event_type AS to_state, count(*) AS n
+FROM d WHERE prev IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # ordered funnel: chained min-after-previous-step aggregates,
+        # 7-day max gap per step, identical earliest-completion algebra
+        "funnel_conversion": """
+WITH base AS (
+  SELECT user_id, event_type AS s, epoch_us(ts) AS t
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IN ('signup', 'click', 'purchase')
+), s1 AS (
+  SELECT user_id, min(t) AS t1 FROM base WHERE s = 'signup' GROUP BY 1
+), s2 AS (
+  SELECT b.user_id, min(b.t) AS t2
+  FROM base b JOIN s1 USING (user_id)
+  WHERE b.s = 'click' AND b.t > s1.t1 AND b.t <= s1.t1 + 604800000000
+  GROUP BY 1
+), s3 AS (
+  SELECT b.user_id, min(b.t) AS t3
+  FROM base b JOIN s2 USING (user_id)
+  WHERE b.s = 'purchase' AND b.t > s2.t2 AND b.t <= s2.t2 + 604800000000
+  GROUP BY 1
+)
+SELECT 1 AS step, count(*) AS n_reached FROM s1
+UNION ALL SELECT 2 AS step, count(*) AS n_reached FROM s2
+UNION ALL SELECT 3 AS step, count(*) AS n_reached FROM s3
+ORDER BY step
 """,
     }

@@ -1,0 +1,133 @@
+"""Sequence analytics over event/turn streams: state transitions and
+ordered conversion funnels (the Amplitude/Mixpanel class of queries,
+and — on the transcript payload — role/tool flow analysis: the same
+operators run on (conv_id, role/tool, ts)).
+
+* :func:`transition_counts` — first-order Markov transition matrix:
+  per sequence (user / conv) ordered by ts, count each
+  (from_state -> to_state) adjacent pair. One (sequence)-keyed window
+  for the lag + one hash aggregate on the tiny (from, to) key.
+* :func:`funnel_steps` — strictly-ordered first-occurrence funnel:
+  for steps ``[A, B, C]`` a sequence converts to step k when it has an
+  event of state k AFTER its step-(k-1) conversion time (optionally
+  within ``max_gap_s``). Earliest-completion semantics: each step
+  takes the MINIMUM qualifying timestamp (min aggregates on integral
+  epoch-µs — order-free and engine-exact).
+
+Funnel shape at scale: one filtered aggregate per step over only that
+step's rows, chained by an equi-join on the sequence key — k-1 joins of
+NARROW per-sequence aggregates (one row per sequence each), all
+shuffling on the same uniform key, payload never moves. No window over
+the full stream, no per-sequence state: at 100 TB the funnel costs k
+filtered scans of the (pruned) state column, not a sort of the world.
+A per-sequence ``collect_list`` funnel — the naive approach — would
+carry every event through the shuffle instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.timeutil import epoch_us
+
+
+def transition_counts(
+    df: DataFrame,
+    seq_cols: Sequence[str],
+    state_col: str,
+    ts_col: str = "ts",
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Count adjacent (from_state, to_state) pairs across all sequences.
+
+    ``order_cols`` breaks ts ties deterministically (pass a unique id).
+    The first event of a sequence has no predecessor and contributes no
+    pair. Output: ``from_state``, ``to_state``, ``n`` — the raw Markov
+    transition matrix (row-normalize downstream if probabilities are
+    wanted; counts stay integer-exact).
+    """
+    w = Window.partitionBy(*[F.col(c) for c in seq_cols]).orderBy(
+        ts_col, *order_cols
+    )
+    d = df.where(F.col(ts_col).isNotNull() & F.col(state_col).isNotNull()).select(
+        F.lag(state_col).over(w).alias("from_state"),
+        F.col(state_col).alias("to_state"),
+    )
+    return (
+        d.where(F.col("from_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def funnel_steps(
+    df: DataFrame,
+    seq_cols: Sequence[str],
+    state_col: str,
+    steps: Sequence[str],
+    ts_col: str = "ts",
+    max_gap_s: float | None = None,
+) -> DataFrame:
+    """Per-sequence funnel completion times.
+
+    Returns one row per sequence that completed step 1, with columns
+    ``t1..tk`` (epoch-µs BIGINT of the earliest qualifying event per
+    step; NULL once the funnel stalls). Step k qualifies when its event
+    is strictly AFTER ``t(k-1)`` and, with ``max_gap_s``, at most that
+    far after. Repeated states are fine — only the minimum qualifying
+    ts is kept. Aggregate the result for conversion counts
+    (:func:`funnel_summary`).
+    """
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError(f"a funnel needs >= 2 steps, got {steps!r}")
+    if max_gap_s is not None and max_gap_s <= 0:
+        raise ValueError(f"max_gap_s must be > 0, got {max_gap_s}")
+    gap = None if max_gap_s is None else int(round(float(max_gap_s) * 1_000_000))
+    keys = [F.col(c) for c in seq_cols]
+    base = df.where(
+        F.col(ts_col).isNotNull() & F.col(state_col).isin(steps)
+    ).select(*seq_cols, F.col(state_col).alias("_s"), epoch_us(F.col(ts_col)).alias("_t"))
+
+    cur = (
+        base.where(F.col("_s") == steps[0])
+        .groupBy(*keys)
+        .agg(F.min("_t").alias("t1"))
+    )
+    for k, state in enumerate(steps[1:], start=2):
+        prev = f"t{k - 1}"
+        rows = base.where(F.col("_s") == state)
+        cond = F.col("_t") > F.col(prev)
+        if gap is not None:
+            cond = cond & (F.col("_t") <= F.col(prev) + F.lit(gap))
+        nxt = (
+            rows.join(cur.select(*seq_cols, prev), list(seq_cols))
+            .where(cond)
+            .groupBy(*keys)
+            .agg(F.min("_t").alias(f"t{k}"))
+        )
+        cur = cur.join(nxt, list(seq_cols), "left")
+    return cur
+
+
+def funnel_summary(funnel: DataFrame, n_steps: int) -> DataFrame:
+    """Reduce :func:`funnel_steps` output to per-step reach counts:
+    ``step`` (1-based), ``n_reached``. One tiny aggregate."""
+    agg = funnel.agg(
+        *[
+            F.count(F.col(f"t{k}")).alias(f"_n{k}")
+            for k in range(1, n_steps + 1)
+        ]
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("step"), F.col(f"_n{k}").alias("n_reached")
+            )
+            for k in range(1, n_steps + 1)
+        ]
+    )
+    return agg.select(F.explode(pairs).alias("p")).select("p.step", "p.n_reached")

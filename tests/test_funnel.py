@@ -1,0 +1,102 @@
+"""Sequence analytics: transition matrix + ordered conversion funnels
+(operators/funnel). Driver-query parity: event_transition_matrix /
+funnel_conversion oracles in __spark_entry__."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_vegindex_spark.operators.funnel import (
+    funnel_steps,
+    funnel_summary,
+    transition_counts,
+)
+
+T0 = datetime(2024, 1, 1)
+
+
+def _ts(seconds: float) -> datetime:
+    return T0 + timedelta(seconds=seconds)
+
+
+def test_transition_counts_pairs_and_edges(spark):
+    rows = [
+        ("u1", _ts(0), 1, "A"),
+        ("u1", _ts(10), 2, "B"),
+        ("u1", _ts(20), 3, "A"),
+        ("u2", _ts(0), 4, "B"),     # first event: no pair
+        ("u2", _ts(5), 5, None),    # NULL state dropped entirely
+        ("u2", _ts(9), 6, "B"),
+    ]
+    df = spark.createDataFrame(rows, ["u", "ts", "eid", "s"])
+    out = {
+        (r["from_state"], r["to_state"]): r["n"]
+        for r in transition_counts(df, ["u"], "s", order_cols=["eid"]).collect()
+    }
+    assert out == {("A", "B"): 1, ("B", "A"): 1, ("B", "B"): 1}
+
+
+def test_funnel_earliest_qualifying_and_order(spark):
+    rows = [
+        # u1: clean A -> B -> C
+        ("u1", _ts(0), "A"), ("u1", _ts(10), "B"), ("u1", _ts(20), "C"),
+        # u2: B before A doesn't count; the later B does
+        ("u2", _ts(0), "B"), ("u2", _ts(10), "A"), ("u2", _ts(30), "B"),
+        # u3: never starts (no A) -> absent
+        ("u3", _ts(0), "B"), ("u3", _ts(10), "C"),
+        # u4: repeated As; earliest A is the anchor, earliest later B wins
+        ("u4", _ts(0), "A"), ("u4", _ts(5), "A"),
+        ("u4", _ts(7), "B"), ("u4", _ts(9), "B"),
+    ]
+    df = spark.createDataFrame(rows, ["u", "ts", "s"])
+    out = {r["u"]: r for r in funnel_steps(df, ["u"], "s", ["A", "B", "C"]).collect()}
+    assert set(out) == {"u1", "u2", "u4"}
+    us = lambda sec: int(_ts(sec).timestamp() * 1_000_000)
+    assert (out["u1"]["t1"], out["u1"]["t2"], out["u1"]["t3"]) == (
+        us(0), us(10), us(20)
+    )
+    assert (out["u2"]["t2"], out["u2"]["t3"]) == (us(30), None)
+    assert (out["u4"]["t1"], out["u4"]["t2"]) == (us(0), us(7))
+
+
+def test_funnel_max_gap_and_validation(spark):
+    rows = [
+        ("u1", _ts(0), "A"), ("u1", _ts(100), "B"),   # gap 100 s
+        ("u2", _ts(0), "A"), ("u2", _ts(10), "B"),
+    ]
+    df = spark.createDataFrame(rows, ["u", "ts", "s"])
+    out = {
+        r["u"]: r["t2"]
+        for r in funnel_steps(df, ["u"], "s", ["A", "B"], max_gap_s=30).collect()
+    }
+    assert out["u1"] is None and out["u2"] is not None
+    with pytest.raises(ValueError, match="steps"):
+        funnel_steps(df, ["u"], "s", ["A"])
+    with pytest.raises(ValueError, match="max_gap_s"):
+        funnel_steps(df, ["u"], "s", ["A", "B"], max_gap_s=0)
+
+
+def test_funnel_summary_counts(spark):
+    rows = [
+        ("u1", _ts(0), "A"), ("u1", _ts(1), "B"),
+        ("u2", _ts(0), "A"),
+    ]
+    df = spark.createDataFrame(rows, ["u", "ts", "s"])
+    f = funnel_steps(df, ["u"], "s", ["A", "B"])
+    out = {r["step"]: r["n_reached"] for r in funnel_summary(f, 2).collect()}
+    assert out == {1: 2, 2: 1}
+
+
+def test_funnel_and_transitions_plans_jvm_only(spark):
+    rows = [("u%d" % (i % 20), _ts(i * 3), "e%d" % (i % 3)) for i in range(300)]
+    df = spark.createDataFrame(rows, ["u", "ts", "s"])
+    for op in (
+        transition_counts(df, ["u"], "s"),
+        funnel_steps(df, ["u"], "s", ["e0", "e1", "e2"]),
+    ):
+        p = op._jdf.queryExecution().executedPlan().toString()
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+            assert marker not in p
