@@ -1583,6 +1583,18 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_summary(f, 3).orderBy("step")
 
 
+
+def q_cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (operators/funnel.cohort_retention):
+    users grouped by first-activity epoch-week, distinct-active counts
+    per (cohort, week offset) — pure integer period arithmetic."""
+    from python_vegindex_spark.operators.funnel import cohort_retention
+
+    return cohort_retention(
+        _t(spark, sf_dir, "events"), ["user_id"], period_s=7 * 86400
+    ).orderBy("cohort_start", "offset")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hourly_rollup_gapfill": q_hourly_rollup_gapfill,
@@ -1659,6 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_anomaly_counts": q_seasonal_anomaly_counts,
         "event_transition_matrix": q_event_transition_matrix,
         "funnel_conversion": q_funnel_conversion,
+        "cohort_retention_weekly": q_cohort_retention_weekly,
     }
 
 
@@ -3598,5 +3611,18 @@ SELECT 1 AS step, count(*) AS n_reached FROM s1
 UNION ALL SELECT 2 AS step, count(*) AS n_reached FROM s2
 UNION ALL SELECT 3 AS step, count(*) AS n_reached FROM s3
 ORDER BY step
+""",
+        # cohort retention: epoch-anchored weeks, integer offsets
+        "cohort_retention_weekly": """
+WITH p AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS p
+  FROM events WHERE ts IS NOT NULL
+), f AS (
+  SELECT user_id, min(p) AS p0 FROM p GROUP BY 1
+)
+SELECT make_timestamp(f.p0 * 604800000000) AS cohort_start,
+  p.p - f.p0 AS offset, count(*) AS n_active
+FROM p JOIN f USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
 """,
     }

@@ -13,6 +13,9 @@ operators run on (conv_id, role/tool, ts)).
   within ``max_gap_s``). Earliest-completion semantics: each step
   takes the MINIMUM qualifying timestamp (min aggregates on integral
   epoch-µs — order-free and engine-exact).
+* :func:`cohort_retention` — cohort retention matrix: sequences
+  grouped by their first-activity period, activity counted per
+  (cohort, period offset). Integer period arithmetic throughout.
 
 Funnel shape at scale: one filtered aggregate per step over only that
 step's rows, chained by an equi-join on the sequence key — k-1 joins of
@@ -131,3 +134,55 @@ def funnel_summary(funnel: DataFrame, n_steps: int) -> DataFrame:
         ]
     )
     return agg.select(F.explode(pairs).alias("p")).select("p.step", "p.n_reached")
+
+
+def cohort_retention(
+    df: DataFrame,
+    seq_cols: Sequence[str],
+    ts_col: str = "ts",
+    period_s: int = 7 * 86400,
+    max_offset: int | None = None,
+) -> DataFrame:
+    """Cohort retention matrix (the product-analytics staple next to
+    funnels): cohort = the epoch-anchored period of a sequence's FIRST
+    event; for every later period it was active in, count it under
+    (cohort, offset). ``offset`` 0 is the cohort period itself, so
+    ``n_active`` at offset 0 is the cohort size.
+
+    Shape: one aggregate collapses events to distinct (sequence,
+    period) pairs — map-side dedup, the heavy lift; one aggregate
+    derives first periods; a narrow equi-join on the sequence key tags
+    each activity period with its cohort; one final count per (cohort,
+    offset). All integer period arithmetic (epoch-µs ``div``), exact.
+
+    ``max_offset`` truncates the matrix width (NULL = keep all).
+    Output: ``cohort_start`` (timestamp), ``offset`` (periods after
+    the cohort period, BIGINT), ``n_active``.
+    """
+    if period_s <= 0:
+        raise ValueError(f"period_s must be > 0, got {period_s}")
+    if max_offset is not None and max_offset < 0:
+        raise ValueError(f"max_offset must be >= 0, got {max_offset}")
+    step = int(period_s) * 1_000_000
+    keys = list(seq_cols)
+    periods = (
+        df.where(F.col(ts_col).isNotNull())
+        .select(*keys, epoch_us(F.col(ts_col)).alias("_t"))
+        .select(*keys, F.expr(f"_t div {step}").alias("_p"))
+        .distinct()
+    )
+    first = periods.groupBy(*keys).agg(F.min("_p").alias("_p0"))
+    tagged = periods.join(first, keys).select(
+        F.col("_p0"), (F.col("_p") - F.col("_p0")).alias("offset")
+    )
+    if max_offset is not None:
+        tagged = tagged.where(F.col("offset") <= max_offset)
+    return (
+        tagged.groupBy("_p0", "offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .select(
+            F.timestamp_micros(F.col("_p0") * F.lit(step)).alias("cohort_start"),
+            "offset",
+            "n_active",
+        )
+    )

@@ -100,3 +100,60 @@ def test_funnel_and_transitions_plans_jvm_only(spark):
         p = op._jdf.queryExecution().executedPlan().toString()
         for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
             assert marker not in p
+
+
+def test_cohort_retention_matrix(spark):
+    from python_vegindex_spark.operators.funnel import cohort_retention
+
+    day = 86400
+    # 2024-01-04 is epoch day 19726 = 7 * 2818: an epoch-anchored
+    # 7-day period boundary, so the hand-offsets below are exact
+    b = datetime(2024, 1, 4)
+    t = lambda sec: b + timedelta(seconds=sec)
+    rows = [
+        # u1: first period 0, active periods 0, 1, 3
+        ("u1", t(0)), ("u1", t(2 * day)),          # period 0 twice
+        ("u1", t(8 * day)), ("u1", t(22 * day)),
+        # u2: only period 0
+        ("u2", t(3 * day)),
+        # u3: first period 1, active 1 and 3
+        ("u3", t(9 * day)), ("u3", t(23 * day)),
+    ]
+    df = spark.createDataFrame(rows, ["u", "ts"])
+    out = {
+        (r["cohort_start"], r["offset"]): r["n_active"]
+        for r in cohort_retention(df, ["u"], period_s=7 * day).collect()
+    }
+    starts = sorted({c for c, _ in out})
+    c0, c1 = starts[0], starts[1]
+    assert out[(c0, 0)] == 2          # cohort size
+    assert out[(c0, 1)] == 1 and out[(c0, 3)] == 1
+    assert out[(c1, 0)] == 1 and out[(c1, 2)] == 1
+    assert (c0, 2) not in out
+    # max_offset truncation
+    trunc = cohort_retention(df, ["u"], period_s=7 * day, max_offset=1)
+    assert max(r["offset"] for r in trunc.collect()) <= 1
+    with pytest.raises(ValueError, match="period_s"):
+        cohort_retention(df, ["u"], period_s=0)
+    with pytest.raises(ValueError, match="max_offset"):
+        cohort_retention(df, ["u"], max_offset=-1)
+
+
+def test_sequence_ops_on_transcript_payload(spark):
+    """The same operators drive role/tool flow analysis on the turns
+    table (the transcript payload): every conv contributes exactly
+    turns-1 adjacent role pairs."""
+    from python_vegindex_spark.operators.funnel import transition_counts
+    from python_vegindex_spark.sources.synth import synth_turns
+
+    turns = synth_turns(spark, n_convs=40, seed=5)
+    n_turns = turns.count()
+    n_convs = turns.select("conv_id").distinct().count()
+    pairs = transition_counts(
+        turns, ["conv_id"], "role", order_cols=["turn_idx"]
+    )
+    assert pairs.agg(F.sum("n")).collect()[0][0] == n_turns - n_convs
+    roles = {r["from_state"] for r in pairs.collect()} | {
+        r["to_state"] for r in pairs.collect()
+    }
+    assert roles <= {"user", "assistant", "tool", "system"}
