@@ -1595,6 +1595,23 @@ def q_cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cohort_start", "offset")
 
 
+
+def q_funnel_step_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert per funnel step (operators/funnel.funnel_timing):
+    exact interpolated median / p90 of the inter-step µs deltas over
+    the signup -> click -> purchase funnel."""
+    from python_vegindex_spark.operators.funnel import funnel_steps, funnel_timing
+
+    f = funnel_steps(
+        _t(spark, sf_dir, "events"),
+        ["user_id"],
+        "event_type",
+        ["signup", "click", "purchase"],
+        max_gap_s=7 * 86400,
+    )
+    return funnel_timing(f, 3).orderBy("step")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hourly_rollup_gapfill": q_hourly_rollup_gapfill,
@@ -1672,6 +1689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transition_matrix": q_event_transition_matrix,
         "funnel_conversion": q_funnel_conversion,
         "cohort_retention_weekly": q_cohort_retention_weekly,
+        "funnel_step_timing": q_funnel_step_timing,
     }
 
 
@@ -3624,5 +3642,38 @@ SELECT make_timestamp(f.p0 * 604800000000) AS cohort_start,
   p.p - f.p0 AS offset, count(*) AS n_active
 FROM p JOIN f USING (user_id)
 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # inter-step conversion timing over the same funnel algebra
+        "funnel_step_timing": """
+WITH base AS (
+  SELECT user_id, event_type AS s, epoch_us(ts) AS t
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IN ('signup', 'click', 'purchase')
+), s1 AS (
+  SELECT user_id, min(t) AS t1 FROM base WHERE s = 'signup' GROUP BY 1
+), s2 AS (
+  SELECT b.user_id, min(b.t) AS t2
+  FROM base b JOIN s1 USING (user_id)
+  WHERE b.s = 'click' AND b.t > s1.t1 AND b.t <= s1.t1 + 604800000000
+  GROUP BY 1
+), s3 AS (
+  SELECT b.user_id, min(b.t) AS t3
+  FROM base b JOIN s2 USING (user_id)
+  WHERE b.s = 'purchase' AND b.t > s2.t2 AND b.t <= s2.t2 + 604800000000
+  GROUP BY 1
+), u AS (
+  SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+  FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+)
+SELECT 2 AS step, count(t2 - t1) AS n_converted,
+  round(quantile_cont(t2 - t1, 0.5) / CAST(1000000 AS DOUBLE), 6) AS median_s,
+  round(quantile_cont(t2 - t1, 0.9) / CAST(1000000 AS DOUBLE), 6) AS p90_s
+FROM u
+UNION ALL
+SELECT 3 AS step, count(t3 - t2) AS n_converted,
+  round(quantile_cont(t3 - t2, 0.5) / CAST(1000000 AS DOUBLE), 6) AS median_s,
+  round(quantile_cont(t3 - t2, 0.9) / CAST(1000000 AS DOUBLE), 6) AS p90_s
+FROM u
+ORDER BY step
 """,
     }

@@ -186,3 +186,46 @@ def cohort_retention(
             "n_active",
         )
     )
+
+
+def funnel_timing(
+    funnel: DataFrame, n_steps: int, round_to: int | None = 6
+) -> DataFrame:
+    """Time-to-convert stats per funnel step: for each step k >= 2,
+    the count of converted sequences and the exact median / p90 of
+    ``t(k) - t(k-1)`` in seconds (linear-interpolated percentile over
+    the integral µs deltas — one tiny aggregate over the per-sequence
+    funnel rows).
+
+    Output: ``step`` (2-based), ``n_converted``, ``median_s``,
+    ``p90_s``.
+    """
+    if n_steps < 2:
+        raise ValueError(f"a funnel needs >= 2 steps, got {n_steps}")
+
+    def _r(c):
+        return F.round(c, round_to) if round_to is not None else c
+
+    aggs = []
+    for k in range(2, n_steps + 1):
+        d = F.col(f"t{k}") - F.col(f"t{k - 1}")  # NULL-safe: stalls drop out
+        aggs += [
+            F.count(d).alias(f"_n{k}"),
+            F.percentile(d, F.lit(0.5)).alias(f"_med{k}"),
+            F.percentile(d, F.lit(0.9)).alias(f"_p90{k}"),
+        ]
+    agg = funnel.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("step"),
+                F.col(f"_n{k}").alias("n_converted"),
+                _r(F.col(f"_med{k}") / F.lit(1_000_000.0)).alias("median_s"),
+                _r(F.col(f"_p90{k}") / F.lit(1_000_000.0)).alias("p90_s"),
+            )
+            for k in range(2, n_steps + 1)
+        ]
+    )
+    return agg.select(F.explode(rows).alias("p")).select(
+        "p.step", "p.n_converted", "p.median_s", "p.p90_s"
+    )

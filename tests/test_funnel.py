@@ -157,3 +157,21 @@ def test_sequence_ops_on_transcript_payload(spark):
         r["to_state"] for r in pairs.collect()
     }
     assert roles <= {"user", "assistant", "tool", "system"}
+
+
+def test_funnel_timing_stats(spark):
+    from python_vegindex_spark.operators.funnel import funnel_steps, funnel_timing
+
+    rows = [
+        ("u1", _ts(0), "A"), ("u1", _ts(10), "B"),
+        ("u2", _ts(0), "A"), ("u2", _ts(30), "B"),
+        ("u3", _ts(0), "A"),  # stalls: excluded from timing
+    ]
+    df = spark.createDataFrame(rows, ["u", "ts", "s"])
+    f = funnel_steps(df, ["u"], "s", ["A", "B"])
+    [r] = funnel_timing(f, 2).collect()
+    assert r["step"] == 2 and r["n_converted"] == 2
+    assert r["median_s"] == pytest.approx(20.0)  # interpolated between 10, 30
+    assert r["p90_s"] == pytest.approx(28.0)     # type-7 at h=0.9
+    with pytest.raises(ValueError, match="steps"):
+        funnel_timing(f, 1)
