@@ -1612,6 +1612,21 @@ def q_funnel_step_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_timing(f, 3).orderBy("step")
 
 
+
+def q_top_event_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters per bucket (operators/generic_rollup.top_frequent):
+    the 3 most active users per (event_type, day); integer rank key
+    (n DESC, user ASC), engine-exact."""
+    from python_vegindex_spark.operators.generic_rollup import top_frequent
+
+    out = top_frequent(
+        _t(spark, sf_dir, "events"), "daily", ["event_type"], "user_id", k=3
+    )
+    return out.withColumn(
+        "bucket_start", F.col("bucket_start").cast("timestamp")
+    ).orderBy("event_type", "bucket_start", "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hourly_rollup_gapfill": q_hourly_rollup_gapfill,
@@ -1690,6 +1705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": q_funnel_conversion,
         "cohort_retention_weekly": q_cohort_retention_weekly,
         "funnel_step_timing": q_funnel_step_timing,
+        "top_event_users_daily": q_top_event_users_daily,
     }
 
 
@@ -3675,5 +3691,23 @@ SELECT 3 AS step, count(t3 - t2) AS n_converted,
   round(quantile_cont(t3 - t2, 0.9) / CAST(1000000 AS DOUBLE), 6) AS p90_s
 FROM u
 ORDER BY step
+""",
+        # heavy hitters per bucket: counts first, rank over aggregates
+        "top_event_users_daily": """
+WITH c AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket_start,
+    user_id AS key, count(*) AS n
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1, 2, 3
+), r AS (
+  SELECT event_type, bucket_start, key, n,
+    row_number() OVER (PARTITION BY event_type, bucket_start
+                       ORDER BY n DESC, key ASC) AS rank
+  FROM c
+)
+SELECT event_type, CAST(bucket_start AS TIMESTAMP) AS bucket_start,
+  CAST(rank AS INTEGER) AS rank, key, n
+FROM r WHERE rank <= 3
+ORDER BY event_type, bucket_start, rank
 """,
     }

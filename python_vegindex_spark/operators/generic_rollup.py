@@ -120,3 +120,46 @@ def representative_rows(
         "bucket_start",
         *[F.col("_m")[c].alias(c) for c in payload_cols],
     )
+
+
+def top_frequent(
+    df: DataFrame,
+    tier: str,
+    series_cols: list[str],
+    key_col: str,
+    k: int = 5,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Heavy hitters per bucket: the ``k`` most frequent values of
+    ``key_col`` per (series, time bucket) — "top error codes per hour",
+    the dashboard companion of the numeric rollup.
+
+    Two hash aggregates: raw rows collapse to (series, bucket, key)
+    counts map-side first (the heavy lift — the shuffle carries counts,
+    not rows), then a rank window runs over those SMALL aggregated
+    rows. Rank key is (n DESC, key ASC): integer-exact, deterministic
+    under count ties. NULL keys are dropped.
+
+    Output: series, ``bucket_start``, ``rank`` (1-based), ``key``, ``n``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    counts = (
+        df.where(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+        .groupBy(
+            *series_cols,
+            bucket_start(F.col(ts_col), tier).alias("bucket_start"),
+            F.col(key_col).alias("key"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy(
+        *[F.col(c) for c in series_cols], F.col("bucket_start")
+    ).orderBy(F.col("n").desc(), F.col("key").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(*series_cols, "bucket_start", "rank", "key", "n")
+    )

@@ -190,3 +190,31 @@ def test_oracle_q7_matches_engine_numpy_hf_grid():
                 assert got == pytest.approx(exp, rel=1e-12, abs=1e-12), (
                     n, qtype, q,
                 )
+
+
+def test_top_frequent_heavy_hitters(spark):
+    from datetime import datetime, timedelta
+
+    from python_vegindex_spark.operators.generic_rollup import top_frequent
+
+    t0 = datetime(2024, 1, 1)
+    rows = (
+        [("s", t0 + timedelta(seconds=i), "x") for i in range(3)]
+        + [("s", t0 + timedelta(seconds=10 + i), "y") for i in range(3)]
+        + [("s", t0 + timedelta(seconds=20), "z")]
+        + [("s", t0 + timedelta(seconds=3700), "z")]  # next hour
+        + [("s", t0 + timedelta(seconds=30), None)]   # dropped
+    )
+    df = spark.createDataFrame(rows, ["s", "ts", "code"])
+    out = [
+        (r["bucket_start"].hour, r["rank"], r["key"], r["n"])
+        for r in top_frequent(df, "hourly", ["s"], "code", k=2)
+        .orderBy("bucket_start", "rank")
+        .collect()
+    ]
+    # tie between x and y broken by key ASC
+    assert out == [(0, 1, "x", 3), (0, 2, "y", 3), (1, 1, "z", 1)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must"):
+        top_frequent(df, "hourly", ["s"], "code", k=0)
