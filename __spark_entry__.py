@@ -1627,6 +1627,61 @@ def q_top_event_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "bucket_start", "rank")
 
 
+
+def q_pop_wow_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week comparison (operators/rate.period_over_period):
+    daily mean (from integer sums, order-free) vs the same series
+    exactly 7 days earlier via an exact-offset RANGE frame — a missing
+    baseline day yields NULL, never 'the previous row'."""
+    from python_vegindex_spark.operators.rate import period_over_period
+
+    ev = _events_vint(spark, sf_dir)
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.to_date("ts").cast("timestamp").alias("bucket_start"),
+        )
+        .agg(
+            F.round(
+                F.sum("v_int").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("v_mean")
+        )
+    )
+    return period_over_period(
+        daily, ["event_type"], "bucket_start", "v_mean", period_s=7 * 86400
+    ).orderBy("event_type", "bucket_start")
+
+
+def q_threshold_alert_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hysteresis alerting (operators/rate.threshold_alerts): alert on
+    at v_int >= 30000, off at <= 5000; per event_type the episode count
+    and rows-in-alert — the last-non-null-edge window algebra is
+    integer-exact on both engines."""
+    from python_vegindex_spark.operators.rate import threshold_alerts
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & ~F.isnan("value") & F.col("ts").isNotNull()
+    ).select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("v_int"),
+    )
+    out = threshold_alerts(
+        ev, ["event_type"], hi=30000, lo=5000,
+        value_col="v_int", order_cols=["event_id"],
+    )
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("alert_state").cast("long").alias("alert_rows"),
+            F.max("episode").cast("long").alias("n_episodes"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hourly_rollup_gapfill": q_hourly_rollup_gapfill,
@@ -1706,6 +1761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention_weekly": q_cohort_retention_weekly,
         "funnel_step_timing": q_funnel_step_timing,
         "top_event_users_daily": q_top_event_users_daily,
+        "pop_wow_daily": q_pop_wow_daily,
+        "threshold_alert_episodes": q_threshold_alert_episodes,
     }
 
 
@@ -3709,5 +3766,56 @@ SELECT event_type, CAST(bucket_start AS TIMESTAMP) AS bucket_start,
   CAST(rank AS INTEGER) AS rank, key, n
 FROM r WHERE rank <= 3
 ORDER BY event_type, bucket_start, rank
+""",
+        # week-over-week via the exact-offset RANGE frame
+        "pop_wow_daily": """
+WITH daily AS (
+  SELECT event_type,
+    CAST(CAST(ts AS DATE) AS TIMESTAMP) AS bucket_start,
+    round(CAST(CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE), 6) AS v_mean
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL
+  GROUP BY 1, 2
+), w AS (
+  SELECT event_type, bucket_start, v_mean,
+    max(v_mean) OVER (PARTITION BY event_type ORDER BY epoch_us(bucket_start)
+                      RANGE BETWEEN 604800000000 PRECEDING
+                                AND 604800000000 PRECEDING) AS prev_raw
+  FROM daily
+)
+SELECT event_type, bucket_start, v_mean,
+  round(prev_raw, 6) AS prev_value,
+  round(v_mean - prev_raw, 6) AS delta,
+  round(CASE WHEN prev_raw <> 0 THEN (v_mean - prev_raw) / prev_raw END, 6)
+    AS pct_change
+FROM w ORDER BY 1, 2
+""",
+        # hysteresis: last-non-null-edge window, identical on both engines
+        "threshold_alert_episodes": """
+WITH base AS (
+  SELECT event_type, ts, event_id, CAST(floor(value * 100) AS BIGINT) AS v
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL
+), e AS (
+  SELECT event_type, ts, event_id,
+    CASE WHEN CAST(v AS DOUBLE) >= CAST(30000 AS DOUBLE) THEN 1
+         WHEN CAST(v AS DOUBLE) <= CAST(5000 AS DOUBLE) THEN 0 END AS edge
+  FROM base
+), s AS (
+  SELECT event_type,
+    coalesce(last_value(edge IGNORE NULLS) OVER w, 0) AS alert_state,
+    CASE WHEN edge = 1 AND coalesce(last_value(edge IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY ts, event_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) = 0
+      THEN 1 ELSE 0 END AS rising
+  FROM e
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, count(*) AS n_rows,
+  CAST(sum(alert_state) AS BIGINT) AS alert_rows,
+  CAST(sum(rising) AS BIGINT) AS n_episodes
+FROM s GROUP BY 1 ORDER BY 1
 """,
     }

@@ -31,6 +31,10 @@
   (dow x hour) seasonal baselines and zero-shuffle broadcast scoring
   of live rows against them (the seasonal counterpart of
   :func:`anomaly_zscore`'s trailing window).
+* :func:`period_over_period` — WoW/DoD comparison column on bucket
+  rows via an exact-offset RANGE frame (never "previous row").
+* :func:`threshold_alerts` — two-threshold hysteresis alerting,
+  expressed exactly as a last-non-null-edge window (no recursion).
 
 Each is one window per series (lag / lead / RANGE frame) plus at most
 one hash aggregate on the same or a coarser key — a single
@@ -675,4 +679,108 @@ def seasonal_deviation(
             F.when(ok, F.abs(z) > F.lit(float(threshold))).otherwise(F.lit(False)),
         )
         .drop(*[f"_p_{c}" for c in series_cols], "_p_dow", "_p_hour", "_p_std")
+    )
+
+
+def period_over_period(
+    df: DataFrame,
+    series_cols: Sequence[str],
+    bucket_col: str,
+    value_col: str,
+    period_s: int,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Period-over-period comparison on bucket-grain rows (the WoW/DoD
+    dashboard column): append ``prev_value`` (the same series' value
+    exactly ``period_s`` earlier), ``delta`` and ``pct_change``.
+
+    Implemented as an exact-offset RANGE window over epoch-µs — frame
+    ``[-period, -period]`` picks precisely the row one period back (or
+    NULL if that bucket is missing/gap-filled-empty), never "the
+    previous row". One (series)-keyed window over ALREADY-AGGREGATED
+    rows, JVM-only. ``pct_change`` is NULL when the baseline is 0 or
+    missing; the division is one pinned float op.
+    """
+    if period_s <= 0:
+        raise ValueError(f"period_s must be > 0, got {period_s}")
+    off = int(period_s) * 1_000_000
+    d = df.withColumn("_bus", epoch_us(F.col(bucket_col)))
+    w = (
+        Window.partitionBy(*[F.col(c) for c in series_cols])
+        .orderBy("_bus")
+        .rangeBetween(-off, -off)
+    )
+    v = F.col(value_col).cast("double")
+    prev = F.max(F.col(value_col)).over(w).cast("double")  # frame holds <= 1 row
+    delta = v - prev
+    pct = F.when(prev != 0, delta / prev)
+
+    def _r(c):
+        return F.round(c, round_to) if round_to is not None else c
+
+    return (
+        d.withColumn("prev_value", _r(prev))
+        .withColumn("delta", _r(delta))
+        .withColumn("pct_change", _r(pct))
+        .drop("_bus")
+    )
+
+
+def threshold_alerts(
+    df: DataFrame,
+    series_cols: Sequence[str],
+    hi: float,
+    lo: float,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Hysteresis threshold alerting (the Grafana/Nagios two-threshold
+    rule): the alert turns ON when the value reaches ``hi`` and stays
+    on until it falls to ``lo`` (crossings in between don't flap).
+
+    Despite looking like a per-row recursion, hysteresis is
+    window-expressible exactly: each row's state is the LAST edge seen
+    — ``1`` where ``v >= hi``, ``0`` where ``v <= lo``, NULL between —
+    via ``last_value(edge) IGNORE NULLS`` over the preceding frame
+    (initial state 0). ``episode`` numbers the alert spells per series
+    (running count of rising edges), 0 before the first alert. One
+    (series)-keyed window, JVM-only; NaN values are edge-less (treated
+    like in-band rows).
+
+    Output: input columns + ``alert_state`` (0/1), ``episode``.
+    """
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got hi={hi}, lo={lo}")
+    vc = F.col(value_col).cast("double")
+    v = F.when(~F.isnan(vc), vc)  # NaN ≡ NULL: no edge
+    edge = F.when(v >= F.lit(float(hi)), F.lit(1)).when(
+        v <= F.lit(float(lo)), F.lit(0)
+    )
+    w = (
+        Window.partitionBy(*[F.col(c) for c in series_cols])
+        .orderBy(ts_col, *order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = df.withColumn("_edge", edge)
+    state = F.coalesce(F.last("_edge", ignorenulls=True).over(w), F.lit(0))
+    rising = F.when(
+        (F.col("_edge") == 1)
+        & (
+            F.coalesce(
+                F.last("_edge", ignorenulls=True).over(
+                    Window.partitionBy(*[F.col(c) for c in series_cols])
+                    .orderBy(ts_col, *order_cols)
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+            == 0
+        ),
+        1,
+    ).otherwise(0)
+    return (
+        d.withColumn("alert_state", state)
+        .withColumn("episode", F.sum(rising).over(w))
+        .drop("_edge")
     )

@@ -853,3 +853,52 @@ def test_new_rate_ops_treat_nan_as_null(spark):
         live, prof, ["s"], value_col="v", threshold=1.0, min_baseline=5
     ).collect()
     assert r["is_anomaly"] is False and r["z"] is None
+
+
+# ------------------------------- period_over_period / threshold_alerts
+
+
+def test_period_over_period_exact_offset(spark):
+    from python_vegindex_spark.operators.rate import period_over_period
+
+    rows = [
+        ("a", _ts(0), 10.0),
+        ("a", _ts(3600), 20.0),
+        # hour 2 missing entirely
+        ("a", _ts(3 * 3600), 40.0),
+        ("b", _ts(3600), 99.0),  # other series: no bleed
+    ]
+    df = spark.createDataFrame(rows, ["s", "bucket_start", "v"])
+    out = {
+        (r["s"], r["bucket_start"]): r
+        for r in period_over_period(
+            df, ["s"], "bucket_start", "v", period_s=3600
+        ).collect()
+    }
+    r0 = out[("a", _ts(0))]
+    assert r0["prev_value"] is None and r0["pct_change"] is None
+    r1 = out[("a", _ts(3600))]
+    assert (r1["prev_value"], r1["delta"], r1["pct_change"]) == (10.0, 10.0, 1.0)
+    # the gap means NO baseline (exact offset, not previous row)
+    r3 = out[("a", _ts(3 * 3600))]
+    assert r3["prev_value"] is None
+    assert out[("b", _ts(3600))]["prev_value"] is None
+    with pytest.raises(ValueError, match="period_s"):
+        period_over_period(df, ["s"], "bucket_start", "v", period_s=0)
+
+
+def test_threshold_alerts_hysteresis(spark):
+    from python_vegindex_spark.operators.rate import threshold_alerts
+
+    vals = [1.0, 12.0, 11.0, 5.0, 2.0, 15.0, float("nan"), 2.0]
+    rows = [("a", _ts(i), i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["s", "ts", "eid", "v"])
+    out = (
+        threshold_alerts(df, ["s"], hi=10, lo=3, value_col="v", order_cols=["eid"])
+        .orderBy("eid")
+        .collect()
+    )
+    assert [r["alert_state"] for r in out] == [0, 1, 1, 1, 0, 1, 1, 0]
+    assert [r["episode"] for r in out] == [0, 1, 1, 1, 1, 2, 2, 2]
+    with pytest.raises(ValueError, match="hi > lo"):
+        threshold_alerts(df, ["s"], hi=3, lo=10, value_col="v")
