@@ -902,3 +902,31 @@ def test_threshold_alerts_hysteresis(spark):
     assert [r["episode"] for r in out] == [0, 1, 1, 1, 1, 2, 2, 2]
     with pytest.raises(ValueError, match="hi > lo"):
         threshold_alerts(df, ["s"], hi=3, lo=10, value_col="v")
+
+
+def test_pop_alerts_plans_jvm_only(spark):
+    from python_vegindex_spark.operators.rate import (
+        period_over_period,
+        threshold_alerts,
+    )
+
+    pre = spark.createDataFrame(
+        [("a", _ts(i * 3600), float(i)) for i in range(100)],
+        ["s", "bucket_start", "v"],
+    )
+    pop = period_over_period(pre, ["s"], "bucket_start", "v", period_s=3600)
+    p = _plan(pop)
+    assert p.count("Exchange hashpartitioning") == 1, p  # the window only
+
+    raw = spark.createDataFrame(
+        [("a", _ts(i), i, float(i % 40)) for i in range(200)],
+        ["s", "ts", "eid", "v"],
+    )
+    al = threshold_alerts(raw, ["s"], hi=30, lo=5, value_col="v",
+                          order_cols=["eid"])
+    p = _plan(al)
+    assert p.count("Exchange hashpartitioning") == 1, p  # one series window
+    for op in (pop, al):
+        p = _plan(op)
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+            assert marker not in p

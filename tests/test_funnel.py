@@ -175,3 +175,13 @@ def test_funnel_timing_stats(spark):
     assert r["p90_s"] == pytest.approx(28.0)     # type-7 at h=0.9
     with pytest.raises(ValueError, match="steps"):
         funnel_timing(f, 1)
+
+
+def test_cohort_plan_jvm_only(spark):
+    from python_vegindex_spark.operators.funnel import cohort_retention
+
+    rows = [("u%d" % (i % 30), _ts(i * 9000)) for i in range(400)]
+    df = spark.createDataFrame(rows, ["u", "ts"])
+    p = cohort_retention(df, ["u"])._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in p
