@@ -1682,6 +1682,39 @@ def q_threshold_alert_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_chunks_range_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map chunk read path (codecs/chunks.decode_chunks ts_min/
+    ts_max): encode events into daily Gorilla chunks, decode ONLY a
+    one-week window — whole chunks outside [first_ts, last_ts] overlap
+    are dropped JVM-side before the Python decode — then aggregate
+    exactly; the oracle reads the source rows directly through the
+    identical window."""
+    from python_vegindex_spark.codecs.chunks import decode_chunks, encode_chunks
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    chunks = encode_chunks(ev, tier="daily", series_cols=["event_type"])
+    back = decode_chunks(
+        chunks,
+        ["event_type"],
+        ts_min="2024-01-08 06:00:00",
+        ts_max="2024-01-15 18:00:00",
+    )
+    # source NULL values roundtrip as NaN through the float codec:
+    # drop both classes, mirroring the oracle's NULL/NaN filter
+    back = back.where(F.col("value").isNotNull() & ~F.isnan("value"))
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("v_sum"),
+            F.min("ts").alias("ts_first"),
+            F.max("ts").alias("ts_last"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hourly_rollup_gapfill": q_hourly_rollup_gapfill,
@@ -1763,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_event_users_daily": q_top_event_users_daily,
         "pop_wow_daily": q_pop_wow_daily,
         "threshold_alert_episodes": q_threshold_alert_episodes,
+        "chunks_range_decode": q_chunks_range_decode,
     }
 
 
@@ -3817,5 +3851,16 @@ SELECT event_type, count(*) AS n_rows,
   CAST(sum(alert_state) AS BIGINT) AS alert_rows,
   CAST(sum(rising) AS BIGINT) AS n_episodes
 FROM s GROUP BY 1 ORDER BY 1
+""",
+        # zone-map chunk reads: source rows through the identical window
+        "chunks_range_decode": """
+SELECT event_type, count(*) AS n,
+  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v_sum,
+  min(ts) AS ts_first, max(ts) AS ts_last
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-08 06:00:00'
+  AND ts <= TIMESTAMP '2024-01-15 18:00:00'
+  AND value IS NOT NULL AND NOT isnan(value)
+GROUP BY 1 ORDER BY 1
 """,
     }

@@ -145,8 +145,25 @@ def decode_chunks(
     series_cols: list[str],
     ts_col: str = "ts",
     value_col: str = "value",
+    ts_min=None,
+    ts_max=None,
 ) -> DataFrame:
-    """Explode chunk rows back into (series, ts, value) rows. No shuffle."""
+    """Explode chunk rows back into (series, ts, value) rows. No shuffle.
+
+    ``ts_min``/``ts_max`` (inclusive bounds, timestamp-castable) turn
+    the chunk stats into ZONE MAPS: chunks whose ``[first_ts, last_ts]``
+    span misses the range are dropped by a JVM filter BEFORE the Python
+    decode stage — and, when the chunk table comes off parquet, the
+    predicate pushes into the scan (PushedFilters on first_ts/last_ts),
+    so pruned chunks are never even read. The 100-TB read path: a
+    narrow time-range query over a year of chunks decodes only the
+    touched buckets. Rows are then exact-filtered on the decoded ts
+    (chunk edges overlap the bounds).
+    """
+    if ts_min is not None:
+        chunks = chunks.where(F.col("last_ts") >= F.lit(ts_min).cast("timestamp"))
+    if ts_max is not None:
+        chunks = chunks.where(F.col("first_ts") <= F.lit(ts_max).cast("timestamp"))
     series_fields = [chunks.schema[c] for c in series_cols]
     out_schema = T.StructType(
         [
@@ -179,4 +196,9 @@ def decode_chunks(
             )
             yield out
 
-    return chunks.select(*cols).mapInPandas(decode_batches, out_schema)
+    out = chunks.select(*cols).mapInPandas(decode_batches, out_schema)
+    if ts_min is not None:
+        out = out.where(F.col(ts_col) >= F.lit(ts_min).cast("timestamp"))
+    if ts_max is not None:
+        out = out.where(F.col(ts_col) <= F.lit(ts_max).cast("timestamp"))
+    return out

@@ -151,3 +151,42 @@ def test_chunks_null_series_key_spans_arrow_batches(spark):
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
     assert len(chunks) == 1, chunks[["series", "tool", "n_points"]]
     assert int(chunks["n_points"].iloc[0]) == n
+
+
+def test_decode_chunks_range_prunes_before_python(spark, tmp_path):
+    """Zone-map read path: a time-range decode drops whole chunks with a
+    JVM filter before mapInPandas (pushed into the parquet scan), and
+    the result is exactly the full decode filtered by ts."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from python_vegindex_spark.codecs.chunks import decode_chunks, encode_chunks
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("s", t0 + timedelta(hours=h, minutes=m), float(h * 100 + m))
+        for h in range(6)
+        for m in range(0, 60, 15)
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "value"])
+    path = str(tmp_path / "chunks")
+    encode_chunks(df, tier="hourly", series_cols=["k"]).write.parquet(path)
+    chunks = spark.read.parquet(path)
+
+    lo, hi = t0 + timedelta(hours=2, minutes=10), t0 + timedelta(hours=3, minutes=50)
+    pruned = decode_chunks(chunks, ["k"], ts_min=lo, ts_max=hi)
+    got = sorted((r["ts"], r["value"]) for r in pruned.collect())
+    want = sorted((t, v) for _, t, v in rows if lo <= t <= hi)
+    assert got == want and len(got) == 7
+
+    # chunk-level pruning really happened: only 2 of 6 hourly chunks
+    # survive the stats filter
+    survivors = chunks.where(
+        (F.col("last_ts") >= F.lit(lo)) & (F.col("first_ts") <= F.lit(hi))
+    )
+    assert chunks.count() == 6 and survivors.count() == 2
+
+    # and the predicate reached the parquet scan
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "last_ts" in plan, plan
