@@ -22,6 +22,9 @@ re-expressed over tables:
 * retention — raw day-partitions older than a horizon are dropped only
   after chunk row-counts verify the day is fully represented in the
   compressed tier (north_rule "drop raw turns while preserving rollups").
+* tiered reads — :func:`read_tiered` queries across the retention
+  boundary: old days decode from the chunk tier (zone-map pruned),
+  new days scan bronze (partition-pruned), one shuffle-free union.
 
 Invariant (tested): initial-load + N incremental runs == one full
 recompute, cell-for-cell, for every tier.
@@ -37,11 +40,13 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..codecs.chunks import decode_chunks
 from ..config import RollupConfig
 from ..functions.buckets import bucket_start
 from ..operators.features import turn_features
 from ..operators.rollup import rollup
 from ..sources import tableio
+from ..sources.bronze import read_turns
 
 
 @dataclass
@@ -249,3 +254,54 @@ def compact_retention(
         else:
             kept.append(str(day))
     return {"dropped_days": sorted(dropped), "kept_unverified": sorted(kept)}
+
+
+# ---------------------------------------------------------------------------
+# tiered reads across the retention boundary
+# ---------------------------------------------------------------------------
+
+def read_tiered(
+    spark: SparkSession,
+    turns_path: str,
+    chunks: DataFrame,
+    boundary: str,
+    series_cols: list[str] | None = None,
+    value_expr: str = "CAST(length(text) AS DOUBLE)",
+    ts_min: str | None = None,
+    ts_max: str | None = None,
+) -> DataFrame:
+    """The post-compaction read path: one (series, ts, value) DataFrame
+    spanning the retention boundary — days **< boundary** come from the
+    compressed chunk tier (``codecs.chunks.decode_chunks`` with its
+    zone-map ``ts_min``/``ts_max`` pruning), days **>= boundary** from
+    the raw bronze tier (``sources.bronze.read_turns`` with its
+    ts_date partition pruning). Each side is pruned by ITS OWN storage
+    stats before any row materializes; the union is by name and needs
+    no shuffle.
+
+    ``value_expr`` must be the expression the chunks were encoded from
+    (the engine's convention: text length), so a range query straddling
+    the boundary is value-identical to reading the original raw table —
+    pinned by ``test_incremental.py``.
+
+    Bounds are optional ISO timestamps; ``ts_min`` is inclusive,
+    ``ts_max`` exclusive (read_turns' convention).
+    """
+    series = list(series_cols) if series_cols is not None else ["conv_id"]
+    out = None
+    # chunk tier: [ts_min, boundary)
+    if ts_min is None or ts_min < boundary:
+        hi = boundary if ts_max is None else min(ts_max, boundary)
+        old = decode_chunks(chunks, series, ts_min=ts_min, ts_max=hi).where(
+            F.col("ts") < F.lit(hi).cast("timestamp")  # exclusive upper bound
+        )
+        out = old
+    # raw tier: [max(ts_min, boundary), ts_max)
+    if ts_max is None or ts_max > boundary:
+        lo = boundary if ts_min is None else max(ts_min, boundary)
+        raw = read_turns(spark, turns_path, lo, ts_max).select(
+            *series, "ts", F.expr(value_expr).alias("value")
+        )
+        out = raw if out is None else out.unionByName(raw)
+    assert out is not None
+    return out

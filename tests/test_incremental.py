@@ -175,3 +175,62 @@ def test_resume_equivalence_with_clock_skew(spark, tmp_path):
     pd.testing.assert_frame_equal(
         g, e[g.columns.tolist()], check_exact=False, rtol=1e-12
     )
+
+
+def test_read_tiered_spans_retention_boundary(spark, turns, tmp_path):
+    """read_tiered: after compaction a range query straddling the
+    retention boundary reads old days from chunks + new days from raw
+    and is value-identical to the ORIGINAL raw table over the range."""
+    from pyspark.sql import functions as F
+
+    from python_vegindex_spark.codecs.chunks import encode_chunks
+    from python_vegindex_spark.sources.synth import write_turns
+    from python_vegindex_spark.streaming.incremental import read_tiered
+
+    raw_path = str(tmp_path / "bronze")
+    write_turns(turns, raw_path, partition_by_day=True)
+    original = (
+        spark.read.parquet(raw_path)
+        .select("conv_id", "ts", F.length("text").cast("double").alias("value"))
+        .cache()
+    )
+    original.count()
+
+    horizon = "2024-03-01"
+    chunks = encode_chunks(
+        spark.read.parquet(raw_path).withColumn(
+            "value", F.length("text").cast("double")
+        ),
+        tier="hourly",
+        series_cols=["conv_id"],
+    ).cache()
+    report = compact_retention(spark, raw_path, chunks, older_than=horizon)
+    assert report["dropped_days"]
+
+    lo, hi = "2024-02-10", "2024-04-10"  # straddles the boundary
+    got = read_tiered(
+        spark, raw_path, chunks, boundary=horizon, ts_min=lo, ts_max=hi
+    )
+    want = original.where((F.col("ts") >= lo) & (F.col("ts") < hi))
+    a = sorted((r["conv_id"], r["ts"], r["value"]) for r in got.collect())
+    b = sorted((r["conv_id"], r["ts"], r["value"]) for r in want.collect())
+    assert a == b and len(a) > 0
+    # both tiers actually contributed
+    n_old = sum(1 for cid, t, v in a if str(t) < horizon)
+    assert 0 < n_old < len(a)
+
+    # range entirely on one side still works
+    only_raw = read_tiered(
+        spark, raw_path, chunks, boundary=horizon, ts_min="2024-03-05",
+        ts_max="2024-03-20",
+    )
+    assert only_raw.count() == original.where(
+        (F.col("ts") >= "2024-03-05") & (F.col("ts") < "2024-03-20")
+    ).count()
+    only_chunks = read_tiered(
+        spark, raw_path, chunks, boundary=horizon, ts_min="2024-01-10",
+        ts_max="2024-02-01",
+    )
+    assert only_chunks.count() == original.where(
+        (F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-02-01")
+    ).count()
