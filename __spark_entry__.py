@@ -87,6 +87,26 @@ def q_weekly_anchored_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "bucket_start")
 
 
+def q_multitier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three retention tiers (hourly/daily/weekly) from ONE scan and
+    ONE wide shuffle (operators/multitier.rollup_series_tiers): the
+    explicit grouping-sets lowering — per-row explode of per-tier
+    (tier, bucket) structs, one shared aggregate, join-free gap-fill,
+    nmin tiering. Per-tier slices are row-identical to the single-tier
+    operators (tests/test_multitier.py)."""
+    from python_vegindex_spark.operators.multitier import rollup_series_tiers
+
+    ev = _t(spark, sf_dir, "events")
+    out = rollup_series_tiers(
+        ev,
+        ("hourly", "daily", "weekly"),
+        series_cols=["event_type"],
+        value_col="value",
+        nmin=2,
+    )
+    return out.orderBy("event_type", "tier", "bucket_start")
+
+
 def q_midpoint_rep_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 argmin-to-anchor representative row per (event_type, day)."""
     ev = _t(spark, sf_dir, "events")
@@ -1718,6 +1738,7 @@ def q_chunks_range_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hourly_rollup_gapfill": q_hourly_rollup_gapfill,
+        "multitier_rollup": q_multitier_rollup,
         "daily_user_rollup_tiered": q_daily_user_rollup_tiered,
         "weekly_anchored_rollup": q_weekly_anchored_rollup,
         "midpoint_rep_rows": q_midpoint_rep_rows,
@@ -1981,6 +2002,45 @@ SELECT s.event_type, s.bucket_start,
        coalesce(a.n, 0) AS n, a.v_mean, a.v_std, a.v_min, a.v_max, a.v_50, a.v_75, a.v_90
 FROM spine s LEFT JOIN agg a USING (event_type, bucket_start)
 ORDER BY 1, 2
+""",
+        "multitier_rollup": f"""
+WITH tiers AS (
+  SELECT event_type, 'hourly' AS tier, date_trunc('hour', ts) AS bucket_start, value FROM events
+  UNION ALL
+  SELECT event_type, 'daily', date_trunc('day', ts), value FROM events
+  UNION ALL
+  SELECT event_type, 'weekly',
+         date_trunc('year', ts) + CAST(floor((dayofyear(ts) - 1) / 7) * 7 AS INT) * INTERVAL 1 DAY,
+         value
+  FROM events
+), agg AS (
+  SELECT event_type, tier, bucket_start, {_ROLLUP_STATS}
+  FROM tiers GROUP BY 1, 2, 3
+), bounds AS (
+  SELECT event_type, tier, min(bucket_start) AS mn, max(bucket_start) AS mx
+  FROM tiers GROUP BY 1, 2
+), spine AS (
+  SELECT event_type, tier, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket_start
+  FROM bounds WHERE tier = 'hourly'
+  UNION ALL
+  SELECT event_type, tier, unnest(generate_series(mn, mx, INTERVAL 1 DAY))
+  FROM bounds WHERE tier = 'daily'
+  UNION ALL
+  SELECT event_type, tier, d FROM (
+    SELECT event_type, tier, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS d
+    FROM bounds WHERE tier = 'weekly'
+  ) WHERE (dayofyear(d) - 1) % 7 = 0
+)
+SELECT s.event_type, s.tier, s.bucket_start, coalesce(a.n, 0) AS n,
+       CASE WHEN a.n >= 2 THEN a.v_mean END AS v_mean,
+       CASE WHEN a.n >= 2 THEN a.v_std END AS v_std,
+       CASE WHEN a.n >= 2 THEN a.v_min END AS v_min,
+       CASE WHEN a.n >= 2 THEN a.v_max END AS v_max,
+       CASE WHEN a.n >= 2 THEN a.v_50 END AS v_50,
+       CASE WHEN a.n >= 2 THEN a.v_75 END AS v_75,
+       CASE WHEN a.n >= 2 THEN a.v_90 END AS v_90
+FROM spine s LEFT JOIN agg a USING (event_type, tier, bucket_start)
+ORDER BY 1, 2, 3
 """,
         "daily_user_rollup_tiered": f"""
 WITH base AS (
