@@ -98,6 +98,17 @@ def main() -> None:
             lambda tier=tier: rollup(feats, RollupConfig(tier=tier, nmin=2)),
         )
 
+    # fused path: all three tiers from one scan + one shuffle
+    from python_vegindex_spark.operators.multitier import rollup_tiers
+
+    run(
+        "rollup_3tier_fused",
+        lambda: rollup_tiers(
+            feats,
+            [RollupConfig(tier=t, nmin=2) for t in ("hourly", "daily", "weekly")],
+        ),
+    )
+
     # storage tier: Gorilla/delta-of-delta chunk encode + decode roundtrip
     from pyspark.sql import functions as F
 
@@ -125,7 +136,12 @@ def main() -> None:
 
     query_secs = {k: v for k, v in timings.items() if not k.endswith("_rows")}
     total = round(sum(query_secs.values()), 3)
-    rollup_secs = sum(v for k, v in query_secs.items() if k.startswith("rollup_"))
+    rollup_secs = sum(
+        v
+        for k, v in query_secs.items()
+        if k.startswith("rollup_") and k != "rollup_3tier_fused"
+    )
+    fused_sec = query_secs.get("rollup_3tier_fused")
     out = {
         "metric": "engine_bench_total_wall",
         "value": total,
@@ -134,6 +150,7 @@ def main() -> None:
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "n_turns": n_turns,
         "turns_per_sec_3tier": round(3 * n_turns / rollup_secs, 1) if rollup_secs else None,
+        "turns_per_sec_3tier_fused": round(3 * n_turns / fused_sec, 1) if fused_sec else None,
         "rows": {k[:-5]: v for k, v in timings.items() if k.endswith("_rows")},
         "cold_queries": colds,
         "cpus": int(CPUS),
