@@ -129,11 +129,12 @@ def test_series_tiers_matches_rollup_series(spark, turns_path):
         "ts",
         F.length("text").cast("double").alias("value"),
     )
+    tiers = ("15min", *TIERS)  # minute lattice exercises the fixed-kind branch
     multi = rollup_series_tiers(
-        ev, TIERS, series_cols=["series"], nmin=2
+        ev, tiers, series_cols=["series"], nmin=2
     ).cache()
     try:
-        for tier in TIERS:
+        for tier in tiers:
             single = rollup_series(
                 ev, tier, series_cols=["series"], nmin=2
             ).withColumn("bucket_start", F.to_timestamp("bucket_start"))
