@@ -107,6 +107,29 @@ def q_multitier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("event_type", "tier", "bucket_start")
 
 
+def q_cascade_weekly_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical cascade (operators/cascade): weekly stats composed
+    from the HOURLY aggregate's BIGINT moment sums — the raw table is
+    scanned once at hourly grain, then the weekly tier re-aggregates
+    the (tiny) hourly moments. The oracle computes raw -> weekly
+    directly, so a green row proves raw->hourly->weekly ≡ raw->weekly:
+    the cascade algebra itself, not just the bucket math."""
+    from python_vegindex_spark.operators.cascade import (
+        cascade_moments,
+        finish_moments,
+        rollup_moments,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("y"),
+    )
+    hourly = rollup_moments(ev, "hourly", ["event_type"], value_col="y")
+    weekly = cascade_moments(hourly, "hourly", "weekly", ["event_type"])
+    return finish_moments(weekly).orderBy("event_type", "bucket_start")
+
+
 def q_midpoint_rep_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 argmin-to-anchor representative row per (event_type, day)."""
     ev = _t(spark, sf_dir, "events")
@@ -1739,6 +1762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hourly_rollup_gapfill": q_hourly_rollup_gapfill,
         "multitier_rollup": q_multitier_rollup,
+        "cascade_weekly_from_hourly": q_cascade_weekly_from_hourly,
         "daily_user_rollup_tiered": q_daily_user_rollup_tiered,
         "weekly_anchored_rollup": q_weekly_anchored_rollup,
         "midpoint_rep_rows": q_midpoint_rep_rows,
@@ -2041,6 +2065,36 @@ SELECT s.event_type, s.tier, s.bucket_start, coalesce(a.n, 0) AS n,
        CASE WHEN a.n >= 2 THEN a.v_90 END AS v_90
 FROM spine s LEFT JOIN agg a USING (event_type, tier, bucket_start)
 ORDER BY 1, 2, 3
+""",
+        # raw -> weekly computed DIRECTLY (the engine goes raw -> hourly
+        # -> weekly), same integer moments, same pinned double finish
+        "cascade_weekly_from_hourly": """
+WITH base AS (
+  SELECT event_type,
+         date_trunc('year', ts)
+           + CAST(floor((dayofyear(ts) - 1) / 7) * 7 AS INT) * INTERVAL 1 DAY
+           AS bucket_start,
+         CAST(floor(value * 100) AS BIGINT) AS y
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+), mom AS (
+  SELECT event_type, bucket_start,
+         count(*) AS n,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(min(y) AS BIGINT) AS v_min,
+         CAST(max(y) AS BIGINT) AS v_max
+  FROM base GROUP BY 1, 2
+)
+SELECT event_type, CAST(bucket_start AS TIMESTAMP) AS bucket_start, n,
+  round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS v_mean,
+  round(sqrt(greatest(
+    CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+      - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)),
+    0.0)), 6) AS v_std,
+  v_min, v_max
+FROM mom ORDER BY 1, 2
 """,
         "daily_user_rollup_tiered": f"""
 WITH base AS (

@@ -1,0 +1,120 @@
+"""Cascade re-aggregation: coarse-tier moments composed from fine tiers.
+
+Core invariant: raw → fine → coarse equals raw → coarse exactly (the
+moments are order-free BIGINT sums over a nesting partition), for every
+legal (fine, coarse) pair; illegal pairs are rejected up front.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_vegindex_spark.operators.cascade import (
+    cascade_moments,
+    finish_moments,
+    rollup_moments,
+)
+
+LEGAL = [
+    ("15min", "hourly"),
+    ("15min", "daily"),
+    ("hourly", "daily"),
+    ("hourly", "weekly"),
+    ("hourly", "3day"),
+    ("daily", "weekly"),
+    ("daily", "3day"),
+]
+ILLEGAL = [
+    ("3day", "weekly"),   # doy 6-8 straddles the weekly doy 1-7/8-14 edge
+    ("weekly", "daily"),  # coarse -> fine
+    ("daily", "hourly"),
+    ("hourly", "hourly"),  # equal tier
+    ("hourly", "90min"),   # 5400 % 3600 != 0
+]
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    # multi-year span so the weekly doy lattice restart is exercised;
+    # integer values so moments are exact by construction
+    rows = []
+    t = dt.datetime(2023, 12, 20, 5, 7)
+    for i in range(800):
+        rows.append((f"s{i % 3}", t, (i * 37) % 5000 - 2500))
+        t += dt.timedelta(minutes=47)
+    return spark.createDataFrame(rows, "series string, ts timestamp, v long")
+
+
+@pytest.mark.parametrize("fine,coarse", LEGAL)
+def test_cascade_equals_direct(spark, ev, fine, coarse):
+    direct = finish_moments(
+        rollup_moments(ev, coarse, ["series"], value_col="v")
+    )
+    cascaded = finish_moments(
+        cascade_moments(
+            rollup_moments(ev, fine, ["series"], value_col="v"),
+            fine,
+            coarse,
+            ["series"],
+        )
+    )
+    got = sorted(map(tuple, cascaded.collect()))
+    want = sorted(map(tuple, direct.collect()))
+    assert got == want, f"{fine}->{coarse}: cascade != direct"
+
+
+@pytest.mark.parametrize("fine,coarse", ILLEGAL)
+def test_non_nesting_pairs_rejected(spark, ev, fine, coarse):
+    mom = rollup_moments(ev, fine if fine != "weekly" else "daily",
+                         ["series"], value_col="v")
+    with pytest.raises(ValueError, match="nest|unknown|tier"):
+        cascade_moments(mom, fine, coarse, ["series"])
+
+
+def test_finish_hand_values(spark):
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1, 0, 5), 1),
+         ("a", dt.datetime(2024, 1, 1, 0, 15), 2),
+         ("a", dt.datetime(2024, 1, 1, 0, 25), 6)],
+        "series string, ts timestamp, v long",
+    )
+    out = finish_moments(
+        rollup_moments(df, "hourly", ["series"], value_col="v")
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == 3 and r["v_min"] == 1 and r["v_max"] == 6
+    assert r["v_mean"] == 3.0
+    # population std of {1,2,6}: mean 3, var (4+1+9)/3
+    assert r["v_std"] == round((14 / 3) ** 0.5, 6)
+
+
+def test_null_nan_rows_dropped(spark):
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1, 0, 5), 4.0),
+         ("a", dt.datetime(2024, 1, 1, 0, 6), float("nan")),
+         ("a", dt.datetime(2024, 1, 1, 0, 7), None),
+         ("a", None, 9.0)],
+        "series string, ts timestamp, v double",
+    )
+    out = finish_moments(
+        rollup_moments(df, "hourly", ["series"], value_col="v")
+    ).collect()
+    assert len(out) == 1 and out[0]["n"] == 1 and out[0]["v_mean"] == 4.0
+
+
+def test_cascade_plan_jvm_only(spark, ev):
+    out = finish_moments(
+        cascade_moments(
+            rollup_moments(ev, "hourly", ["series"], value_col="v"),
+            "hourly",
+            "weekly",
+            ["series"],
+        )
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan, f"Python in cascade plan: {marker}"
