@@ -33,6 +33,7 @@ def run_pipeline(
     with_chunks: bool = True,
     work_dir: str | None = None,
     chunk_tier: str = "daily",
+    fused: bool = False,
 ) -> dict:
     """Run the full pipeline; write parquet when ``out_root`` given,
     otherwise count() to force execution (bench mode).
@@ -80,8 +81,36 @@ def run_pipeline(
     metrics["n_turns"] = n_turns
 
     points = 0
-    for tier in tiers:
-        points += execute(f"gold_{tier}", rollup(feats, RollupConfig(tier=tier, nmin=nmin)))
+    if fused:
+        # one scan + one shuffle for every tier (operators/multitier);
+        # written partitioned by tier so each tier's gold stays a
+        # prunable directory, still a single execution
+        from ..operators.multitier import rollup_tiers
+
+        gold = rollup_tiers(
+            feats, [RollupConfig(tier=t, nmin=nmin) for t in tiers]
+        )
+        t0 = time.perf_counter()
+        if out_root:
+            gold.write.mode("overwrite").partitionBy("tier").parquet(
+                f"{out_root}/gold_tiers"
+            )
+            gold = spark.read.parquet(f"{out_root}/gold_tiers")
+        per_tier = {
+            r["tier"]: r["count"]
+            for r in gold.groupBy("tier").count().collect()
+        }
+        points = sum(per_tier.values())
+        metrics["stages"]["gold_tiers_fused"] = {
+            "wall_s": round(time.perf_counter() - t0, 3),
+            "rows": points,
+            "per_tier": per_tier,
+        }
+    else:
+        for tier in tiers:
+            points += execute(
+                f"gold_{tier}", rollup(feats, RollupConfig(tier=tier, nmin=nmin))
+            )
     if with_chunks:
         # Chunk grain is a caller knob (default daily): hourly chunks of
         # conversational series average a handful of points (hot convs

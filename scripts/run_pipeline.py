@@ -23,6 +23,11 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=None, help="for shuffle sizing + report")
     ap.add_argument("--tiers", default="hourly,daily,weekly")
     ap.add_argument("--no-chunks", action="store_true")
+    ap.add_argument(
+        "--fused",
+        action="store_true",
+        help="all gold tiers from one scan + one shuffle (multitier)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -54,6 +59,7 @@ def main() -> None:
         out_root=args.out,
         tiers=tuple(args.tiers.split(",")),
         with_chunks=not args.no_chunks,
+        fused=args.fused,
     )
     metrics["cores"] = args.cores
     print("PIPELINE_METRICS " + json.dumps(metrics))

@@ -56,7 +56,9 @@ def _cpu_sample() -> tuple[int, int]:
     return steal, sum(vals)
 
 
-def run_submit(cores: int, turns_path: str, zip_path: str) -> dict:
+def run_submit(
+    cores: int, turns_path: str, zip_path: str, extra: list[str] | None = None
+) -> dict:
     spark_submit = shutil.which("spark-submit") or os.path.join(
         os.path.dirname(shutil.which("pyspark") or sys.executable), "spark-submit"
     )
@@ -78,7 +80,7 @@ def run_submit(cores: int, turns_path: str, zip_path: str) -> dict:
         os.path.join(REPO, "scripts/run_pipeline.py"),
         "--turns", turns_path,
         "--cores", str(cores),
-    ]
+    ] + (extra or [])
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     for line in out.stdout.splitlines():
         if line.startswith("PIPELINE_METRICS "):
@@ -116,6 +118,11 @@ def main() -> None:
         action="store_true",
         help="also run local[2]/local[8] for the 2->8 efficiency pair",
     )
+    ap.add_argument(
+        "--fused",
+        action="store_true",
+        help="run the one-scan multi-tier gold path (run_pipeline --fused)",
+    )
     args = ap.parse_args()
 
     zip_path = "/tmp/pvs.zip"
@@ -130,7 +137,10 @@ def main() -> None:
     # every configuration equally; keep the best (least-noisy) run each
     for rep in range(args.repeat):
         for cores in core_list:
-            m = run_submit(cores, args.turns, zip_path)
+            m = run_submit(
+                cores, args.turns, zip_path,
+                extra=["--fused"] if args.fused else None,
+            )
             best = results.get(cores)
             if best is None or m["wall_s"] < best["wall_s"]:
                 results[cores] = m

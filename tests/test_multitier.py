@@ -123,6 +123,25 @@ def test_validation_rejects_mismatched_configs(spark, feats):
         rollup_tiers(feats, [RollupConfig(tier="daily"), RollupConfig(tier="daily")])
 
 
+def test_pipeline_fused_mode(spark, turns_path, tmp_path):
+    """run_pipeline(fused=True): per-tier row counts equal the per-tier
+    pipeline's, and the gold output lands partitioned by tier."""
+    import os
+
+    from python_vegindex_spark.plans.pipeline import run_pipeline
+
+    turns = spark.read.parquet(turns_path)
+    sep = run_pipeline(spark, turns, with_chunks=False)
+    fused = run_pipeline(
+        spark, turns, out_root=str(tmp_path / "gold"), with_chunks=False,
+        fused=True,
+    )
+    per_tier = fused["stages"]["gold_tiers_fused"]["per_tier"]
+    for tier in ("hourly", "daily", "weekly"):
+        assert per_tier[tier] == sep["stages"][f"gold_{tier}"]["rows"]
+    assert os.path.isdir(str(tmp_path / "gold" / "gold_tiers" / "tier=daily"))
+
+
 def test_series_tiers_matches_rollup_series(spark, turns_path):
     ev = read_turns(spark, turns_path).select(
         F.col("conv_id").alias("series"),
