@@ -197,6 +197,199 @@ def incremental_rollup(
     return metrics
 
 
+def backfill_rollup(
+    spark: SparkSession,
+    turns: DataFrame,
+    delta: DataFrame,
+    store: RollupStore,
+    cfg: RollupConfig,
+    run_id: str | None = None,
+) -> dict:
+    """Delta-driven (CDC / backfill) ingestion: recompute exactly the
+    gold buckets a late batch touches.
+
+    :func:`incremental_rollup` is watermark-based, so rows whose EVENT
+    time is at or below the checkpoint are invisible to it — the
+    standard watermark contract (and the reference's:
+    update_roi_timeseries.py:134-139 resumes strictly after the last
+    CSV timestamp). Real lakehouse operations still produce such rows:
+    repair loads, late-arriving export partitions, backfilled history.
+    ``delta`` is the newly ingested row set as identified by the INGEST
+    layer (an Iceberg snapshot diff, the files of the appended batch) —
+    any event times, append-only on the (conv_id, turn_idx) key;
+    ``turns`` is the bronze table AFTER the append (delta ⊆ turns).
+
+    Invalidation is a bucket SET, not a tail range:
+
+    * buckets containing delta rows, and
+    * the bucket of each delta row's SUCCESSOR turn — the one existing
+      row whose lag base changed (latency_delta = lag(ts) over
+      (conv_id ORDER BY turn_idx)), plus
+    * for delta rows OUTSIDE the conv's current gold [min, max] bucket
+      range, the lattice buckets between the old boundary and the new
+      extreme — so the count-0 spine rows a full recompute would emit
+      there exist after the backfill too (new convs span min..max of
+      their own delta).
+
+    A 1-row repair two years back therefore recomputes ≤ 2 buckets,
+    not two years of tail. Features are recomputed over the affected
+    convs' full turn history (lag-correct by construction; the shuffle
+    is bounded by those convs' row counts, and the scan is one
+    bronze pass filtered by a broadcast semi-join — the same cost
+    class as incremental_rollup's invalidation scan), aggregated with
+    gap-fill OFF, then count-0 rows are synthesized for invalidated
+    buckets that hold no post-QC rows. Invariant (tested): any mix of
+    watermark increments and backfills equals one full recompute.
+    """
+    from ..functions.buckets import _bucket_seq, bucket_center
+
+    t0 = time.perf_counter()
+    run_id = run_id or uuid.uuid4().hex[:12]
+    tier = cfg.tier
+    hw = _high_water(spark, store, tier)
+    gold_path = store.gold(tier)
+    existing = tableio.read(spark, gold_path)
+
+    rows_in = delta.count()
+    if rows_in == 0:
+        metrics = {
+            "run_id": run_id, "tier": tier, "rows_in": 0, "rows_out": 0,
+            "hw_old": hw, "hw_new": hw,
+            "wall_ms": int((time.perf_counter() - t0) * 1000),
+        }
+        _append_lineage(spark, store, metrics)
+        return metrics
+
+    affected = delta.select("conv_id").distinct()
+    conv_rows = turns.join(F.broadcast(affected), on="conv_id", how="left_semi")
+
+    # ---- invalid bucket set ---------------------------------------------
+    from pyspark.sql.window import Window
+
+    b = bucket_start(F.col("ts"), tier)
+    keyed = conv_rows.join(
+        F.broadcast(
+            delta.select("conv_id", "turn_idx").withColumn("_is_new", F.lit(True))
+        ),
+        on=["conv_id", "turn_idx"],
+        how="left",
+    ).withColumn("_is_new", F.coalesce(F.col("_is_new"), F.lit(False)))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    touched = (
+        keyed.withColumn(
+            "_touch",
+            F.col("_is_new")
+            | F.coalesce(F.lag("_is_new").over(w), F.lit(False)),
+        )
+        .filter(F.col("_touch"))
+        .select("conv_id", b.alias("bucket_start"))
+        .distinct()
+    )
+
+    # lattice extension beyond the conv's current gold bucket range
+    new_bounds = delta.groupBy("conv_id").agg(
+        F.min(b).alias("_min_nb"), F.max(b).alias("_max_nb")
+    )
+    if existing is not None:
+        gold_bounds = (
+            existing.join(F.broadcast(affected), on="conv_id", how="left_semi")
+            .groupBy("conv_id")
+            .agg(
+                F.min("bucket_start").alias("_min_gb"),
+                F.max("bucket_start").alias("_max_gb"),
+            )
+        )
+        bounds = new_bounds.join(gold_bounds, on="conv_id", how="left")
+    else:
+        bounds = new_bounds.withColumn("_min_gb", F.lit(None)).withColumn(
+            "_max_gb", F.lit(None)
+        )
+    no_gold = F.col("_min_gb").isNull()
+    ranges = F.array_compact(
+        F.array(
+            F.when(
+                no_gold,
+                F.struct(F.col("_min_nb").alias("lo"), F.col("_max_nb").alias("hi")),
+            ),
+            F.when(
+                ~no_gold & (F.col("_max_nb") > F.col("_max_gb")),
+                F.struct(F.col("_max_gb").alias("lo"), F.col("_max_nb").alias("hi")),
+            ),
+            F.when(
+                ~no_gold & (F.col("_min_nb") < F.col("_min_gb")),
+                F.struct(F.col("_min_nb").alias("lo"), F.col("_min_gb").alias("hi")),
+            ),
+        )
+    )
+    ext = (
+        bounds.select("conv_id", F.explode(ranges).alias("_r"))
+        .select(
+            "conv_id",
+            F.explode(
+                _bucket_seq(F.col("_r.lo"), F.col("_r.hi"), tier)
+            ).alias("bucket_start"),
+        )
+        .distinct()
+    )
+    invalid = touched.unionByName(ext).distinct().localCheckpoint(eager=True)
+    n_invalid = invalid.count()
+
+    # ---- recompute exactly those buckets ---------------------------------
+    feats = turn_features(conv_rows)
+    slice_feats = feats.withColumn("_b", bucket_start(F.col("ts"), tier)).join(
+        F.broadcast(invalid.withColumnRenamed("bucket_start", "_b")),
+        on=["conv_id", "_b"],
+        how="left_semi",
+    ).drop("_b")
+    out = rollup(slice_feats, cfg, gap_fill=False)
+
+    # count-0 rows for invalidated buckets with no surviving post-QC rows
+    # (the rows a full recompute's gap-fill spine would emit there)
+    gaps = invalid.join(out, on=["conv_id", "bucket_start"], how="left_anti")
+    center = bucket_center(F.col("bucket_start"), tier)
+    label_cols = {
+        "bucket_center": center,
+        "year": F.year(center),
+        "doy": F.dayofyear(center),
+        "hour": F.hour("bucket_start") if tier == "hourly" else F.lit(None),
+        "turn_count": F.lit(0),
+    }
+    gap_rows = gaps.select(
+        "conv_id",
+        "bucket_start",
+        *[
+            (label_cols[c] if c in label_cols else F.lit(None))
+            .cast(out.schema[c].dataType)
+            .alias(c)
+            for c in out.columns
+            if c not in ("conv_id", "bucket_start")
+        ],
+    )
+    out = out.unionByName(gap_rows)
+
+    rows_out = tableio.upsert(
+        spark, out, gold_path, keys=["conv_id", "bucket_start"]
+    )
+
+    # the watermark never moves backwards on a backfill
+    hw_delta = delta.agg(F.max("ts")).collect()[0][0]
+    hw_new = max(x for x in (hw, hw_delta) if x is not None)
+    ck_row = spark.createDataFrame(
+        [(tier, hw_new, run_id)],
+        "tier string, high_water_ts timestamp, run_id string",
+    )
+    tableio.append(ck_row, store.checkpoint)
+
+    metrics = {
+        "run_id": run_id, "tier": tier, "rows_in": rows_in,
+        "rows_out": rows_out, "buckets_invalidated": n_invalid,
+        "hw_old": hw, "hw_new": hw_new,
+        "wall_ms": int((time.perf_counter() - t0) * 1000),
+    }
+    _append_lineage(spark, store, metrics)
+    return metrics
+
+
 def _append_lineage(spark: SparkSession, store: RollupStore, m: dict) -> None:
     row = spark.createDataFrame(
         [

@@ -1,0 +1,121 @@
+"""backfill_rollup: delta-driven late-data ingestion.
+
+Invariants: (a) any mix of watermark increments and backfills equals one
+full recompute, cell for cell; (b) a small late delta invalidates only
+the buckets it touches (its own + lag-successor + lattice extension),
+never the tail range after it.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from python_vegindex_spark.config import RollupConfig
+from python_vegindex_spark.operators.features import turn_features
+from python_vegindex_spark.operators.rollup import rollup
+from python_vegindex_spark.sources import tableio
+from python_vegindex_spark.sources.synth import synth_turns
+from python_vegindex_spark.streaming.incremental import (
+    RollupStore,
+    backfill_rollup,
+    incremental_rollup,
+)
+
+
+@pytest.fixture(scope="module")
+def turns(spark):
+    return synth_turns(spark, n_convs=40, seed=29, span_days=150).cache()
+
+
+def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
+    return (
+        pdf.sort_values(["conv_id", "bucket_start"], kind="stable")
+        .reset_index(drop=True)
+        .sort_index(axis=1)
+    )
+
+
+def _assert_gold_equals_full(spark, store, cfg, turns):
+    got = tableio.read(spark, store.gold(cfg.tier)).toPandas()
+    exp = rollup(turn_features(turns), cfg).toPandas()
+    g, e = _norm(got), _norm(exp)
+    assert len(g) == len(e), (len(g), len(e))
+    pd.testing.assert_frame_equal(
+        g, e[g.columns.tolist()], check_exact=False, rtol=1e-12
+    )
+
+
+@pytest.mark.parametrize("tier", ["daily", "weekly"])
+def test_backfill_mid_history_equals_full(spark, turns, tier, tmp_path):
+    """Hold out a mid-history slice, load the rest via the watermark
+    path, backfill the held-out rows (event times BELOW the watermark —
+    invisible to incremental_rollup), compare to a full recompute."""
+    cfg = RollupConfig(tier=tier, nmin=2)
+    store = RollupStore(str(tmp_path / f"bf_{tier}"))
+
+    held = turns.filter(
+        (F.col("ts") >= "2024-02-10") & (F.col("ts") < "2024-02-20")
+    )
+    rest = turns.subtract(held)
+    m0 = incremental_rollup(spark, rest, store, cfg)
+    assert m0["rows_in"] > 0
+
+    # sanity: the watermark path alone cannot see the held-out rows
+    m_blind = incremental_rollup(spark, turns, store, cfg)
+    assert m_blind["rows_in"] == 0
+
+    m1 = backfill_rollup(spark, turns, held, store, cfg)
+    assert m1["rows_in"] == held.count()
+    _assert_gold_equals_full(spark, store, cfg, turns)
+
+
+def test_backfill_invalidates_minimal_buckets(spark, turns, tmp_path):
+    """A 1-row late repair recomputes O(1) buckets, not the tail range."""
+    cfg = RollupConfig(tier="daily", nmin=2)
+    store = RollupStore(str(tmp_path / "bf_min"))
+
+    one = turns.orderBy("conv_id", "turn_idx").limit(500).orderBy(
+        "conv_id", "ts"
+    ).limit(1)
+    delta = one.collect()
+    rest = turns.subtract(one)
+    incremental_rollup(spark, rest, store, cfg)
+
+    m = backfill_rollup(spark, turns, spark.createDataFrame(delta, turns.schema),
+                        store, cfg)
+    assert m["rows_in"] == 1
+    # own bucket + successor's bucket (+ possible low-side lattice
+    # extension if the row was the conv's first) — never the whole tail
+    assert m["buckets_invalidated"] <= 3, m
+    _assert_gold_equals_full(spark, store, cfg, turns)
+
+
+def test_backfill_new_conv_and_tail_extension(spark, turns, tmp_path):
+    """Deltas beyond the gold range (a brand-new conv; a tail append)
+    emit the same count-0 spine rows a full recompute would."""
+    cfg = RollupConfig(tier="daily", nmin=2)
+    store = RollupStore(str(tmp_path / "bf_ext"))
+
+    convs = [r["conv_id"] for r in turns.select("conv_id").distinct().limit(2).collect()]
+    newconv, tailconv = convs[0], convs[1]
+    held = turns.filter(
+        (F.col("conv_id") == newconv)
+        | ((F.col("conv_id") == tailconv) & (F.col("ts") >= "2024-04-01"))
+    )
+    rest = turns.subtract(held)
+    incremental_rollup(spark, rest, store, cfg)
+
+    m = backfill_rollup(spark, turns, held, store, cfg)
+    assert m["rows_in"] == held.count() and m["rows_out"] > 0
+    _assert_gold_equals_full(spark, store, cfg, turns)
+
+
+def test_backfill_empty_delta_noop(spark, turns, tmp_path):
+    cfg = RollupConfig(tier="daily", nmin=2)
+    store = RollupStore(str(tmp_path / "bf_empty"))
+    incremental_rollup(spark, turns, store, cfg)
+    m = backfill_rollup(spark, turns, turns.limit(0), store, cfg)
+    assert m["rows_in"] == 0 and m["rows_out"] == 0
+    _assert_gold_equals_full(spark, store, cfg, turns)
