@@ -449,6 +449,87 @@ def compact_retention(
     return {"dropped_days": sorted(dropped), "kept_unverified": sorted(kept)}
 
 
+def compact_gold_retention(
+    spark: SparkSession,
+    store: RollupStore,
+    fine_tier: str,
+    coarse_tier: str,
+    older_than: str,
+    series_cols: list[str] | None = None,
+    count_col: str = "turn_count",
+) -> dict:
+    """Multi-resolution gold retention: drop FINE-tier buckets older
+    than a horizon once the COARSE tier verifiably covers them — the
+    "hourly for 30 days, daily for a year, weekly forever" ladder of
+    production time-series stores (TimescaleDB retention policies on
+    continuous aggregates), completing the raw→chunk compaction
+    (:func:`compact_retention`) one level up.
+
+    Verification is the cascade's own algebra: for each coarse bucket
+    whose WINDOW closes strictly before ``older_than``, the sum of the
+    fine rows' ``count_col`` must equal the coarse row's — counts
+    compose exactly under the lattice-nesting rule
+    (``operators.cascade._check_nesting`` validates the tier pair), so
+    a mismatch means the tiers disagree and the fine rows are KEPT and
+    reported, never silently destroyed. Coarse buckets straddling the
+    horizon, or absent from the coarse gold, also keep their fine rows.
+
+    Parquet emulation: anti-join + overwrite (Iceberg ``DELETE WHERE``
+    in production, same predicate).
+    """
+    from ..operators.cascade import _check_nesting, _tier_grain
+
+    _check_nesting(fine_tier, coarse_tier)
+    series = series_cols or ["conv_id"]
+    fine = tableio.read(spark, store.gold(fine_tier))
+    coarse = tableio.read(spark, store.gold(coarse_tier))
+    if fine is None or coarse is None:
+        return {"dropped_rows": 0, "dropped_buckets": 0, "kept_unverified": 0}
+
+    cb = bucket_start(F.col("bucket_start"), coarse_tier)
+    kind, width = _tier_grain(coarse_tier)
+    if kind == "fixed":
+        cb_end = F.to_timestamp(cb) + F.expr(f"INTERVAL {width} SECONDS")
+    else:
+        cb_end = F.to_timestamp(F.date_add(cb, width))
+    horizon = F.lit(older_than).cast("timestamp")
+
+    cand = fine.withColumn("_cb", cb).withColumn("_closed", cb_end <= horizon)
+    sums = (
+        cand.filter("_closed")
+        .groupBy(*series, "_cb")
+        .agg(F.sum(count_col).alias("_fine_n"))
+    )
+    cov = coarse.select(
+        *series,
+        F.col("bucket_start").alias("_cb"),
+        F.col(count_col).alias("_coarse_n"),
+    )
+    joined = sums.join(cov, on=[*series, "_cb"], how="left")
+    verified = joined.filter(
+        F.col("_coarse_n").isNotNull() & (F.col("_coarse_n") == F.col("_fine_n"))
+    ).select(*series, "_cb")
+    n_unverified = joined.count() - verified.count()
+
+    keys = verified.localCheckpoint(eager=True)
+    n_buckets = keys.count()
+    # no broadcast hint: the dropped-bucket key set can be arbitrarily
+    # large (years of buckets x series); AQE picks the join strategy
+    remaining = (
+        fine.withColumn("_cb", cb)
+        .join(keys, on=[*series, "_cb"], how="left_anti")
+        .drop("_cb")
+        .localCheckpoint(eager=True)
+    )
+    dropped_rows = fine.count() - remaining.count()
+    tableio.overwrite(remaining, store.gold(fine_tier))
+    return {
+        "dropped_rows": dropped_rows,
+        "dropped_buckets": n_buckets,
+        "kept_unverified": n_unverified,
+    }
+
+
 # ---------------------------------------------------------------------------
 # tiered reads across the retention boundary
 # ---------------------------------------------------------------------------
