@@ -130,6 +130,31 @@ def q_cascade_weekly_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finish_moments(weekly).orderBy("event_type", "bucket_start")
 
 
+def q_cascade_histogram_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composable-percentile cascade: hourly value_heatmap bins summed
+    to weekly (operators/cascade.cascade_bins — integer counts compose
+    exactly under the nesting lattice), finished by histogram_quantile.
+    The oracle bins raw -> weekly directly, so a green row proves the
+    binned-count cascade is lossless."""
+    from python_vegindex_spark.operators.cascade import cascade_bins
+    from python_vegindex_spark.operators.downsample import (
+        histogram_quantile,
+        value_heatmap,
+    )
+
+    hm_h = value_heatmap(
+        _t(spark, sf_dir, "events"),
+        tier="hourly",
+        bin_width=50.0,
+        series_cols=["event_type"],
+    )
+    hm_w = cascade_bins(hm_h, "hourly", "weekly", ["event_type"])
+    out = histogram_quantile(hm_w, 0.9, 50.0, ["event_type"])
+    return out.withColumn(
+        "bucket_start", F.col("bucket_start").cast("timestamp")
+    ).orderBy("event_type", "bucket_start")
+
+
 def q_midpoint_rep_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 argmin-to-anchor representative row per (event_type, day)."""
     ev = _t(spark, sf_dir, "events")
@@ -1763,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_rollup_gapfill": q_hourly_rollup_gapfill,
         "multitier_rollup": q_multitier_rollup,
         "cascade_weekly_from_hourly": q_cascade_weekly_from_hourly,
+        "cascade_histogram_p90": q_cascade_histogram_p90,
         "daily_user_rollup_tiered": q_daily_user_rollup_tiered,
         "weekly_anchored_rollup": q_weekly_anchored_rollup,
         "midpoint_rep_rows": q_midpoint_rep_rows,
@@ -2095,6 +2121,35 @@ SELECT event_type, CAST(bucket_start AS TIMESTAMP) AS bucket_start, n,
     0.0)), 6) AS v_std,
   v_min, v_max
 FROM mom ORDER BY 1, 2
+""",
+        # raw binned DIRECTLY at weekly grain (the engine sums hourly
+        # bins into weekly), same integer counts, same interpolation
+        "cascade_histogram_p90": """
+WITH hm AS (
+  SELECT event_type,
+    date_trunc('year', ts)
+      + CAST(floor((dayofyear(ts) - 1) / 7) * 7 AS INT) * INTERVAL 1 DAY
+      AS bucket_start,
+    CAST(floor(value / 50.0) AS BIGINT) AS v_bin, count(*) AS n
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL
+  GROUP BY 1, 2, 3
+), c AS (
+  SELECT event_type, bucket_start, v_bin,
+    CAST(n AS DOUBLE) AS nd,
+    CAST(sum(n) OVER (PARTITION BY event_type, bucket_start
+                      ORDER BY v_bin) AS DOUBLE) AS cum,
+    CAST(sum(n) OVER (PARTITION BY event_type, bucket_start) AS DOUBLE) AS total
+  FROM hm
+)
+SELECT event_type, CAST(bucket_start AS TIMESTAMP) AS bucket_start,
+  CAST(total AS BIGINT) AS total_n, CAST(0.9 AS DOUBLE) AS q,
+  round(CAST(v_bin AS DOUBLE) * 50.0
+        + 50.0 * (CAST(0.9 AS DOUBLE) * total - (cum - nd)) / nd, 6) AS est
+FROM c
+WHERE (cum - nd) < CAST(0.9 AS DOUBLE) * total
+  AND CAST(0.9 AS DOUBLE) * total <= cum
+ORDER BY 1, 2
 """,
         "daily_user_rollup_tiered": f"""
 WITH base AS (

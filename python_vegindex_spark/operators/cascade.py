@@ -149,6 +149,36 @@ def cascade_moments(
     )
 
 
+def cascade_bins(
+    heat: DataFrame,
+    from_tier: str,
+    to_tier: str,
+    series_cols: Sequence[str],
+    bucket_col: str = "bucket_start",
+    bin_col: str = "v_bin",
+    count_col: str = "n",
+) -> DataFrame:
+    """Coarse-tier binned counts from a fine-tier
+    :func:`operators.downsample.value_heatmap` — the composable
+    PERCENTILE path the moment cascade deliberately lacks.
+
+    Binned counts are plain integer sums over a nesting partition, so
+    they compose exactly like the moments; feeding the result to
+    :func:`operators.downsample.histogram_quantile` yields a coarse-tier
+    quantile whose error is bounded by the bin width and IDENTICAL to
+    binning the raw data at the coarse tier directly (oracle-pinned by
+    the ``cascade_histogram_p90`` driver query). Exact percentiles stay
+    the rollup default; this is the fixed-memory cascade alternative.
+    """
+    _check_nesting(from_tier, to_tier)
+    b = bucket_start(F.col(bucket_col), to_tier)
+    return (
+        heat.withColumn(bucket_col, b)
+        .groupBy(*series_cols, bucket_col, bin_col)
+        .agg(F.sum(count_col).alias(count_col))
+    )
+
+
 def finish_moments(mom: DataFrame, round_to: int | None = 6) -> DataFrame:
     """Moments → reported stats in ONE pinned double op order:
 

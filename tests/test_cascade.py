@@ -74,6 +74,27 @@ def test_non_nesting_pairs_rejected(spark, ev, fine, coarse):
         cascade_moments(mom, fine, coarse, ["series"])
 
 
+@pytest.mark.parametrize("fine,coarse", [("hourly", "weekly"), ("15min", "daily")])
+def test_cascade_bins_equals_direct(spark, ev, fine, coarse):
+    """Binned counts compose losslessly; the histogram quantile over
+    the cascaded bins equals the directly-binned coarse quantile."""
+    from python_vegindex_spark.operators.cascade import cascade_bins
+    from python_vegindex_spark.operators.downsample import (
+        histogram_quantile,
+        value_heatmap,
+    )
+
+    fine_hm = value_heatmap(ev, fine, 100.0, ["series"], value_col="v")
+    direct = value_heatmap(ev, coarse, 100.0, ["series"], value_col="v")
+    casc = cascade_bins(fine_hm, fine, coarse, ["series"])
+    assert sorted(map(tuple, casc.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    qd = histogram_quantile(direct, 0.9, 100.0, ["series"]).collect()
+    qc = histogram_quantile(casc, 0.9, 100.0, ["series"]).collect()
+    assert sorted(map(tuple, qc)) == sorted(map(tuple, qd))
+
+
 def test_finish_hand_values(spark):
     df = spark.createDataFrame(
         [("a", dt.datetime(2024, 1, 1, 0, 5), 1),
