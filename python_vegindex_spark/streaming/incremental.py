@@ -197,6 +197,148 @@ def incremental_rollup(
     return metrics
 
 
+def incremental_rollup_tiers(
+    spark: SparkSession,
+    turns: DataFrame,
+    store: RollupStore,
+    cfgs: list[RollupConfig],
+    run_id: str | None = None,
+) -> dict:
+    """One incremental run maintaining EVERY tier from ONE bronze scan.
+
+    :func:`incremental_rollup` per tier re-derives the invalidation
+    slice from bronze each time — three tiers, three full scans per
+    nightly run. This fused variant computes one shared slice (per
+    conv: rows needed by ANY tier, i.e. from the earliest per-tier
+    invalidation window, plus one lag-helper row before all of them),
+    derives features once, then per tier filters to that tier's own
+    window, rolls up and upserts. Semantics per tier are identical to
+    the single-tier operator (pinned: increments across all tiers ≡
+    full recompute, per tier).
+
+    Watermark: the shared ``new``-row set uses the MINIMUM of the
+    per-tier checkpoints (a lagging tier widens the slice for everyone
+    — more recompute, never wrong); each tier still records its own
+    checkpoint + lineage row. Intended for tiers maintained together;
+    a brand-new tier (no checkpoint) forces a full-history slice.
+    """
+    t0 = time.perf_counter()
+    run_id = run_id or uuid.uuid4().hex[:12]
+    hws = {c.tier: _high_water(spark, store, c.tier) for c in cfgs}
+    hw_min = None if any(v is None for v in hws.values()) else min(hws.values())
+
+    new = turns if hw_min is None else turns.filter(F.col("ts") > F.lit(hw_min))
+    affected = new.select("conv_id").distinct()
+
+    existing = {c.tier: tableio.read(spark, store.gold(c.tier)) for c in cfgs}
+    fresh = hw_min is None or any(existing[c.tier] is None for c in cfgs)
+
+    if fresh:
+        slice_df = new.withColumn("_helper", F.lit(False))
+        invalids: dict[str, DataFrame] = {}
+    else:
+        invalids = {}
+        for c in cfgs:
+            b = bucket_start(F.col("ts"), c.tier)
+            last_gold = (
+                existing[c.tier]
+                .join(F.broadcast(affected), on="conv_id", how="left_semi")
+                .groupBy("conv_id")
+                .agg(F.max("bucket_start").alias("_lgb"))
+            )
+            first_new = (
+                new.withColumn("_b", b)
+                .groupBy("conv_id")
+                .agg(F.min("_b").alias("_fnb"))
+            )
+            invalids[c.tier] = first_new.join(
+                last_gold, on="conv_id", how="left"
+            ).select(
+                "conv_id",
+                F.least(
+                    F.col("_fnb"), F.coalesce(F.col("_lgb"), F.col("_fnb"))
+                ).alias(f"_if_{c.tier}"),
+            )
+        inv_all = invalids[cfgs[0].tier]
+        for c in cfgs[1:]:
+            inv_all = inv_all.join(invalids[c.tier], on="conv_id")
+        # a row is in the shared slice if ANY tier's window covers it
+        needed = None
+        for c in cfgs:
+            cond = bucket_start(F.col("ts"), c.tier) >= F.col(f"_if_{c.tier}")
+            needed = cond if needed is None else (needed | cond)
+        tagged = turns.join(F.broadcast(inv_all), on="conv_id")
+        slice_turns = tagged.filter(needed).drop(
+            *[f"_if_{c.tier}" for c in cfgs]
+        )
+        # one lag-helper row per conv: the last turn before EVERY window
+        older = tagged.filter(~needed)
+        prev_payload = F.struct(
+            F.col("turn_idx").alias("_o"),
+            F.col("ts").alias("_o2"),
+            *[F.col(c) for c in turns.columns],
+        )
+        prev_rows = (
+            older.groupBy("conv_id")
+            .agg(F.max(prev_payload).alias("_m"))
+            .select(*[F.col("_m")[c].alias(c) for c in turns.columns])
+        )
+        slice_df = slice_turns.withColumn("_helper", F.lit(False)).unionByName(
+            prev_rows.withColumn("_helper", F.lit(True))
+        )
+
+    slice_df = slice_df.localCheckpoint(eager=True)
+    real_rows = slice_df.filter(~F.col("_helper"))
+    rows_in = (
+        real_rows.filter(
+            F.col("ts") > F.lit(hw_min)
+        ).count()
+        if hw_min is not None
+        else real_rows.count()
+    )
+    metrics: dict = {"run_id": run_id, "rows_in": rows_in, "tiers": {}}
+    if rows_in == 0:
+        for c in cfgs:
+            m = {
+                "run_id": run_id, "tier": c.tier, "rows_in": 0, "rows_out": 0,
+                "hw_old": hws[c.tier], "hw_new": hws[c.tier],
+                "wall_ms": int((time.perf_counter() - t0) * 1000),
+            }
+            _append_lineage(spark, store, m)
+            metrics["tiers"][c.tier] = m
+        return metrics
+
+    feats_all = turn_features(slice_df.drop("_helper")).localCheckpoint(
+        eager=True
+    )
+    hw_new = real_rows.agg(F.max("ts")).collect()[0][0] or hw_min
+    for c in cfgs:
+        feats = feats_all
+        if not fresh:
+            feats = feats.join(
+                F.broadcast(invalids[c.tier]), on="conv_id"
+            ).filter(
+                bucket_start(F.col("ts"), c.tier) >= F.col(f"_if_{c.tier}")
+            ).drop(f"_if_{c.tier}")
+        out = rollup(feats, c)
+        rows_out = tableio.upsert(
+            spark, out, store.gold(c.tier), keys=["conv_id", "bucket_start"]
+        )
+        ck_row = spark.createDataFrame(
+            [(c.tier, hw_new, run_id)],
+            "tier string, high_water_ts timestamp, run_id string",
+        )
+        tableio.append(ck_row, store.checkpoint)
+        m = {
+            "run_id": run_id, "tier": c.tier, "rows_in": rows_in,
+            "rows_out": rows_out, "hw_old": hws[c.tier], "hw_new": hw_new,
+            "wall_ms": int((time.perf_counter() - t0) * 1000),
+        }
+        _append_lineage(spark, store, m)
+        metrics["tiers"][c.tier] = m
+    return metrics
+
+
 def backfill_rollup(
     spark: SparkSession,
     turns: DataFrame,

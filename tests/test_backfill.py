@@ -112,6 +112,44 @@ def test_backfill_new_conv_and_tail_extension(spark, turns, tmp_path):
     _assert_gold_equals_full(spark, store, cfg, turns)
 
 
+def test_fused_incremental_tiers_equals_full(spark, turns, tmp_path):
+    """incremental_rollup_tiers: one shared bronze slice maintaining
+    hourly+daily+weekly — per tier identical to a full recompute after
+    an initial load plus two increments."""
+    from python_vegindex_spark.streaming.incremental import (
+        incremental_rollup_tiers,
+    )
+
+    cfgs = [RollupConfig(tier=t, nmin=2) for t in ("hourly", "daily", "weekly")]
+    store = RollupStore(str(tmp_path / "fusedinc"))
+
+    cut1, cut2 = "2024-01-20", "2024-03-01"
+    m1 = incremental_rollup_tiers(
+        spark, turns.filter(F.col("ts") < cut1), store, cfgs
+    )
+    m2 = incremental_rollup_tiers(
+        spark, turns.filter(F.col("ts") < cut2), store, cfgs
+    )
+    m3 = incremental_rollup_tiers(spark, turns, store, cfgs)
+    assert m1["rows_in"] > 0 and m2["rows_in"] > 0 and m3["rows_in"] > 0
+
+    for cfg in cfgs:
+        got = tableio.read(spark, store.gold(cfg.tier)).toPandas()
+        exp = rollup(turn_features(turns), cfg).toPandas()
+        g, e = _norm(got), _norm(exp)
+        assert len(g) == len(e), (cfg.tier, len(g), len(e))
+        pd.testing.assert_frame_equal(
+            g, e[g.columns.tolist()], check_exact=False, rtol=1e-12
+        )
+
+    # idempotent re-run
+    m4 = incremental_rollup_tiers(spark, turns, store, cfgs)
+    assert m4["rows_in"] == 0
+    # lineage: one row per tier per run
+    lin = tableio.read(spark, store.lineage).toPandas()
+    assert len(lin) == 4 * 3
+
+
 def test_backfill_empty_delta_noop(spark, turns, tmp_path):
     cfg = RollupConfig(tier="daily", nmin=2)
     store = RollupStore(str(tmp_path / "bf_empty"))
