@@ -1,0 +1,88 @@
+"""spark-submit job script: fused incremental maintenance run.
+
+    spark-submit --master local[N] --py-files /tmp/pvs.zip \
+        scripts/incremental_job.py --turns <bronze_path> --store <dir> \
+        [--tiers hourly,daily,weekly] [--nmin 2] [--backfill <delta_path>]
+
+One bronze scan updates every gold tier past its checkpoint
+(streaming/incremental.incremental_rollup_tiers); with ``--backfill``
+the given delta parquet is ingested through backfill_rollup per tier
+instead (late event times allowed). Prints one JSON metrics line,
+marker-prefixed, like run_pipeline.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--turns", required=True)
+    ap.add_argument("--store", required=True)
+    ap.add_argument("--tiers", default="hourly,daily,weekly")
+    ap.add_argument("--nmin", type=int, default=2)
+    ap.add_argument("--backfill", default=None,
+                    help="delta parquet of late rows (event time may be "
+                         "below the watermark); turns must already "
+                         "contain them")
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from python_vegindex_spark.config import RollupConfig
+    from python_vegindex_spark.session import scratch_dir
+    from python_vegindex_spark.streaming.incremental import (
+        RollupStore,
+        backfill_rollup,
+        incremental_rollup_tiers,
+    )
+
+    builder = (
+        SparkSession.builder.appName("vxs-incremental")
+        .config("spark.local.dir", os.path.join(scratch_dir(), "vxs-spark-local"))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    if args.cores:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(max(16, 4 * args.cores))
+        )
+    spark = builder.getOrCreate()
+
+    turns = spark.read.parquet(args.turns)
+    store = RollupStore(args.store)
+    cfgs = [
+        RollupConfig(tier=t, nmin=args.nmin) for t in args.tiers.split(",")
+    ]
+    if args.backfill:
+        delta = spark.read.parquet(args.backfill)
+        metrics = {
+            "mode": "backfill",
+            "tiers": {
+                c.tier: backfill_rollup(spark, turns, delta, store, c)
+                for c in cfgs
+            },
+        }
+    else:
+        metrics = incremental_rollup_tiers(spark, turns, store, cfgs)
+        metrics["mode"] = "incremental"
+
+    def _clean(o):
+        if isinstance(o, dict):
+            return {k: _clean(v) for k, v in o.items()}
+        return str(o) if hasattr(o, "isoformat") else o
+
+    print("INCREMENTAL_METRICS " + json.dumps(_clean(metrics)))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -150,6 +150,50 @@ def test_fused_incremental_tiers_equals_full(spark, turns, tmp_path):
     assert len(lin) == 4 * 3
 
 
+def test_incremental_job_cli(spark, turns, tmp_path):
+    """scripts/incremental_job.py end-to-end: incremental run then a
+    backfill run, gold equals full recompute afterwards."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    turns_path = str(tmp_path / "turns")
+    held = turns.filter(
+        (F.col("ts") >= "2024-02-10") & (F.col("ts") < "2024-02-14")
+    )
+    turns.write.parquet(turns_path)
+    held_path = str(tmp_path / "delta")
+    held.write.parquet(held_path)
+    rest_path = str(tmp_path / "rest")
+    turns.subtract(held).write.parquet(rest_path)
+    store_dir = str(tmp_path / "store")
+
+    def run(extra):
+        out = subprocess.run(
+            [sys.executable, os.path.join(repo, "scripts", "incremental_job.py"),
+             "--store", store_dir, "--tiers", "daily", *extra],
+            capture_output=True, text=True, timeout=420,
+        )
+        lines = [
+            l for l in out.stdout.splitlines()
+            if l.startswith("INCREMENTAL_METRICS ")
+        ]
+        assert lines, out.stdout[-1500:] + out.stderr[-2500:]
+        return json.loads(lines[0][len("INCREMENTAL_METRICS "):])
+
+    m1 = run(["--turns", rest_path])
+    assert m1["mode"] == "incremental" and m1["rows_in"] > 0
+    m2 = run(["--turns", turns_path, "--backfill", held_path])
+    assert m2["mode"] == "backfill"
+    assert m2["tiers"]["daily"]["rows_in"] == held.count()
+
+    store = RollupStore(store_dir)
+    cfg = RollupConfig(tier="daily", nmin=2)
+    _assert_gold_equals_full(spark, store, cfg, turns)
+
+
 def test_backfill_empty_delta_noop(spark, turns, tmp_path):
     cfg = RollupConfig(tier="daily", nmin=2)
     store = RollupStore(str(tmp_path / "bf_empty"))
