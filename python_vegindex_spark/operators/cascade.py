@@ -179,6 +179,64 @@ def cascade_bins(
     )
 
 
+def rollup_hll(
+    df: DataFrame,
+    tier: str,
+    series_cols: Sequence[str],
+    key_col: str,
+    ts_col: str = "ts",
+    lg_config_k: int = 12,
+) -> DataFrame:
+    """Per-(series, bucket) HyperLogLog sketches of ``key_col`` — the
+    composable DISTINCT-COUNT path (Apache DataSketches HLL via Spark's
+    ``hll_sketch_agg``). One hash aggregate; the sketch is a fixed-size
+    binary column (~2^lg_config_k bytes), so a year of hourly sketches
+    is megabytes, not the raw key stream.
+    """
+    d = df.where(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+    return d.groupBy(
+        *series_cols,
+        F.to_timestamp(bucket_start(F.col(ts_col), tier)).alias("bucket_start"),
+    ).agg(
+        F.hll_sketch_agg(F.col(key_col), F.lit(lg_config_k)).alias("hll"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def cascade_hll(
+    hll: DataFrame,
+    from_tier: str,
+    to_tier: str,
+    series_cols: Sequence[str],
+) -> DataFrame:
+    """Coarse-tier sketches by REGISTER-MAX union of fine-tier sketches
+    (``hll_union_agg``). HLL union is exact over the sketch state, so
+    the unioned sketch — and therefore its estimate — is IDENTICAL to
+    sketching the raw keys at the coarse tier directly (pinned by
+    tests); unlike counts, distinct cardinalities never compose by
+    summation, which is exactly why the sketch column earns its place
+    next to the moment cascade.
+    """
+    _check_nesting(from_tier, to_tier)
+    b = F.to_timestamp(bucket_start(F.col("bucket_start"), to_tier))
+    return (
+        hll.withColumn("bucket_start", b)
+        .groupBy(*series_cols, "bucket_start")
+        .agg(
+            F.hll_union_agg("hll").alias("hll"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+    )
+
+
+def finish_hll(hll: DataFrame) -> DataFrame:
+    """Sketches → estimated distinct counts (drop the binary column)."""
+    return hll.select(
+        *[c for c in hll.columns if c != "hll"],
+        F.hll_sketch_estimate("hll").alias("n_distinct_est"),
+    )
+
+
 def finish_moments(mom: DataFrame, round_to: int | None = 6) -> DataFrame:
     """Moments → reported stats in ONE pinned double op order:
 

@@ -95,6 +95,49 @@ def test_cascade_bins_equals_direct(spark, ev, fine, coarse):
     assert sorted(map(tuple, qc)) == sorted(map(tuple, qd))
 
 
+def test_cascade_hll_equals_direct_and_accurate(spark, ev):
+    """Union of hourly HLL sketches ≡ direct weekly sketch (register-max
+    union is exact over sketch state), and the estimate tracks the
+    exact distinct count within HLL's documented error at lgK=12."""
+    from python_vegindex_spark.operators.cascade import (
+        cascade_hll,
+        finish_hll,
+        rollup_hll,
+    )
+
+    keyed = ev.withColumn("user", (F.col("v") % 97).cast("string"))
+    direct = finish_hll(
+        rollup_hll(keyed, "weekly", ["series"], "user")
+    ).collect()
+    casc = finish_hll(
+        cascade_hll(
+            rollup_hll(keyed, "hourly", ["series"], "user"),
+            "hourly",
+            "weekly",
+            ["series"],
+        )
+    ).collect()
+    assert sorted(map(tuple, casc)) == sorted(map(tuple, direct))
+
+    exact = {
+        (r["series"], r["bucket_start"]): r["nd"]
+        for r in keyed.groupBy(
+            "series",
+            F.to_timestamp(
+                F.date_add(
+                    F.trunc("ts", "year"),
+                    (F.floor((F.dayofyear("ts") - 1) / 7) * 7).cast("int"),
+                )
+            ).alias("bucket_start"),
+        )
+        .agg(F.countDistinct("user").alias("nd"))
+        .collect()
+    }
+    for r in casc:
+        e = exact[(r["series"], r["bucket_start"])]
+        assert abs(r["n_distinct_est"] - e) <= max(2.0, 0.05 * e), (r, e)
+
+
 def test_finish_hand_values(spark):
     df = spark.createDataFrame(
         [("a", dt.datetime(2024, 1, 1, 0, 5), 1),
