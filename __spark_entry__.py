@@ -155,6 +155,38 @@ def q_cascade_histogram_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "bucket_start")
 
 
+def q_cusum_daily_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM changepoints (operators/rate.cusum_changepoints)
+    over daily BIGINT bucket sums: the running max-reset recursion is
+    not prefix-decomposable, so the engine walks it per series in
+    applyInPandas over the (small) bucket rows, and the oracle is a
+    DuckDB RECURSIVE CTE walking the identical pinned float sequence —
+    alarm flags and episode numbers are engine-exact, not tolerant."""
+    from python_vegindex_spark.operators.rate import cusum_changepoints
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & ~F.isnan("value") & F.col("ts").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("bucket_start")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("v")
+    )
+    out = cusum_changepoints(
+        daily, ["event_type"], order_col="bucket_start", value_col="v",
+        k=0.25, h=3.0,
+    )
+    return out.select(
+        "event_type",
+        "bucket_start",
+        "x",
+        F.round("s_pos", 6).alias("s_pos"),
+        F.round("s_neg", 6).alias("s_neg"),
+        "alarm",
+        "episode",
+    ).orderBy("event_type", "bucket_start")
+
+
 def q_midpoint_rep_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 argmin-to-anchor representative row per (event_type, day)."""
     ev = _t(spark, sf_dir, "events")
@@ -1789,6 +1821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multitier_rollup": q_multitier_rollup,
         "cascade_weekly_from_hourly": q_cascade_weekly_from_hourly,
         "cascade_histogram_p90": q_cascade_histogram_p90,
+        "cusum_daily_changepoints": q_cusum_daily_changepoints,
         "daily_user_rollup_tiered": q_daily_user_rollup_tiered,
         "weekly_anchored_rollup": q_weekly_anchored_rollup,
         "midpoint_rep_rows": q_midpoint_rep_rows,
@@ -2150,6 +2183,58 @@ FROM c
 WHERE (cum - nd) < CAST(0.9 AS DOUBLE) * total
   AND CAST(0.9 AS DOUBLE) * total <= cum
 ORDER BY 1, 2
+""",
+        # the CUSUM recursion walked row-by-row in a RECURSIVE CTE; z,
+        # S+, S- evaluated in the engine's exact pinned float order
+        # (integer daily sums -> mu/sd from BIGINT moments -> IEEE ops)
+        "cusum_daily_changepoints": """
+WITH RECURSIVE base AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL
+  GROUP BY 1, 2
+), rnk AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY bucket_start) AS rn
+  FROM base
+), mom AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS syy
+  FROM rnk GROUP BY 1
+), prep AS (
+  SELECT r.event_type, r.rn, r.bucket_start, r.x,
+         CAST(m.sy AS DOUBLE) / m.n AS mu,
+         sqrt(greatest(CAST(m.syy AS DOUBLE) / m.n
+              - (CAST(m.sy AS DOUBLE) / m.n) * (CAST(m.sy AS DOUBLE) / m.n),
+              0.0)) AS sd
+  FROM rnk r JOIN mom m USING (event_type)
+), walk AS (
+  SELECT event_type, rn, bucket_start, x,
+    greatest(0.0, (CASE WHEN sd = 0 THEN 0.0
+                        ELSE (CAST(x AS DOUBLE) - mu) / sd END) - 0.25) AS s_pos,
+    greatest(0.0, -(CASE WHEN sd = 0 THEN 0.0
+                         ELSE (CAST(x AS DOUBLE) - mu) / sd END) - 0.25) AS s_neg,
+    0 AS ep_prev
+  FROM prep WHERE rn = 1
+  UNION ALL
+  SELECT p.event_type, p.rn, p.bucket_start, p.x,
+    greatest(0.0,
+      (CASE WHEN w.s_pos > 3.0 OR w.s_neg > 3.0 THEN 0.0 ELSE w.s_pos END)
+      + (CASE WHEN p.sd = 0 THEN 0.0
+              ELSE (CAST(p.x AS DOUBLE) - p.mu) / p.sd END) - 0.25),
+    greatest(0.0,
+      (CASE WHEN w.s_pos > 3.0 OR w.s_neg > 3.0 THEN 0.0 ELSE w.s_neg END)
+      - (CASE WHEN p.sd = 0 THEN 0.0
+              ELSE (CAST(p.x AS DOUBLE) - p.mu) / p.sd END) - 0.25),
+    w.ep_prev + CASE WHEN w.s_pos > 3.0 OR w.s_neg > 3.0 THEN 1 ELSE 0 END
+  FROM walk w
+  JOIN prep p ON p.event_type = w.event_type AND p.rn = w.rn + 1
+)
+SELECT event_type, bucket_start, x,
+       round(s_pos, 6) AS s_pos, round(s_neg, 6) AS s_neg,
+       (s_pos > 3.0 OR s_neg > 3.0) AS alarm,
+       ep_prev + CASE WHEN s_pos > 3.0 OR s_neg > 3.0 THEN 1 ELSE 0 END AS episode
+FROM walk ORDER BY 1, 2
 """,
         "daily_user_rollup_tiered": f"""
 WITH base AS (

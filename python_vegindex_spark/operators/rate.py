@@ -784,3 +784,98 @@ def threshold_alerts(
         .withColumn("episode", F.sum(rising).over(w))
         .drop("_edge")
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    series_cols: Sequence[str],
+    order_col: str = "bucket_start",
+    value_col: str = "v",
+    k: float = 0.5,
+    h: float = 5.0,
+) -> DataFrame:
+    """Two-sided CUSUM changepoint detection (Page 1954) over
+    ALREADY-AGGREGATED bucket rows — "did this series' level shift?".
+
+    Per series, with baseline moments from the series' own rows::
+
+        z_t  = (x_t - mean) / std          (population std; z=0 if std=0)
+        S+_t = max(0, S+_{t-1} + z_t - k)
+        S-_t = max(0, S-_{t-1} - z_t - k)
+        alarm when S+ > h or S- > h; both sides reset to 0 after an
+        alarm (restart detection); ``episode`` counts alarms so far.
+
+    The recursion is a running max-reset — NOT prefix-decomposable, so
+    no window expression exists for it (unlike
+    :func:`threshold_alerts`' last-non-null-edge trick). It therefore
+    runs as grouped ``applyInPandas`` — the same pre-reduction contract
+    as LTTB: the input is the rollup's OUTPUT (buckets), never raw
+    rows, so per-series state is O(buckets) and the heavy lift already
+    happened in one hash aggregate upstream.
+
+    Cross-engine exactness: ``value_col`` must be integral (quantize
+    upstream, as the trend/anomaly operators require) so the baseline
+    mean/std come from order-free BIGINT sums; every float op then
+    happens in one pinned order per row, and the alarm FLAGS — not
+    just printed values — reproduce bit-for-bit on any engine walking
+    the same recursion (the DuckDB oracle is a recursive CTE).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    keys = list(series_cols)
+    slim = df.where(
+        F.col(value_col).isNotNull() & F.col(order_col).isNotNull()
+    ).select(*keys, order_col, F.col(value_col).cast("long").alias("_x"))
+    schema = StructType(
+        [slim.schema[c] for c in (*keys, order_col)]
+        + [
+            StructField("x", slim.schema["_x"].dataType, True),
+            StructField("s_pos", DoubleType(), True),
+            StructField("s_neg", DoubleType(), True),
+            StructField("alarm", BooleanType(), True),
+            StructField("episode", IntegerType(), True),
+        ]
+    )
+
+    def _one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        x = pdf["_x"].to_numpy(dtype="int64")
+        n = float(len(x))
+        sy = float(int(x.sum()))
+        syy = float(int((x * x).sum()))
+        mean = sy / n
+        var = max(syy / n - mean * mean, 0.0)
+        sd = math.sqrt(var)  # IEEE sqrt, not pow(x, 0.5) — oracle parity
+        sp = sn = 0.0
+        ep = 0
+        out_sp = np.empty(len(x)); out_sn = np.empty(len(x))
+        out_al = np.empty(len(x), dtype=bool); out_ep = np.empty(len(x), dtype="int32")
+        for i, xi in enumerate(x):
+            z = 0.0 if sd == 0.0 else (float(xi) - mean) / sd
+            sp = max(0.0, sp + z - k)
+            sn = max(0.0, sn - z - k)
+            al = sp > h or sn > h
+            out_sp[i] = sp; out_sn[i] = sn; out_al[i] = al
+            if al:
+                ep += 1
+                sp = sn = 0.0
+            out_ep[i] = ep
+        res = pdf[[*keys, order_col]].copy()
+        res["x"] = pdf["_x"]
+        res["s_pos"] = out_sp
+        res["s_neg"] = out_sn
+        res["alarm"] = out_al
+        res["episode"] = out_ep
+        return res
+
+    return slim.groupBy(*keys).applyInPandas(_one, schema=schema)

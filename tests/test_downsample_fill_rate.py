@@ -930,3 +930,52 @@ def test_pop_alerts_plans_jvm_only(spark):
         p = _plan(op)
         for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
             assert marker not in p
+
+
+# ---------------------------------------------------------------------------
+# cusum_changepoints
+# ---------------------------------------------------------------------------
+
+def test_cusum_hand_sequence(spark):
+    """Hand-walked two-sided CUSUM: a level shift alarms, state resets,
+    episode numbering advances; a stable series never alarms."""
+    import math
+
+    from python_vegindex_spark.operators.rate import cusum_changepoints
+
+    # series 'a': 6 low values then 6 high ones (a clear upward shift);
+    # series 'b': constant (sd == 0 -> z == 0 -> S decays at -k, no alarm)
+    vals_a = [10, 10, 10, 10, 10, 10, 20, 20, 20, 20, 20, 20]
+    rows = [("a", _ts(i * 3600), v) for i, v in enumerate(vals_a)]
+    rows += [("b", _ts(i * 3600), 7) for i in range(5)]
+    df = spark.createDataFrame(rows, ["s", "bucket_start", "v"])
+    out = cusum_changepoints(
+        df, ["s"], order_col="bucket_start", value_col="v", k=0.5, h=2.2
+    )
+    got = {
+        (r["s"], r["bucket_start"]): r
+        for r in out.collect()
+    }
+
+    # python reference walk for series 'a'
+    n = len(vals_a)
+    mean = sum(vals_a) / n
+    sd = math.sqrt(sum(v * v for v in vals_a) / n - mean * mean)
+    sp = sn = 0.0
+    ep = 0
+    for i, v in enumerate(vals_a):
+        z = (v - mean) / sd
+        sp = max(0.0, sp + z - 0.5)
+        sn = max(0.0, sn - z - 0.5)
+        al = sp > 2.2 or sn > 2.2
+        r = got[("a", _ts(i * 3600))]
+        assert r["s_pos"] == sp and r["s_neg"] == sn and r["alarm"] == al
+        if al:
+            ep += 1
+            sp = sn = 0.0
+        assert r["episode"] == ep
+    assert ep == 2  # one alarm per side of the shift
+
+    for i in range(5):
+        r = got[("b", _ts(i * 3600))]
+        assert r["alarm"] is False and r["s_pos"] == 0.0 and r["s_neg"] == 0.0
