@@ -187,6 +187,36 @@ def q_cusum_daily_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "bucket_start")
 
 
+def q_holt_daily_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (operators/rate.holt_smooth,
+    Influx holt_winters' non-seasonal core) over daily BIGINT sums —
+    level/trend recursion walked in applyInPandas, mirrored by a DuckDB
+    RECURSIVE CTE in the identical pinned float order (the 1-alpha /
+    1-beta literals are Python-computed and embedded verbatim)."""
+    from python_vegindex_spark.operators.rate import holt_smooth
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & ~F.isnan("value") & F.col("ts").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("bucket_start")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("v")
+    )
+    out = holt_smooth(
+        daily, ["event_type"], order_col="bucket_start", value_col="v",
+        alpha=0.3, beta=0.1,
+    )
+    return out.select(
+        "event_type",
+        "bucket_start",
+        "x",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("fitted", 6).alias("fitted"),
+    ).orderBy("event_type", "bucket_start")
+
+
 def q_midpoint_rep_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 argmin-to-anchor representative row per (event_type, day)."""
     ev = _t(spark, sf_dir, "events")
@@ -1822,6 +1852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cascade_weekly_from_hourly": q_cascade_weekly_from_hourly,
         "cascade_histogram_p90": q_cascade_histogram_p90,
         "cusum_daily_changepoints": q_cusum_daily_changepoints,
+        "holt_daily_smooth": q_holt_daily_smooth,
         "daily_user_rollup_tiered": q_daily_user_rollup_tiered,
         "weekly_anchored_rollup": q_weekly_anchored_rollup,
         "midpoint_rep_rows": q_midpoint_rep_rows,
@@ -2234,6 +2265,43 @@ SELECT event_type, bucket_start, x,
        round(s_pos, 6) AS s_pos, round(s_neg, 6) AS s_neg,
        (s_pos > 3.0 OR s_neg > 3.0) AS alarm,
        ep_prev + CASE WHEN s_pos > 3.0 OR s_neg > 3.0 THEN 1 ELSE 0 END AS episode
+FROM walk ORDER BY 1, 2
+""",
+        # Holt level/trend recursion in a RECURSIVE CTE; the 1-alpha /
+        # 1-beta literals below are repr() of the Python-computed
+        # values holt_smooth uses, so both engines multiply by the
+        # bit-identical double
+        "holt_daily_smooth": f"""
+WITH RECURSIVE base AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL
+  GROUP BY 1, 2
+), rnk AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY bucket_start) AS rn,
+         lead(x) OVER (PARTITION BY event_type ORDER BY bucket_start) AS x_next
+  FROM base
+), walk AS (
+  SELECT event_type, rn, bucket_start, x,
+         CAST(x AS DOUBLE) AS level,
+         CASE WHEN x_next IS NULL THEN 0.0
+              ELSE CAST(x_next - x AS DOUBLE) END AS trend,
+         CAST(NULL AS DOUBLE) AS fitted
+  FROM rnk WHERE rn = 1
+  UNION ALL
+  SELECT p.event_type, p.rn, p.bucket_start, p.x,
+    {0.3!r} * CAST(p.x AS DOUBLE) + {1.0 - 0.3!r} * (w.level + w.trend),
+    {0.1!r} * (({0.3!r} * CAST(p.x AS DOUBLE)
+                + {1.0 - 0.3!r} * (w.level + w.trend)) - w.level)
+      + {1.0 - 0.1!r} * w.trend,
+    w.level + w.trend
+  FROM walk w
+  JOIN rnk p ON p.event_type = w.event_type AND p.rn = w.rn + 1
+)
+SELECT event_type, bucket_start, x,
+       round(level, 6) AS level, round(trend, 6) AS trend,
+       round(fitted, 6) AS fitted
 FROM walk ORDER BY 1, 2
 """,
         "daily_user_rollup_tiered": f"""

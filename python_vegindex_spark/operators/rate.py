@@ -879,3 +879,70 @@ def cusum_changepoints(
         return res
 
     return slim.groupBy(*keys).applyInPandas(_one, schema=schema)
+
+
+def holt_smooth(
+    df: DataFrame,
+    series_cols: Sequence[str],
+    order_col: str = "bucket_start",
+    value_col: str = "v",
+    alpha: float = 0.3,
+    beta: float = 0.1,
+) -> DataFrame:
+    """Holt double-exponential smoothing (level + linear trend; the
+    non-seasonal core of Influx's ``holt_winters()``) over
+    ALREADY-AGGREGATED bucket rows::
+
+        l_1 = x_1                b_1 = x_2 - x_1   (0 if the series has 1 row)
+        l_t = a*x_t + (1-a)*(l_{t-1} + b_{t-1})
+        b_t = g*(l_t - l_{t-1}) + (1-g)*b_{t-1}
+        fitted_t = l_{t-1} + b_{t-1}   (one-step-ahead; NULL at t=1)
+
+    Like :func:`cusum_changepoints`, the recursion is not
+    prefix-decomposable → grouped ``applyInPandas`` over the (small)
+    bucket rows. ``value_col`` must be integral; ``1-a`` / ``1-g`` are
+    computed ONCE here and must be embedded verbatim in any oracle
+    (repr round-trip), the EWMA literal-weights discipline — with that,
+    level/trend/fitted reproduce bit-for-bit cross-engine.
+    """
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    one_m_a = 1.0 - alpha
+    one_m_b = 1.0 - beta
+    keys = list(series_cols)
+    slim = df.where(
+        F.col(value_col).isNotNull() & F.col(order_col).isNotNull()
+    ).select(*keys, order_col, F.col(value_col).cast("long").alias("_x"))
+    schema = StructType(
+        [slim.schema[c] for c in (*keys, order_col)]
+        + [
+            StructField("x", slim.schema["_x"].dataType, True),
+            StructField("level", DoubleType(), True),
+            StructField("trend", DoubleType(), True),
+            StructField("fitted", DoubleType(), True),
+        ]
+    )
+
+    def _one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        x = pdf["_x"].to_list()
+        n = len(x)
+        levels, trends, fits = [], [], []
+        l_prev = float(x[0])
+        b_prev = float(x[1] - x[0]) if n > 1 else 0.0
+        levels.append(l_prev); trends.append(b_prev); fits.append(None)
+        for t in range(1, n):
+            fit = l_prev + b_prev
+            lvl = alpha * float(x[t]) + one_m_a * (l_prev + b_prev)
+            b = beta * (lvl - l_prev) + one_m_b * b_prev
+            levels.append(lvl); trends.append(b); fits.append(fit)
+            l_prev, b_prev = lvl, b
+        res = pdf[[*keys, order_col]].copy()
+        res["x"] = pdf["_x"]
+        res["level"] = levels
+        res["trend"] = trends
+        res["fitted"] = fits
+        return res
+
+    return slim.groupBy(*keys).applyInPandas(_one, schema=schema)

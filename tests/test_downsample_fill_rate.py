@@ -979,3 +979,31 @@ def test_cusum_hand_sequence(spark):
     for i in range(5):
         r = got[("b", _ts(i * 3600))]
         assert r["alarm"] is False and r["s_pos"] == 0.0 and r["s_neg"] == 0.0
+
+
+def test_holt_hand_sequence(spark):
+    """Hand-walked Holt smoothing: level/trend/fitted recursion, the
+    b1 = x2 - x1 init, the single-row trend-0 edge, series isolation."""
+    from python_vegindex_spark.operators.rate import holt_smooth
+
+    a, g = 0.5, 0.25
+    xs = [10, 14, 12, 20]
+    rows = [("a", _ts(i * 3600), v) for i, v in enumerate(xs)]
+    rows.append(("solo", _ts(0), 42))
+    df = spark.createDataFrame(rows, ["s", "bucket_start", "v"])
+    out = holt_smooth(df, ["s"], "bucket_start", "v", alpha=a, beta=g)
+    got = {(r["s"], r["bucket_start"]): r for r in out.collect()}
+
+    l, b = float(xs[0]), float(xs[1] - xs[0])
+    r0 = got[("a", _ts(0))]
+    assert (r0["level"], r0["trend"], r0["fitted"]) == (l, b, None)
+    for t in range(1, len(xs)):
+        fit = l + b
+        lvl = a * xs[t] + (1.0 - a) * (l + b)
+        b = g * (lvl - l) + (1.0 - g) * b
+        r = got[("a", _ts(t * 3600))]
+        assert (r["level"], r["trend"], r["fitted"]) == (lvl, b, fit)
+        l = lvl
+
+    solo = got[("solo", _ts(0))]
+    assert (solo["level"], solo["trend"], solo["fitted"]) == (42.0, 0.0, None)
