@@ -217,6 +217,27 @@ def q_holt_daily_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "bucket_start")
 
 
+def q_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract validation (operators/validate, Deequ/dbt-tests
+    analog): every row-level rule in ONE aggregate pass, uniqueness via
+    count-distinct, referential integrity via broadcast anti-join,
+    freshness against an explicit as-of (never wall-clock)."""
+    from python_vegindex_spark.operators.validate import validate_table
+
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    return validate_table(
+        ev,
+        not_null=["event_id", "ts", "event_type"],
+        unique=["event_id"],
+        in_range={"value": (0.0, 500.0)},
+        in_set={"event_type": ["click", "view", "purchase"]},
+        matches={"event_type": "^[a-z_]+$"},
+        refs=[("user_id", cust, "c_custkey")],
+        freshness=("ts", 7 * 86400, "2024-07-01 00:00:00"),
+    )
+
+
 def q_midpoint_rep_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 argmin-to-anchor representative row per (event_type, day)."""
     ev = _t(spark, sf_dir, "events")
@@ -1853,6 +1874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cascade_histogram_p90": q_cascade_histogram_p90,
         "cusum_daily_changepoints": q_cusum_daily_changepoints,
         "holt_daily_smooth": q_holt_daily_smooth,
+        "validate_events": q_validate_events,
         "daily_user_rollup_tiered": q_daily_user_rollup_tiered,
         "weekly_anchored_rollup": q_weekly_anchored_rollup,
         "midpoint_rep_rows": q_midpoint_rep_rows,
@@ -2303,6 +2325,48 @@ SELECT event_type, bucket_start, x,
        round(level, 6) AS level, round(trend, 6) AS trend,
        round(fitted, 6) AS fitted
 FROM walk ORDER BY 1, 2
+""",
+        # one row per contract rule; same null/violation semantics
+        "validate_events": """
+WITH t AS (SELECT count(*) AS total FROM events)
+SELECT rule, "column", violations, total, violations = 0 AS passed FROM (
+  SELECT 'not_null' AS rule, 'event_id' AS "column",
+         (SELECT count(*) FROM events WHERE event_id IS NULL) AS violations, total FROM t
+  UNION ALL
+  SELECT 'not_null', 'ts',
+         (SELECT count(*) FROM events WHERE ts IS NULL), total FROM t
+  UNION ALL
+  SELECT 'not_null', 'event_type',
+         (SELECT count(*) FROM events WHERE event_type IS NULL), total FROM t
+  UNION ALL
+  SELECT 'unique', 'event_id',
+         (SELECT count(event_id) - count(DISTINCT event_id) FROM events), total FROM t
+  UNION ALL
+  SELECT 'in_range', 'value',
+         (SELECT count(*) FROM events
+          WHERE value IS NOT NULL AND (isnan(value) OR value < 0.0 OR value > 500.0)),
+         total FROM t
+  UNION ALL
+  SELECT 'in_set', 'event_type',
+         (SELECT count(*) FROM events WHERE event_type IS NOT NULL
+          AND event_type NOT IN ('click', 'view', 'purchase')), total FROM t
+  UNION ALL
+  SELECT 'matches', 'event_type',
+         (SELECT count(*) FROM events WHERE event_type IS NOT NULL
+          AND NOT regexp_matches(event_type, '^[a-z_]+$')), total FROM t
+  UNION ALL
+  SELECT 'freshness', 'ts',
+         (SELECT CASE WHEN max(ts) IS NULL
+                      OR max(ts) < TIMESTAMP '2024-07-01 00:00:00' - INTERVAL 604800 SECONDS
+                 THEN 1 ELSE 0 END FROM events), total FROM t
+  UNION ALL
+  SELECT 'ref_integrity', 'user_id',
+         (SELECT count(*) FROM events e
+          WHERE e.user_id IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)),
+         total FROM t
+)
+ORDER BY rule, "column"
 """,
         "daily_user_rollup_tiered": f"""
 WITH base AS (

@@ -1,0 +1,78 @@
+"""validate_table: data-contract rules with planted violations."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from python_vegindex_spark.operators.validate import validate_table
+
+
+def _df(spark):
+    rows = [
+        # (id, ts, kind, val)
+        (1, dt.datetime(2024, 1, 1), "click", 10.0),
+        (2, dt.datetime(2024, 1, 2), "view", 600.0),   # range violation
+        (2, dt.datetime(2024, 1, 3), "click", 20.0),   # dup id
+        (None, dt.datetime(2024, 1, 4), "Bad!", None),  # null id, set+regex
+        (5, None, "click", float("nan")),               # null ts, NaN range
+    ]
+    return spark.createDataFrame(
+        rows, "id long, ts timestamp, kind string, val double"
+    )
+
+
+def test_rules_and_counts(spark):
+    dim = spark.createDataFrame([(1,), (2,)], "key long")
+    out = {
+        (r["rule"], r["column"]): r
+        for r in validate_table(
+            _df(spark),
+            not_null=["id", "ts"],
+            unique=["id"],
+            in_range={"val": (0.0, 500.0)},
+            in_set={"kind": ["click", "view"]},
+            matches={"kind": "^[a-z]+$"},
+            refs=[("id", dim, "key")],
+            freshness=("ts", 86400, "2024-01-04 12:00:00"),
+        ).collect()
+    }
+    v = {k: r["violations"] for k, r in out.items()}
+    assert v[("not_null", "id")] == 1
+    assert v[("not_null", "ts")] == 1
+    assert v[("unique", "id")] == 1          # one extra row beyond first
+    assert v[("in_range", "val")] == 2       # 600.0 and NaN
+    assert v[("in_set", "kind")] == 1        # Bad!
+    assert v[("matches", "kind")] == 1
+    assert v[("ref_integrity", "id")] == 1   # id=5 not in dim
+    assert v[("freshness", "ts")] == 0       # max ts within a day of as_of
+    assert all(r["total"] == 5 for r in out.values())
+    assert out[("freshness", "ts")]["passed"] is True
+    assert out[("unique", "id")]["passed"] is False
+
+
+def test_stale_and_clean(spark):
+    df = _df(spark)
+    out = validate_table(df, freshness=("ts", 3600, "2024-02-01 00:00:00"))
+    r = out.collect()[0]
+    assert r["rule"] == "freshness" and r["violations"] == 1
+
+    clean = validate_table(
+        df.where(F.col("id") == 1), not_null=["id"], unique=["id"]
+    )
+    assert all(row["passed"] for row in clean.collect())
+
+
+def test_row_level_rules_one_pass(spark):
+    """All row-level rules share ONE aggregate over ONE scan."""
+    out = validate_table(
+        _df(spark),
+        not_null=["id", "ts"],
+        in_range={"val": (0.0, 500.0)},
+        in_set={"kind": ["click"]},
+        matches={"kind": "^[a-z]+$"},
+        freshness=("ts", 86400, "2024-01-05 00:00:00"),
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LocalRelation") + plan.count("LogicalRDD") == 1, plan
