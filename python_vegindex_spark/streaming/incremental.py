@@ -591,6 +591,64 @@ def compact_retention(
     return {"dropped_days": sorted(dropped), "kept_unverified": sorted(kept)}
 
 
+def extend_chunks(
+    spark: SparkSession,
+    turns_path: str,
+    chunks_path: str,
+    through: str,
+    chunk_tier: str = "daily",
+    series_cols: list[str] | None = None,
+    value_expr: str = "CAST(length(text) AS DOUBLE)",
+) -> dict:
+    """Incrementally extend the compressed chunk tier: encode only the
+    buckets past the chunk table's own high-water mark and strictly
+    before ``through`` (pass "yesterday" — the chunk tier holds CLOSED
+    buckets only, so an in-flight day is never half-encoded; explicit,
+    never wall-clock). The bronze read is bounded by both edges, so via
+    ``read_turns``'s ts_date pruning the scan cost is proportional to
+    the NEW days, not the table — the nightly twin of
+    :func:`incremental_rollup` for the storage tier, feeding
+    :func:`compact_retention`'s verified raw-partition drops.
+    """
+    from ..codecs.chunks import encode_chunks
+
+    series = series_cols or ["conv_id"]
+    existing = tableio.read(spark, chunks_path)
+    hw = (
+        existing.agg(F.max("bucket_start")).collect()[0][0]
+        if existing is not None
+        else None
+    )
+    lo = None if hw is None else str(hw)
+    src = read_turns(spark, turns_path, lo, through).select(
+        *series, "ts", F.expr(value_expr).alias("value")
+    )
+    b = bucket_start(F.col("ts"), chunk_tier)
+    src = src.filter(b < F.lit(through).cast("timestamp"))
+    if hw is not None:
+        src = src.filter(b > F.lit(hw))
+    new_chunks = encode_chunks(src, chunk_tier, series).localCheckpoint(
+        eager=True
+    )
+    added = new_chunks.count()
+    points = (
+        new_chunks.agg(F.sum("n_points")).collect()[0][0] or 0 if added else 0
+    )
+    if added:
+        tableio.append(new_chunks, chunks_path)
+    hw_new = (
+        tableio.read(spark, chunks_path).agg(F.max("bucket_start")).collect()[0][0]
+        if added or existing is not None
+        else None
+    )
+    return {
+        "chunks_added": added,
+        "points_encoded": int(points),
+        "hw_old": hw,
+        "hw_new": hw_new,
+    }
+
+
 def compact_gold_retention(
     spark: SparkSession,
     store: RollupStore,

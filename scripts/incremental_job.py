@@ -31,6 +31,10 @@ def main() -> None:
                     help="delta parquet of late rows (event time may be "
                          "below the watermark); turns must already "
                          "contain them")
+    ap.add_argument("--chunks-through", default=None,
+                    help="also extend the compressed chunk tier with "
+                         "closed buckets strictly before this ISO "
+                         "timestamp (stored at <store>/chunks)")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
 
@@ -74,6 +78,13 @@ def main() -> None:
     else:
         metrics = incremental_rollup_tiers(spark, turns, store, cfgs)
         metrics["mode"] = "incremental"
+
+    if args.chunks_through:
+        from python_vegindex_spark.streaming.incremental import extend_chunks
+
+        metrics["chunks"] = extend_chunks(
+            spark, args.turns, f"{args.store}/chunks", args.chunks_through
+        )
 
     def _clean(o):
         if isinstance(o, dict):

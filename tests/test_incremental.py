@@ -234,3 +234,53 @@ def test_read_tiered_spans_retention_boundary(spark, turns, tmp_path):
     assert only_chunks.count() == original.where(
         (F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-02-01")
     ).count()
+
+
+def test_extend_chunks_incremental(spark, turns, tmp_path):
+    """Two incremental chunk extensions ≡ one-shot encode (decoded rows
+    identical); re-run is a no-op; the in-flight day is never encoded."""
+    from pyspark.sql import functions as F
+
+    from python_vegindex_spark.codecs.chunks import decode_chunks, encode_chunks
+    from python_vegindex_spark.streaming.incremental import extend_chunks
+
+    turns_path = str(tmp_path / "bronze")
+    from python_vegindex_spark.sources.synth import write_turns
+
+    write_turns(turns, turns_path)
+    chunks_path = str(tmp_path / "chunks")
+    cut1, cut2 = "2024-02-01 00:00:00", "2024-04-01 00:00:00"
+
+    m1 = extend_chunks(spark, turns_path, chunks_path, through=cut1)
+    m2 = extend_chunks(spark, turns_path, chunks_path, through=cut2)
+    assert m1["chunks_added"] > 0 and m2["chunks_added"] > 0
+    assert m1["hw_old"] is None and m2["hw_old"] is not None
+
+    got = decode_chunks(
+        tableio.read(spark, chunks_path), ["conv_id"]
+    )
+    src = turns.filter(F.to_date("ts") < F.to_date(F.lit(cut2))).select(
+        "conv_id", "ts", F.expr("CAST(length(text) AS DOUBLE)").alias("value")
+    )
+    exp = decode_chunks(encode_chunks(src, "daily", ["conv_id"]), ["conv_id"])
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+    # no duplicate (conv, day) chunks across the two extensions
+    dup = (
+        tableio.read(spark, chunks_path)
+        .groupBy("conv_id", "bucket_start")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert dup == 0
+
+    # idempotent; in-flight day excluded
+    m3 = extend_chunks(spark, turns_path, chunks_path, through=cut2)
+    assert m3["chunks_added"] == 0
+    assert (
+        tableio.read(spark, chunks_path)
+        .filter(F.col("bucket_start") >= F.to_date(F.lit(cut2)))
+        .count()
+        == 0
+    )
