@@ -93,3 +93,46 @@ def upsert(
         out = kept.unionByName(updates).localCheckpoint(eager=True)
         overwrite(out, path)
     return n_up
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int,
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Small-file compaction — the Iceberg ``rewrite_data_files`` analog.
+
+    Incremental appends (``extend_chunks``, checkpoint/lineage writes,
+    per-run upserts) accumulate many small parquet files; at scale each
+    file is a scan task and a NameNode/manifest entry, so periodic
+    bin-packing is standard table maintenance. Parquet emulation: read,
+    coalesce to ``ceil(rows / target_rows_per_file)`` files, rewrite
+    through an eager localCheckpoint (safe to overwrite the source),
+    preserving ``partition_by`` directories when given.
+    """
+    import math
+
+    df = read(spark, path)
+    if df is None:
+        return {"files_before": 0, "files_after": 0, "rows": 0}
+
+    def _nfiles() -> int:
+        n = 0
+        for root, _dirs, files in os.walk(path):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
+    before = _nfiles()
+    rows = df.count()
+    n_out = max(1, math.ceil(rows / target_rows_per_file))
+    pinned = df.localCheckpoint(eager=True)
+    if partition_by:
+        # coalesce within partitions: repartition by the partition cols
+        # so each directory gets contiguous writers
+        out = pinned.repartition(n_out, *[F.col(c) for c in partition_by])
+        w = out.write.mode("overwrite").partitionBy(*partition_by)
+    else:
+        w = pinned.coalesce(n_out).write.mode("overwrite")
+    w.parquet(path)
+    return {"files_before": before, "files_after": _nfiles(), "rows": rows}

@@ -284,3 +284,33 @@ def test_extend_chunks_incremental(spark, turns, tmp_path):
         .count()
         == 0
     )
+
+
+def test_tableio_compact_small_files(spark, tmp_path):
+    """compact(): many small files -> few, rows byte-identical."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "frag")
+    df = spark.range(10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(path)
+
+    before = tableio.read(spark, path)
+    rows_before = sorted(r["id"] for r in before.collect())
+    m = tableio.compact(spark, path, target_rows_per_file=5_000)
+    assert m["files_before"] >= 64
+    assert m["files_after"] <= 2
+    assert m["rows"] == 10_000
+    after = tableio.read(spark, path)
+    assert sorted(r["id"] for r in after.collect()) == rows_before
+
+    # partitioned table keeps its directory layout
+    ppath = str(tmp_path / "fragp")
+    df.withColumn("p", (F.col("id") % 3).cast("int")).repartition(48).write.partitionBy(
+        "p"
+    ).parquet(ppath)
+    m2 = tableio.compact(spark, ppath, 5_000, partition_by=["p"])
+    assert m2["files_after"] < m2["files_before"]
+    import os
+
+    assert os.path.isdir(ppath + "/p=2")
+    assert tableio.read(spark, ppath).count() == 10_000
