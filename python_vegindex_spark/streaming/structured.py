@@ -271,3 +271,86 @@ def streaming_seasonal_scorer(
         threshold=threshold,
         min_baseline=min_baseline,
     )
+
+
+def streaming_cascade_moments(
+    spark: SparkSession,
+    input_path: str,
+    fine: str = "5min",
+    coarse: str = "hourly",
+    watermark: str = "2 hours",
+    series_cols: list[str] | None = None,
+    value_expr: str = "CAST(length(text) AS BIGINT)",
+) -> tuple[DataFrame, DataFrame]:
+    """Streaming twin of ``operators.cascade``: CHAINED windowed
+    aggregations (Spark 3.4+ multiple-stateful-operator support) build
+    the fine tier's BIGINT moment sums and re-aggregate them into the
+    coarse tier inside ONE streaming query — raw rows hit state once,
+    the second stateful operator consumes already-closed fine windows.
+
+    Only fixed-width epoch-aligned tiers stream (minute grains /
+    'hourly' / 'daily'; doy lattices are batch-only), and the pair must
+    nest — validated by the batch cascade's own rule. Moments compose
+    exactly (order-free integer sums), so the coarse output equals the
+    batch ``rollup_moments`` over the same closed buckets (pinned by
+    ``tests/test_streaming_cascade.py``).
+
+    Returns (fine_df, coarse_df) unstarted streaming frames — attach
+    sinks with ``run_available_now``; ``finish_moments`` works on both.
+    """
+    from ..functions.buckets import tier_minutes
+    from ..operators.cascade import _check_nesting
+
+    _check_nesting(fine, coarse)
+
+    def _win_len(tier: str) -> str:
+        if tier == "hourly":
+            return "1 hour"
+        if tier in ("daily", "1day"):
+            return "1 day"
+        m = tier_minutes(tier)
+        if m is None:
+            raise ValueError(
+                f"streaming tiers are 'Nmin'/'hourly'/'daily', got {tier!r}"
+            )
+        return f"{m} minutes"
+
+    series = series_cols or ["conv_id"]
+    stream = (
+        spark.readStream.schema(TURNS_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_path)
+    )
+    y = F.expr(value_expr)
+    src = stream.select(*series, "ts", y.alias("_y")).where(
+        F.col("ts").isNotNull() & F.col("_y").isNotNull()
+    )
+    fine_mom = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", _win_len(fine)).alias("w"), *series)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_y").alias("v_sum"),
+            F.sum(F.col("_y") * F.col("_y")).alias("v_sumsq"),
+            F.min("_y").alias("v_min"),
+            F.max("_y").alias("v_max"),
+        )
+    )
+    coarse_mom = fine_mom.groupBy(
+        F.window(F.col("w"), _win_len(coarse)).alias("w2"), *series
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("v_sum").alias("v_sum"),
+        F.sum("v_sumsq").alias("v_sumsq"),
+        F.min("v_min").alias("v_min"),
+        F.max("v_max").alias("v_max"),
+    )
+    fine_out = fine_mom.select(
+        *series, F.col("w.start").alias("bucket_start"),
+        "n", "v_sum", "v_sumsq", "v_min", "v_max",
+    )
+    coarse_out = coarse_mom.select(
+        *series, F.col("w2.start").alias("bucket_start"),
+        "n", "v_sum", "v_sumsq", "v_min", "v_max",
+    )
+    return fine_out, coarse_out
