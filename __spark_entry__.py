@@ -1866,6 +1866,60 @@ def q_chunks_range_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style snapshot table (sources/snapshots.py): two appends
+    then a copy-on-write MERGE, each version read back via time travel
+    and checksummed. The oracle reconstructs all three versions from the
+    source table directly, so manifest commits, the COW upsert and
+    time-travel reads are all value-checked end to end. Checksums are
+    integer-exact (floor(value*100) per row before the sum), immune to
+    cross-engine float summation order."""
+    import shutil
+    import tempfile
+
+    from python_vegindex_spark.session import scratch_dir
+    from python_vegindex_spark.sources.snapshots import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+    root = tempfile.mkdtemp(prefix="snap_tt_", dir=scratch_dir())
+    try:
+        t = SnapshotTable(spark, root, partition_by=["day"])
+        t.append(ev.filter(F.col("event_id") % 2 == 0))
+        t.append(ev.filter(F.col("event_id") % 2 == 1))
+        t.upsert(
+            ev.filter(F.col("event_id") % 5 == 0).withColumn(
+                "value", F.col("value") + 1000.0
+            ),
+            keys=["event_id"],
+        )
+        ok = F.col("value").isNotNull() & ~F.isnan("value")
+        rows = []
+        for v in (1, 2, 3):
+            rows.extend(
+                t.read(version=v)
+                .groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum("event_id").cast("long").alias("id_sum"),
+                    F.sum(
+                        F.when(ok, F.floor(F.col("value") * 100).cast("long"))
+                    ).cast("long").alias("v_sum"),
+                )
+                .withColumn("version", F.lit(v).cast("int"))
+                .collect()
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    out = spark.createDataFrame(
+        [(r["version"], r["event_type"], r["n"], r["id_sum"], r["v_sum"]) for r in rows],
+        "version int, event_type string, n long, id_sum long, v_sum long",
+    )
+    return out.orderBy("version", "event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hourly_rollup_gapfill": q_hourly_rollup_gapfill,
@@ -1954,6 +2008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pop_wow_daily": q_pop_wow_daily,
         "threshold_alert_episodes": q_threshold_alert_episodes,
         "chunks_range_decode": q_chunks_range_decode,
+        "snapshot_time_travel": q_snapshot_time_travel,
     }
 
 
@@ -4248,5 +4303,22 @@ WHERE ts >= TIMESTAMP '2024-01-08 06:00:00'
   AND ts <= TIMESTAMP '2024-01-15 18:00:00'
   AND value IS NOT NULL AND NOT isnan(value)
 GROUP BY 1 ORDER BY 1
+""",
+        # snapshot table versions rebuilt straight from the source rows:
+        # v1 = even ids, v2 = all, v3 = MERGE of (+1000 on every 5th id)
+        "snapshot_time_travel": """
+WITH v3 AS (
+  SELECT event_id, event_type,
+    CASE WHEN event_id % 5 = 0 THEN value + 1000 ELSE value END AS value
+  FROM events),
+all_v AS (
+  SELECT 1 AS version, event_id, event_type, value FROM events WHERE event_id % 2 = 0
+  UNION ALL SELECT 2, event_id, event_type, value FROM events
+  UNION ALL SELECT 3, event_id, event_type, value FROM v3)
+SELECT version, event_type, count(*) AS n,
+  CAST(sum(event_id) AS BIGINT) AS id_sum,
+  CAST(sum(CASE WHEN value IS NOT NULL AND NOT isnan(value)
+       THEN CAST(floor(value * 100) AS BIGINT) END) AS BIGINT) AS v_sum
+FROM all_v GROUP BY 1, 2 ORDER BY 1, 2
 """,
     }

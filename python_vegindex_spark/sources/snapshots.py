@@ -1,0 +1,365 @@
+"""Iceberg-style snapshot tables on plain parquet.
+
+The north rule targets Iceberg tables; this sandbox has no Iceberg
+runtime jar (verified: no iceberg/delta jars in the pyspark
+distribution), so :mod:`.tableio` emulates MERGE on bare parquet
+directories by rewriting in place. That emulation is honest but loses
+the property that makes Iceberg safe on a real cluster: a reader that
+planned its scan before a concurrent ``MERGE``/``overwrite`` landed
+must keep reading a consistent table (snapshot isolation), and an
+operator must be able to time-travel/rollback after a bad commit.
+
+:class:`SnapshotTable` supplies those semantics with the same public
+design Iceberg uses (spec v2, all public knowledge):
+
+* **Immutable data files.** Every commit writes a fresh file group
+  under ``data/``; no data file is ever modified in place. Readers of
+  older snapshots stay correct while writers commit.
+* **Manifest-based commits.** A snapshot is a JSON manifest listing
+  its file groups (+ per-group row counts and partition-value sets —
+  the stats Iceberg keeps per data file). Commit = create
+  ``snapshots/v%08d.json`` with ``O_CREAT|O_EXCL`` (the optimistic
+  lock: two writers racing on the same parent — only one wins, the
+  loser gets :class:`CommitConflict` and retries on the new state),
+  then atomically swap the ``VERSION`` pointer with ``os.replace``.
+* **Copy-on-write MERGE.** ``upsert`` rewrites only the file groups
+  whose recorded partition values intersect the update's — untouched
+  groups carry over into the new manifest by reference, the Iceberg
+  write-amplification profile (partition columns stay regular data
+  columns inside the files, exactly like Iceberg; directories are NOT
+  hive-partitioned).
+* **Metadata pruning.** ``read(prune=...)`` drops file groups whose
+  partition-value set cannot match before Spark ever sees them —
+  manifest-level partition pruning on top of parquet's own
+  footer/row-group pruning.
+* **Time travel, rollback, expiry.** ``read(version=...)`` plans from
+  any retained manifest; ``rollback`` commits a new snapshot that
+  references an old file set (never deletes); ``expire_snapshots``
+  is the only deleter and removes manifests + newly-unreferenced
+  groups (Iceberg's ``expireSnapshots`` maintenance action).
+
+Scale notes: a commit's metadata work is one ``VERSION`` swap plus one
+manifest write — O(groups), independent of row count. Group stats
+(rows, partition set) are computed from the freshly-written parquet
+reading only the needed columns. The group list grows with commits;
+``compact`` (the ``rewrite_data_files`` analog) folds it back down.
+Reference parity: the reference persists every tier as a rewritten CSV
+(vegindex.py / *_timeseries.py writers) with no notion of concurrent
+readers — this module is the lakehouse-grade replacement the 100 TB
+design point needs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the same version first (optimistic
+    concurrency). Re-read the table state and retry the operation."""
+
+
+def _norm(v) -> str:
+    """Normalize a partition value for manifest storage/comparison."""
+    return "\x00NULL" if v is None else str(v)
+
+
+class SnapshotTable:
+    """A versioned parquet table with Iceberg-style snapshot semantics.
+
+    ``partition_by`` names columns whose values are tracked per file
+    group for pruning and partition-scoped upserts. They remain normal
+    data columns — no hive directory layout.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, partition_by: list[str] | None = None):
+        self.spark = spark
+        self.root = root
+        self.partition_by = list(partition_by) if partition_by else None
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
+
+    # ---------------------------------------------------------- metadata
+    def _version_file(self) -> str:
+        return os.path.join(self.root, "VERSION")
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.root, "snapshots", f"v{version:08d}.json")
+
+    def current_version(self) -> int | None:
+        try:
+            with open(self._version_file()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def _manifest(self, version: int) -> dict:
+        path = self._manifest_path(version)
+        if not os.path.exists(path):
+            raise KeyError(
+                f"snapshot v{version} is not retained (expired or never existed)"
+            )
+        with open(path) as f:
+            return json.load(f)
+
+    def history(self) -> list[dict]:
+        """Commit log of retained snapshots, oldest first (version,
+        operation, rows/group deltas) — the metadata table a monitoring
+        job reads."""
+        out = []
+        snapdir = os.path.join(self.root, "snapshots")
+        for name in sorted(os.listdir(snapdir)):
+            with open(os.path.join(snapdir, name)) as f:
+                m = json.load(f)
+            out.append(
+                {
+                    "version": m["version"],
+                    "parent": m["parent"],
+                    "operation": m["operation"],
+                    "total_rows": sum(g["rows"] for g in m["files"]),
+                    "n_groups": len(m["files"]),
+                    "summary": m.get("summary", {}),
+                }
+            )
+        return out
+
+    # ------------------------------------------------------------ commit
+    def _commit(self, parent: int | None, files: list[dict], operation: str,
+                schema_json: str, summary: dict) -> int:
+        new_version = 1 if parent is None else parent + 1
+        manifest = {
+            "version": new_version,
+            "parent": parent,
+            "operation": operation,
+            "schema": schema_json,
+            "partition_by": self.partition_by,
+            "files": files,
+            "summary": summary,
+        }
+        path = self._manifest_path(new_version)
+        try:
+            # O_EXCL is the whole lock: first creator of vN wins.
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise CommitConflict(
+                f"snapshot v{new_version} was committed concurrently; "
+                "re-read and retry"
+            ) from None
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        tmp = self._version_file() + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(str(new_version))
+        os.replace(tmp, self._version_file())  # atomic pointer swap
+        return new_version
+
+    # ------------------------------------------------------- write paths
+    def _write_group(self, df: DataFrame) -> dict:
+        """Write one immutable file group and derive its manifest stats
+        from the written parquet (rows via a metadata-cheap count,
+        partition values via a partition-columns-only scan) — the input
+        plan runs exactly once."""
+        group = f"data/g-{uuid.uuid4().hex[:12]}"
+        gdir = os.path.join(self.root, group)
+        df.write.parquet(gdir)
+        written = self.spark.read.parquet(gdir)
+        rows = written.count()
+        partitions = None
+        if self.partition_by:
+            vals = written.select(*self.partition_by).distinct().collect()
+            partitions = sorted(
+                {tuple(_norm(r[c]) for c in self.partition_by) for r in vals}
+            )
+            partitions = [list(t) for t in partitions]
+        return {"group": group, "rows": rows, "partitions": partitions}
+
+    def append(self, df: DataFrame) -> int:
+        """Commit ``df`` as a new file group appended to the current
+        snapshot. Returns the new version."""
+        g = self._write_group(df)
+        parent = self.current_version()
+        files = [] if parent is None else list(self._manifest(parent)["files"])
+        files.append(g)
+        return self._commit(
+            parent, files, "append", df.schema.json(),
+            {"rows_written": g["rows"], "groups_added": 1, "groups_removed": 0},
+        )
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Commit ``df`` as the table's entire new contents."""
+        g = self._write_group(df)
+        parent = self.current_version()
+        removed = 0 if parent is None else len(self._manifest(parent)["files"])
+        return self._commit(
+            parent, [g], "overwrite", df.schema.json(),
+            {"rows_written": g["rows"], "groups_added": 1, "groups_removed": removed},
+        )
+
+    def upsert(self, updates: DataFrame, keys: list[str]) -> int:
+        """Copy-on-write MERGE: replace rows matching ``keys``, insert
+        the rest. Only file groups whose partition-value sets intersect
+        the update's are rewritten; every other group carries over by
+        reference."""
+        parent = self.current_version()
+        if parent is None:
+            return self.append(updates)
+        manifest = self._manifest(parent)
+        old_files = manifest["files"]
+
+        if self.partition_by:
+            touched_rows = updates.select(*self.partition_by).distinct().collect()
+            touched = {
+                tuple(_norm(r[c]) for c in self.partition_by) for r in touched_rows
+            }
+
+            def _affected(g: dict) -> bool:
+                if g["partitions"] is None:
+                    return True
+                return any(tuple(p) in touched for p in g["partitions"])
+        else:
+            def _affected(g: dict) -> bool:
+                return True
+
+        affected = [g for g in old_files if _affected(g)]
+        carried = [g for g in old_files if not _affected(g)]
+
+        if affected:
+            base = self.spark.read.parquet(
+                *[os.path.join(self.root, g["group"]) for g in affected]
+            )
+            kept = base.join(updates.select(*keys), on=keys, how="left_anti")
+            out = kept.unionByName(updates)
+        else:
+            out = updates
+        g = self._write_group(out)
+        return self._commit(
+            parent, carried + [g], "upsert", updates.schema.json(),
+            {
+                "rows_written": g["rows"],
+                "groups_added": 1,
+                "groups_removed": len(affected),
+                "groups_carried": len(carried),
+            },
+        )
+
+    def compact(self, target_rows_per_file: int = 1_000_000) -> int:
+        """``rewrite_data_files`` analog: fold all file groups into one
+        bin-packed group. Old groups stay on disk (older snapshots keep
+        reading them) until ``expire_snapshots``."""
+        import math
+
+        parent = self.current_version()
+        if parent is None:
+            raise ValueError("cannot compact an empty table")
+        manifest = self._manifest(parent)
+        df = self.read(version=parent)
+        rows = sum(g["rows"] for g in manifest["files"])
+        n_out = max(1, math.ceil(rows / target_rows_per_file))
+        g = self._write_group(df.coalesce(n_out))
+        return self._commit(
+            parent, [g], "compact", manifest["schema"],
+            {
+                "rows_written": g["rows"],
+                "groups_added": 1,
+                "groups_removed": len(manifest["files"]),
+            },
+        )
+
+    def rollback(self, version: int) -> int:
+        """Commit a new snapshot that references snapshot ``version``'s
+        exact file set (metadata-only, no data movement, nothing
+        deleted — history stays intact)."""
+        target = self._manifest(version)
+        parent = self.current_version()
+        return self._commit(
+            parent, list(target["files"]), "rollback", target["schema"],
+            {"rolled_back_to": version},
+        )
+
+    # -------------------------------------------------------- read paths
+    def _select_groups(self, manifest: dict, prune: dict | None) -> list[dict]:
+        files = manifest["files"]
+        if not prune:
+            return files
+        if not self.partition_by:
+            raise ValueError("prune requires a partitioned table")
+        want = {
+            c: {_norm(v) for v in vals} for c, vals in prune.items()
+        }
+        idx = {c: i for i, c in enumerate(self.partition_by)}
+        for c in want:
+            if c not in idx:
+                raise ValueError(f"{c!r} is not a partition column")
+
+        def _match(g: dict) -> bool:
+            if g["partitions"] is None:
+                return True
+            return any(
+                all(p[idx[c]] in vs for c, vs in want.items())
+                for p in g["partitions"]
+            )
+
+        return [g for g in files if _match(g)]
+
+    def read(self, version: int | None = None, prune: dict | None = None) -> DataFrame | None:
+        """Plan a scan of snapshot ``version`` (default: current).
+
+        ``prune`` = ``{partition_col: [values...]}`` drops file groups
+        at the manifest level; the matching row filter is ALSO applied
+        to the result (groups may mix partitions), so the output equals
+        a plain filter — pruning only shrinks the scan.
+        """
+        v = self.current_version() if version is None else version
+        if v is None:
+            return None
+        manifest = self._manifest(v)
+        groups = self._select_groups(manifest, prune)
+        if not groups:
+            schema = StructType.fromJson(json.loads(manifest["schema"]))
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.parquet(
+            *[os.path.join(self.root, g["group"]) for g in groups]
+        )
+        if prune:
+            for c, vals in prune.items():
+                non_null = [v for v in vals if v is not None]
+                cond = F.col(c).isin(non_null) if non_null else F.lit(False)
+                if any(v is None for v in vals):
+                    cond = cond | F.col(c).isNull()
+                df = df.filter(cond)
+        return df
+
+    # -------------------------------------------------------- maintenance
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Drop all but the newest ``keep_last`` manifests and delete
+        file groups no retained manifest references — the only place
+        data is ever deleted."""
+        snapdir = os.path.join(self.root, "snapshots")
+        names = sorted(os.listdir(snapdir))
+        keep_last = max(1, keep_last)
+        expired, retained = names[:-keep_last], names[-keep_last:]
+        live_groups: set[str] = set()
+        for name in retained:
+            with open(os.path.join(snapdir, name)) as f:
+                live_groups.update(g["group"] for g in json.load(f)["files"])
+        removed_groups = 0
+        datadir = os.path.join(self.root, "data")
+        for d in os.listdir(datadir):
+            rel = f"data/{d}"
+            if rel not in live_groups:
+                shutil.rmtree(os.path.join(datadir, d))
+                removed_groups += 1
+        for name in expired:
+            os.remove(os.path.join(snapdir, name))
+        return {
+            "expired_snapshots": len(expired),
+            "removed_groups": removed_groups,
+            "retained": [int(n[1:-5]) for n in retained],
+        }

@@ -1,0 +1,144 @@
+"""SnapshotTable: Iceberg-style commits, time travel, isolation, expiry."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_vegindex_spark.sources.snapshots import CommitConflict, SnapshotTable
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "id long, day string, v double")
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def test_append_and_time_travel(spark, root):
+    t = SnapshotTable(spark, root, partition_by=["day"])
+    assert t.read() is None
+    v1 = t.append(_mk(spark, [(1, "a", 1.0), (2, "a", 2.0)]))
+    v2 = t.append(_mk(spark, [(3, "b", 3.0)]))
+    assert (v1, v2) == (1, 2)
+    assert t.read().count() == 3
+    assert t.read(version=1).count() == 2
+    assert sorted(r["id"] for r in t.read(version=2).collect()) == [1, 2, 3]
+    hist = t.history()
+    assert [h["version"] for h in hist] == [1, 2]
+    assert [h["operation"] for h in hist] == ["append", "append"]
+    assert hist[-1]["total_rows"] == 3
+
+
+def test_upsert_copy_on_write_scope(spark, root):
+    """Only file groups intersecting the update's partitions are
+    rewritten; others carry over by reference (same group id)."""
+    t = SnapshotTable(spark, root, partition_by=["day"])
+    t.append(_mk(spark, [(1, "a", 1.0), (2, "a", 2.0)]))
+    t.append(_mk(spark, [(3, "b", 3.0), (4, "b", 4.0)]))
+    g_b = [g for g in t._manifest(2)["files"] if ["b"] in g["partitions"]]
+    assert len(g_b) == 1
+
+    t.upsert(_mk(spark, [(2, "a", 20.0), (5, "a", 5.0)]), keys=["id"])
+    m3 = t._manifest(3)
+    # the day=b group is carried over untouched, the day=a group replaced
+    assert g_b[0]["group"] in {g["group"] for g in m3["files"]}
+    assert m3["summary"]["groups_removed"] == 1
+    got = {r["id"]: r["v"] for r in t.read().collect()}
+    assert got == {1: 1.0, 2: 20.0, 3: 3.0, 4: 4.0, 5: 5.0}
+    # time travel still sees the pre-merge value
+    old = {r["id"]: r["v"] for r in t.read(version=2).collect()}
+    assert old[2] == 2.0 and 5 not in old
+
+
+def test_snapshot_isolation_under_upsert(spark, root):
+    """A reader that planned before a concurrent MERGE keeps reading the
+    old snapshot — the property tableio's in-place rewrite cannot give."""
+    t = SnapshotTable(spark, root, partition_by=["day"])
+    t.append(_mk(spark, [(1, "a", 1.0), (2, "a", 2.0)]))
+    reader = t.read()  # lazy plan pinned to v1's file list
+    t.upsert(_mk(spark, [(1, "a", 100.0)]), keys=["id"])
+    t.expire_snapshots(keep_last=2)  # v1 still retained
+    assert {r["v"] for r in reader.collect()} == {1.0, 2.0}
+
+
+def test_commit_conflict_first_writer_wins(spark, root):
+    t = SnapshotTable(spark, root, partition_by=["day"])
+    t.append(_mk(spark, [(1, "a", 1.0)]))
+    # simulate a racing writer: same parent, same target version
+    files = list(t._manifest(1)["files"])
+    t._commit(1, files, "append", _mk(spark, []).schema.json(), {})
+    with pytest.raises(CommitConflict):
+        t._commit(1, files, "append", _mk(spark, []).schema.json(), {})
+    # retry on the new state succeeds
+    assert t._commit(t.current_version(), files, "append",
+                     _mk(spark, []).schema.json(), {}) == 3
+
+
+def test_prune_reads_fewer_groups_same_answer(spark, root):
+    t = SnapshotTable(spark, root, partition_by=["day"])
+    t.append(_mk(spark, [(1, "a", 1.0), (2, "a", 2.0)]))
+    t.append(_mk(spark, [(3, "b", 3.0)]))
+    t.append(_mk(spark, [(4, "c", 4.0)]))
+    m = t._manifest(t.current_version())
+    pruned = t._select_groups(m, {"day": ["b"]})
+    assert len(pruned) == 1 and len(m["files"]) == 3
+    got = t.read(prune={"day": ["b"]}).collect()
+    assert [(r["id"], r["v"]) for r in got] == [(3, 3.0)]
+    # prune + row filter equivalence on a mixed-partition group
+    t.append(_mk(spark, [(5, "a", 5.0), (6, "b", 6.0)]))
+    via_prune = sorted(r["id"] for r in t.read(prune={"day": ["b"]}).collect())
+    via_filter = sorted(
+        r["id"] for r in t.read().filter(F.col("day") == "b").collect()
+    )
+    assert via_prune == via_filter == [3, 6]
+
+
+def test_rollback_is_metadata_only(spark, root):
+    t = SnapshotTable(spark, root, partition_by=["day"])
+    t.append(_mk(spark, [(1, "a", 1.0)]))
+    t.overwrite(_mk(spark, [(9, "z", 9.0)]))
+    v3 = t.rollback(1)
+    assert v3 == 3
+    assert [r["id"] for r in t.read().collect()] == [1]
+    # nothing deleted: v2 still time-travels
+    assert [r["id"] for r in t.read(version=2).collect()] == [9]
+    assert t._manifest(3)["files"] == t._manifest(1)["files"]
+
+
+def test_compact_folds_groups(spark, root):
+    t = SnapshotTable(spark, root, partition_by=["day"])
+    for i in range(4):
+        t.append(_mk(spark, [(i, "a", float(i))]))
+    v = t.compact(target_rows_per_file=100)
+    m = t._manifest(v)
+    assert len(m["files"]) == 1 and m["operation"] == "compact"
+    assert sorted(r["id"] for r in t.read().collect()) == [0, 1, 2, 3]
+
+
+def test_expire_snapshots_gc(spark, root):
+    t = SnapshotTable(spark, root, partition_by=["day"])
+    t.append(_mk(spark, [(1, "a", 1.0)]))
+    t.overwrite(_mk(spark, [(2, "b", 2.0)]))
+    t.overwrite(_mk(spark, [(3, "c", 3.0)]))
+    datadir = os.path.join(root, "data")
+    assert len(os.listdir(datadir)) == 3
+    out = t.expire_snapshots(keep_last=1)
+    assert out["expired_snapshots"] == 2 and out["removed_groups"] == 2
+    assert [r["id"] for r in t.read().collect()] == [3]
+    with pytest.raises(KeyError):
+        t.read(version=1)
+
+
+def test_unpartitioned_table(spark, root):
+    t = SnapshotTable(spark, root)
+    t.append(_mk(spark, [(1, "a", 1.0)]))
+    t.upsert(_mk(spark, [(1, "a", 10.0), (2, "b", 2.0)]), keys=["id"])
+    got = {r["id"]: r["v"] for r in t.read().collect()}
+    assert got == {1: 10.0, 2: 2.0}
+    with pytest.raises(ValueError):
+        t.read(prune={"day": ["a"]})
