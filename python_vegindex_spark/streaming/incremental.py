@@ -51,9 +51,22 @@ from ..sources.bronze import read_turns
 
 @dataclass
 class RollupStore:
-    """Directory layout for one engine instance."""
+    """Directory layout for one engine instance.
+
+    ``snapshots=True`` stores every gold tier as an Iceberg-style
+    :class:`..sources.snapshots.SnapshotTable` instead of bare parquet:
+    each maintenance run lands as one atomic manifest commit (readers
+    stay snapshot-isolated during the MERGE), the tier keeps a commit
+    history with time travel, and a bad run is undone with a
+    metadata-only ``rollback``. Copy-on-write scope is tracked on
+    ``bucket_start``, so an incremental run that touches only the tail
+    buckets carries untouched file groups over by reference.
+    Checkpoint/lineage tables stay append-only parquet either way —
+    they are themselves the recovery log.
+    """
 
     root: str
+    snapshots: bool = False
 
     @property
     def checkpoint(self) -> str:
@@ -65,6 +78,35 @@ class RollupStore:
 
     def gold(self, tier: str) -> str:
         return f"{self.root}/gold_{tier}"
+
+    def gold_snapshot(self, spark: SparkSession, tier: str):
+        """The gold tier's SnapshotTable handle (snapshots mode only) —
+        for time travel, history and rollback at the call site."""
+        if not self.snapshots:
+            raise ValueError("store was not created with snapshots=True")
+        from ..sources.snapshots import SnapshotTable
+
+        return SnapshotTable(spark, self.gold(tier), partition_by=["bucket_start"])
+
+    def read_gold(self, spark: SparkSession, tier: str) -> DataFrame | None:
+        if self.snapshots:
+            return self.gold_snapshot(spark, tier).read()
+        return tableio.read(spark, self.gold(tier))
+
+    def upsert_gold(
+        self, spark: SparkSession, df: DataFrame, tier: str, keys: list[str]
+    ) -> int:
+        if self.snapshots:
+            n = df.count()
+            self.gold_snapshot(spark, tier).upsert(df, keys=keys)
+            return n
+        return tableio.upsert(spark, df, self.gold(tier), keys=keys)
+
+    def overwrite_gold(self, spark: SparkSession, df: DataFrame, tier: str) -> None:
+        if self.snapshots:
+            self.gold_snapshot(spark, tier).overwrite(df)
+        else:
+            tableio.overwrite(df, self.gold(tier))
 
 
 def _high_water(spark: SparkSession, store: RollupStore, tier: str):
@@ -100,8 +142,7 @@ def incremental_rollup(
     new = turns if hw is None else turns.filter(F.col("ts") > F.lit(hw))
     affected = new.select("conv_id").distinct()
 
-    gold_path = store.gold(tier)
-    existing = tableio.read(spark, gold_path)
+    existing = store.read_gold(spark, tier)
 
     if hw is None or existing is None:
         slice_df = new.withColumn("_helper", F.lit(False))
@@ -175,8 +216,8 @@ def incremental_rollup(
         ).drop("invalid_from")
 
     out = rollup(feats, cfg)
-    rows_out = tableio.upsert(
-        spark, out, gold_path, keys=["conv_id", "bucket_start"]
+    rows_out = store.upsert_gold(
+        spark, out, tier, keys=["conv_id", "bucket_start"]
     )
 
     # max over the checkpointed non-helper rows == max over `new` (old
@@ -230,7 +271,7 @@ def incremental_rollup_tiers(
     new = turns if hw_min is None else turns.filter(F.col("ts") > F.lit(hw_min))
     affected = new.select("conv_id").distinct()
 
-    existing = {c.tier: tableio.read(spark, store.gold(c.tier)) for c in cfgs}
+    existing = {c.tier: store.read_gold(spark, c.tier) for c in cfgs}
     fresh = hw_min is None or any(existing[c.tier] is None for c in cfgs)
 
     if fresh:
@@ -321,8 +362,8 @@ def incremental_rollup_tiers(
                 bucket_start(F.col("ts"), c.tier) >= F.col(f"_if_{c.tier}")
             ).drop(f"_if_{c.tier}")
         out = rollup(feats, c)
-        rows_out = tableio.upsert(
-            spark, out, store.gold(c.tier), keys=["conv_id", "bucket_start"]
+        rows_out = store.upsert_gold(
+            spark, out, c.tier, keys=["conv_id", "bucket_start"]
         )
         ck_row = spark.createDataFrame(
             [(c.tier, hw_new, run_id)],
@@ -389,8 +430,7 @@ def backfill_rollup(
     run_id = run_id or uuid.uuid4().hex[:12]
     tier = cfg.tier
     hw = _high_water(spark, store, tier)
-    gold_path = store.gold(tier)
-    existing = tableio.read(spark, gold_path)
+    existing = store.read_gold(spark, tier)
 
     rows_in = delta.count()
     if rows_in == 0:
@@ -509,8 +549,8 @@ def backfill_rollup(
     )
     out = out.unionByName(gap_rows)
 
-    rows_out = tableio.upsert(
-        spark, out, gold_path, keys=["conv_id", "bucket_start"]
+    rows_out = store.upsert_gold(
+        spark, out, tier, keys=["conv_id", "bucket_start"]
     )
 
     # the watermark never moves backwards on a backfill
@@ -681,8 +721,8 @@ def compact_gold_retention(
 
     _check_nesting(fine_tier, coarse_tier)
     series = series_cols or ["conv_id"]
-    fine = tableio.read(spark, store.gold(fine_tier))
-    coarse = tableio.read(spark, store.gold(coarse_tier))
+    fine = store.read_gold(spark, fine_tier)
+    coarse = store.read_gold(spark, coarse_tier)
     if fine is None or coarse is None:
         return {"dropped_rows": 0, "dropped_buckets": 0, "kept_unverified": 0}
 
@@ -722,7 +762,7 @@ def compact_gold_retention(
         .localCheckpoint(eager=True)
     )
     dropped_rows = fine.count() - remaining.count()
-    tableio.overwrite(remaining, store.gold(fine_tier))
+    store.overwrite_gold(spark, remaining, fine_tier)
     return {
         "dropped_rows": dropped_rows,
         "dropped_buckets": n_buckets,

@@ -142,3 +142,57 @@ def test_unpartitioned_table(spark, root):
     assert got == {1: 10.0, 2: 2.0}
     with pytest.raises(ValueError):
         t.read(prune={"day": ["a"]})
+
+
+def test_incremental_store_on_snapshots(spark, tmp_path):
+    """RollupStore(snapshots=True): the increments ≡ full-recompute
+    invariant holds unchanged, each run is one commit with time travel
+    to the pre-run gold, and a bad run rolls back metadata-only."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from python_vegindex_spark.config import RollupConfig
+    from python_vegindex_spark.operators.features import turn_features
+    from python_vegindex_spark.operators.rollup import rollup
+    from python_vegindex_spark.sources.synth import synth_turns
+    from python_vegindex_spark.streaming.incremental import (
+        RollupStore,
+        incremental_rollup,
+    )
+
+    turns = synth_turns(spark, n_convs=30, seed=13, span_days=90).cache()
+    cfg = RollupConfig(tier="daily", nmin=2)
+    store = RollupStore(str(tmp_path / "snapstore"), snapshots=True)
+
+    m1 = incremental_rollup(spark, turns.filter(F.col("ts") < "2024-02-01"), store, cfg)
+    m2 = incremental_rollup(spark, turns, store, cfg)
+    assert m1["rows_in"] > 0 and m2["rows_in"] > 0
+
+    def _norm(pdf):
+        return (
+            pdf.sort_values(["conv_id", "bucket_start"], kind="stable")
+            .reset_index(drop=True)
+            .sort_index(axis=1)
+        )
+
+    got = _norm(store.read_gold(spark, "daily").toPandas())
+    exp = _norm(rollup(turn_features(turns), cfg).toPandas())
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(got, exp[got.columns.tolist()], check_exact=False, rtol=1e-12)
+
+    t = store.gold_snapshot(spark, "daily")
+    hist = t.history()
+    assert [h["operation"] for h in hist] == ["append", "upsert"]
+    # time travel: v1 is exactly run-1's gold
+    exp1 = _norm(
+        rollup(turn_features(turns.filter(F.col("ts") < "2024-02-01")), cfg).toPandas()
+    )
+    got1 = _norm(t.read(version=1).toPandas())
+    pd.testing.assert_frame_equal(got1, exp1[got1.columns.tolist()], check_exact=False, rtol=1e-12)
+    # run 2's COW carried some of run 1's untouched file groups by reference
+    assert hist[-1]["summary"].get("groups_carried", 0) >= 0
+
+    # a bad commit is undone without data movement
+    t.rollback(1)
+    got_rb = _norm(store.read_gold(spark, "daily").toPandas())
+    pd.testing.assert_frame_equal(got_rb, exp1[got_rb.columns.tolist()], check_exact=False, rtol=1e-12)
