@@ -2,7 +2,8 @@
 
     spark-submit --master local[N] --py-files /tmp/pvs.zip \
         scripts/incremental_job.py --turns <bronze_path> --store <dir> \
-        [--tiers hourly,daily,weekly] [--nmin 2] [--backfill <delta_path>]
+        [--tiers hourly,daily,weekly] [--nmin 2] [--backfill <delta_path>] \
+        [--snapshots] [--history TIER | --rollback TIER:V | --expire TIER:K]
 
 One bronze scan updates every gold tier past its checkpoint
 (streaming/incremental.incremental_rollup_tiers); with ``--backfill``
@@ -36,6 +37,20 @@ def main() -> None:
                          "closed buckets strictly before this ISO "
                          "timestamp (stored at <store>/chunks)")
     ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--snapshots", action="store_true",
+                    help="store gold tiers as Iceberg-style snapshot "
+                         "tables (atomic manifest commits, time travel, "
+                         "rollback; sources/snapshots.py)")
+    ap.add_argument("--rollback", default=None, metavar="TIER:VERSION",
+                    help="instead of ingesting, roll a snapshot-mode "
+                         "gold tier back to VERSION (metadata-only)")
+    ap.add_argument("--history", default=None, metavar="TIER",
+                    help="instead of ingesting, print a snapshot-mode "
+                         "gold tier's commit history")
+    ap.add_argument("--expire", default=None, metavar="TIER:KEEP",
+                    help="instead of ingesting, expire all but the "
+                         "newest KEEP snapshots of a gold tier (deletes "
+                         "newly-unreferenced file groups)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -61,8 +76,28 @@ def main() -> None:
         )
     spark = builder.getOrCreate()
 
+    store = RollupStore(args.store, snapshots=args.snapshots)
+
+    if args.history or args.rollback or args.expire:
+        if not args.snapshots:
+            ap.error("--history/--rollback/--expire require --snapshots")
+        if args.history:
+            metrics = {"mode": "history", "tier": args.history,
+                       "history": store.gold_snapshot(spark, args.history).history()}
+        elif args.rollback:
+            tier, _, ver = args.rollback.partition(":")
+            new_v = store.gold_snapshot(spark, tier).rollback(int(ver))
+            metrics = {"mode": "rollback", "tier": tier,
+                       "rolled_back_to": int(ver), "new_version": new_v}
+        else:
+            tier, _, keep = args.expire.partition(":")
+            metrics = {"mode": "expire", "tier": tier,
+                       **store.gold_snapshot(spark, tier).expire_snapshots(int(keep))}
+        print("INCREMENTAL_METRICS " + json.dumps(metrics))
+        spark.stop()
+        return
+
     turns = spark.read.parquet(args.turns)
-    store = RollupStore(args.store)
     cfgs = [
         RollupConfig(tier=t, nmin=args.nmin) for t in args.tiers.split(",")
     ]

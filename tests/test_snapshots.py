@@ -196,3 +196,58 @@ def test_incremental_store_on_snapshots(spark, tmp_path):
     t.rollback(1)
     got_rb = _norm(store.read_gold(spark, "daily").toPandas())
     pd.testing.assert_frame_equal(got_rb, exp1[got_rb.columns.tolist()], check_exact=False, rtol=1e-12)
+
+
+def test_incremental_job_cli_snapshots(spark, tmp_path):
+    """incremental_job.py --snapshots end-to-end: two runs commit two
+    snapshot versions; --history lists them; --rollback restores run 1's
+    gold; --expire prunes to the newest snapshots."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from python_vegindex_spark.config import RollupConfig
+    from python_vegindex_spark.operators.features import turn_features
+    from python_vegindex_spark.operators.rollup import rollup
+    from python_vegindex_spark.sources.synth import synth_turns
+    from python_vegindex_spark.streaming.incremental import RollupStore
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    turns = synth_turns(spark, n_convs=20, seed=5, span_days=60)
+    early = turns.filter(F.col("ts") < "2024-01-20")
+    p_all, p_early = str(tmp_path / "turns"), str(tmp_path / "early")
+    turns.write.parquet(p_all)
+    early.write.parquet(p_early)
+    store_dir = str(tmp_path / "store")
+
+    def run(extra):
+        out = subprocess.run(
+            [sys.executable, os.path.join(repo, "scripts", "incremental_job.py"),
+             "--store", store_dir, "--tiers", "daily", "--snapshots", *extra],
+            capture_output=True, text=True, timeout=420,
+        )
+        lines = [l for l in out.stdout.splitlines()
+                 if l.startswith("INCREMENTAL_METRICS ")]
+        assert lines, out.stdout[-1500:] + out.stderr[-2500:]
+        return json.loads(lines[0][len("INCREMENTAL_METRICS "):])
+
+    m1 = run(["--turns", p_early])
+    m2 = run(["--turns", p_all])
+    assert m1["mode"] == m2["mode"] == "incremental"
+
+    h = run(["--turns", p_all, "--history", "daily"])
+    assert [c["operation"] for c in h["history"]] == ["append", "upsert"]
+
+    rb = run(["--turns", p_all, "--rollback", "daily:1"])
+    assert rb["new_version"] == 3
+    store = RollupStore(store_dir, snapshots=True)
+    got = store.read_gold(spark, "daily").toPandas()
+    exp = rollup(turn_features(early), RollupConfig(tier="daily", nmin=2)).toPandas()
+    assert len(got) == len(exp)
+
+    ex = run(["--turns", p_all, "--expire", "daily:1"])
+    assert ex["expired_snapshots"] == 2 and ex["retained"] == [3]
+    assert store.read_gold(spark, "daily").count() == len(exp)
