@@ -56,9 +56,11 @@ import os
 import shutil
 import uuid
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 
 class CommitConflict(RuntimeError):
@@ -69,6 +71,10 @@ class CommitConflict(RuntimeError):
 def _norm(v) -> str:
     """Normalize a partition value for manifest storage/comparison."""
     return "\x00NULL" if v is None else str(v)
+
+
+def _schema_hash(schema_json: str) -> str:
+    return hashlib.md5(schema_json.encode()).hexdigest()[:12]
 
 
 class SnapshotTable:
@@ -140,7 +146,9 @@ class SnapshotTable:
             "operation": operation,
             "schema": schema_json,
             "partition_by": self.partition_by,
-            "files": files,
+            "files": [
+                {k: v for k, v in g.items() if not k.startswith("_")} for g in files
+            ],
             "summary": summary,
         }
         path = self._manifest_path(new_version)
@@ -178,7 +186,31 @@ class SnapshotTable:
                 {tuple(_norm(r[c]) for c in self.partition_by) for r in vals}
             )
             partitions = [list(t) for t in partitions]
-        return {"group": group, "rows": rows, "partitions": partitions}
+        return {
+            "group": group,
+            "rows": rows,
+            "partitions": partitions,
+            "schema_hash": _schema_hash(written.schema.json()),
+            "_written_schema": written.schema.json(),  # stripped before commit
+        }
+
+    def _evolved_schema(self, parent: int | None, written_schema_json: str) -> str:
+        """Union-evolve the table schema on append/upsert: parent fields
+        keep their position and type, fields new to this write are added
+        at the end (Iceberg add-column semantics — older files read as
+        NULL for them). Same-name/different-type conflicts are left to
+        fail loudly at read (mergeSchema), never silently cast."""
+        if parent is None:
+            return written_schema_json
+        old = StructType.fromJson(json.loads(self._manifest(parent)["schema"]))
+        new = StructType.fromJson(json.loads(written_schema_json))
+        names = {f.name for f in old.fields}
+        fields = [StructField(f.name, f.dataType, True) for f in old.fields] + [
+            StructField(f.name, f.dataType, True)
+            for f in new.fields
+            if f.name not in names
+        ]
+        return StructType(fields).json()
 
     def append(self, df: DataFrame) -> int:
         """Commit ``df`` as a new file group appended to the current
@@ -188,7 +220,8 @@ class SnapshotTable:
         files = [] if parent is None else list(self._manifest(parent)["files"])
         files.append(g)
         return self._commit(
-            parent, files, "append", df.schema.json(),
+            parent, files, "append",
+            self._evolved_schema(parent, g["_written_schema"]),
             {"rows_written": g["rows"], "groups_added": 1, "groups_removed": 0},
         )
 
@@ -198,7 +231,7 @@ class SnapshotTable:
         parent = self.current_version()
         removed = 0 if parent is None else len(self._manifest(parent)["files"])
         return self._commit(
-            parent, [g], "overwrite", df.schema.json(),
+            parent, [g], "overwrite", g["_written_schema"],
             {"rows_written": g["rows"], "groups_added": 1, "groups_removed": removed},
         )
 
@@ -235,12 +268,15 @@ class SnapshotTable:
                 *[os.path.join(self.root, g["group"]) for g in affected]
             )
             kept = base.join(updates.select(*keys), on=keys, how="left_anti")
-            out = kept.unionByName(updates)
+            # allowMissingColumns: schema-evolving MERGE — kept rows get
+            # NULL for columns only the updates carry, and vice versa
+            out = kept.unionByName(updates, allowMissingColumns=True)
         else:
             out = updates
         g = self._write_group(out)
         return self._commit(
-            parent, carried + [g], "upsert", updates.schema.json(),
+            parent, carried + [g], "upsert",
+            self._evolved_schema(parent, g["_written_schema"]),
             {
                 "rows_written": g["rows"],
                 "groups_added": 1,
@@ -321,12 +357,29 @@ class SnapshotTable:
             return None
         manifest = self._manifest(v)
         groups = self._select_groups(manifest, prune)
+        schema = StructType.fromJson(json.loads(manifest["schema"]))
         if not groups:
-            schema = StructType.fromJson(json.loads(manifest["schema"]))
             return self.spark.createDataFrame([], schema)
-        df = self.spark.read.parquet(
-            *[os.path.join(self.root, g["group"]) for g in groups]
-        )
+        paths = [os.path.join(self.root, g["group"]) for g in groups]
+        # schema evolution, Iceberg semantics: the snapshot's recorded
+        # schema is authoritative. The hot path — every referenced group
+        # written under exactly this schema — is a plain parquet scan;
+        # only heterogenous file sets pay for mergeSchema (all footers)
+        # plus the aligning projection that NULL-fills columns older
+        # files lack and drops columns the current schema no longer
+        # has. Time travel keeps each version's own schema.
+        want = _schema_hash(manifest["schema"])
+        if all(g.get("schema_hash") == want for g in groups):
+            df = self.spark.read.parquet(*paths)
+        else:
+            df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+            df = df.select(
+                *[
+                    (F.col(f.name) if f.name in df.columns
+                     else F.lit(None).cast(f.dataType)).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
         if prune:
             for c, vals in prune.items():
                 non_null = [v for v in vals if v is not None]

@@ -251,3 +251,39 @@ def test_incremental_job_cli_snapshots(spark, tmp_path):
     ex = run(["--turns", p_all, "--expire", "daily:1"])
     assert ex["expired_snapshots"] == 2 and ex["retained"] == [3]
     assert store.read_gold(spark, "daily").count() == len(exp)
+
+
+def test_schema_evolution_add_column(spark, root):
+    """Iceberg add-column semantics: an append with a new column evolves
+    the table schema; old files read as NULL for it; time travel keeps
+    v1's own narrower schema; a MERGE carrying the new column NULL-fills
+    kept rows."""
+    t = SnapshotTable(spark, root, partition_by=["day"])
+    t.append(_mk(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    widened = spark.createDataFrame(
+        [(3, "c", 3.0, "en")], "id long, day string, v double, lang string"
+    )
+    t.append(widened)
+    cur = t.read()
+    assert cur.columns == ["id", "day", "v", "lang"]
+    got = {r["id"]: r["lang"] for r in cur.collect()}
+    assert got == {1: None, 2: None, 3: "en"}
+    # time travel: v1 keeps its own schema
+    assert t.read(version=1).columns == ["id", "day", "v"]
+
+    # schema-evolving MERGE: kept rows NULL-fill the new column
+    t.upsert(
+        spark.createDataFrame(
+            [(2, "b", 20.0, "fr")], "id long, day string, v double, lang string"
+        ),
+        keys=["id"],
+    )
+    got = {r["id"]: (r["v"], r["lang"]) for r in t.read().collect()}
+    assert got == {1: (1.0, None), 2: (20.0, "fr"), 3: (3.0, "en")}
+
+    # compact heals the heterogeneous file set back onto the hot path
+    v = t.compact()
+    m = t._manifest(v)
+    from python_vegindex_spark.sources.snapshots import _schema_hash
+    assert all(g["schema_hash"] == _schema_hash(m["schema"]) for g in m["files"])
+    assert t.read().columns == ["id", "day", "v", "lang"]
