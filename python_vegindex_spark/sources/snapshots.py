@@ -77,6 +77,15 @@ def _schema_hash(schema_json: str) -> str:
     return hashlib.md5(schema_json.encode()).hexdigest()[:12]
 
 
+def _stat_val(v):
+    """JSON-encode a min/max stat: numbers stay numeric, temporals and
+    strings become their str() form — whose lexicographic order matches
+    the value order for ISO-formatted date/timestamp reprs."""
+    if v is None or isinstance(v, (int, float)):
+        return v
+    return str(v)
+
+
 class SnapshotTable:
     """A versioned parquet table with Iceberg-style snapshot semantics.
 
@@ -85,10 +94,17 @@ class SnapshotTable:
     data columns — no hive directory layout.
     """
 
-    def __init__(self, spark: SparkSession, root: str, partition_by: list[str] | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        partition_by: list[str] | None = None,
+        stats_cols: list[str] | None = None,
+    ):
         self.spark = spark
         self.root = root
         self.partition_by = list(partition_by) if partition_by else None
+        self.stats_cols = list(stats_cols) if stats_cols else None
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
 
@@ -186,10 +202,23 @@ class SnapshotTable:
                 {tuple(_norm(r[c]) for c in self.partition_by) for r in vals}
             )
             partitions = [list(t) for t in partitions]
+        stats = None
+        if self.stats_cols:
+            present = [c for c in self.stats_cols if c in written.columns]
+            if present:
+                row = written.agg(
+                    *[F.min(c).alias(f"_lo_{c}") for c in present],
+                    *[F.max(c).alias(f"_hi_{c}") for c in present],
+                ).collect()[0]
+                stats = {
+                    c: [_stat_val(row[f"_lo_{c}"]), _stat_val(row[f"_hi_{c}"])]
+                    for c in present
+                }
         return {
             "group": group,
             "rows": rows,
             "partitions": partitions,
+            "stats": stats,
             "schema_hash": _schema_hash(written.schema.json()),
             "_written_schema": written.schema.json(),  # stripped before commit
         }
@@ -320,6 +349,33 @@ class SnapshotTable:
         )
 
     # -------------------------------------------------------- read paths
+    def _select_range(self, files: list[dict], prune_range: dict | None) -> list[dict]:
+        """Zone-map pruning: drop groups whose recorded [min, max] for a
+        stats column cannot intersect the queried [lo, hi] (either bound
+        may be None = open). Groups with no stats for the column are
+        conservatively kept."""
+        if not prune_range:
+            return files
+        bounds = {
+            c: (_stat_val(lo), _stat_val(hi)) for c, (lo, hi) in prune_range.items()
+        }
+
+        def _keep(g: dict) -> bool:
+            st = g.get("stats") or {}
+            for c, (lo, hi) in bounds.items():
+                if c not in st:
+                    continue
+                gmin, gmax = st[c]
+                if gmin is None or gmax is None:
+                    continue  # NULL-only or unknown extremes: keep
+                if lo is not None and gmax < lo:
+                    return False
+                if hi is not None and gmin > hi:
+                    return False
+            return True
+
+        return [g for g in files if _keep(g)]
+
     def _select_groups(self, manifest: dict, prune: dict | None) -> list[dict]:
         files = manifest["files"]
         if not prune:
@@ -344,19 +400,28 @@ class SnapshotTable:
 
         return [g for g in files if _match(g)]
 
-    def read(self, version: int | None = None, prune: dict | None = None) -> DataFrame | None:
+    def read(
+        self,
+        version: int | None = None,
+        prune: dict | None = None,
+        prune_range: dict | None = None,
+    ) -> DataFrame | None:
         """Plan a scan of snapshot ``version`` (default: current).
 
-        ``prune`` = ``{partition_col: [values...]}`` drops file groups
-        at the manifest level; the matching row filter is ALSO applied
-        to the result (groups may mix partitions), so the output equals
-        a plain filter — pruning only shrinks the scan.
+        ``prune`` = ``{partition_col: [values...]}`` and ``prune_range``
+        = ``{stats_col: (lo, hi)}`` drop file groups at the manifest
+        level (partition sets / min-max zone maps); the matching row
+        filters are ALSO applied to the result (groups may mix
+        partitions, zone maps only bound), so the output equals a plain
+        filter — pruning only shrinks the scan.
         """
         v = self.current_version() if version is None else version
         if v is None:
             return None
         manifest = self._manifest(v)
-        groups = self._select_groups(manifest, prune)
+        groups = self._select_range(
+            self._select_groups(manifest, prune), prune_range
+        )
         schema = StructType.fromJson(json.loads(manifest["schema"]))
         if not groups:
             return self.spark.createDataFrame([], schema)
@@ -387,6 +452,12 @@ class SnapshotTable:
                 if any(v is None for v in vals):
                     cond = cond | F.col(c).isNull()
                 df = df.filter(cond)
+        if prune_range:
+            for c, (lo, hi) in prune_range.items():
+                if lo is not None:
+                    df = df.filter(F.col(c) >= F.lit(lo))
+                if hi is not None:
+                    df = df.filter(F.col(c) <= F.lit(hi))
         return df
 
     # -------------------------------------------------------- maintenance

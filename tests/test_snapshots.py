@@ -287,3 +287,34 @@ def test_schema_evolution_add_column(spark, root):
     from python_vegindex_spark.sources.snapshots import _schema_hash
     assert all(g["schema_hash"] == _schema_hash(m["schema"]) for g in m["files"])
     assert t.read().columns == ["id", "day", "v", "lang"]
+
+
+def test_zone_map_range_pruning(spark, root):
+    """Per-group min/max stats prune reads at the manifest level; the
+    pruned read equals the plain filter."""
+    import datetime as dt
+
+    t = SnapshotTable(spark, root, stats_cols=["ts", "v"])
+    rows1 = [(i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i), float(i)) for i in range(5)]
+    rows2 = [(i, dt.datetime(2024, 2, 1) + dt.timedelta(hours=i), float(i + 100)) for i in range(5)]
+    sch = "id long, ts timestamp, v double"
+    t.append(spark.createDataFrame(rows1, sch))
+    t.append(spark.createDataFrame(rows2, sch))
+    m = t._manifest(2)
+    assert all(g["stats"]["ts"][0] is not None for g in m["files"])
+
+    # metadata-level: the January range keeps only group 1
+    kept = t._select_range(m["files"], {"ts": (dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 31))})
+    assert len(kept) == 1
+
+    got = sorted(
+        r["id"] for r in t.read(
+            prune_range={"ts": (dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 31))}
+        ).collect()
+    )
+    assert got == [0, 1, 2, 3, 4]
+    # numeric zone map, one-sided bound; result equals the plain filter
+    via_prune = sorted(r["id"] for r in t.read(prune_range={"v": (100.0, None)}).collect())
+    via_filter = sorted(r["id"] for r in t.read().filter(F.col("v") >= 100.0).collect())
+    assert via_prune == via_filter == [0, 1, 2, 3, 4]
+    assert len(t._select_range(m["files"], {"v": (100.0, None)})) == 1
