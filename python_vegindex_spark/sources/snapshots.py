@@ -241,9 +241,10 @@ class SnapshotTable:
         ]
         return StructType(fields).json()
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, summary_extra: dict | None = None) -> int:
         """Commit ``df`` as a new file group appended to the current
-        snapshot. Returns the new version."""
+        snapshot. Returns the new version. ``summary_extra`` is merged
+        into the commit summary (e.g. a streaming sink's batch id)."""
         g = self._write_group(df)
         parent = self.current_version()
         files = [] if parent is None else list(self._manifest(parent)["files"])
@@ -251,7 +252,8 @@ class SnapshotTable:
         return self._commit(
             parent, files, "append",
             self._evolved_schema(parent, g["_written_schema"]),
-            {"rows_written": g["rows"], "groups_added": 1, "groups_removed": 0},
+            {"rows_written": g["rows"], "groups_added": 1, "groups_removed": 0,
+             **(summary_extra or {})},
         )
 
     def overwrite(self, df: DataFrame) -> int:
@@ -264,7 +266,9 @@ class SnapshotTable:
             {"rows_written": g["rows"], "groups_added": 1, "groups_removed": removed},
         )
 
-    def upsert(self, updates: DataFrame, keys: list[str]) -> int:
+    def upsert(
+        self, updates: DataFrame, keys: list[str], summary_extra: dict | None = None
+    ) -> int:
         """Copy-on-write MERGE: replace rows matching ``keys``, insert
         the rest. Only file groups whose partition-value sets intersect
         the update's are rewritten; every other group carries over by
@@ -311,6 +315,7 @@ class SnapshotTable:
                 "groups_added": 1,
                 "groups_removed": len(affected),
                 "groups_carried": len(carried),
+                **(summary_extra or {}),
             },
         )
 

@@ -116,6 +116,58 @@ def run_available_now(
     q.awaitTermination()
 
 
+def snapshot_batch_writer(table, mode: str = "append", keys: list[str] | None = None):
+    """foreachBatch function committing each micro-batch to an
+    Iceberg-style :class:`..sources.snapshots.SnapshotTable` —
+    exactly-once across restarts, the public Iceberg streaming-sink
+    design: every commit records its ``stream_batch_id``; after a
+    checkpoint recovery Structured Streaming replays the last
+    possibly-uncommitted batch with the SAME id, and a batch whose id is
+    already in the commit history is skipped instead of double-landed.
+    ``mode="upsert"`` MERGEs each batch on ``keys`` (for
+    update/complete-mode aggregates); ``"append"`` adds a file group.
+    The history scan is O(retained manifests) per batch — snapshot
+    expiry keeps it short-lived."""
+    if mode not in ("append", "upsert"):
+        raise ValueError(f"mode must be 'append' or 'upsert', got {mode!r}")
+    if mode == "upsert" and not keys:
+        raise ValueError("mode='upsert' requires keys")
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        committed = [
+            h["summary"].get("stream_batch_id") for h in table.history()
+        ]
+        committed = [b for b in committed if b is not None]
+        if committed and batch_id <= max(committed):
+            return  # replay of an already-committed batch
+        extra = {"stream_batch_id": batch_id}
+        if mode == "append":
+            table.append(batch_df, summary_extra=extra)
+        else:
+            table.upsert(batch_df, keys=keys, summary_extra=extra)
+
+    return _write
+
+
+def run_available_now_snapshot(
+    df: DataFrame,
+    checkpoint: str,
+    table,
+    mode: str = "append",
+    keys: list[str] | None = None,
+) -> None:
+    """Drain everything currently available into a snapshot table (one
+    atomic manifest commit per micro-batch) and stop — the snapshot-sink
+    twin of :func:`run_available_now`."""
+    q = (
+        df.writeStream.foreachBatch(snapshot_batch_writer(table, mode, keys))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def streaming_chunk_encoder(
     spark: SparkSession,
     input_path: str,

@@ -318,3 +318,59 @@ def test_zone_map_range_pruning(spark, root):
     via_filter = sorted(r["id"] for r in t.read().filter(F.col("v") >= 100.0).collect())
     assert via_prune == via_filter == [0, 1, 2, 3, 4]
     assert len(t._select_range(m["files"], {"v": (100.0, None)})) == 1
+
+
+def test_streaming_snapshot_sink(spark, tmp_path):
+    """foreachBatch snapshot sink: one atomic commit per micro-batch,
+    content equals the batch pipeline, and a replayed batch id (the
+    post-recovery case) is skipped — exactly-once."""
+    from python_vegindex_spark.sources.synth import synth_turns
+    from python_vegindex_spark.streaming.structured import (
+        TURNS_SCHEMA,
+        run_available_now_snapshot,
+        snapshot_batch_writer,
+    )
+
+    turns = synth_turns(spark, n_convs=12, seed=3, span_days=10)
+    src = str(tmp_path / "src")
+    turns.repartition(4).write.parquet(src)
+
+    t = SnapshotTable(spark, str(tmp_path / "snk"))
+    stream = (
+        spark.readStream.schema(TURNS_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    run_available_now_snapshot(stream, str(tmp_path / "ckpt"), t)
+
+    assert t.read().count() == turns.count()
+    hist = t.history()
+    assert len(hist) >= 2  # maxFilesPerTrigger forced multiple batches
+    bids = [h["summary"]["stream_batch_id"] for h in hist]
+    assert bids == sorted(bids) and len(set(bids)) == len(bids)
+
+    # replaying the last batch (same id) after a "recovery" is a no-op
+    v_before = t.current_version()
+    writer = snapshot_batch_writer(t)
+    writer(turns.limit(3), bids[-1])
+    assert t.current_version() == v_before
+    # a genuinely new batch id commits
+    writer(turns.limit(3), bids[-1] + 1)
+    assert t.current_version() == v_before + 1
+
+
+def test_snapshot_sink_upsert_mode(spark, root):
+    """upsert-mode sink MERGEs each batch on keys."""
+    from python_vegindex_spark.streaming.structured import snapshot_batch_writer
+
+    t = SnapshotTable(spark, root, partition_by=["day"])
+    w = snapshot_batch_writer(t, mode="upsert", keys=["id"])
+    w(_mk(spark, [(1, "a", 1.0), (2, "a", 2.0)]), 0)
+    w(_mk(spark, [(2, "a", 20.0), (3, "b", 3.0)]), 1)
+    got = {r["id"]: r["v"] for r in t.read().collect()}
+    assert got == {1: 1.0, 2: 20.0, 3: 3.0}
+    w(_mk(spark, [(9, "z", 9.0)]), 1)  # replay: skipped
+    assert 9 not in {r["id"] for r in t.read().collect()}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        snapshot_batch_writer(t, mode="upsert")
