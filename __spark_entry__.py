@@ -1866,6 +1866,27 @@ def q_chunks_range_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_interpolated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 interpolated variant (operators/asof.asof_join_interpolate):
+    each click scored with the view-value series LINEARLY INTERPOLATED
+    between its bracketing samples per user (boundary-held at the
+    series edges), the QuestDB/kdb-style interpolated time join. The
+    oracle mirrors the identical union + paired IGNORE NULLS windows +
+    pinned IEEE interpolation op order."""
+    from python_vegindex_spark.operators.asof import asof_join_interpolate
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    out = asof_join_interpolate(clicks, views, on=["user_id"], value_col="value")
+    return out.select(
+        "event_id", "user_id",
+        F.round("value_interp", 6).alias("view_value_interp"),
+    ).orderBy("event_id")
+
+
 def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg-style snapshot table (sources/snapshots.py): two appends
     then a copy-on-write MERGE, each version read back via time travel
@@ -2009,6 +2030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_alert_episodes": q_threshold_alert_episodes,
         "chunks_range_decode": q_chunks_range_decode,
         "snapshot_time_travel": q_snapshot_time_travel,
+        "asof_interpolated_join": q_asof_interpolated_join,
     }
 
 
@@ -4320,5 +4342,39 @@ SELECT version, event_type, count(*) AS n,
   CAST(sum(CASE WHEN value IS NOT NULL AND NOT isnan(value)
        THEN CAST(floor(value * 100) AS BIGINT) END) AS BIGINT) AS v_sum
 FROM all_v GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # interpolated time join: identical union + paired IGNORE NULLS
+        # windows + the fill_series pinned interpolation op order
+        "asof_interpolated_join": """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), r0 AS (
+  SELECT user_id, ts, min(value) AS rv FROM events
+  WHERE event_type = 'view' AND value IS NOT NULL GROUP BY 1, 2
+), u AS (
+  SELECT event_id, user_id, ts, CAST(NULL AS DOUBLE) AS rv, 1 AS is_left FROM l
+  UNION ALL SELECT NULL, user_id, ts, rv, 0 FROM r0
+), w AS (
+  SELECT *,
+    last_value(CASE WHEN is_left = 0 THEN epoch_us(ts) END IGNORE NULLS) OVER w_back AS pt,
+    last_value(CASE WHEN is_left = 0 THEN rv END IGNORE NULLS) OVER w_back AS pv,
+    first_value(CASE WHEN is_left = 0 THEN epoch_us(ts) END IGNORE NULLS) OVER w_fwd AS nt,
+    first_value(CASE WHEN is_left = 0 THEN rv END IGNORE NULLS) OVER w_fwd AS nv
+  FROM u
+  WINDOW
+    w_back AS (PARTITION BY user_id ORDER BY ts, is_left
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_fwd AS (PARTITION BY user_id ORDER BY ts, is_left
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id, user_id,
+  round(CASE
+    WHEN pt IS NOT NULL AND nt IS NOT NULL THEN
+      CASE WHEN nt = pt THEN pv
+           ELSE pv + (nv - pv)
+                * (CAST(epoch_us(ts) - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)) END
+    WHEN pt IS NOT NULL THEN pv
+    ELSE nv END, 6) AS view_value_interp
+FROM w WHERE is_left = 1 ORDER BY event_id
 """,
     }

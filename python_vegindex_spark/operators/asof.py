@@ -10,6 +10,10 @@ provides two distributed strategies with identical semantics:
   take the running ``last``/``first`` non-null right payload around each
   left row. One shuffle-sort per equi-key partition. Best when no
   tolerance bounds the search or keys are well-distributed.
+* ``asof_join_interpolate``: the interpolated variant — each left row
+  gets the right series' value linearly interpolated between its
+  bracketing samples (boundary-held at the edges), same union+window
+  shape as ``asof_join``.
 * ``asof_join_bucketed`` (range join): bucketize ts by the tolerance,
   explode the right side into the 3 adjacent buckets, equi-join on
   (key, bucket), keep |delta| <= tolerance, pick the best match per left
@@ -136,6 +140,111 @@ def asof_join(
     out_cols.append(F.col("_best._rts").alias(f"{prefix}ts"))
     out_cols += [F.col("_best")[c].alias(f"{prefix}{c}") for c in payload_cols]
     return u.select(*out_cols)
+
+
+def asof_join_interpolate(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    value_col: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    tolerance_s: float | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Interpolated time join (QuestDB/kdb-family; pandas merge_asof +
+    interpolate): each left row gets the right series' value LINEARLY
+    INTERPOLATED between its bracketing samples, instead of the nearest
+    sample — e.g. scoring each turn against a metric sampled on its own
+    clock. Semantics:
+
+    * both brackets within tolerance -> ``prev + (next - prev) * (dt /
+      span)`` — the exact IEEE op order shared with
+      :func:`..functions.fill.fill_series`, integer-µs dt/span;
+    * only one bracket within tolerance -> that sample's value held
+      (boundary hold, same rule as fill_series' edge behavior);
+    * neither -> NULL. A right sample AT the left timestamp returns
+      exactly that sample's value (dt == 0).
+
+    Same distributed shape as :func:`asof_join`: tag + union + two
+    windows per equi-key — one shuffle-sort, no join. Equal-ts right
+    rows collapse to the smallest value first (value-deterministic).
+    Returns all left columns plus ``out_col`` (default
+    ``{value_col}_interp``).
+    """
+    out_col = out_col or f"{value_col}_interp"
+
+    lcols = left.columns
+    l_tag = left.select(
+        *on,
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*[F.col(c) for c in lcols]).alias("_lrow"),
+        F.lit(None).cast("double").alias("_rv"),
+    )
+    lrow_type = l_tag.schema["_lrow"].dataType
+    # a NULL-valued sample is no sample: dropping it keeps the paired
+    # (_pt, _pv) window picks from ever decoupling onto different rows
+    r_tag = (
+        right.filter(F.col(value_col).isNotNull())
+        .select(
+            *on,
+            F.col(right_ts).alias("_t"),
+            F.col(value_col).cast("double").alias("_rv"),
+        )
+        .groupBy(*on, "_t")
+        .agg(F.min("_rv").alias("_rv"))
+        .select(
+            *on,
+            "_t",
+            F.lit(0).alias("_is_left"),
+            F.lit(None).cast(lrow_type).alias("_lrow"),
+            "_rv",
+        )
+    )
+    u = l_tag.unionByName(r_tag)
+
+    w_back = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_t"), F.col("_is_left"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_t"), F.col("_is_left"))
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    is_r = F.col("_is_left") == 0
+    rt = F.when(is_r, epoch_us(F.col("_t")))
+    rv = F.when(is_r, F.col("_rv"))
+    u = (
+        u.withColumn("_pt", F.last(rt, ignorenulls=True).over(w_back))
+        .withColumn("_pv", F.last(rv, ignorenulls=True).over(w_back))
+        .withColumn("_nt", F.first(rt, ignorenulls=True).over(w_fwd))
+        .withColumn("_nv", F.first(rv, ignorenulls=True).over(w_fwd))
+        .filter(F.col("_is_left") == 1)
+    )
+
+    lt = epoch_us(F.col("_t"))
+    tol_us = None if tolerance_s is None else int(tolerance_s * 1_000_000)
+    prev_ok = F.col("_pt").isNotNull() & (
+        F.lit(True) if tol_us is None else ((lt - F.col("_pt")) <= tol_us)
+    )
+    next_ok = F.col("_nt").isNotNull() & (
+        F.lit(True) if tol_us is None else ((F.col("_nt") - lt) <= tol_us)
+    )
+    dt = (lt - F.col("_pt")).cast("double")
+    span = (F.col("_nt") - F.col("_pt")).cast("double")
+    interp = F.col("_pv") + (F.col("_nv") - F.col("_pv")) * (dt / span)
+    val = (
+        F.when(prev_ok & next_ok,
+               F.when(span == 0, F.col("_pv")).otherwise(interp))
+        .when(prev_ok, F.col("_pv"))
+        .when(next_ok, F.col("_nv"))
+    )
+    return u.select(
+        *[F.col("_lrow")[c].alias(c) for c in lcols], val.alias(out_col)
+    )
 
 
 def asof_join_bucketed(

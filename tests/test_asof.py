@@ -121,3 +121,45 @@ def test_exact_match_and_duplicate_right_ts(spark, direction):
     pd.testing.assert_frame_equal(
         got[["k", "lid", "r_ts", "r_rv"]], b[["k", "lid", "r_ts", "r_rv"]]
     )
+
+
+def test_asof_interpolate(spark):
+    """Interpolated join: exact bracket math, exact-hit, boundary hold,
+    tolerance gating, series isolation."""
+    import datetime as dt
+
+    from python_vegindex_spark.operators.asof import asof_join_interpolate
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def _ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [("a", 1, _ts(25)), ("a", 2, _ts(0)), ("a", 3, _ts(-10)),
+         ("a", 4, _ts(150)), ("b", 5, _ts(50))],
+        "k string, id int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(0), 10.0), ("a", _ts(100), 20.0)],
+        "k string, ts timestamp, v double",
+    )
+    got = {
+        r["id"]: r["v_interp"]
+        for r in asof_join_interpolate(left, right, on=["k"], value_col="v").collect()
+    }
+    assert got[1] == 10.0 + (20.0 - 10.0) * (25_000_000.0 / 100_000_000.0)  # 12.5
+    assert got[2] == 10.0   # exact hit
+    assert got[3] == 10.0   # before first sample: boundary hold
+    assert got[4] == 20.0   # after last sample: boundary hold
+    assert got[5] is None   # series isolation: no 'b' samples
+
+    # tolerance: only the prev bracket within 30 s -> held, not interpolated
+    got_tol = {
+        r["id"]: r["v_interp"]
+        for r in asof_join_interpolate(
+            left, right, on=["k"], value_col="v", tolerance_s=30.0
+        ).collect()
+    }
+    assert got_tol[1] == 10.0
+    assert got_tol[4] is None  # 50 s past the last sample: out of tolerance
