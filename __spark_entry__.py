@@ -1887,6 +1887,30 @@ def q_asof_interpolated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_series_correlation_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between event-type series' daily
+    integer bucket sums (operators/correlate.series_correlation) — the
+    metric-correlation dashboard staple. Exact-integer moment sums, one
+    pinned double op order (the linear_trend discipline)."""
+    from python_vegindex_spark.operators.correlate import series_correlation
+
+    ev = _t(spark, sf_dir, "events")
+    return series_correlation(ev, "daily", "event_type").orderBy(
+        "series_a", "series_b"
+    )
+
+
+def q_autocorrelation_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample ACF of each event-type series' daily bucket sums at lags
+    1/2/7 (operators/correlate.autocorrelation)."""
+    from python_vegindex_spark.operators.correlate import autocorrelation
+
+    ev = _t(spark, sf_dir, "events")
+    return autocorrelation(ev, "daily", ["event_type"], lags=[1, 2, 7]).orderBy(
+        "event_type", "lag"
+    )
+
+
 def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg-style snapshot table (sources/snapshots.py): two appends
     then a copy-on-write MERGE, each version read back via time travel
@@ -2031,6 +2055,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunks_range_decode": q_chunks_range_decode,
         "snapshot_time_travel": q_snapshot_time_travel,
         "asof_interpolated_join": q_asof_interpolated_join,
+        "series_correlation_daily": q_series_correlation_daily,
+        "autocorrelation_daily": q_autocorrelation_daily,
     }
 
 
@@ -4376,5 +4402,63 @@ SELECT event_id, user_id,
     WHEN pt IS NOT NULL THEN pv
     ELSE nv END, 6) AS view_value_interp
 FROM w WHERE is_left = 1 ORDER BY event_id
+""",
+        # cross-series Pearson over daily integer bucket sums — HUGEINT
+        # moment sums (exact), one pinned double op order at the end
+        "series_correlation_daily": """
+WITH s AS (
+  SELECT event_type, CAST(ts AS DATE) AS b,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1, 2
+), p AS (
+  SELECT x.event_type AS series_a, y.event_type AS series_b,
+         x.v AS va, y.v AS vb
+  FROM s x JOIN s y USING (b) WHERE x.event_type < y.event_type
+), m AS (
+  SELECT series_a, series_b, count(*) AS cnt,
+    sum(va) AS sx, sum(vb) AS sy,
+    sum(va * va) AS sxx, sum(va * vb) AS sxy, sum(vb * vb) AS syy
+  FROM p GROUP BY 1, 2
+)
+SELECT series_a, series_b, CAST(cnt AS BIGINT) AS n,
+  round(CASE WHEN cnt >= 2
+          AND (CAST(cnt AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+          AND (CAST(cnt AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+        THEN (CAST(cnt AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(cnt AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(cnt AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        END, 6) AS corr
+FROM m ORDER BY 1, 2
+""",
+        # sample ACF at daily lags 1/2/7 over the same integer bucket sums
+        "autocorrelation_daily": """
+WITH s AS (
+  SELECT event_type, CAST(ts AS DATE) AS b,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1, 2
+), p AS (
+  SELECT x.event_type, k.lag, x.v AS va, y.v AS vb
+  FROM (VALUES (1), (2), (7)) k(lag)
+  CROSS JOIN s x
+  JOIN s y ON y.event_type = x.event_type AND y.b = x.b + k.lag
+), m AS (
+  SELECT event_type, lag, count(*) AS cnt,
+    sum(va) AS sx, sum(vb) AS sy,
+    sum(va * va) AS sxx, sum(va * vb) AS sxy, sum(vb * vb) AS syy
+  FROM p GROUP BY 1, 2
+)
+SELECT event_type, lag, CAST(cnt AS BIGINT) AS n,
+  round(CASE WHEN cnt >= 2
+          AND (CAST(cnt AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+          AND (CAST(cnt AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+        THEN (CAST(cnt AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(cnt AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(cnt AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        END, 6) AS corr
+FROM m ORDER BY 1, 2
 """,
     }

@@ -1,0 +1,172 @@
+"""Series correlation analytics: cross-correlation matrix + ACF.
+
+Monitoring staples the rollup family feeds ("which metrics move
+together?", "is this series self-similar at a daily lag?") — the
+InfluxDB ``pearsonr`` / Datadog metric-correlation analog, built the
+engine's standard two-stage way:
+
+* **Stage 1 (the only big scan)**: one hash aggregate collapses raw
+  rows to per-(series, bucket) INTEGER sums of the quantized measure —
+  ``sum(floor(value * scale))`` as BIGINT, order-free and engine-exact
+  (the ``linear_trend`` discipline, operators/rate.py).
+* **Stage 2 (small data)**: a self-join on the already-aggregated
+  bucket table aligns series pairs (cross-correlation) or each series
+  with its own lagged buckets (ACF), then a second hash aggregate
+  accumulates the six Pearson moment sums as DECIMAL(38,0) — exact
+  128-bit-ish integer arithmetic on Spark (DuckDB promotes BIGINT sums
+  to HUGEINT), so the only floating-point step is the final pinned
+
+      corr = (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx*Sx) * sqrt(n*Syy - Sy*Sy))
+
+  evaluated in doubles in exactly this op order — reproducible
+  bit-for-bit across engines.
+
+Scale: the raw table is touched ONCE; everything pairwise runs on
+``series x buckets`` aggregate rows. Pairwise cross-correlation is
+O(k^2) in the number of series — right for dashboard-scale series
+counts (the intended use); a million-series all-pairs search is a
+similarity-search problem (operators/similarity.py), not this.
+Alignment: only buckets BOTH sides observed join (sample correlation
+over common buckets; gap buckets don't fabricate zeros). ACF pairs
+(t, t+lag) the same way — the standard sample ACF over observed pairs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.buckets import bucket_start, tier_step_seconds
+
+
+def _bucket_sums(
+    df: DataFrame,
+    tier: str,
+    series_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    scale: int,
+) -> DataFrame:
+    """Per-(series, bucket) BIGINT sum of the quantized measure — one
+    hash aggregate over the raw table. NaN/NULL rows drop (NaN would
+    poison the integer sums)."""
+    ts = F.col(ts_col)
+    v = F.col(value_col).cast("double")
+    d = df.where(ts.isNotNull() & v.isNotNull() & ~F.isnan(v)).select(
+        *series_cols,
+        bucket_start(ts, tier).alias("bucket_start"),
+        F.floor(v * scale).cast("long").alias("_q"),
+    )
+    return d.groupBy(*series_cols, "bucket_start").agg(
+        F.sum("_q").alias("_v")
+    )
+
+
+def _pearson_from_pairs(pairs: DataFrame, keys: list[str], min_buckets: int,
+                        round_to: int | None) -> DataFrame:
+    """(keys, _a, _b) pair rows -> per-key n + pinned-order Pearson corr.
+    Moment sums in DECIMAL(38,0): exact for |v| up to ~1e18-pair
+    products, far past the BIGINT bucket sums feeding them."""
+    dec = "decimal(38,0)"
+    a = F.col("_a").cast(dec)
+    b = F.col("_b").cast(dec)
+    agg = pairs.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(a).alias("_sx"),
+        F.sum(b).alias("_sy"),
+        F.sum(a * a).alias("_sxx"),
+        F.sum(a * b).alias("_sxy"),
+        F.sum(b * b).alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    cov_n = n * F.col("_sxy").cast("double") - sx * sy
+    varx_n = n * F.col("_sxx").cast("double") - sx * sx
+    vary_n = n * F.col("_syy").cast("double") - sy * sy
+    corr = F.when(
+        (F.col("n") >= int(min_buckets)) & (varx_n > 0) & (vary_n > 0),
+        cov_n / (F.sqrt(varx_n) * F.sqrt(vary_n)),
+    )
+    if round_to is not None:
+        corr = F.round(corr, round_to)
+    return agg.select(*keys, "n", corr.alias("corr"))
+
+
+def series_correlation(
+    df: DataFrame,
+    tier: str,
+    series_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    scale: int = 100,
+    min_buckets: int = 2,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlation between every two series' bucket
+    sums, over the buckets both observed. Returns one row per unordered
+    pair ``(series_a < series_b)``: n (common buckets) + corr."""
+    sums = _bucket_sums(df, tier, [series_col], ts_col, value_col, scale)
+    lhs = sums.select(
+        F.col(series_col).alias("series_a"), "bucket_start", F.col("_v").alias("_a")
+    )
+    rhs = sums.select(
+        F.col(series_col).alias("series_b"), "bucket_start", F.col("_v").alias("_b")
+    )
+    pairs = lhs.join(rhs, on="bucket_start").where(
+        F.col("series_a") < F.col("series_b")
+    )
+    return _pearson_from_pairs(pairs, ["series_a", "series_b"], min_buckets, round_to)
+
+
+def autocorrelation(
+    df: DataFrame,
+    tier: str,
+    series_cols: Sequence[str],
+    lags: Sequence[int] = (1,),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    scale: int = 100,
+    min_buckets: int = 2,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Sample autocorrelation of each series' bucket sums at the given
+    bucket ``lags``: one row per (series, lag) with n (observed (t,
+    t+lag) pairs) + corr. Lag arithmetic needs a FIXED bucket step, so
+    the tier must be hourly / ``Nmin`` (seconds) or daily (whole days);
+    the doy-anchored weekly/``Nday`` lattices restart at Jan 1 and have
+    no uniform step — rejected."""
+    if any(int(k) < 1 for k in lags):
+        raise ValueError(f"lags must be >= 1, got {list(lags)!r}")
+    step_s = tier_step_seconds(tier) or (3600 if tier == "hourly" else None)
+    if step_s is None and tier != "daily":
+        raise ValueError(
+            f"autocorrelation needs a fixed-step tier (hourly/Nmin/daily), got {tier!r}"
+        )
+    sums = _bucket_sums(df, tier, list(series_cols), ts_col, value_col, scale)
+    sums = sums.localCheckpoint(eager=True)  # tiny; reused once per lag
+
+    out = None
+    for k in sorted({int(k) for k in lags}):
+        if tier == "daily":
+            lagged_bucket = F.date_add(F.col("bucket_start"), k)
+        else:
+            lagged_bucket = F.col("bucket_start") + F.expr(
+                f"INTERVAL {k * step_s} SECONDS"
+            )
+        lhs = sums.select(
+            *series_cols,
+            lagged_bucket.alias("bucket_start"),
+            F.col("_v").alias("_a"),
+        )
+        rhs = sums.select(*series_cols, "bucket_start", F.col("_v").alias("_b"))
+        pairs = lhs.join(rhs, on=[*series_cols, "bucket_start"]).withColumn(
+            "lag", F.lit(k)
+        )
+        res = _pearson_from_pairs(
+            pairs, [*series_cols, "lag"], min_buckets, round_to
+        )
+        out = res if out is None else out.unionByName(res)
+    return out
