@@ -57,6 +57,7 @@ import shutil
 import uuid
 
 import hashlib
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -184,6 +185,22 @@ class SnapshotTable:
         os.replace(tmp, self._version_file())  # atomic pointer swap
         return new_version
 
+    def _await_advance(self, past: int | None, timeout_s: float = 30.0) -> None:
+        """After losing a commit race, wait for the winner's VERSION
+        pointer swap (manifest create and pointer swap are two steps; a
+        loser that retried against the stale pointer would spin on the
+        same version number — the livelock the concurrent-append test
+        provokes)."""
+        deadline = time.monotonic() + timeout_s
+        while time.monotonic() < deadline:
+            v = self.current_version()
+            if (v or 0) > (past or 0):
+                return
+            time.sleep(0.005)
+        raise CommitConflict(
+            f"VERSION never advanced past {past} after a commit conflict"
+        )
+
     # ------------------------------------------------------- write paths
     def _write_group(self, df: DataFrame) -> dict:
         """Write one immutable file group and derive its manifest stats
@@ -241,41 +258,85 @@ class SnapshotTable:
         ]
         return StructType(fields).json()
 
-    def append(self, df: DataFrame, summary_extra: dict | None = None) -> int:
+    def append(
+        self, df: DataFrame, summary_extra: dict | None = None, retries: int = 10
+    ) -> int:
         """Commit ``df`` as a new file group appended to the current
         snapshot. Returns the new version. ``summary_extra`` is merged
-        into the commit summary (e.g. a streaming sink's batch id)."""
-        g = self._write_group(df)
-        parent = self.current_version()
-        files = [] if parent is None else list(self._manifest(parent)["files"])
-        files.append(g)
-        return self._commit(
-            parent, files, "append",
-            self._evolved_schema(parent, g["_written_schema"]),
-            {"rows_written": g["rows"], "groups_added": 1, "groups_removed": 0,
-             **(summary_extra or {})},
-        )
+        into the commit summary (e.g. a streaming sink's batch id).
 
-    def overwrite(self, df: DataFrame) -> int:
-        """Commit ``df`` as the table's entire new contents."""
+        Losing a commit race retries against the winner's state (the
+        file group's content is parent-independent, so it is written
+        once and only the manifest commit re-runs) — raises
+        :class:`CommitConflict` after ``retries`` losses."""
         g = self._write_group(df)
-        parent = self.current_version()
-        removed = 0 if parent is None else len(self._manifest(parent)["files"])
-        return self._commit(
-            parent, [g], "overwrite", g["_written_schema"],
-            {"rows_written": g["rows"], "groups_added": 1, "groups_removed": removed},
-        )
+        for attempt in range(retries + 1):
+            parent = self.current_version()
+            files = [] if parent is None else list(self._manifest(parent)["files"])
+            try:
+                return self._commit(
+                    parent, files + [g], "append",
+                    self._evolved_schema(parent, g["_written_schema"]),
+                    {"rows_written": g["rows"], "groups_added": 1,
+                     "groups_removed": 0, **(summary_extra or {})},
+                )
+            except CommitConflict:
+                if attempt == retries:
+                    raise
+                self._await_advance(parent)
+
+    def overwrite(self, df: DataFrame, retries: int = 10) -> int:
+        """Commit ``df`` as the table's entire new contents (retries a
+        lost commit race like :meth:`append` — content is
+        parent-independent)."""
+        g = self._write_group(df)
+        for attempt in range(retries + 1):
+            parent = self.current_version()
+            removed = 0 if parent is None else len(self._manifest(parent)["files"])
+            try:
+                return self._commit(
+                    parent, [g], "overwrite", g["_written_schema"],
+                    {"rows_written": g["rows"], "groups_added": 1,
+                     "groups_removed": removed},
+                )
+            except CommitConflict:
+                if attempt == retries:
+                    raise
+                self._await_advance(parent)
 
     def upsert(
-        self, updates: DataFrame, keys: list[str], summary_extra: dict | None = None
+        self,
+        updates: DataFrame,
+        keys: list[str],
+        summary_extra: dict | None = None,
+        retries: int = 10,
     ) -> int:
         """Copy-on-write MERGE: replace rows matching ``keys``, insert
         the rest. Only file groups whose partition-value sets intersect
         the update's are rewritten; every other group carries over by
-        reference."""
+        reference.
+
+        Unlike append/overwrite, a MERGE's written rows DEPEND on the
+        parent snapshot (the kept rows), so losing a commit race redoes
+        the whole read-merge-write against the winner's state —
+        Iceberg's re-validate-and-replan behavior. Orphaned groups from
+        lost attempts stay unreferenced until ``expire_snapshots``
+        removes them."""
+        for attempt in range(retries + 1):
+            parent = self.current_version()
+            try:
+                return self._upsert_once(updates, keys, summary_extra)
+            except CommitConflict:
+                if attempt == retries:
+                    raise
+                self._await_advance(parent)
+
+    def _upsert_once(
+        self, updates: DataFrame, keys: list[str], summary_extra: dict | None
+    ) -> int:
         parent = self.current_version()
         if parent is None:
-            return self.append(updates)
+            return self.append(updates, summary_extra=summary_extra, retries=0)
         manifest = self._manifest(parent)
         old_files = manifest["files"]
 
