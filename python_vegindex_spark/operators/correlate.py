@@ -108,7 +108,12 @@ def series_correlation(
     """Pairwise Pearson correlation between every two series' bucket
     sums, over the buckets both observed. Returns one row per unordered
     pair ``(series_a < series_b)``: n (common buckets) + corr."""
-    sums = _bucket_sums(df, tier, [series_col], ts_col, value_col, scale)
+    # pin the small aggregate: without it the self-join's two branches
+    # each re-run the whole stage-1 lineage — TWO raw-table scans
+    # (plan-asserted in test_plans.py)
+    sums = _bucket_sums(
+        df, tier, [series_col], ts_col, value_col, scale
+    ).localCheckpoint(eager=True)
     lhs = sums.select(
         F.col(series_col).alias("series_a"), "bucket_start", F.col("_v").alias("_a")
     )

@@ -248,3 +248,38 @@ def test_ndvi_summary_plan_is_jvm_only(spark):
         assert "Window" not in plan, mode
         for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "mapInPandas"):
             assert marker not in plan, f"Python eval in NDVI flagship plan: {marker}"
+
+
+def test_correlate_plan_jvm_only_single_raw_scan(spark, turns_path):
+    """Correlation family: the raw table is scanned ONCE (stage 1's hash
+    aggregate); the pairwise stage runs on the small aggregate; the whole
+    plan is Python-free."""
+    from python_vegindex_spark.operators.correlate import series_correlation
+
+    bronze = read_turns(spark, turns_path, "2023-01-01", "2026-01-01").withColumn(
+        "value", F.length("text").cast("double")
+    )
+    out = series_correlation(bronze, "daily", "role")
+    out.collect()
+    plan = _executed_plan(out)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "FlatMapsInPandas"):
+        assert marker not in plan, f"Python eval in correlate plan: {marker}"
+    # the raw table is scanned ONCE, at the eager stage-1 checkpoint;
+    # the final pairwise plan self-joins the pinned aggregate and never
+    # touches the parquet files again
+    assert "FileScan parquet" not in plan
+
+
+def test_asof_interpolate_plan_python_free(spark, turns_path):
+    from python_vegindex_spark.operators.asof import asof_join_interpolate
+
+    bronze = read_turns(spark, turns_path, "2023-01-01", "2026-01-01")
+    left = bronze.select("conv_id", "ts").limit(500)
+    right = bronze.select(
+        "conv_id", "ts", F.length("text").cast("double").alias("v")
+    )
+    out = asof_join_interpolate(left, right, on=["conv_id"], value_col="v")
+    out.collect()
+    plan = _executed_plan(out)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan, f"Python eval in interpolated as-of: {marker}"
