@@ -380,6 +380,63 @@ class SnapshotTable:
             },
         )
 
+    def delete_where(
+        self,
+        condition,
+        prune: dict | None = None,
+        prune_range: dict | None = None,
+        retries: int = 10,
+    ) -> int:
+        """Copy-on-write ``DELETE WHERE``: rows matching ``condition``
+        (a Column predicate) are removed; rows where the predicate is
+        NULL are KEPT (SQL DELETE semantics). Only file groups selected
+        by the ``prune``/``prune_range`` hints are rewritten — groups
+        the hints exclude carry over by reference, so a day-scoped or
+        range-scoped delete has Iceberg's partition-scoped write
+        amplification. With no hints every group is rewritten
+        (the predicate itself can't prove absence). A delete that
+        matches nothing commits a no-op-free: returns the current
+        version unchanged."""
+        for attempt in range(retries + 1):
+            parent = self.current_version()
+            try:
+                return self._delete_once(condition, prune, prune_range)
+            except CommitConflict:
+                if attempt == retries:
+                    raise
+                self._await_advance(parent)
+
+    def _delete_once(self, condition, prune: dict | None, prune_range: dict | None) -> int:
+        parent = self.current_version()
+        if parent is None:
+            raise ValueError("cannot delete from an empty table")
+        manifest = self._manifest(parent)
+        affected = self._select_range(
+            self._select_groups(manifest, prune), prune_range
+        )
+        carried = [g for g in manifest["files"] if g not in affected]
+        if not affected:
+            return parent
+        base = self.spark.read.parquet(
+            *[os.path.join(self.root, g["group"]) for g in affected]
+        )
+        kept = base.where(~F.coalesce(condition, F.lit(False)))
+        g = self._write_group(kept)
+        n_before = sum(x["rows"] for x in affected)
+        if g["rows"] == n_before:
+            # nothing matched: drop the speculative group, keep the version
+            shutil.rmtree(os.path.join(self.root, g["group"]), ignore_errors=True)
+            return parent
+        return self._commit(
+            parent, carried + [g], "delete", manifest["schema"],
+            {
+                "rows_deleted": n_before - g["rows"],
+                "groups_added": 1,
+                "groups_removed": len(affected),
+                "groups_carried": len(carried),
+            },
+        )
+
     def compact(self, target_rows_per_file: int = 1_000_000) -> int:
         """``rewrite_data_files`` analog: fold all file groups into one
         bin-packed group. Old groups stay on disk (older snapshots keep

@@ -409,3 +409,25 @@ def test_concurrent_append_race(spark, root):
     assert sorted(r["day"] for r in t.read().select("day").distinct().collect()) == [
         f"d{i}" for i in range(n_threads)
     ]
+
+
+def test_delete_where_cow_scope(spark, root):
+    """DELETE WHERE: prune-scoped rewrite, NULL predicate keeps rows,
+    no-match is a no-op, time travel sees pre-delete rows."""
+    t = SnapshotTable(spark, root, partition_by=["day"])
+    t.append(_mk(spark, [(1, "a", 1.0), (2, "a", None)]))
+    t.append(_mk(spark, [(3, "b", 3.0), (4, "b", 4.0)]))
+    g_b = [g for g in t._manifest(2)["files"] if ["b"] in g["partitions"]][0]
+
+    v = t.delete_where(F.col("v") < 2.0, prune={"day": ["a"]})
+    assert v == 3
+    m = t._manifest(3)
+    assert g_b["group"] in {g["group"] for g in m["files"]}  # b carried
+    assert m["summary"]["rows_deleted"] == 1
+    got = {r["id"] for r in t.read().collect()}
+    assert got == {2, 3, 4}  # id=2 kept: NULL predicate is not a match
+    assert {r["id"] for r in t.read(version=2).collect()} == {1, 2, 3, 4}
+
+    # no-match delete: version unchanged, no new group committed
+    assert t.delete_where(F.col("v") > 99.0) == 3
+    assert t.current_version() == 3
