@@ -1,0 +1,108 @@
+"""Zero-dependency image decoders: binary PPM (P6) and 24-bit BMP.
+
+The container has no PIL/libjpeg (verified; JPEG stays honestly stubbed
+in operators/multimodal.py and operators/roi_stats.py), but the two
+classic uncompressed formats need nothing beyond numpy — the formats
+are public specs: netpbm P6 (magic + ASCII dims/maxval + raw RGB) and
+the Windows BITMAPINFOHEADER BMP (BI_RGB, 24 bpp, BGR rows padded to 4
+bytes, bottom-up unless height < 0).
+
+This turns the engine's injectable decode seams into a REAL path:
+
+* ``decode_image(raw)`` -> HxWx3 uint8 RGB array — plugs directly into
+  ``operators/roi_stats``' ``decode_fn`` (the reference's tier-0 decode
+  seam, roitimeseries.py:394-553) and ``operators/multimodal``'s
+  ``decoder=`` (flattened) so an archive of PPM/BMP images runs the
+  full pixel-statistics pipeline end to end with no stub.
+* ``encode_ppm(arr)`` — the matching writer, so tests can synthesize
+  real image bytes and assert decode(encode(x)) == x.
+
+Scale: decoding runs inside the existing Arrow-batched mapInPandas
+stages; these functions are per-record numpy (no Python-loop pixel
+work — `np.frombuffer` + reshape/slice only).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """HxWx3 uint8 -> binary PPM (P6, maxval 255)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected HxWx3, got {a.shape}")
+    h, w = a.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def decode_ppm(raw: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval <= 255) -> HxWx3 uint8 RGB.
+
+    Handles the netpbm header grammar: whitespace-separated tokens with
+    ``#`` comments allowed anywhere before the pixel data; exactly one
+    whitespace byte separates the maxval from the raster.
+    """
+    if raw[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6)")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(raw) and raw[pos : pos + 1].isspace():
+            pos += 1
+        if raw[pos : pos + 1] == b"#":
+            while pos < len(raw) and raw[pos : pos + 1] not in (b"\n", b"\r"):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(raw) and not raw[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(raw[start:pos])
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = (int(t) for t in tokens)
+    if not 0 < maxval <= 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    n = w * h * 3
+    data = np.frombuffer(raw, dtype=np.uint8, count=n, offset=pos)
+    return data.reshape(h, w, 3).copy()
+
+
+def decode_bmp(raw: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB) -> HxWx3 uint8
+    RGB. Rows are 4-byte aligned BGR, bottom-up unless height < 0."""
+    if raw[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = int.from_bytes(raw[10:14], "little")
+    header_size = int.from_bytes(raw[14:18], "little")
+    if header_size < 40:
+        raise ValueError(f"unsupported BMP header size {header_size}")
+    w = int.from_bytes(raw[18:22], "little", signed=True)
+    h = int.from_bytes(raw[22:26], "little", signed=True)
+    bpp = int.from_bytes(raw[28:30], "little")
+    compression = int.from_bytes(raw[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        raw, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    rgb = bgr[:, :, ::-1]
+    if bottom_up:
+        rgb = rgb[::-1]
+    return rgb.copy()
+
+
+def decode_image(raw: bytes) -> np.ndarray:
+    """Sniff-and-decode: P6 PPM or 24-bit BMP -> HxWx3 uint8 RGB.
+    Unknown magics raise — JPEG/PNG need codecs this container lacks
+    (inject a richer decoder where available)."""
+    if raw[:2] == b"P6":
+        return decode_ppm(raw)
+    if raw[:2] == b"BM":
+        return decode_bmp(raw)
+    raise NotImplementedError(
+        f"no decoder for magic {raw[:2]!r} (PPM/BMP supported; JPEG/PNG "
+        "need external codecs)"
+    )

@@ -5,7 +5,10 @@ structs; the Spark-side plumbing (schemas, batching, partition sizing,
 UDF signatures) is what matters at 100 TB — the actual pixel/sample
 decoding is library work (PIL/ffmpeg are NOT in this container and are
 STUBBED behind ``media_decode_stub``; swap in a real decoder by passing
-``decoder=`` to the stage builders).
+``decoder=`` to the stage builders). For uncompressed formats the stub
+is not needed: ``codecs/images.decode_image`` (zero-dependency P6
+PPM / 24-bit BMP, pure numpy) runs this stage for real —
+tests/test_images.py drives it end to end.
 
 The reference's analogous tier-0 step is exactly this shape: load JPEG,
 apply mask, reduce to per-image stats (roitimeseries.py:97-227,394-553)

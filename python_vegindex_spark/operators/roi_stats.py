@@ -156,8 +156,11 @@ def roi_ir_stats_arrays(
 
 def _decode_unavailable(raw: bytes) -> np.ndarray:
     raise NotImplementedError(
-        "no image codec in this environment; inject decode_fn(bytes) -> "
-        "HxWx3 uint8 array (e.g. PIL/imageio on a real cluster)"
+        "no JPEG codec in this environment; inject decode_fn(bytes) -> "
+        "HxWx3 uint8 array (e.g. PIL/imageio on a real cluster; for "
+        "PPM/BMP archives ..codecs.images.decode_image works here — "
+        "zero-dependency, tests/test_images.py runs this pipeline "
+        "un-stubbed over real pixels)"
     )
 
 
