@@ -105,7 +105,7 @@ def test_roi_stats_table_with_fake_decoder(spark):
 def test_roi_stats_table_stub_raises(spark):
     pdf = pd.DataFrame({"image_id": ["x"], "content": [b"1234"]})
     df = roi_stats_table(spark.createDataFrame(pdf), mask=_mask())
-    with pytest.raises(Exception, match="no image codec"):
+    with pytest.raises(Exception, match="no JPEG codec"):
         df.collect()
 
 
