@@ -584,25 +584,52 @@ class SnapshotTable:
         return df
 
     # -------------------------------------------------------- maintenance
-    def expire_snapshots(self, keep_last: int = 2) -> dict:
+    def expire_snapshots(
+        self, keep_last: int = 2, orphan_grace_s: float = 3600.0
+    ) -> dict:
         """Drop all but the newest ``keep_last`` manifests and delete
         file groups no retained manifest references — the only place
-        data is ever deleted."""
+        data is ever deleted.
+
+        Two deletion classes, like Iceberg's expireSnapshots +
+        orphan-file cleanup: groups referenced by an EXPIRED manifest
+        were definitely committed and superseded — deleted outright;
+        groups referenced by NO manifest at all may be a concurrent
+        writer's not-yet-committed group (written before its manifest
+        lands), so true orphans are only removed once older than
+        ``orphan_grace_s``."""
         snapdir = os.path.join(self.root, "snapshots")
         names = sorted(os.listdir(snapdir))
         keep_last = max(1, keep_last)
         expired, retained = names[:-keep_last], names[-keep_last:]
-        live_groups: set[str] = set()
-        for name in retained:
-            with open(os.path.join(snapdir, name)) as f:
-                live_groups.update(g["group"] for g in json.load(f)["files"])
+
+        def _groups_of(manifest_names: list[str]) -> set[str]:
+            out: set[str] = set()
+            for name in manifest_names:
+                with open(os.path.join(snapdir, name)) as f:
+                    out.update(g["group"] for g in json.load(f)["files"])
+            return out
+
+        live_groups = _groups_of(retained)
+        expired_refs = _groups_of(expired)
         removed_groups = 0
+        now = time.time()
         datadir = os.path.join(self.root, "data")
         for d in os.listdir(datadir):
             rel = f"data/{d}"
-            if rel not in live_groups:
-                shutil.rmtree(os.path.join(datadir, d))
-                removed_groups += 1
+            if rel in live_groups:
+                continue
+            full = os.path.join(datadir, d)
+            is_superseded = rel in expired_refs
+            if not is_superseded:
+                try:
+                    age = now - os.path.getmtime(full)
+                except OSError:
+                    continue
+                if age < orphan_grace_s:
+                    continue  # possibly an in-flight commit's group
+            shutil.rmtree(full)
+            removed_groups += 1
         for name in expired:
             os.remove(os.path.join(snapdir, name))
         return {

@@ -431,3 +431,22 @@ def test_delete_where_cow_scope(spark, root):
     # no-match delete: version unchanged, no new group committed
     assert t.delete_where(F.col("v") > 99.0) == 3
     assert t.current_version() == 3
+
+
+def test_expire_orphan_grace(spark, root):
+    """A group referenced by NO manifest (a possibly in-flight commit's
+    freshly written files) survives expiry inside the grace window and
+    is GC'd once past it; groups referenced by expired manifests go
+    immediately."""
+    t = SnapshotTable(spark, root)
+    t.append(_mk(spark, [(1, "a", 1.0)]))
+    t.overwrite(_mk(spark, [(2, "b", 2.0)]))
+    # simulate an in-flight writer: group written, manifest not yet landed
+    orphan = t._write_group(_mk(spark, [(9, "z", 9.0)]))
+    out = t.expire_snapshots(keep_last=1)
+    assert out["removed_groups"] == 1  # v1's superseded group only
+    assert os.path.isdir(os.path.join(root, orphan["group"]))
+    out2 = t.expire_snapshots(keep_last=1, orphan_grace_s=0.0)
+    assert out2["removed_groups"] == 1  # now the aged-out orphan
+    assert not os.path.isdir(os.path.join(root, orphan["group"]))
+    assert [r["id"] for r in t.read().collect()] == [2]
