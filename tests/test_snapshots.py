@@ -450,3 +450,70 @@ def test_expire_orphan_grace(spark, root):
     assert out2["removed_groups"] == 1  # now the aged-out orphan
     assert not os.path.isdir(os.path.join(root, orphan["group"]))
     assert [r["id"] for r in t.read().collect()] == [2]
+
+
+def test_model_based_random_op_sequences(spark, tmp_path):
+    """Model-based check: random append/upsert/delete/rollback sequences
+    applied to both SnapshotTable and an in-memory dict model must agree
+    after every op, and every retained version must time-travel to the
+    model's recorded history. (hypothesis drives the op stream; one
+    Spark table per sequence.)"""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    op = st.one_of(
+        st.tuples(st.just("append"), st.lists(st.integers(0, 9), min_size=1, max_size=3)),
+        st.tuples(st.just("upsert"), st.lists(st.integers(0, 9), min_size=1, max_size=3)),
+        st.tuples(st.just("delete_ge"), st.integers(0, 9)),
+        st.tuples(st.just("rollback"), st.integers(1, 3)),
+    )
+
+    counter = iter(range(10**9))
+
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+    )
+    @given(ops=st.lists(op, min_size=1, max_size=5))
+    def run(ops):
+        root = str(tmp_path / f"mb{next(counter)}")
+        t = SnapshotTable(spark, root, partition_by=["day"])
+        model: dict[int, float] = {}
+        by_version: dict[int, dict[int, float]] = {}  # committed versions only
+        val = iter(range(1, 10**9))
+
+        for kind, arg in ops:
+            if kind == "append":
+                # appends use fresh ids so the model stays a function
+                rows = [(next(val) * 100 + i, f"d{i % 2}", float(i)) for i in arg]
+                t.append(_mk(spark, rows))
+                model.update({r[0]: r[2] for r in rows})
+            elif kind == "upsert":
+                rows = [(i, f"d{i % 2}", float(next(val))) for i in sorted(set(arg))]
+                t.upsert(_mk(spark, rows), keys=["id"])
+                model.update({r[0]: r[2] for r in rows})
+            elif kind == "delete_ge":
+                if t.current_version() is None:
+                    continue
+                # a no-match delete commits NO version (checked below by
+                # the by_version bookkeeping staying aligned)
+                t.delete_where(F.col("id") % 100 >= arg)
+                model = {k: v for k, v in model.items() if k % 100 < arg}
+            else:  # rollback
+                if t.current_version() is None:
+                    continue
+                target = min(arg, t.current_version())
+                t.rollback(target)
+                model = dict(by_version[target])
+            v_now = t.current_version()
+            if v_now is not None and v_now not in by_version:
+                by_version[v_now] = dict(model)
+            got = {r["id"]: r["v"] for r in (t.read() or _mk(spark, [])).collect()}
+            assert got == model, f"after {kind}({arg})"
+
+        # every retained version time-travels to its recorded state
+        for v, snap in sorted(by_version.items()):
+            got = {r["id"]: r["v"] for r in t.read(version=v).collect()}
+            assert got == snap, f"time travel v{v}"
+
+    run()
