@@ -161,6 +161,7 @@ class SnapshotTable:
             "version": new_version,
             "parent": parent,
             "operation": operation,
+            "committed_at": time.time(),  # enables AS-OF-timestamp reads
             "schema": schema_json,
             "partition_by": self.partition_by,
             "files": [
@@ -523,13 +524,34 @@ class SnapshotTable:
 
         return [g for g in files if _match(g)]
 
+    def version_as_of(self, ts: float) -> int:
+        """The newest retained version committed at or before epoch
+        seconds ``ts`` — Iceberg's ``TIMESTAMP AS OF``. Raises KeyError
+        when every retained commit is newer (or the table is empty)."""
+        snapdir = os.path.join(self.root, "snapshots")
+        best = None
+        for name in sorted(os.listdir(snapdir)):
+            with open(os.path.join(snapdir, name)) as f:
+                m = json.load(f)
+            at = m.get("committed_at")
+            if at is not None and at <= ts and (
+                best is None or m["version"] > best
+            ):
+                best = m["version"]
+        if best is None:
+            raise KeyError(f"no retained snapshot committed at or before {ts}")
+        return best
+
     def read(
         self,
         version: int | None = None,
         prune: dict | None = None,
         prune_range: dict | None = None,
+        as_of: float | None = None,
     ) -> DataFrame | None:
-        """Plan a scan of snapshot ``version`` (default: current).
+        """Plan a scan of snapshot ``version`` (default: current), or of
+        the newest snapshot committed at or before epoch seconds
+        ``as_of`` (mutually exclusive with ``version``).
 
         ``prune`` = ``{partition_col: [values...]}`` and ``prune_range``
         = ``{stats_col: (lo, hi)}`` drop file groups at the manifest
@@ -538,6 +560,10 @@ class SnapshotTable:
         partitions, zone maps only bound), so the output equals a plain
         filter — pruning only shrinks the scan.
         """
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass version OR as_of, not both")
+            version = self.version_as_of(as_of)
         v = self.current_version() if version is None else version
         if v is None:
             return None

@@ -517,3 +517,20 @@ def test_model_based_random_op_sequences(spark, tmp_path):
             assert got == snap, f"time travel v{v}"
 
     run()
+
+
+def test_as_of_timestamp_reads(spark, root):
+    import time as _time
+
+    t = SnapshotTable(spark, root)
+    t.append(_mk(spark, [(1, "a", 1.0)]))
+    mid = _time.time()
+    _time.sleep(0.05)
+    t.append(_mk(spark, [(2, "b", 2.0)]))
+    assert t.version_as_of(mid) == 1
+    assert t.read(as_of=mid).count() == 1
+    assert t.read(as_of=_time.time()).count() == 2
+    with pytest.raises(KeyError):
+        t.version_as_of(mid - 1e6)
+    with pytest.raises(ValueError):
+        t.read(version=1, as_of=mid)
