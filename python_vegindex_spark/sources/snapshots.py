@@ -609,6 +609,47 @@ class SnapshotTable:
                     df = df.filter(F.col(c) <= F.lit(hi))
         return df
 
+    # ---------------------------------------------------- metadata tables
+    def snapshots_df(self) -> DataFrame:
+        """The commit log as a DataFrame — Iceberg's ``table.snapshots``
+        metadata table (one row per retained snapshot)."""
+        rows = [
+            (
+                h["version"], h["parent"], h["operation"],
+                float(self._manifest(h["version"]).get("committed_at") or 0.0),
+                h["total_rows"], h["n_groups"], json.dumps(h["summary"]),
+            )
+            for h in self.history()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "version int, parent int, operation string, committed_at double, "
+            "total_rows long, n_groups int, summary string",
+        )
+
+    def files_df(self, version: int | None = None) -> DataFrame:
+        """A snapshot's file-group list as a DataFrame — Iceberg's
+        ``table.files`` metadata table (group path, rows, partition
+        values, stats)."""
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise ValueError("empty table has no files")
+        m = self._manifest(v)
+        rows = [
+            (
+                g["group"], g["rows"],
+                json.dumps(g.get("partitions")),
+                json.dumps(g.get("stats")),
+                g.get("schema_hash"),
+            )
+            for g in m["files"]
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "group string, rows long, partitions string, stats string, "
+            "schema_hash string",
+        )
+
     # -------------------------------------------------------- maintenance
     def expire_snapshots(
         self, keep_last: int = 2, orphan_grace_s: float = 3600.0

@@ -534,3 +534,24 @@ def test_as_of_timestamp_reads(spark, root):
         t.version_as_of(mid - 1e6)
     with pytest.raises(ValueError):
         t.read(version=1, as_of=mid)
+
+
+def test_metadata_tables(spark, root):
+    """snapshots_df / files_df — the Iceberg metadata-table analogs."""
+    t = SnapshotTable(spark, root, partition_by=["day"], stats_cols=["v"])
+    t.append(_mk(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    t.upsert(_mk(spark, [(2, "b", 20.0)]), keys=["id"])
+    snaps = t.snapshots_df().orderBy("version").collect()
+    assert [(r["version"], r["operation"]) for r in snaps] == [
+        (1, "append"), (2, "upsert"),
+    ]
+    assert all(r["committed_at"] > 0 for r in snaps)
+    files = t.files_df().collect()
+    assert sum(r["rows"] for r in files) == 2
+    import json as _json
+    parts = {tuple(p) for r in files for p in _json.loads(r["partitions"])}
+    assert parts == {("a",), ("b",)}
+    stats = [_json.loads(r["stats"]) for r in files]
+    assert all("v" in s for s in stats)
+    with pytest.raises(ValueError):
+        SnapshotTable(spark, root + "_empty").files_df()
