@@ -1911,6 +1911,18 @@ def q_autocorrelation_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_leadlag_correlation_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag analysis (operators/correlate.lagged_cross_correlation):
+    corr(series_a at day t, series_b at day t+lag) for ordered pairs at
+    lags 0 and 1 — 'does A lead B by a day?'."""
+    from python_vegindex_spark.operators.correlate import lagged_cross_correlation
+
+    ev = _t(spark, sf_dir, "events")
+    return lagged_cross_correlation(ev, "daily", "event_type", lags=[0, 1]).orderBy(
+        "series_a", "series_b", "lag"
+    )
+
+
 def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg-style snapshot table (sources/snapshots.py): two appends
     then a copy-on-write MERGE, each version read back via time travel
@@ -2057,6 +2069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_interpolated_join": q_asof_interpolated_join,
         "series_correlation_daily": q_series_correlation_daily,
         "autocorrelation_daily": q_autocorrelation_daily,
+        "leadlag_correlation_daily": q_leadlag_correlation_daily,
     }
 
 
@@ -4460,5 +4473,35 @@ SELECT event_type, lag, CAST(cnt AS BIGINT) AS n,
               * sqrt(CAST(cnt AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
         END, 6) AS corr
 FROM m ORDER BY 1, 2
+""",
+        # directional lead-lag: ordered series pairs, b shifted by lag days
+        "leadlag_correlation_daily": """
+WITH s AS (
+  SELECT event_type, CAST(ts AS DATE) AS b,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1, 2
+), p AS (
+  SELECT x.event_type AS series_a, y.event_type AS series_b, k.lag,
+         x.v AS va, y.v AS vb
+  FROM (VALUES (0), (1)) k(lag)
+  CROSS JOIN s x
+  JOIN s y ON y.event_type <> x.event_type AND y.b = x.b + k.lag
+), m AS (
+  SELECT series_a, series_b, lag, count(*) AS cnt,
+    sum(va) AS sx, sum(vb) AS sy,
+    sum(va * va) AS sxx, sum(va * vb) AS sxy, sum(vb * vb) AS syy
+  FROM p GROUP BY 1, 2, 3
+)
+SELECT series_a, series_b, lag, CAST(cnt AS BIGINT) AS n,
+  round(CASE WHEN cnt >= 2
+          AND (CAST(cnt AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+          AND (CAST(cnt AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+        THEN (CAST(cnt AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(cnt AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(cnt AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        END, 6) AS corr
+FROM m ORDER BY 1, 2, 3
 """,
     }

@@ -126,6 +126,65 @@ def series_correlation(
     return _pearson_from_pairs(pairs, ["series_a", "series_b"], min_buckets, round_to)
 
 
+def lagged_cross_correlation(
+    df: DataFrame,
+    tier: str,
+    series_col: str,
+    lags: Sequence[int] = (0, 1),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    scale: int = 100,
+    min_buckets: int = 2,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Lead-lag analysis: Pearson correlation of series_a at bucket t
+    against series_b at bucket t+lag — "does A lead B by k buckets?".
+    Directional, so ORDERED pairs (a != b) are emitted; lag 0 rows
+    reproduce :func:`series_correlation` symmetrically. Fixed-step
+    tiers only (same restriction and lag arithmetic as
+    :func:`autocorrelation`)."""
+    if any(int(k) < 0 for k in lags):
+        raise ValueError(f"lags must be >= 0, got {list(lags)!r}")
+    step_s = tier_step_seconds(tier) or (3600 if tier == "hourly" else None)
+    if step_s is None and tier != "daily":
+        raise ValueError(
+            f"lagged cross-correlation needs a fixed-step tier "
+            f"(hourly/Nmin/daily), got {tier!r}"
+        )
+    sums = _bucket_sums(
+        df, tier, [series_col], ts_col, value_col, scale
+    ).localCheckpoint(eager=True)
+
+    out = None
+    for k in sorted({int(k) for k in lags}):
+        if tier == "daily":
+            lead_bucket = F.date_add(F.col("bucket_start"), k)
+        else:
+            lead_bucket = F.col("bucket_start") + F.expr(
+                f"INTERVAL {k * step_s} SECONDS"
+            )
+        lhs = sums.select(
+            F.col(series_col).alias("series_a"),
+            lead_bucket.alias("bucket_start"),
+            F.col("_v").alias("_a"),
+        )
+        rhs = sums.select(
+            F.col(series_col).alias("series_b"),
+            "bucket_start",
+            F.col("_v").alias("_b"),
+        )
+        pairs = (
+            lhs.join(rhs, on="bucket_start")
+            .where(F.col("series_a") != F.col("series_b"))
+            .withColumn("lag", F.lit(k))
+        )
+        res = _pearson_from_pairs(
+            pairs, ["series_a", "series_b", "lag"], min_buckets, round_to
+        )
+        out = res if out is None else out.unionByName(res)
+    return out
+
+
 def autocorrelation(
     df: DataFrame,
     tier: str,

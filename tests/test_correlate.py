@@ -91,3 +91,29 @@ def test_autocorrelation_daily_and_validation(spark):
         autocorrelation(df, "weekly", ["series"], lags=[1])
     with pytest.raises(ValueError):
         autocorrelation(df, "daily", ["series"], lags=[0])
+
+
+def test_lagged_cross_correlation_lead_detection(spark):
+    """b follows a one bucket later (b_t = a_{t-1}): corr(a_t, b_{t+1})
+    = 1 at lag 1, and the reverse direction is weaker; lag-0 rows match
+    series_correlation symmetrically."""
+    from python_vegindex_spark.operators.correlate import (
+        lagged_cross_correlation,
+    )
+
+    a = [1, 5, 2, 8, 3, 9, 4]
+    b = [0] + a[:-1]  # shifted copy: a leads b by exactly one bucket
+    df = spark.createDataFrame(_rows("a", a) + _rows("b", b), SCHEMA)
+    got = {
+        (r["series_a"], r["series_b"], r["lag"]): r["corr"]
+        for r in lagged_cross_correlation(df, "hourly", "series", lags=[0, 1]).collect()
+    }
+    assert got[("a", "b", 1)] == 1.0          # a at t vs b at t+1: identical
+    assert got[("b", "a", 1)] != 1.0          # wrong direction
+    assert got[("a", "b", 0)] == got[("b", "a", 0)]  # lag 0 is symmetric
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        lagged_cross_correlation(df, "weekly", "series")
+    with _pytest.raises(ValueError):
+        lagged_cross_correlation(df, "hourly", "series", lags=[-1])
