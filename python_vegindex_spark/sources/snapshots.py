@@ -17,11 +17,15 @@ design Iceberg uses (spec v2, all public knowledge):
   older snapshots stay correct while writers commit.
 * **Manifest-based commits.** A snapshot is a JSON manifest listing
   its file groups (+ per-group row counts and partition-value sets —
-  the stats Iceberg keeps per data file). Commit = create
-  ``snapshots/v%08d.json`` with ``O_CREAT|O_EXCL`` (the optimistic
-  lock: two writers racing on the same parent — only one wins, the
-  loser gets :class:`CommitConflict` and retries on the new state),
-  then atomically swap the ``VERSION`` pointer with ``os.replace``.
+  the stats Iceberg keeps per data file). Commit = write the manifest
+  COMPLETE to a tmp name, then ``os.link`` it to
+  ``snapshots/v%08d.json`` (the optimistic lock: two writers racing on
+  the same parent — only one link succeeds, the loser gets
+  :class:`CommitConflict` and retries on the new state). The manifest
+  listing IS the commit log: ``current_version`` is the max manifest
+  number, so a writer crashing at any point leaves either a stray tmp
+  or a fully committed snapshot — never a truncated manifest or a
+  wedged table. ``VERSION`` is maintained as an informational hint.
 * **Copy-on-write MERGE.** ``upsert`` rewrites only the file groups
   whose recorded partition values intersect the update's — untouched
   groups carry over into the new manifest by reference, the Iceberg
@@ -116,12 +120,31 @@ class SnapshotTable:
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self.root, "snapshots", f"v{version:08d}.json")
 
+    _MANIFEST_RE = None  # compiled lazily below
+
+    def _manifest_names(self) -> list[str]:
+        import re
+
+        if SnapshotTable._MANIFEST_RE is None:
+            SnapshotTable._MANIFEST_RE = re.compile(r"^v\d{8}\.json$")
+        snapdir = os.path.join(self.root, "snapshots")
+        return sorted(
+            n for n in os.listdir(snapdir) if SnapshotTable._MANIFEST_RE.match(n)
+        )
+
     def current_version(self) -> int | None:
-        try:
-            with open(self._version_file()) as f:
-                return int(f.read().strip())
-        except FileNotFoundError:
+        """The newest committed snapshot — derived from the manifest
+        listing, NOT the VERSION pointer file. Manifests are created
+        atomically complete (tmp + ``os.link``), so the max manifest
+        number is always a fully committed snapshot even if a writer
+        crashed before updating the pointer; VERSION is kept as an
+        informational hint only. (This is also why losing a commit race
+        converges immediately: the winner's manifest is what made the
+        loser's ``os.link`` fail.)"""
+        names = self._manifest_names()
+        if not names:
             return None
+        return int(names[-1][1:-5])
 
     def _manifest(self, version: int) -> dict:
         path = self._manifest_path(version)
@@ -138,7 +161,7 @@ class SnapshotTable:
         job reads."""
         out = []
         snapdir = os.path.join(self.root, "snapshots")
-        for name in sorted(os.listdir(snapdir)):
+        for name in self._manifest_names():
             with open(os.path.join(snapdir, name)) as f:
                 m = json.load(f)
             out.append(
@@ -170,20 +193,30 @@ class SnapshotTable:
             "summary": summary,
         }
         path = self._manifest_path(new_version)
+        # write the manifest COMPLETE to a tmp name, then os.link() it to
+        # its final name: link fails with EEXIST if another writer won
+        # (the optimistic lock), and a manifest that exists is always
+        # whole — a writer crashing at any point leaves either a stray
+        # tmp (ignored by _manifest_names) or a fully committed snapshot,
+        # never a truncated manifest or a wedged table.
+        tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
         try:
-            # O_EXCL is the whole lock: first creator of vN wins.
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, path)
         except FileExistsError:
             raise CommitConflict(
                 f"snapshot v{new_version} was committed concurrently; "
                 "re-read and retry"
             ) from None
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
-        tmp = self._version_file() + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
+        finally:
+            os.unlink(tmp)
+        # VERSION is an informational hint for humans/tools; correctness
+        # derives from the manifest listing (current_version)
+        vtmp = self._version_file() + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(vtmp, "w") as f:
             f.write(str(new_version))
-        os.replace(tmp, self._version_file())  # atomic pointer swap
+        os.replace(vtmp, self._version_file())
         return new_version
 
     def _await_advance(self, past: int | None, timeout_s: float = 30.0) -> None:
@@ -530,7 +563,7 @@ class SnapshotTable:
         when every retained commit is newer (or the table is empty)."""
         snapdir = os.path.join(self.root, "snapshots")
         best = None
-        for name in sorted(os.listdir(snapdir)):
+        for name in self._manifest_names():
             with open(os.path.join(snapdir, name)) as f:
                 m = json.load(f)
             at = m.get("committed_at")
@@ -666,7 +699,7 @@ class SnapshotTable:
         lands), so true orphans are only removed once older than
         ``orphan_grace_s``."""
         snapdir = os.path.join(self.root, "snapshots")
-        names = sorted(os.listdir(snapdir))
+        names = self._manifest_names()
         keep_last = max(1, keep_last)
         expired, retained = names[:-keep_last], names[-keep_last:]
 

@@ -555,3 +555,36 @@ def test_metadata_tables(spark, root):
     assert all("v" in s for s in stats)
     with pytest.raises(ValueError):
         SnapshotTable(spark, root + "_empty").files_df()
+
+
+def test_crashed_writer_does_not_wedge(spark, root):
+    """A writer that dies right after linking its manifest (before the
+    VERSION hint swap) leaves a fully committed snapshot: readers see
+    it immediately and the next writer commits on top — no wedge."""
+    import json as _json
+
+    t = SnapshotTable(spark, root)
+    t.append(_mk(spark, [(1, "a", 1.0)]))
+    # simulate the crash: hand-write a COMPLETE v2 manifest, never touch VERSION
+    g = t._write_group(_mk(spark, [(2, "b", 2.0)]))
+    m1 = t._manifest(1)
+    manifest = {
+        "version": 2, "parent": 1, "operation": "append",
+        "committed_at": 0.0, "schema": m1["schema"],
+        "partition_by": None,
+        "files": m1["files"] + [{k: v for k, v in g.items() if not k.startswith("_")}],
+        "summary": {},
+    }
+    with open(t._manifest_path(2), "w") as f:
+        _json.dump(manifest, f)
+    # VERSION hint still says 1; the manifest listing is the truth
+    with open(t._version_file()) as f:
+        assert f.read().strip() == "1"
+    assert t.current_version() == 2
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2]
+    # the next writer proceeds normally on top of the crashed commit
+    v3 = t.append(_mk(spark, [(3, "c", 3.0)]))
+    assert v3 == 3 and t.read().count() == 3
+    # stray tmp manifests are ignored by the listing
+    open(t._manifest_path(9) + ".tmp-dead", "w").write("{not json")
+    assert t.current_version() == 3
