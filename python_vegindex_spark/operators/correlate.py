@@ -145,7 +145,7 @@ def lagged_cross_correlation(
     :func:`autocorrelation`)."""
     if any(int(k) < 0 for k in lags):
         raise ValueError(f"lags must be >= 0, got {list(lags)!r}")
-    step_s = tier_step_seconds(tier) or (3600 if tier == "hourly" else None)
+    step_s = tier_step_seconds(tier)
     if step_s is None and tier != "daily":
         raise ValueError(
             f"lagged cross-correlation needs a fixed-step tier "
@@ -204,7 +204,7 @@ def autocorrelation(
     no uniform step — rejected."""
     if any(int(k) < 1 for k in lags):
         raise ValueError(f"lags must be >= 1, got {list(lags)!r}")
-    step_s = tier_step_seconds(tier) or (3600 if tier == "hourly" else None)
+    step_s = tier_step_seconds(tier)
     if step_s is None and tier != "daily":
         raise ValueError(
             f"autocorrelation needs a fixed-step tier (hourly/Nmin/daily), got {tier!r}"

@@ -74,8 +74,14 @@ class CommitConflict(RuntimeError):
 
 
 def _norm(v) -> str:
-    """Normalize a partition value for manifest storage/comparison."""
-    return "\x00NULL" if v is None else str(v)
+    """Normalize a partition value for manifest storage/comparison —
+    same temporal canonicalization as the zone-map stats (via
+    :func:`_stat_val`), so a date-partitioned table pruned with a
+    datetime bound (or vice versa) still matches."""
+    if v is None:
+        return "\x00NULL"
+    s = _stat_val(v)
+    return s if isinstance(s, str) else str(s)
 
 
 def _schema_hash(schema_json: str) -> str:
@@ -84,10 +90,19 @@ def _schema_hash(schema_json: str) -> str:
 
 def _stat_val(v):
     """JSON-encode a min/max stat: numbers stay numeric, temporals and
-    strings become their str() form — whose lexicographic order matches
-    the value order for ISO-formatted date/timestamp reprs."""
-    if v is None or isinstance(v, (int, float)):
+    strings become an ISO form whose lexicographic order matches the
+    value order. Dates are canonicalized to midnight-timestamp form so a
+    DateType stats column compares correctly against a datetime query
+    bound (and vice versa) — str(date) alone would sort BEFORE the
+    equal-instant str(datetime) and mis-prune the boundary group."""
+    import datetime as _dt
+
+    if v is None or isinstance(v, bool) or isinstance(v, (int, float)):
         return v
+    if isinstance(v, _dt.datetime):
+        return str(v)
+    if isinstance(v, _dt.date):
+        return f"{v} 00:00:00"
     return str(v)
 
 
@@ -169,6 +184,7 @@ class SnapshotTable:
                     "version": m["version"],
                     "parent": m["parent"],
                     "operation": m["operation"],
+                    "committed_at": m.get("committed_at"),
                     "total_rows": sum(g["rows"] for g in m["files"]),
                     "n_groups": len(m["files"]),
                     "summary": m.get("summary", {}),
@@ -179,6 +195,15 @@ class SnapshotTable:
     # ------------------------------------------------------------ commit
     def _commit(self, parent: int | None, files: list[dict], operation: str,
                 schema_json: str, summary: dict) -> int:
+        if parent is not None:
+            recorded = self._manifest(parent).get("partition_by")
+            if recorded != self.partition_by:
+                raise ValueError(
+                    f"table at {self.root} was created with partition_by="
+                    f"{recorded!r}; this handle says {self.partition_by!r} — "
+                    "the partition spec is part of the table's identity "
+                    "(group partition tuples are stored in its column order)"
+                )
         new_version = 1 if parent is None else parent + 1
         manifest = {
             "version": new_version,
@@ -218,22 +243,6 @@ class SnapshotTable:
             f.write(str(new_version))
         os.replace(vtmp, self._version_file())
         return new_version
-
-    def _await_advance(self, past: int | None, timeout_s: float = 30.0) -> None:
-        """After losing a commit race, wait for the winner's VERSION
-        pointer swap (manifest create and pointer swap are two steps; a
-        loser that retried against the stale pointer would spin on the
-        same version number — the livelock the concurrent-append test
-        provokes)."""
-        deadline = time.monotonic() + timeout_s
-        while time.monotonic() < deadline:
-            v = self.current_version()
-            if (v or 0) > (past or 0):
-                return
-            time.sleep(0.005)
-        raise CommitConflict(
-            f"VERSION never advanced past {past} after a commit conflict"
-        )
 
     # ------------------------------------------------------- write paths
     def _write_group(self, df: DataFrame) -> dict:
@@ -315,9 +324,10 @@ class SnapshotTable:
                      "groups_removed": 0, **(summary_extra or {})},
                 )
             except CommitConflict:
+                # the winner's manifest is what made our link fail, so
+                # current_version() already reflects it — just retry
                 if attempt == retries:
                     raise
-                self._await_advance(parent)
 
     def overwrite(self, df: DataFrame, retries: int = 10) -> int:
         """Commit ``df`` as the table's entire new contents (retries a
@@ -334,9 +344,10 @@ class SnapshotTable:
                      "groups_removed": removed},
                 )
             except CommitConflict:
+                # the winner's manifest is what made our link fail, so
+                # current_version() already reflects it — just retry
                 if attempt == retries:
                     raise
-                self._await_advance(parent)
 
     def upsert(
         self,
@@ -361,9 +372,10 @@ class SnapshotTable:
             try:
                 return self._upsert_once(updates, keys, summary_extra)
             except CommitConflict:
+                # the winner's manifest is what made our link fail, so
+                # current_version() already reflects it — just retry
                 if attempt == retries:
                     raise
-                self._await_advance(parent)
 
     def _upsert_once(
         self, updates: DataFrame, keys: list[str], summary_extra: dict | None
@@ -374,7 +386,14 @@ class SnapshotTable:
         manifest = self._manifest(parent)
         old_files = manifest["files"]
 
-        if self.partition_by:
+        # partition-scoped COW is only sound when the MERGE key implies
+        # the partition (partition_by ⊆ keys): then a key match can never
+        # live in an un-touched partition. Otherwise an update could
+        # match a row in a carried group (e.g. a key whose partition
+        # value changed) and produce DUPLICATE keys — fall back to
+        # treating every group as affected (global MERGE, like Iceberg).
+        scoped = bool(self.partition_by) and set(self.partition_by) <= set(keys)
+        if scoped:
             touched_rows = updates.select(*self.partition_by).distinct().collect()
             touched = {
                 tuple(_norm(r[c]) for c in self.partition_by) for r in touched_rows
@@ -392,9 +411,9 @@ class SnapshotTable:
         carried = [g for g in old_files if not _affected(g)]
 
         if affected:
-            base = self.spark.read.parquet(
-                *[os.path.join(self.root, g["group"]) for g in affected]
-            )
+            # aligned read (never a raw single-file schema): a MERGE over
+            # schema-evolved groups must not NULL out evolved columns
+            base = self._read_groups(manifest, affected)
             kept = base.join(updates.select(*keys), on=keys, how="left_anti")
             # allowMissingColumns: schema-evolving MERGE — kept rows get
             # NULL for columns only the updates carry, and vice versa
@@ -436,9 +455,10 @@ class SnapshotTable:
             try:
                 return self._delete_once(condition, prune, prune_range)
             except CommitConflict:
+                # the winner's manifest is what made our link fail, so
+                # current_version() already reflects it — just retry
                 if attempt == retries:
                     raise
-                self._await_advance(parent)
 
     def _delete_once(self, condition, prune: dict | None, prune_range: dict | None) -> int:
         parent = self.current_version()
@@ -451,9 +471,9 @@ class SnapshotTable:
         carried = [g for g in manifest["files"] if g not in affected]
         if not affected:
             return parent
-        base = self.spark.read.parquet(
-            *[os.path.join(self.root, g["group"]) for g in affected]
-        )
+        # aligned read — kept rows must be rewritten under the table
+        # schema, not an arbitrary single file's narrower one
+        base = self._read_groups(manifest, affected)
         kept = base.where(~F.coalesce(condition, F.lit(False)))
         g = self._write_group(kept)
         n_before = sum(x["rows"] for x in affected)
@@ -537,12 +557,17 @@ class SnapshotTable:
         files = manifest["files"]
         if not prune:
             return files
-        if not self.partition_by:
+        # tuple positions come from the MANIFEST's recorded column order,
+        # never this handle's — a reader opened with a reordered
+        # partition_by must not prune against the wrong positions
+        # (commits additionally enforce spec identity in _commit)
+        recorded = manifest.get("partition_by")
+        if not recorded:
             raise ValueError("prune requires a partitioned table")
         want = {
             c: {_norm(v) for v in vals} for c, vals in prune.items()
         }
-        idx = {c: i for i, c in enumerate(self.partition_by)}
+        idx = {c: i for i, c in enumerate(recorded)}
         for c in want:
             if c not in idx:
                 raise ValueError(f"{c!r} is not a partition column")
@@ -556,6 +581,32 @@ class SnapshotTable:
             )
 
         return [g for g in files if _match(g)]
+
+    def _read_groups(self, manifest: dict, groups: list[dict]) -> DataFrame:
+        """Scan a group list ALIGNED to the manifest's schema — shared by
+        read() and the COW write paths (upsert/delete), which must never
+        rewrite kept rows through an arbitrary single-file schema.
+
+        Schema evolution, Iceberg semantics: the snapshot's recorded
+        schema is authoritative. The hot path — every referenced group
+        written under exactly this schema — is a plain parquet scan;
+        only heterogeneous file sets pay for mergeSchema (all footers)
+        plus the aligning projection that NULL-fills columns older files
+        lack and drops columns the current schema no longer has. Time
+        travel keeps each version's own schema."""
+        schema = StructType.fromJson(json.loads(manifest["schema"]))
+        paths = [os.path.join(self.root, g["group"]) for g in groups]
+        want = _schema_hash(manifest["schema"])
+        if all(g.get("schema_hash") == want for g in groups):
+            return self.spark.read.parquet(*paths)
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        return df.select(
+            *[
+                (F.col(f.name) if f.name in df.columns
+                 else F.lit(None).cast(f.dataType)).alias(f.name)
+                for f in schema.fields
+            ]
+        )
 
     def version_as_of(self, ts: float) -> int:
         """The newest retained version committed at or before epoch
@@ -607,26 +658,7 @@ class SnapshotTable:
         schema = StructType.fromJson(json.loads(manifest["schema"]))
         if not groups:
             return self.spark.createDataFrame([], schema)
-        paths = [os.path.join(self.root, g["group"]) for g in groups]
-        # schema evolution, Iceberg semantics: the snapshot's recorded
-        # schema is authoritative. The hot path — every referenced group
-        # written under exactly this schema — is a plain parquet scan;
-        # only heterogenous file sets pay for mergeSchema (all footers)
-        # plus the aligning projection that NULL-fills columns older
-        # files lack and drops columns the current schema no longer
-        # has. Time travel keeps each version's own schema.
-        want = _schema_hash(manifest["schema"])
-        if all(g.get("schema_hash") == want for g in groups):
-            df = self.spark.read.parquet(*paths)
-        else:
-            df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
-            df = df.select(
-                *[
-                    (F.col(f.name) if f.name in df.columns
-                     else F.lit(None).cast(f.dataType)).alias(f.name)
-                    for f in schema.fields
-                ]
-            )
+        df = self._read_groups(manifest, groups)
         if prune:
             for c, vals in prune.items():
                 non_null = [v for v in vals if v is not None]
@@ -649,7 +681,7 @@ class SnapshotTable:
         rows = [
             (
                 h["version"], h["parent"], h["operation"],
-                float(self._manifest(h["version"]).get("committed_at") or 0.0),
+                float(h.get("committed_at") or 0.0),
                 h["total_rows"], h["n_groups"], json.dumps(h["summary"]),
             )
             for h in self.history()

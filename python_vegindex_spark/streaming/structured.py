@@ -116,35 +116,73 @@ def run_available_now(
     q.awaitTermination()
 
 
-def snapshot_batch_writer(table, mode: str = "append", keys: list[str] | None = None):
+def snapshot_batch_writer(
+    table,
+    mode: str = "append",
+    keys: list[str] | None = None,
+    sink_id: str = "default",
+):
     """foreachBatch function committing each micro-batch to an
     Iceberg-style :class:`..sources.snapshots.SnapshotTable` —
     exactly-once across restarts, the public Iceberg streaming-sink
-    design: every commit records its ``stream_batch_id``; after a
-    checkpoint recovery Structured Streaming replays the last
-    possibly-uncommitted batch with the SAME id, and a batch whose id is
-    already in the commit history is skipped instead of double-landed.
+    design: every commit records ``(stream_sink_id, stream_batch_id)``;
+    after a checkpoint recovery Structured Streaming replays the last
+    possibly-uncommitted batch with the SAME id, and a batch at or below
+    this sink's high-water mark is skipped instead of double-landed.
+
+    Idempotence is scoped to ``sink_id`` (one per checkpoint location —
+    batch ids are only monotonic WITHIN a checkpoint): a job re-pointed
+    at a fresh checkpoint gets a fresh sink scope instead of having all
+    its batches silently skipped against another checkpoint's counter.
+    The high-water mark lives in a sidecar file updated after each
+    commit (so it survives ``expire_snapshots`` trimming old manifests)
+    AND is cross-checked against retained commit summaries (so a crash
+    between commit and sidecar update still skips the replay).
     ``mode="upsert"`` MERGEs each batch on ``keys`` (for
-    update/complete-mode aggregates); ``"append"`` adds a file group.
-    The history scan is O(retained manifests) per batch — snapshot
-    expiry keeps it short-lived."""
+    update/complete-mode aggregates); ``"append"`` adds a file group."""
+    import hashlib
+    import json
+    import os
+    import uuid
+
     if mode not in ("append", "upsert"):
         raise ValueError(f"mode must be 'append' or 'upsert', got {mode!r}")
     if mode == "upsert" and not keys:
         raise ValueError("mode='upsert' requires keys")
 
+    sink_dir = os.path.join(table.root, "stream_sinks")
+    os.makedirs(sink_dir, exist_ok=True)
+    marker = os.path.join(
+        sink_dir, hashlib.md5(sink_id.encode()).hexdigest()[:16] + ".json"
+    )
+
+    def _high_water() -> int | None:
+        best = None
+        try:
+            with open(marker) as f:
+                best = json.load(f)["last_batch_id"]
+        except (FileNotFoundError, ValueError, KeyError):
+            pass
+        for h in table.history():
+            s = h["summary"]
+            b = s.get("stream_batch_id")
+            if b is not None and s.get("stream_sink_id") == sink_id:
+                best = b if best is None else max(best, b)
+        return best
+
     def _write(batch_df: DataFrame, batch_id: int) -> None:
-        committed = [
-            h["summary"].get("stream_batch_id") for h in table.history()
-        ]
-        committed = [b for b in committed if b is not None]
-        if committed and batch_id <= max(committed):
-            return  # replay of an already-committed batch
-        extra = {"stream_batch_id": batch_id}
+        hw = _high_water()
+        if hw is not None and batch_id <= hw:
+            return  # replay of an already-committed batch for THIS sink
+        extra = {"stream_batch_id": batch_id, "stream_sink_id": sink_id}
         if mode == "append":
             table.append(batch_df, summary_extra=extra)
         else:
             table.upsert(batch_df, keys=keys, summary_extra=extra)
+        tmp = marker + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"sink_id": sink_id, "last_batch_id": batch_id}, f)
+        os.replace(tmp, marker)
 
     return _write
 
@@ -158,9 +196,11 @@ def run_available_now_snapshot(
 ) -> None:
     """Drain everything currently available into a snapshot table (one
     atomic manifest commit per micro-batch) and stop — the snapshot-sink
-    twin of :func:`run_available_now`."""
+    twin of :func:`run_available_now`. The sink's idempotence scope is
+    the checkpoint location (see :func:`snapshot_batch_writer`)."""
+    writer = snapshot_batch_writer(table, mode, keys, sink_id=checkpoint)
     q = (
-        df.writeStream.foreachBatch(snapshot_batch_writer(table, mode, keys))
+        df.writeStream.foreachBatch(writer)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

@@ -34,7 +34,7 @@ def test_cross_correlation_hand_values(spark):
     )
     got = {
         (r["series_a"], r["series_b"]): (r["n"], r["corr"])
-        for r in series_correlation(df, "hourly", "series_col" if False else "series").collect()
+        for r in series_correlation(df, "hourly", "series").collect()
     }
     assert got[("a", "b")] == (5, 1.0)
     assert got[("a", "c")] == (5, -1.0)

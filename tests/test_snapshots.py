@@ -43,7 +43,10 @@ def test_upsert_copy_on_write_scope(spark, root):
     g_b = [g for g in t._manifest(2)["files"] if ["b"] in g["partitions"]]
     assert len(g_b) == 1
 
-    t.upsert(_mk(spark, [(2, "a", 20.0), (5, "a", 5.0)]), keys=["id"])
+    # partition-scoped COW needs partition_by ⊆ keys (else a key could
+    # move partitions and the scope would be unsound — see the
+    # partition-moving regression test)
+    t.upsert(_mk(spark, [(2, "a", 20.0), (5, "a", 5.0)]), keys=["id", "day"])
     m3 = t._manifest(3)
     # the day=b group is carried over untouched, the day=a group replaced
     assert g_b[0]["group"] in {g["group"] for g in m3["files"]}
@@ -349,9 +352,10 @@ def test_streaming_snapshot_sink(spark, tmp_path):
     bids = [h["summary"]["stream_batch_id"] for h in hist]
     assert bids == sorted(bids) and len(set(bids)) == len(bids)
 
-    # replaying the last batch (same id) after a "recovery" is a no-op
+    # replaying the last batch (same id, SAME sink scope = the
+    # checkpoint) after a "recovery" is a no-op
     v_before = t.current_version()
-    writer = snapshot_batch_writer(t)
+    writer = snapshot_batch_writer(t, sink_id=str(tmp_path / "ckpt"))
     writer(turns.limit(3), bids[-1])
     assert t.current_version() == v_before
     # a genuinely new batch id commits
@@ -588,3 +592,93 @@ def test_crashed_writer_does_not_wedge(spark, root):
     # stray tmp manifests are ignored by the listing
     open(t._manifest_path(9) + ".tmp-dead", "w").write("{not json")
     assert t.current_version() == 3
+
+
+def test_upsert_schema_evolved_groups_preserve_values(spark, root):
+    """Review regression: a MERGE whose affected groups have
+    heterogeneous schemas must read them ALIGNED — kept rows' evolved
+    columns must survive, not be NULLed by an arbitrary narrow file
+    schema."""
+    t = SnapshotTable(spark, root, partition_by=["day"])
+    t.append(_mk(spark, [(1, "a", 1.0)]))  # narrow group in partition a
+    t.append(
+        spark.createDataFrame(
+            [(2, "a", 2.0, "en")], "id long, day string, v double, lang string"
+        )
+    )  # wide group, same partition
+    t.upsert(
+        spark.createDataFrame(
+            [(3, "a", 3.0, "fr")], "id long, day string, v double, lang string"
+        ),
+        keys=["id"],
+    )
+    got = {r["id"]: r["lang"] for r in t.read().collect()}
+    assert got == {1: None, 2: "en", 3: "fr"}  # id=2 kept its lang
+
+    # DELETE over the same heterogeneous set also preserves evolved cols
+    t.delete_where(F.col("id") == 1)
+    got = {r["id"]: (r["v"], r["lang"]) for r in t.read().collect()}
+    assert got == {2: (2.0, "en"), 3: (3.0, "fr")}
+
+
+def test_upsert_partition_moving_key_replaces_not_duplicates(spark, root):
+    """Review regression: when partition_by is NOT a subset of the MERGE
+    keys, a key whose partition value changed must still be REPLACED
+    (global fallback), never duplicated across partitions."""
+    t = SnapshotTable(spark, root, partition_by=["day"])
+    t.append(_mk(spark, [(5, "a", 1.0), (6, "b", 6.0)]))
+    t.upsert(_mk(spark, [(5, "b", 9.9)]), keys=["id"])  # id 5 moves a -> b
+    got = {(r["id"], r["day"]): r["v"] for r in t.read().collect()}
+    assert got == {(5, "b"): 9.9, (6, "b"): 6.0}
+
+
+def test_zone_map_date_column_with_datetime_bound(spark, root):
+    """Review regression: a DateType stats column queried with a
+    datetime bound must not mis-prune the boundary group."""
+    import datetime as dt
+
+    t = SnapshotTable(spark, root, stats_cols=["d"])
+    t.append(
+        spark.createDataFrame(
+            [(1, dt.date(2024, 1, 31))], "id long, d date"
+        )
+    )
+    got = t.read(
+        prune_range={"d": (dt.datetime(2024, 1, 31), None)}
+    ).collect()
+    assert [r["id"] for r in got] == [1]
+
+
+def test_partition_spec_identity_enforced(spark, root):
+    """A handle opened with a different partition_by cannot commit (the
+    stored tuples are positional); reads prune by the MANIFEST's
+    recorded order regardless of the handle's."""
+    t = SnapshotTable(spark, root, partition_by=["day"])
+    t.append(_mk(spark, [(1, "a", 1.0)]))
+    other = SnapshotTable(spark, root, partition_by=["v", "day"])
+    with pytest.raises(ValueError, match="partition spec"):
+        other.append(_mk(spark, [(2, "b", 2.0)]))
+
+
+def test_streaming_sink_scope_and_expiry_survival(spark, root):
+    """Review regression: idempotence is per sink scope — a fresh
+    checkpoint (new sink_id) is NOT skipped against another's counter;
+    and the sidecar high-water mark survives snapshot expiry."""
+    from python_vegindex_spark.streaming.structured import snapshot_batch_writer
+
+    t = SnapshotTable(spark, root)
+    w1 = snapshot_batch_writer(t, sink_id="ckpt-A")
+    w1(_mk(spark, [(1, "a", 1.0)]), 0)
+    w1(_mk(spark, [(2, "a", 2.0)]), 1)
+    assert t.read().count() == 2
+
+    # a NEW sink restarts batch ids at 0 and must not be skipped
+    w2 = snapshot_batch_writer(t, sink_id="ckpt-B")
+    w2(_mk(spark, [(3, "b", 3.0)]), 0)
+    assert t.read().count() == 3
+
+    # expiry trims the manifests carrying ckpt-A's batch ids...
+    t.expire_snapshots(keep_last=1)
+    # ...but the sidecar still skips a ckpt-A replay
+    w1(_mk(spark, [(9, "z", 9.0)]), 1)
+    assert t.read().count() == 3
