@@ -138,13 +138,19 @@ class SnapshotTable:
     _MANIFEST_RE = None  # compiled lazily below
 
     def _manifest_names(self) -> list[str]:
+        """Committed manifest file names in NUMERIC version order.
+        The pattern accepts 8+ digits and the sort is numeric — %08d is
+        a minimum width, so v100000000 (9 digits) must both match and
+        sort after v99999999, or the table would wedge at the 10^8th
+        commit."""
         import re
 
         if SnapshotTable._MANIFEST_RE is None:
-            SnapshotTable._MANIFEST_RE = re.compile(r"^v\d{8}\.json$")
+            SnapshotTable._MANIFEST_RE = re.compile(r"^v(\d{8,})\.json$")
         snapdir = os.path.join(self.root, "snapshots")
         return sorted(
-            n for n in os.listdir(snapdir) if SnapshotTable._MANIFEST_RE.match(n)
+            (n for n in os.listdir(snapdir) if SnapshotTable._MANIFEST_RE.match(n)),
+            key=lambda n: int(n[1:-5]),
         )
 
     def current_version(self) -> int | None:
@@ -254,7 +260,20 @@ class SnapshotTable:
         gdir = os.path.join(self.root, group)
         df.write.parquet(gdir)
         written = self.spark.read.parquet(gdir)
-        rows = written.count()
+        # one aggregate carries the row count AND the zone-map min/max
+        present = [
+            c for c in (self.stats_cols or []) if c in written.columns
+        ]
+        row = written.agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[F.min(c).alias(f"_lo_{c}") for c in present],
+            *[F.max(c).alias(f"_hi_{c}") for c in present],
+        ).collect()[0]
+        rows = row["_n"]
+        stats = {
+            c: [_stat_val(row[f"_lo_{c}"]), _stat_val(row[f"_hi_{c}"])]
+            for c in present
+        } or None
         partitions = None
         if self.partition_by:
             vals = written.select(*self.partition_by).distinct().collect()
@@ -262,18 +281,6 @@ class SnapshotTable:
                 {tuple(_norm(r[c]) for c in self.partition_by) for r in vals}
             )
             partitions = [list(t) for t in partitions]
-        stats = None
-        if self.stats_cols:
-            present = [c for c in self.stats_cols if c in written.columns]
-            if present:
-                row = written.agg(
-                    *[F.min(c).alias(f"_lo_{c}") for c in present],
-                    *[F.max(c).alias(f"_hi_{c}") for c in present],
-                ).collect()[0]
-                stats = {
-                    c: [_stat_val(row[f"_lo_{c}"]), _stat_val(row[f"_hi_{c}"])]
-                    for c in present
-                }
         return {
             "group": group,
             "rows": rows,
@@ -368,7 +375,6 @@ class SnapshotTable:
         lost attempts stay unreferenced until ``expire_snapshots``
         removes them."""
         for attempt in range(retries + 1):
-            parent = self.current_version()
             try:
                 return self._upsert_once(updates, keys, summary_extra)
             except CommitConflict:
@@ -451,7 +457,6 @@ class SnapshotTable:
         matches nothing commits a no-op-free: returns the current
         version unchanged."""
         for attempt in range(retries + 1):
-            parent = self.current_version()
             try:
                 return self._delete_once(condition, prune, prune_range)
             except CommitConflict:
@@ -717,55 +722,60 @@ class SnapshotTable:
 
     # -------------------------------------------------------- maintenance
     def expire_snapshots(
-        self, keep_last: int = 2, orphan_grace_s: float = 3600.0
+        self, keep_last: int = 2, grace_s: float = 3600.0
     ) -> dict:
         """Drop all but the newest ``keep_last`` manifests and delete
         file groups no retained manifest references — the only place
         data is ever deleted.
 
-        Two deletion classes, like Iceberg's expireSnapshots +
-        orphan-file cleanup: groups referenced by an EXPIRED manifest
-        were definitely committed and superseded — deleted outright;
-        groups referenced by NO manifest at all may be a concurrent
-        writer's not-yet-committed group (written before its manifest
-        lands), so true orphans are only removed once older than
-        ``orphan_grace_s``."""
+        EVERY non-live group gets the ``grace_s`` age check before
+        deletion (Iceberg's retention-interval contract), covering two
+        races at once: a concurrent writer's freshly-written group whose
+        manifest hasn't landed yet (orphan), and a concurrent
+        ``rollback()``/time-travel read that is about to re-reference a
+        group currently only reachable through an expired manifest —
+        deleting those outright would let a just-committed rollback
+        point at vanished data. Run expiry with a grace comfortably
+        above the longest commit/rollback window (or pass ``grace_s=0``
+        only when no other writer/reader can be active). Stray tmp
+        manifests from crashed writers are cleaned on the same rule."""
         snapdir = os.path.join(self.root, "snapshots")
         names = self._manifest_names()
         keep_last = max(1, keep_last)
         expired, retained = names[:-keep_last], names[-keep_last:]
 
-        def _groups_of(manifest_names: list[str]) -> set[str]:
-            out: set[str] = set()
-            for name in manifest_names:
-                with open(os.path.join(snapdir, name)) as f:
-                    out.update(g["group"] for g in json.load(f)["files"])
-            return out
+        live_groups: set[str] = set()
+        for name in retained:
+            with open(os.path.join(snapdir, name)) as f:
+                live_groups.update(g["group"] for g in json.load(f)["files"])
 
-        live_groups = _groups_of(retained)
-        expired_refs = _groups_of(expired)
-        removed_groups = 0
         now = time.time()
+
+        def _old_enough(path: str) -> bool:
+            try:
+                return now - os.path.getmtime(path) >= grace_s
+            except OSError:
+                return False
+
+        removed_groups = 0
         datadir = os.path.join(self.root, "data")
         for d in os.listdir(datadir):
             rel = f"data/{d}"
-            if rel in live_groups:
-                continue
             full = os.path.join(datadir, d)
-            is_superseded = rel in expired_refs
-            if not is_superseded:
-                try:
-                    age = now - os.path.getmtime(full)
-                except OSError:
-                    continue
-                if age < orphan_grace_s:
-                    continue  # possibly an in-flight commit's group
+            if rel in live_groups or not _old_enough(full):
+                continue
             shutil.rmtree(full)
             removed_groups += 1
         for name in expired:
             os.remove(os.path.join(snapdir, name))
+        removed_tmp = 0
+        for name in os.listdir(snapdir):
+            if ".json.tmp-" in name and _old_enough(os.path.join(snapdir, name)):
+                os.remove(os.path.join(snapdir, name))
+                removed_tmp += 1
         return {
             "expired_snapshots": len(expired),
             "removed_groups": removed_groups,
+            "removed_tmp_manifests": removed_tmp,
             "retained": [int(n[1:-5]) for n in retained],
         }

@@ -35,6 +35,53 @@ TURNS_SCHEMA = T.StructType(
 )
 
 
+def _require_utc(spark: SparkSession) -> None:
+    """Streaming hour/day windows (``F.window``) are epoch/UTC-anchored
+    while the batch lattice (``to_date``/``date_trunc``) follows the
+    session timezone — they only produce the SAME buckets when the
+    session is UTC (session.get_spark pins it; a user-built session may
+    not). Raising beats silently landing streamed rows in off-by-a-few-
+    hours buckets relative to the batch tables they append onto."""
+    tz = spark.conf.get("spark.sql.session.timeZone", "")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+        raise ValueError(
+            f"streaming hour/day windows need a UTC session timezone to "
+            f"align with the batch bucket lattice; session has {tz!r} "
+            "(set spark.sql.session.timeZone=UTC, as session.get_spark does)"
+        )
+
+
+def _window_length(tier: str) -> str:
+    """Tier -> Spark streaming window length — the ONE mapping shared by
+    every streaming aggregate (chunk encoder, cascade), so tier
+    acceptance cannot drift between them. Minute tiers are epoch-
+    anchored like the batch lattice; doy-anchored multi-day tiers are
+    batch-only (they need year anchoring)."""
+    from ..functions.buckets import tier_minutes
+
+    if tier == "hourly":
+        return "1 hour"
+    if tier in ("daily", "1day"):
+        return "1 day"
+    m = tier_minutes(tier)
+    if m is not None:
+        return f"{m} minutes"
+    raise ValueError(
+        f"streaming tiers are 'hourly', 'daily' or 'Nmin', got {tier!r} "
+        "(doy-anchored multi-day tiers are batch-only)"
+    )
+
+
+def _turn_stream(spark: SparkSession, input_path: str) -> DataFrame:
+    """The shared bronze readStream block (file source, typed schema,
+    bounded files per trigger)."""
+    return (
+        spark.readStream.schema(TURNS_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_path)
+    )
+
+
 def streaming_hourly_rollup(
     spark: SparkSession,
     input_path: str,
@@ -42,11 +89,8 @@ def streaming_hourly_rollup(
     value_expr: str = "CAST(length(text) AS DOUBLE)",
 ) -> DataFrame:
     """Build the streaming DataFrame (caller attaches the sink)."""
-    stream = (
-        spark.readStream.schema(TURNS_SCHEMA)
-        .option("maxFilesPerTrigger", 64)
-        .parquet(input_path)
-    )
+    _require_utc(spark)
+    stream = _turn_stream(spark, input_path)
     v = F.expr(value_expr).alias("v")
     return (
         stream.select("conv_id", "ts", v)
@@ -90,11 +134,7 @@ def streaming_dedup_turns(
     watermarked dedup. State persists across restarts through the sink
     checkpoint, so a resumed backfill still drops duplicates from
     before the restart (tested)."""
-    stream = (
-        spark.readStream.schema(TURNS_SCHEMA)
-        .option("maxFilesPerTrigger", 64)
-        .parquet(input_path)
-    )
+    stream = _turn_stream(spark, input_path)
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
@@ -163,11 +203,18 @@ def snapshot_batch_writer(
                 best = json.load(f)["last_batch_id"]
         except (FileNotFoundError, ValueError, KeyError):
             pass
-        for h in table.history():
-            s = h["summary"]
-            b = s.get("stream_batch_id")
-            if b is not None and s.get("stream_sink_id") == sink_id:
-                best = b if best is None else max(best, b)
+        # newest-first manifest scan, stopping at this sink's FIRST hit
+        # (batch ids are monotonic per sink, so the newest is the max):
+        # O(1-2) reads in the steady state instead of re-parsing the
+        # whole history every micro-batch. The scan only exists to cover
+        # a crash between commit and the sidecar update above.
+        snapdir = os.path.join(table.root, "snapshots")
+        for name in reversed(table._manifest_names()):
+            with open(os.path.join(snapdir, name)) as f:
+                summary = json.load(f).get("summary", {})
+            b = summary.get("stream_batch_id")
+            if b is not None and summary.get("stream_sink_id") == sink_id:
+                return b if best is None else max(best, b)
         return best
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
@@ -240,28 +287,12 @@ def streaming_chunk_encoder(
     from ..codecs.chunks import TS_CODEC, VAL_CODEC, _chunk_schema
     from ..codecs.gorilla import encode_floats_grouped, encode_timestamps_grouped
 
-    from ..functions.buckets import tier_minutes
-
-    if tier == "hourly":
-        window_len = "1 hour"
-    elif tier in ("daily", "1day"):
-        window_len = "1 day"
-    elif tier_minutes(tier) is not None:
-        # Spark's window() is epoch-anchored, matching the batch
-        # minute-tier lattice (buckets.tier_minutes) exactly
-        window_len = f"{tier_minutes(tier)} minutes"
-    else:
-        raise ValueError(
-            f"streaming tiers are 'hourly', 'daily' or 'Nmin', got {tier!r} "
-            "(doy-anchored multi-day tiers are batch-only)"
-        )
+    window_len = _window_length(tier)
+    if tier in ("hourly", "daily", "1day"):
+        _require_utc(spark)  # minute tiers are tz-independent on both paths
     series_cols = list(series_cols or ["conv_id"])
 
-    stream = (
-        spark.readStream.schema(TURNS_SCHEMA)
-        .option("maxFilesPerTrigger", 64)
-        .parquet(input_path)
-    )
+    stream = _turn_stream(spark, input_path)
     pts = (
         stream.select(
             *series_cols, F.col("ts"), F.expr(value_expr).alias("_v")
@@ -349,12 +380,12 @@ def streaming_seasonal_scorer(
     from ..operators.rate import seasonal_deviation
 
     series = list(series_cols) if series_cols is not None else ["role"]
-    stream = (
-        spark.readStream.schema(TURNS_SCHEMA)
-        .option("maxFilesPerTrigger", 64)
-        .parquet(input_path)
-    )
-    live = stream.select(*series, "conv_id", "turn_idx", "ts", F.expr(value_expr).alias("v"))
+    stream = _turn_stream(spark, input_path)
+    # dict.fromkeys dedupes while preserving order: series_cols may
+    # overlap the id columns (e.g. series_cols=['conv_id']), and a
+    # duplicated column would make the downstream join ambiguous
+    id_cols = list(dict.fromkeys([*series, "conv_id", "turn_idx", "ts"]))
+    live = stream.select(*id_cols, F.expr(value_expr).alias("v"))
     return seasonal_deviation(
         live,
         profile,
@@ -390,36 +421,21 @@ def streaming_cascade_moments(
     Returns (fine_df, coarse_df) unstarted streaming frames — attach
     sinks with ``run_available_now``; ``finish_moments`` works on both.
     """
-    from ..functions.buckets import tier_minutes
     from ..operators.cascade import _check_nesting
 
     _check_nesting(fine, coarse)
-
-    def _win_len(tier: str) -> str:
-        if tier == "hourly":
-            return "1 hour"
-        if tier in ("daily", "1day"):
-            return "1 day"
-        m = tier_minutes(tier)
-        if m is None:
-            raise ValueError(
-                f"streaming tiers are 'Nmin'/'hourly'/'daily', got {tier!r}"
-            )
-        return f"{m} minutes"
+    if fine in ("hourly", "daily", "1day") or coarse in ("hourly", "daily", "1day"):
+        _require_utc(spark)
 
     series = series_cols or ["conv_id"]
-    stream = (
-        spark.readStream.schema(TURNS_SCHEMA)
-        .option("maxFilesPerTrigger", 64)
-        .parquet(input_path)
-    )
+    stream = _turn_stream(spark, input_path)
     y = F.expr(value_expr)
     src = stream.select(*series, "ts", y.alias("_y")).where(
         F.col("ts").isNotNull() & F.col("_y").isNotNull()
     )
     fine_mom = (
         src.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", _win_len(fine)).alias("w"), *series)
+        .groupBy(F.window("ts", _window_length(fine)).alias("w"), *series)
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("_y").alias("v_sum"),
@@ -429,7 +445,7 @@ def streaming_cascade_moments(
         )
     )
     coarse_mom = fine_mom.groupBy(
-        F.window(F.col("w"), _win_len(coarse)).alias("w2"), *series
+        F.window(F.col("w"), _window_length(coarse)).alias("w2"), *series
     ).agg(
         F.sum("n").alias("n"),
         F.sum("v_sum").alias("v_sum"),

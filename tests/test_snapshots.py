@@ -65,7 +65,7 @@ def test_snapshot_isolation_under_upsert(spark, root):
     t.append(_mk(spark, [(1, "a", 1.0), (2, "a", 2.0)]))
     reader = t.read()  # lazy plan pinned to v1's file list
     t.upsert(_mk(spark, [(1, "a", 100.0)]), keys=["id"])
-    t.expire_snapshots(keep_last=2)  # v1 still retained
+    t.expire_snapshots(keep_last=2, grace_s=0.0)  # v1 still retained
     assert {r["v"] for r in reader.collect()} == {1.0, 2.0}
 
 
@@ -130,7 +130,7 @@ def test_expire_snapshots_gc(spark, root):
     t.overwrite(_mk(spark, [(3, "c", 3.0)]))
     datadir = os.path.join(root, "data")
     assert len(os.listdir(datadir)) == 3
-    out = t.expire_snapshots(keep_last=1)
+    out = t.expire_snapshots(keep_last=1, grace_s=0.0)
     assert out["expired_snapshots"] == 2 and out["removed_groups"] == 2
     assert [r["id"] for r in t.read().collect()] == [3]
     with pytest.raises(KeyError):
@@ -437,21 +437,22 @@ def test_delete_where_cow_scope(spark, root):
     assert t.current_version() == 3
 
 
-def test_expire_orphan_grace(spark, root):
-    """A group referenced by NO manifest (a possibly in-flight commit's
-    freshly written files) survives expiry inside the grace window and
-    is GC'd once past it; groups referenced by expired manifests go
-    immediately."""
+def test_expire_grace_protects_nonlive_groups(spark, root):
+    """EVERY non-live group (an in-flight commit's fresh group, or one a
+    concurrent rollback may be about to re-reference) survives expiry
+    inside the grace window and is GC'd once past it."""
     t = SnapshotTable(spark, root)
     t.append(_mk(spark, [(1, "a", 1.0)]))
     t.overwrite(_mk(spark, [(2, "b", 2.0)]))
     # simulate an in-flight writer: group written, manifest not yet landed
     orphan = t._write_group(_mk(spark, [(9, "z", 9.0)]))
-    out = t.expire_snapshots(keep_last=1)
-    assert out["removed_groups"] == 1  # v1's superseded group only
+    out = t.expire_snapshots(keep_last=1)  # default grace: nothing deleted
+    assert out["expired_snapshots"] == 1 and out["removed_groups"] == 0
     assert os.path.isdir(os.path.join(root, orphan["group"]))
-    out2 = t.expire_snapshots(keep_last=1, orphan_grace_s=0.0)
-    assert out2["removed_groups"] == 1  # now the aged-out orphan
+    # a rollback racing the expiry above would still find v1's group —
+    # and once past the grace both it and the orphan are GC'd
+    out2 = t.expire_snapshots(keep_last=1, grace_s=0.0)
+    assert out2["removed_groups"] == 2
     assert not os.path.isdir(os.path.join(root, orphan["group"]))
     assert [r["id"] for r in t.read().collect()] == [2]
 
@@ -678,7 +679,7 @@ def test_streaming_sink_scope_and_expiry_survival(spark, root):
     assert t.read().count() == 3
 
     # expiry trims the manifests carrying ckpt-A's batch ids...
-    t.expire_snapshots(keep_last=1)
+    t.expire_snapshots(keep_last=1, grace_s=0.0)
     # ...but the sidecar still skips a ckpt-A replay
     w1(_mk(spark, [(9, "z", 9.0)]), 1)
     assert t.read().count() == 3
