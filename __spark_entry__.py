@@ -1923,6 +1923,53 @@ def q_leadlag_correlation_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-level pruning end-to-end: a day-partitioned snapshot
+    table (one commit per fortnight of events, so groups have disjoint
+    partition sets) read back with BOTH partition pruning (3 chosen
+    days) and a zone-map range (value in [100, 300]) must equal the
+    plain SQL filter — 'pruning only shrinks the scan, never the
+    answer'. Checksums integer-exact."""
+    import shutil
+    import tempfile
+
+    from python_vegindex_spark.session import scratch_dir
+    from python_vegindex_spark.sources.snapshots import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+    days = ["2024-01-03", "2024-01-17", "2024-02-02"]
+    root = tempfile.mkdtemp(prefix="snap_pr_", dir=scratch_dir())
+    try:
+        t = SnapshotTable(
+            spark, root, partition_by=["day"], stats_cols=["value"]
+        )
+        t.append(ev.filter(F.dayofmonth("ts") <= 15))
+        t.append(ev.filter(F.dayofmonth("ts") > 15))
+        ok = F.col("value").isNotNull() & ~F.isnan("value")
+        rows = (
+            t.read(prune={"day": days}, prune_range={"value": (100.0, 300.0)})
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("event_id").cast("long").alias("id_sum"),
+                F.sum(
+                    F.when(ok, F.floor(F.col("value") * 100).cast("long"))
+                ).cast("long").alias("v_sum"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    out = spark.createDataFrame(
+        [(r["event_type"], r["n"], r["id_sum"], r["v_sum"]) for r in rows],
+        "event_type string, n long, id_sum long, v_sum long",
+    )
+    return out.orderBy("event_type")
+
+
 def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg-style snapshot table (sources/snapshots.py): two appends
     then a copy-on-write MERGE, each version read back via time travel
@@ -2066,6 +2113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_alert_episodes": q_threshold_alert_episodes,
         "chunks_range_decode": q_chunks_range_decode,
         "snapshot_time_travel": q_snapshot_time_travel,
+        "snapshot_pruned_read": q_snapshot_pruned_read,
         "asof_interpolated_join": q_asof_interpolated_join,
         "series_correlation_daily": q_series_correlation_daily,
         "autocorrelation_daily": q_autocorrelation_daily,
@@ -4381,6 +4429,17 @@ SELECT version, event_type, count(*) AS n,
   CAST(sum(CASE WHEN value IS NOT NULL AND NOT isnan(value)
        THEN CAST(floor(value * 100) AS BIGINT) END) AS BIGINT) AS v_sum
 FROM all_v GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # pruned snapshot read == the plain filter over the source rows
+        "snapshot_pruned_read": """
+SELECT event_type, count(*) AS n,
+  CAST(sum(event_id) AS BIGINT) AS id_sum,
+  CAST(sum(CASE WHEN value IS NOT NULL AND NOT isnan(value)
+       THEN CAST(floor(value * 100) AS BIGINT) END) AS BIGINT) AS v_sum
+FROM events
+WHERE strftime(ts, '%Y-%m-%d') IN ('2024-01-03', '2024-01-17', '2024-02-02')
+  AND value >= 100.0 AND value <= 300.0
+GROUP BY 1 ORDER BY 1
 """,
         # interpolated time join: identical union + paired IGNORE NULLS
         # windows + the fill_series pinned interpolation op order
