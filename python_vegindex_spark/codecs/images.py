@@ -54,16 +54,33 @@ def decode_ppm(raw: bytes) -> np.ndarray:
                 pos += 1
             continue
         start = pos
-        while pos < len(raw) and not raw[pos : pos + 1].isspace():
+        # a '#' may begin a comment ANYWHERE, including mid-token
+        # ("3#c\n" is the token 3 followed by a comment, per the spec)
+        while pos < len(raw) and not raw[pos : pos + 1].isspace() and raw[
+            pos : pos + 1
+        ] != b"#":
             pos += 1
-        tokens.append(raw[start:pos])
+        if pos > start:
+            tokens.append(raw[start:pos])
+        if raw[pos : pos + 1] == b"#":
+            # consume to end-of-line even after the maxval token, so the
+            # newline terminating the comment is the raster delimiter
+            while pos < len(raw) and raw[pos : pos + 1] not in (b"\n", b"\r"):
+                pos += 1
     pos += 1  # the single whitespace after maxval
     w, h, maxval = (int(t) for t in tokens)
     if not 0 < maxval <= 255:
         raise ValueError(f"unsupported PPM maxval {maxval}")
     n = w * h * 3
     data = np.frombuffer(raw, dtype=np.uint8, count=n, offset=pos)
-    return data.reshape(h, w, 3).copy()
+    out = data.reshape(h, w, 3)
+    if maxval != 255:
+        # netpbm samples are relative to maxval; rescale to 8-bit like
+        # PIL/netpbm tools, otherwise low-maxval images read ~maxval/255
+        # as dim and skew downstream pixel statistics
+        out = np.rint(out.astype(np.float64) * (255.0 / maxval)).astype(np.uint8)
+        return out
+    return out.copy()
 
 
 def decode_bmp(raw: bytes) -> np.ndarray:

@@ -50,9 +50,8 @@ def asof_join(
     ``{prefix}{payload}`` columns and ``{prefix}ts`` (null if no match)."""
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"bad direction {direction!r}")
-    payload_cols = payload_cols or [
-        c for c in right.columns if c not in on and c != right_ts
-    ]
+    if payload_cols is None:
+        payload_cols = [c for c in right.columns if c not in on and c != right_ts]
 
     lcols = left.columns
     lrow_type = left.select(
@@ -76,7 +75,8 @@ def asof_join(
     # ties — input-order-dependent — so both strategies standardize on the
     # value-deterministic pick instead).
     r_tag = (
-        right.select(
+        right.filter(F.col(right_ts).isNotNull())
+        .select(
             *on,
             F.col(right_ts).alias("_t"),
             F.struct(
@@ -186,7 +186,7 @@ def asof_join_interpolate(
     # a NULL-valued sample is no sample: dropping it keeps the paired
     # (_pt, _pv) window picks from ever decoupling onto different rows
     r_tag = (
-        right.filter(F.col(value_col).isNotNull())
+        right.filter(F.col(value_col).isNotNull() & F.col(right_ts).isNotNull())
         .select(
             *on,
             F.col(right_ts).alias("_t"),
@@ -267,13 +267,12 @@ def asof_join_bucketed(
     """
     if tolerance_s is None or tolerance_s <= 0:
         raise ValueError("bucketed as-of needs a positive tolerance")
-    payload_cols = payload_cols or [
-        c for c in right.columns if c not in on and c != right_ts
-    ]
+    if payload_cols is None:
+        payload_cols = [c for c in right.columns if c not in on and c != right_ts]
     tol_us = int(tolerance_s * 1_000_000)
 
     lb = left.withColumn("_b", (epoch_us(F.col(left_ts)) / tol_us).cast("long"))
-    rb = right.select(
+    rb = right.filter(F.col(right_ts).isNotNull()).select(
         *on,
         F.col(right_ts).alias("_rts_in"),
         *[F.col(c).alias(f"_p_{c}") for c in payload_cols],

@@ -143,8 +143,8 @@ def lagged_cross_correlation(
     reproduce :func:`series_correlation` symmetrically. Fixed-step
     tiers only (same restriction and lag arithmetic as
     :func:`autocorrelation`)."""
-    if any(int(k) < 0 for k in lags):
-        raise ValueError(f"lags must be >= 0, got {list(lags)!r}")
+    if not lags or any(int(k) < 0 for k in lags):
+        raise ValueError(f"lags must be a non-empty list of ints >= 0, got {list(lags)!r}")
     step_s = tier_step_seconds(tier)
     if step_s is None and tier != "daily":
         raise ValueError(
@@ -202,8 +202,8 @@ def autocorrelation(
     the tier must be hourly / ``Nmin`` (seconds) or daily (whole days);
     the doy-anchored weekly/``Nday`` lattices restart at Jan 1 and have
     no uniform step — rejected."""
-    if any(int(k) < 1 for k in lags):
-        raise ValueError(f"lags must be >= 1, got {list(lags)!r}")
+    if not lags or any(int(k) < 1 for k in lags):
+        raise ValueError(f"lags must be a non-empty list of ints >= 1, got {list(lags)!r}")
     step_s = tier_step_seconds(tier)
     if step_s is None and tier != "daily":
         raise ValueError(

@@ -198,8 +198,11 @@ def incremental_rollup(
     # re-runs the invalidation joins (3 full scans per run)
     slice_df = slice_df.localCheckpoint(eager=True)
     real_rows = slice_df.filter(~F.col("_helper"))
-    # lineage counts INGESTED rows only, never the synthetic lag helpers
-    rows_in = real_rows.count()
+    # lineage counts INGESTED rows only (ts past the watermark) — never
+    # the synthetic lag helpers, and never the OLD rows the invalidation
+    # window re-reads; matches incremental_rollup_tiers' accounting
+    new_rows = real_rows if hw is None else real_rows.filter(F.col("ts") > F.lit(hw))
+    rows_in = new_rows.count()
     if rows_in == 0:
         metrics = {
             "run_id": run_id, "tier": tier, "rows_in": 0, "rows_out": 0,
@@ -468,9 +471,28 @@ def backfill_rollup(
         .distinct()
     )
 
-    # lattice extension beyond the conv's current gold bucket range
-    new_bounds = delta.groupBy("conv_id").agg(
-        F.min(b).alias("_min_nb"), F.max(b).alias("_max_nb")
+    # lattice extension beyond the conv's current gold bucket range.
+    # Bounds come from the POST-QC delta rows: a full recompute's
+    # gap-fill spine spans only post-QC buckets, so a QC-failing delta
+    # row beyond the gold range must NOT stretch the lattice (it would
+    # upsert count-0 rows a full recompute never emits). QC must be
+    # evaluated on LAG-CORRECT features (dnsum includes the latency
+    # measure, which needs each row's predecessor), so the delta rows
+    # are selected out of the full-history feature table by key.
+    from ..operators.rollup import qc_filter
+
+    feats = turn_features(conv_rows).localCheckpoint(eager=True)
+    delta_qc = (
+        qc_filter(feats, cfg)
+        .join(
+            F.broadcast(delta.select("conv_id", "turn_idx")),
+            on=["conv_id", "turn_idx"],
+            how="left_semi",
+        )
+        .select("conv_id", bucket_start(F.col("ts"), tier).alias("_b"))
+    )
+    new_bounds = delta_qc.groupBy("conv_id").agg(
+        F.min("_b").alias("_min_nb"), F.max("_b").alias("_max_nb")
     )
     if existing is not None:
         gold_bounds = (
@@ -481,7 +503,9 @@ def backfill_rollup(
                 F.max("bucket_start").alias("_max_gb"),
             )
         )
-        bounds = new_bounds.join(gold_bounds, on="conv_id", how="left")
+        # FULL join: gold-only convs (all delta rows QC-fail) still need
+        # a span row below for the gap clamp
+        bounds = new_bounds.join(gold_bounds, on="conv_id", how="full")
     else:
         bounds = new_bounds.withColumn("_min_gb", F.lit(None)).withColumn(
             "_max_gb", F.lit(None)
@@ -516,8 +540,24 @@ def backfill_rollup(
     invalid = touched.unionByName(ext).distinct().localCheckpoint(eager=True)
     n_invalid = invalid.count()
 
+    # the conv's FULL-recompute spine span: gold bounds (the old post-QC
+    # spine) widened by post-QC delta bounds. Count-0 gap rows may only
+    # be emitted INSIDE it — a touched bucket past the last post-QC row
+    # (its only occupant failed QC) gets recomputed-to-empty, not a
+    # spine row a full recompute wouldn't have.
+    span = bounds.select(
+        "conv_id",
+        F.least(
+            F.coalesce("_min_nb", "_min_gb"), F.coalesce("_min_gb", "_min_nb")
+        ).alias("_span_lo"),
+        F.greatest(
+            F.coalesce("_max_nb", "_max_gb"), F.coalesce("_max_gb", "_max_nb")
+        ).alias("_span_hi"),
+    )
+
     # ---- recompute exactly those buckets ---------------------------------
-    feats = turn_features(conv_rows)
+    # (feats computed above, checkpointed: reused by the QC'd lattice
+    # bounds and this recompute without re-running the lag window)
     slice_feats = feats.withColumn("_b", bucket_start(F.col("ts"), tier)).join(
         F.broadcast(invalid.withColumnRenamed("bucket_start", "_b")),
         on=["conv_id", "_b"],
@@ -527,7 +567,14 @@ def backfill_rollup(
 
     # count-0 rows for invalidated buckets with no surviving post-QC rows
     # (the rows a full recompute's gap-fill spine would emit there)
-    gaps = invalid.join(out, on=["conv_id", "bucket_start"], how="left_anti")
+    gaps = (
+        invalid.join(out, on=["conv_id", "bucket_start"], how="left_anti")
+        .join(F.broadcast(span), on="conv_id")
+        .filter(
+            F.col("bucket_start").between(F.col("_span_lo"), F.col("_span_hi"))
+        )
+        .select("conv_id", "bucket_start")
+    )
     center = bucket_center(F.col("bucket_start"), tier)
     label_cols = {
         "bucket_center": center,
@@ -611,6 +658,20 @@ def compact_retention(
         .count()
         .collect()
     )
+    # the verification attributes each chunk's n_points to
+    # to_date(first_ts), which is only sound when every chunk is
+    # day-contained — a multi-day chunk would count later days' points
+    # against its first day, falsely verifying a partially-encoded day
+    # (and deleting raw rows the chunk tier doesn't hold). Enforce it.
+    spanning = (
+        chunks.filter(F.to_date("first_ts") != F.to_date("last_ts")).limit(1).count()
+    )
+    if spanning:
+        raise ValueError(
+            "compact_retention requires a day-contained chunk tier "
+            "(daily or finer; a chunk spans a day boundary) — "
+            "re-encode with tier='daily' or verify at the chunk grain"
+        )
     chunk_counts = {
         r["d"]: r["n"]
         for r in chunks.filter(F.to_date("first_ts") < F.lit(older_than))
@@ -745,7 +806,11 @@ def compact_gold_retention(
         F.col("bucket_start").alias("_cb"),
         F.col(count_col).alias("_coarse_n"),
     )
-    joined = sums.join(cov, on=[*series, "_cb"], how="left")
+    # pin the small bucket-level join once: the two counts below would
+    # otherwise each re-run the sums/cov aggregation lineage
+    joined = sums.join(cov, on=[*series, "_cb"], how="left").localCheckpoint(
+        eager=True
+    )
     verified = joined.filter(
         F.col("_coarse_n").isNotNull() & (F.col("_coarse_n") == F.col("_fine_n"))
     ).select(*series, "_cb")
@@ -801,18 +866,33 @@ def read_tiered(
     Bounds are optional ISO timestamps; ``ts_min`` is inclusive,
     ``ts_max`` exclusive (read_turns' convention).
     """
+    import datetime as _dt
+
+    def _parse(s: str) -> _dt.datetime:
+        # chronological comparison, never lexicographic: Spark accepts
+        # both "2024-01-02T12:00:00" and "2024-01-02 12:00:00", and the
+        # 'T' form sorts AFTER the space form as a string — a mixed-form
+        # boundary would silently skip a whole tier
+        return _dt.datetime.fromisoformat(s.replace("T", " "))
+
     series = list(series_cols) if series_cols is not None else ["conv_id"]
     out = None
     # chunk tier: [ts_min, boundary)
-    if ts_min is None or ts_min < boundary:
-        hi = boundary if ts_max is None else min(ts_max, boundary)
+    if ts_min is None or _parse(ts_min) < _parse(boundary):
+        if ts_max is None or _parse(boundary) <= _parse(ts_max):
+            hi = boundary
+        else:
+            hi = ts_max
         old = decode_chunks(chunks, series, ts_min=ts_min, ts_max=hi).where(
             F.col("ts") < F.lit(hi).cast("timestamp")  # exclusive upper bound
         )
         out = old
     # raw tier: [max(ts_min, boundary), ts_max)
-    if ts_max is None or ts_max > boundary:
-        lo = boundary if ts_min is None else max(ts_min, boundary)
+    if ts_max is None or _parse(ts_max) > _parse(boundary):
+        if ts_min is None or _parse(boundary) >= _parse(ts_min):
+            lo = boundary
+        else:
+            lo = ts_min
         raw = read_turns(spark, turns_path, lo, ts_max).select(
             *series, "ts", F.expr(value_expr).alias("value")
         )

@@ -201,3 +201,45 @@ def test_backfill_empty_delta_noop(spark, turns, tmp_path):
     m = backfill_rollup(spark, turns, turns.limit(0), store, cfg)
     assert m["rows_in"] == 0 and m["rows_out"] == 0
     _assert_gold_equals_full(spark, store, cfg, turns)
+
+
+def test_backfill_qc_failing_tail_delta_equals_full(spark, turns, tmp_path):
+    """Review regression: a backfilled delta row BEYOND the conv's gold
+    range that fails QC (empty text at midnight -> dnsum/gate below
+    minimums) must NOT stretch the gap-fill lattice with count-0 rows a
+    full recompute never emits; a QC-passing companion in the same delta
+    must still extend it."""
+    import datetime as dt
+
+    cfg = RollupConfig(tier="daily", nmin=2)
+    store = RollupStore(str(tmp_path / "bf_qc"))
+
+    conv = turns.select("conv_id").distinct().orderBy("conv_id").limit(1)
+    cid = conv.collect()[0]["conv_id"]
+    base = turns.filter(F.col("conv_id") == cid)
+    incremental_rollup(spark, base, store, cfg)
+    max_idx = base.agg(F.max("turn_idx")).collect()[0][0]
+
+    # far-future QC-FAILING row: empty text AND a ~1.5-year latency
+    # delta push dnsum outside [brt_min, brt_max]
+    bad = spark.createDataFrame(
+        [(cid, max_idx + 1, "user", "", "", dt.datetime(2025, 6, 1, 12, 0))],
+        base.schema,
+    )
+    all_rows = base.unionByName(bad)
+    m = backfill_rollup(spark, all_rows, bad, store, cfg)
+    assert m["rows_in"] == 1
+    _assert_gold_equals_full(spark, store, cfg, all_rows)
+
+    # QC-passing far-future row (noon -> gate passes; 24 h after its
+    # predecessor -> latency measure keeps dnsum inside the brightness
+    # window): the lattice MUST extend for this one
+    good = spark.createDataFrame(
+        [(cid, max_idx + 2, "user",
+          "a perfectly reasonable turn with plenty of text in it",
+          "", dt.datetime(2025, 6, 2, 12, 0))],
+        base.schema,
+    )
+    all_rows2 = all_rows.unionByName(good)
+    backfill_rollup(spark, all_rows2, good, store, cfg)
+    _assert_gold_equals_full(spark, store, cfg, all_rows2)
