@@ -1923,6 +1923,19 @@ def q_leadlag_correlation_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_forecast_backtest_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive vs seasonal-naive forecast backtest (MAE/RMSE per
+    event-type series at lag 1 and lag 7 days) —
+    operators/correlate.forecast_backtest_error; the lag-1 MAE is the
+    MASE denominator."""
+    from python_vegindex_spark.operators.correlate import forecast_backtest_error
+
+    ev = _t(spark, sf_dir, "events")
+    return forecast_backtest_error(ev, "daily", ["event_type"], season=7).orderBy(
+        "event_type", "lag"
+    )
+
+
 def q_snapshot_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manifest-level pruning end-to-end: a day-partitioned snapshot
     table (one commit per fortnight of events, so groups have disjoint
@@ -2114,6 +2127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunks_range_decode": q_chunks_range_decode,
         "snapshot_time_travel": q_snapshot_time_travel,
         "snapshot_pruned_read": q_snapshot_pruned_read,
+        "forecast_backtest_daily": q_forecast_backtest_daily,
         "asof_interpolated_join": q_asof_interpolated_join,
         "series_correlation_daily": q_series_correlation_daily,
         "autocorrelation_daily": q_autocorrelation_daily,
@@ -4429,6 +4443,29 @@ SELECT version, event_type, count(*) AS n,
   CAST(sum(CASE WHEN value IS NOT NULL AND NOT isnan(value)
        THEN CAST(floor(value * 100) AS BIGINT) END) AS BIGINT) AS v_sum
 FROM all_v GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # naive / seasonal-naive backtest over daily integer bucket sums
+        "forecast_backtest_daily": """
+WITH s AS (
+  SELECT event_type, CAST(ts AS DATE) AS b,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1, 2
+), p AS (
+  SELECT x.event_type, k.lag, y.v - x.v AS err
+  FROM (VALUES (1), (7)) k(lag)
+  CROSS JOIN s x
+  JOIN s y ON y.event_type = x.event_type AND y.b = x.b + k.lag
+), m AS (
+  SELECT event_type, lag, count(*) AS cnt,
+    sum(abs(err)) AS sabs, sum(err * err) AS ssq
+  FROM p GROUP BY 1, 2
+)
+SELECT event_type, lag, CAST(cnt AS BIGINT) AS n,
+  round((CAST(sabs AS DOUBLE) / CAST(cnt AS DOUBLE)) / 100.0, 6) AS mae,
+  round(sqrt(CAST(ssq AS DOUBLE) / CAST(cnt AS DOUBLE)) / 100.0, 6) AS rmse
+FROM m ORDER BY 1, 2
 """,
         # pruned snapshot read == the plain filter over the source rows
         "snapshot_pruned_read": """

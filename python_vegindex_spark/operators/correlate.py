@@ -185,6 +185,73 @@ def lagged_cross_correlation(
     return out
 
 
+def forecast_backtest_error(
+    df: DataFrame,
+    tier: str,
+    series_cols: Sequence[str],
+    season: int = 7,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    scale: int = 100,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Forecast-accuracy backtest for the two standard baselines: the
+    NAIVE forecast (v̂_t = v_{t-1}) and the SEASONAL-NAIVE forecast
+    (v̂_t = v_{t-season}) — per series, MAE and RMSE over every observed
+    (t-k, t) bucket pair. The naive MAE is MASE's denominator, so
+    ``mae@lag=season / mae@lag=1`` reads as "does the seasonal model
+    beat a random walk". Calendar-exact pairing (gap buckets form no
+    pair, never a fabricated zero); errors are exact integers in
+    quantized units, MAE/RMSE finish in one pinned double op order
+    ``(sum/n)/scale`` / ``sqrt(sumsq/n)/scale``. Fixed-step tiers only.
+    Output: one row per (series, lag in {1, season})."""
+    if int(season) < 2:
+        raise ValueError(f"season must be >= 2, got {season}")
+    step_s = tier_step_seconds(tier)
+    if step_s is None and tier != "daily":
+        raise ValueError(
+            f"forecast backtest needs a fixed-step tier (hourly/Nmin/daily), "
+            f"got {tier!r}"
+        )
+    sums = _bucket_sums(
+        df, tier, list(series_cols), ts_col, value_col, scale
+    ).localCheckpoint(eager=True)
+
+    out = None
+    for k in (1, int(season)):
+        if tier == "daily":
+            lead_bucket = F.date_add(F.col("bucket_start"), k)
+        else:
+            lead_bucket = F.col("bucket_start") + F.expr(
+                f"INTERVAL {k * step_s} SECONDS"
+            )
+        lhs = sums.select(
+            *series_cols, lead_bucket.alias("bucket_start"), F.col("_v").alias("_a")
+        )
+        rhs = sums.select(*series_cols, "bucket_start", F.col("_v").alias("_b"))
+        err = F.col("_b") - F.col("_a")  # actual - forecast, exact BIGINT
+        agg = (
+            lhs.join(rhs, on=[*series_cols, "bucket_start"])
+            .groupBy(*series_cols)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.abs(err)).alias("_sabs"),
+                F.sum(
+                    (err.cast("decimal(38,0)")) * (err.cast("decimal(38,0)"))
+                ).alias("_ssq"),
+            )
+            .withColumn("lag", F.lit(k))
+        )
+        n = F.col("n").cast("double")
+        mae = (F.col("_sabs").cast("double") / n) / F.lit(float(scale))
+        rmse = F.sqrt(F.col("_ssq").cast("double") / n) / F.lit(float(scale))
+        if round_to is not None:
+            mae, rmse = F.round(mae, round_to), F.round(rmse, round_to)
+        res = agg.select(*series_cols, "lag", "n", mae.alias("mae"), rmse.alias("rmse"))
+        out = res if out is None else out.unionByName(res)
+    return out
+
+
 def autocorrelation(
     df: DataFrame,
     tier: str,

@@ -117,3 +117,33 @@ def test_lagged_cross_correlation_lead_detection(spark):
         lagged_cross_correlation(df, "weekly", "series")
     with _pytest.raises(ValueError):
         lagged_cross_correlation(df, "hourly", "series", lags=[-1])
+
+
+def test_forecast_backtest_error_hand_values(spark):
+    """Constant series -> zero error; linear ramp -> naive MAE == step,
+    seasonal MAE == season*step; exact period-2 repeat -> seasonal error
+    0 while naive error is the full swing."""
+    from python_vegindex_spark.operators.correlate import forecast_backtest_error
+
+    const = _rows("c", [5.0] * 8)
+    ramp = _rows("r", [float(i) for i in range(8)])
+    period2 = _rows("p", [1.0, 9.0] * 4)
+    df = spark.createDataFrame(const + ramp + period2, SCHEMA)
+    got = {
+        (r["series"], r["lag"]): (r["n"], r["mae"], r["rmse"])
+        for r in forecast_backtest_error(
+            df, "hourly", ["series"], season=2
+        ).collect()
+    }
+    assert got[("c", 1)] == (7, 0.0, 0.0)
+    assert got[("c", 2)] == (6, 0.0, 0.0)
+    assert got[("r", 1)] == (7, 1.0, 1.0)
+    assert got[("r", 2)] == (6, 2.0, 2.0)
+    assert got[("p", 2)] == (6, 0.0, 0.0)   # seasonal model is perfect
+    assert got[("p", 1)] == (7, 8.0, 8.0)   # naive eats the full swing
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        forecast_backtest_error(df, "weekly", ["series"])
+    with _pytest.raises(ValueError):
+        forecast_backtest_error(df, "hourly", ["series"], season=1)
