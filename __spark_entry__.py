@@ -1936,6 +1936,21 @@ def q_forecast_backtest_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift per event-type series across a date split
+    (operators/downsample.value_drift): triangular-discrimination
+    statistic over shared integer value bins — the log-free χ²-family
+    divergence, rational arithmetic end to end."""
+    import datetime as dt
+
+    from python_vegindex_spark.operators.downsample import value_drift
+
+    ev = _t(spark, sf_dir, "events")
+    return value_drift(
+        ev, dt.datetime(2024, 2, 1), ["event_type"], bin_width=50.0
+    ).orderBy("event_type")
+
+
 def q_snapshot_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manifest-level pruning end-to-end: a day-partitioned snapshot
     table (one commit per fortnight of events, so groups have disjoint
@@ -2128,6 +2143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_time_travel": q_snapshot_time_travel,
         "snapshot_pruned_read": q_snapshot_pruned_read,
         "forecast_backtest_daily": q_forecast_backtest_daily,
+        "value_drift_events": q_value_drift_events,
         "asof_interpolated_join": q_asof_interpolated_join,
         "series_correlation_daily": q_series_correlation_daily,
         "autocorrelation_daily": q_autocorrelation_daily,
@@ -4443,6 +4459,31 @@ SELECT version, event_type, count(*) AS n,
   CAST(sum(CASE WHEN value IS NOT NULL AND NOT isnan(value)
        THEN CAST(floor(value * 100) AS BIGINT) END) AS BIGINT) AS v_sum
 FROM all_v GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # triangular-discrimination drift over shared integer value bins
+        "value_drift_events": """
+WITH binned AS (
+  SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS v_bin,
+    sum(CASE WHEN ts >= TIMESTAMP '2024-02-01 00:00:00' THEN 0 ELSE 1 END) AS nb,
+    sum(CASE WHEN ts >= TIMESTAMP '2024-02-01 00:00:00' THEN 1 ELSE 0 END) AS na
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, sum(nb) AS tb, sum(na) AS ta FROM binned GROUP BY 1
+), terms AS (
+  SELECT b.event_type, t.tb, t.ta,
+    CASE WHEN t.tb > 0 AND t.ta > 0 THEN
+      (CAST(b.nb AS DOUBLE) / CAST(t.tb AS DOUBLE) - CAST(b.na AS DOUBLE) / CAST(t.ta AS DOUBLE))
+      * (CAST(b.nb AS DOUBLE) / CAST(t.tb AS DOUBLE) - CAST(b.na AS DOUBLE) / CAST(t.ta AS DOUBLE))
+      / (CAST(b.nb AS DOUBLE) / CAST(t.tb AS DOUBLE) + CAST(b.na AS DOUBLE) / CAST(t.ta AS DOUBLE))
+    ELSE 0.0 END AS term
+  FROM binned b JOIN tot t USING (event_type)
+)
+SELECT event_type, CAST(max(tb) AS BIGINT) AS n_before,
+  CAST(max(ta) AS BIGINT) AS n_after,
+  round(CASE WHEN max(tb) > 0 AND max(ta) > 0 THEN sum(term) END, 6) AS drift
+FROM terms GROUP BY 1 ORDER BY 1
 """,
         # naive / seasonal-naive backtest over daily integer bucket sums
         "forecast_backtest_daily": """

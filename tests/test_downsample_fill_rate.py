@@ -1007,3 +1007,43 @@ def test_holt_hand_sequence(spark):
 
     solo = got[("solo", _ts(0))]
     assert (solo["level"], solo["trend"], solo["fitted"]) == (42.0, 0.0, None)
+
+
+def test_value_drift_planted(spark):
+    """Identical halves -> 0; disjoint supports -> 2; a shifted half ->
+    strictly between; empty side -> NULL; validation."""
+    import datetime as dt
+
+    from python_vegindex_spark.operators.downsample import value_drift
+
+    t0 = dt.datetime(2024, 1, 1)
+    split = dt.datetime(2024, 1, 2)
+
+    def rows(series, before_vals, after_vals):
+        out = [(series, t0 + dt.timedelta(minutes=i), float(v))
+               for i, v in enumerate(before_vals)]
+        out += [(series, split + dt.timedelta(minutes=i), float(v))
+                for i, v in enumerate(after_vals)]
+        return out
+
+    same = rows("same", [1, 2, 3, 4] * 5, [1, 2, 3, 4] * 5)
+    disjoint = rows("disjoint", [1, 2] * 6, [100, 101] * 6)
+    shifted = rows("shifted", [1, 1, 2, 2] * 5, [1, 2, 2, 3] * 5)
+    onesided = [("onesided", t0, 1.0)]
+    df = spark.createDataFrame(
+        same + disjoint + shifted + onesided,
+        "series string, ts timestamp, value double",
+    )
+    got = {
+        r["series"]: r
+        for r in value_drift(df, split, ["series"], bin_width=1.0).collect()
+    }
+    assert got["same"]["drift"] == 0.0
+    assert got["disjoint"]["drift"] == 2.0
+    assert 0.0 < got["shifted"]["drift"] < 2.0
+    assert got["onesided"]["drift"] is None
+    assert (got["same"]["n_before"], got["same"]["n_after"]) == (20, 20)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        value_drift(df, split, ["series"], bin_width=0.0)
