@@ -4460,7 +4460,7 @@ SELECT version, event_type, count(*) AS n,
        THEN CAST(floor(value * 100) AS BIGINT) END) AS BIGINT) AS v_sum
 FROM all_v GROUP BY 1, 2 ORDER BY 1, 2
 """,
-        # triangular-discrimination drift over shared integer value bins
+        # total-variation drift: exact integer numerator, one pinned division
         "value_drift_events": """
 WITH binned AS (
   SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS v_bin,
@@ -4471,19 +4471,17 @@ WITH binned AS (
   GROUP BY 1, 2
 ), tot AS (
   SELECT event_type, sum(nb) AS tb, sum(na) AS ta FROM binned GROUP BY 1
-), terms AS (
-  SELECT b.event_type, t.tb, t.ta,
-    CASE WHEN t.tb > 0 AND t.ta > 0 THEN
-      (CAST(b.nb AS DOUBLE) / CAST(t.tb AS DOUBLE) - CAST(b.na AS DOUBLE) / CAST(t.ta AS DOUBLE))
-      * (CAST(b.nb AS DOUBLE) / CAST(t.tb AS DOUBLE) - CAST(b.na AS DOUBLE) / CAST(t.ta AS DOUBLE))
-      / (CAST(b.nb AS DOUBLE) / CAST(t.tb AS DOUBLE) + CAST(b.na AS DOUBLE) / CAST(t.ta AS DOUBLE))
-    ELSE 0.0 END AS term
+), m AS (
+  SELECT b.event_type, max(t.tb) AS tb, max(t.ta) AS ta,
+    sum(abs(b.nb * t.ta - b.na * t.tb)) AS num
   FROM binned b JOIN tot t USING (event_type)
+  GROUP BY 1
 )
-SELECT event_type, CAST(max(tb) AS BIGINT) AS n_before,
-  CAST(max(ta) AS BIGINT) AS n_after,
-  round(CASE WHEN max(tb) > 0 AND max(ta) > 0 THEN sum(term) END, 6) AS drift
-FROM terms GROUP BY 1 ORDER BY 1
+SELECT event_type, CAST(tb AS BIGINT) AS n_before, CAST(ta AS BIGINT) AS n_after,
+  round(CASE WHEN tb > 0 AND ta > 0 THEN
+    CAST(num AS DOUBLE) / (CAST(tb AS DOUBLE) * CAST(ta AS DOUBLE)) / 2.0
+  END, 6) AS drift
+FROM m GROUP BY 1, 2, 3, 4 ORDER BY 1
 """,
         # naive / seasonal-naive backtest over daily integer bucket sums
         "forecast_backtest_daily": """

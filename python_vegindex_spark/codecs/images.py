@@ -47,6 +47,10 @@ def decode_ppm(raw: bytes) -> np.ndarray:
         raise ValueError("not a binary PPM (P6)")
     pos, tokens = 2, []
     while len(tokens) < 3:
+        if pos >= len(raw):
+            # progress guarantee: a truncated header must raise, never
+            # spin (a corrupt record must fail, not hang the executor)
+            raise ValueError("truncated PPM header")
         while pos < len(raw) and raw[pos : pos + 1].isspace():
             pos += 1
         if raw[pos : pos + 1] == b"#":

@@ -163,17 +163,19 @@ def value_drift(
     ``split_ts`` — the ML-monitoring staple ("did this feature's
     distribution move between training week and serving week?").
 
-    The statistic is triangular discrimination (the χ²-family symmetric
-    divergence) over the shared value binning:
+    The statistic is TOTAL-VARIATION DISTANCE over the shared value
+    binning:
 
-        drift = Σ_bins (p_b - q_b)² / (p_b + q_b)      ∈ [0, 2]
+        drift = ½ Σ_bins |p_b - q_b|
+              = Σ_bins |nb·ta - na·tb| / (2·tb·ta)     ∈ [0, 1]
 
-    chosen over PSI/KL deliberately: it needs no logarithms (whose last
-    ulp differs across engines' libm) and no epsilon hacks for empty
-    bins — p+q > 0 on every emitted bin by construction, so the whole
-    computation is rational arithmetic on exact integer bin counts in
-    one pinned op order, reproducible bit-for-bit against the SQL
-    oracle. 0 = identical binned distributions, 2 = disjoint supports.
+    chosen over PSI/KL deliberately: no logarithms (whose last ulp
+    differs across engines' libm), no empty-bin epsilons, and — unlike
+    any per-bin fraction sum — the numerator Σ|nb·ta - na·tb| is an
+    EXACT integer (DECIMAL sums of BIGINT cross-products; the per-series
+    denominator is constant), so the only floating-point step is one
+    pinned final division, reproducible bit-for-bit against the SQL
+    oracle. 0 = identical binned distributions, 1 = disjoint supports.
 
     Scale: one hash aggregate over the raw table (series × side × bin),
     then the per-series finish runs on bins only. Output: one row per
@@ -200,20 +202,21 @@ def value_drift(
         F.sum("_nb").alias("_tb"), F.sum("_na").alias("_ta")
     )
     j = binned.join(tot, on=list(series_cols))
-    p = F.col("_nb").cast("double") / F.col("_tb").cast("double")
-    q = F.col("_na").cast("double") / F.col("_ta").cast("double")
-    # guarded: an empty side would divide by zero under ANSI mode; such
-    # series report NULL drift below, their terms contribute nothing
-    term = F.when(
-        (F.col("_tb") > 0) & (F.col("_ta") > 0), (p - q) * (p - q) / (p + q)
-    ).otherwise(F.lit(0.0))
+    dec = "decimal(38,0)"
+    cross = F.abs(
+        F.col("_nb").cast(dec) * F.col("_ta").cast(dec)
+        - F.col("_na").cast(dec) * F.col("_tb").cast(dec)
+    )
     agg = j.groupBy(*series_cols).agg(
         F.max("_tb").alias("n_before"),
         F.max("_ta").alias("n_after"),
-        F.sum(term).alias("_drift"),
+        F.sum(cross).alias("_num"),  # exact integer sum, order-free
     )
     drift = F.when(
-        (F.col("n_before") > 0) & (F.col("n_after") > 0), F.col("_drift")
+        (F.col("n_before") > 0) & (F.col("n_after") > 0),
+        F.col("_num").cast("double")
+        / (F.col("n_before").cast("double") * F.col("n_after").cast("double"))
+        / F.lit(2.0),
     )
     if round_to is not None:
         drift = F.round(drift, round_to)

@@ -728,17 +728,22 @@ class SnapshotTable:
         file groups no retained manifest references — the only place
         data is ever deleted.
 
-        EVERY non-live group gets the ``grace_s`` age check before
-        deletion (Iceberg's retention-interval contract), covering two
-        races at once: a concurrent writer's freshly-written group whose
-        manifest hasn't landed yet (orphan), and a concurrent
-        ``rollback()``/time-travel read that is about to re-reference a
-        group currently only reachable through an expired manifest —
-        deleting those outright would let a just-committed rollback
-        point at vanished data. Run expiry with a grace comfortably
-        above the longest commit/rollback window (or pass ``grace_s=0``
-        only when no other writer/reader can be active). Stray tmp
-        manifests from crashed writers are cleaned on the same rule."""
+        EVERY non-live group must stay UNREFERENCED for ``grace_s``
+        before deletion (Iceberg's retention-interval contract): the
+        clock starts when expiry FIRST OBSERVES the group unreferenced
+        (recorded in ``PENDING_GC``), not at the group's write mtime —
+        a two-day-old group a concurrent ``rollback()`` is about to
+        re-reference must get the same window as a fresh one. This
+        covers both races: a concurrent writer's freshly-written group
+        whose manifest hasn't landed yet (orphan), and a rollback /
+        time-travel read racing the expiry of the manifest it is
+        re-referencing. A group that becomes live again (the rollback
+        committed) leaves the pending list. Run expiry with a grace
+        comfortably above the longest commit/rollback window (or pass
+        ``grace_s=0`` only when no other writer/reader can be active —
+        then deletion is immediate). Stray tmp manifests from crashed
+        writers are cleaned once older than the grace (their mtime IS
+        their dereference time — they were never referenced)."""
         snapdir = os.path.join(self.root, "snapshots")
         names = self._manifest_names()
         keep_last = max(1, keep_last)
@@ -750,32 +755,48 @@ class SnapshotTable:
                 live_groups.update(g["group"] for g in json.load(f)["files"])
 
         now = time.time()
-
-        def _old_enough(path: str) -> bool:
-            try:
-                return now - os.path.getmtime(path) >= grace_s
-            except OSError:
-                return False
+        pending_path = os.path.join(self.root, "PENDING_GC")
+        try:
+            with open(pending_path) as f:
+                pending: dict[str, float] = json.load(f)
+        except (FileNotFoundError, ValueError):
+            pending = {}
 
         removed_groups = 0
         datadir = os.path.join(self.root, "data")
+        new_pending: dict[str, float] = {}
         for d in os.listdir(datadir):
             rel = f"data/{d}"
-            full = os.path.join(datadir, d)
-            if rel in live_groups or not _old_enough(full):
-                continue
-            shutil.rmtree(full)
-            removed_groups += 1
+            if rel in live_groups:
+                continue  # (re-)referenced: drop any pending entry
+            first_seen = pending.get(rel, now)
+            if now - first_seen >= grace_s:
+                shutil.rmtree(os.path.join(datadir, d))
+                removed_groups += 1
+            else:
+                new_pending[rel] = first_seen
+        tmp = pending_path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(new_pending, f)
+        os.replace(tmp, pending_path)
+
         for name in expired:
             os.remove(os.path.join(snapdir, name))
         removed_tmp = 0
         for name in os.listdir(snapdir):
-            if ".json.tmp-" in name and _old_enough(os.path.join(snapdir, name)):
-                os.remove(os.path.join(snapdir, name))
-                removed_tmp += 1
+            if ".json.tmp-" in name:
+                full = os.path.join(snapdir, name)
+                try:
+                    old = now - os.path.getmtime(full) >= grace_s
+                except OSError:
+                    continue
+                if old:
+                    os.remove(full)
+                    removed_tmp += 1
         return {
             "expired_snapshots": len(expired),
             "removed_groups": removed_groups,
             "removed_tmp_manifests": removed_tmp,
+            "pending_gc": len(new_pending),
             "retained": [int(n[1:-5]) for n in retained],
         }

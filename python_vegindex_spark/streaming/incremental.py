@@ -872,8 +872,13 @@ def read_tiered(
         # chronological comparison, never lexicographic: Spark accepts
         # both "2024-01-02T12:00:00" and "2024-01-02 12:00:00", and the
         # 'T' form sorts AFTER the space form as a string — a mixed-form
-        # boundary would silently skip a whole tier
-        return _dt.datetime.fromisoformat(s.replace("T", " "))
+        # boundary would silently skip a whole tier. tz-aware forms
+        # ('Z' / '+00:00') normalize to naive UTC so mixed aware/naive
+        # bounds stay comparable (the session tz is pinned UTC).
+        d = _dt.datetime.fromisoformat(s.replace("T", " ").replace("Z", "+00:00"))
+        if d.tzinfo is not None:
+            d = d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return d
 
     series = list(series_cols) if series_cols is not None else ["conv_id"]
     out = None

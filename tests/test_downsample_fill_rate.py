@@ -1010,8 +1010,9 @@ def test_holt_hand_sequence(spark):
 
 
 def test_value_drift_planted(spark):
-    """Identical halves -> 0; disjoint supports -> 2; a shifted half ->
-    strictly between; empty side -> NULL; validation."""
+    """Identical halves -> 0; disjoint supports -> 1 (total-variation
+    distance); a shifted half -> strictly between; empty side -> NULL;
+    validation."""
     import datetime as dt
 
     from python_vegindex_spark.operators.downsample import value_drift
@@ -1039,8 +1040,8 @@ def test_value_drift_planted(spark):
         for r in value_drift(df, split, ["series"], bin_width=1.0).collect()
     }
     assert got["same"]["drift"] == 0.0
-    assert got["disjoint"]["drift"] == 2.0
-    assert 0.0 < got["shifted"]["drift"] < 2.0
+    assert got["disjoint"]["drift"] == 1.0
+    assert 0.0 < got["shifted"]["drift"] < 1.0
     assert got["onesided"]["drift"] is None
     assert (got["same"]["n_before"], got["same"]["n_after"]) == (20, 20)
 
