@@ -2052,6 +2052,115 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("version", "event_type")
 
 
+def q_ohlc_vwap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candlestick bars (operators/bars.ohlc_bars): hourly OHLC + VWAP
+    per event_type. Value and weight are integer-quantized so the
+    open/close struct picks, extremes, and the VWAP dot product are all
+    engine-exact (BIGINT sums, one pinned final division)."""
+    from python_vegindex_spark.operators.bars import ohlc_bars
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull() & ~F.isnan("value") & F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.floor(F.col("value") * 100).cast("long").alias("v_int"),
+            (F.pmod(F.col("event_id"), F.lit(97)) + 1).cast("long").alias("w_int"),
+        )
+    )
+    out = ohlc_bars(
+        ev,
+        "hourly",
+        ["event_type"],
+        value_col="v_int",
+        weight_col="w_int",
+        order_cols=["event_id"],
+    )
+    return out.select(
+        "event_type",
+        "bucket_start",
+        "n",
+        F.col("open").cast("long").alias("open"),
+        F.col("high").cast("long").alias("high"),
+        F.col("low").cast("long").alias("low"),
+        F.col("close").cast("long").alias("close"),
+        F.col("w_sum").cast("long").alias("w_sum"),
+        "vwap",
+    ).orderBy("event_type", "bucket_start")
+
+
+def q_state_durations_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-in-state per bucket (operators/funnel.state_durations,
+    TimescaleDB state_agg/duration_in analog): per user (< 20) the
+    LOCF event_type state, held to the fixed cut 2024-02-01, clipped to
+    hourly buckets in exact integer µs."""
+    from python_vegindex_spark.operators.funnel import state_durations
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    out = state_durations(
+        ev,
+        "hourly",
+        ["user_id"],
+        "event_type",
+        through="2024-02-01 00:00:00",
+        order_cols=["event_id"],
+    )
+    return out.orderBy("user_id", "bucket_start", "state")
+
+
+def q_rolling_median_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour rolling MEDIAN per event_type
+    (operators/rate.sliding_time_quantile — the robust sibling of the
+    rolling mean), reduced to the daily max/min of the per-row rolling
+    median. Integer-quantized values make the q=0.5 interpolation
+    midpoint (a+b)/2 exact in doubles on both engines."""
+    from python_vegindex_spark.operators.rate import sliding_time_quantile
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull() & ~F.isnan("value") & F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            "ts",
+            F.floor(F.col("value") * 100).cast("long").alias("v_int"),
+        )
+    )
+    slid = sliding_time_quantile(
+        ev, window_s=3600, q=0.5, series_cols=["event_type"], value_col="v_int",
+        round_to=None,
+    )
+    return (
+        slid.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("w_quantile"), 6).alias("med_max"),
+            F.round(F.min("w_quantile"), 6).alias("med_min"),
+        )
+        .select(
+            "event_type", F.col("day").cast("timestamp").alias("day"),
+            "n", "med_max", "med_min",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def q_gap_report_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-data gaps (operators/rate.gap_report): per-user
+    inter-event gaps of >= 36 h — deadman/outage detection as rows.
+    Integer-µs exact; ts ties are zero gaps by construction."""
+    from python_vegindex_spark.operators.rate import gap_report
+
+    ev = _t(spark, sf_dir, "events")
+    out = gap_report(
+        ev, min_gap_s=36 * 3600, series_cols=["user_id"], order_cols=["event_id"]
+    )
+    return out.select(
+        "user_id", "gap_start", "gap_end", "gap_us", F.round("gap_s", 6).alias("gap_s")
+    ).orderBy("user_id", "gap_start")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hourly_rollup_gapfill": q_hourly_rollup_gapfill,
@@ -2148,6 +2257,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_correlation_daily": q_series_correlation_daily,
         "autocorrelation_daily": q_autocorrelation_daily,
         "leadlag_correlation_daily": q_leadlag_correlation_daily,
+        "ohlc_vwap_hourly": q_ohlc_vwap_hourly,
+        "state_durations_hourly": q_state_durations_hourly,
+        "rolling_median_daily": q_rolling_median_daily,
+        "gap_report_users": q_gap_report_users,
     }
 
 
@@ -4638,5 +4751,95 @@ SELECT series_a, series_b, lag, CAST(cnt AS BIGINT) AS n,
               * sqrt(CAST(cnt AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
         END, 6) AS corr
 FROM m ORDER BY 1, 2, 3
+""",
+        # hourly candlestick bars: open/close via lexicographic struct
+        # min/max on (epoch-us, event_id, v) — the identical comparison
+        # Spark's struct aggregate performs; BIGINT VWAP sums, one
+        # pinned final division.
+        "ohlc_vwap_hourly": """
+WITH base AS (
+  SELECT event_type, ts, event_id,
+    CAST(floor(value * 100) AS BIGINT) AS v,
+    CAST((event_id % 97) + 1 AS BIGINT) AS w,
+    date_trunc('hour', ts) AS bucket_start
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+)
+SELECT event_type, bucket_start,
+  count(*) AS n,
+  CAST((min({'t': epoch_us(ts), 'e': event_id, 'v': v})).v AS BIGINT) AS open,
+  CAST(max(v) AS BIGINT) AS high,
+  CAST(min(v) AS BIGINT) AS low,
+  CAST((max({'t': epoch_us(ts), 'e': event_id, 'v': v})).v AS BIGINT) AS close,
+  CAST(sum(w) AS BIGINT) AS w_sum,
+  round(CAST(sum(v * w) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 6) AS vwap
+FROM base GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # LOCF time-in-state: each sample holds to the next (or the
+        # fixed 2024-02-01 cut), intervals clipped onto hourly buckets
+        # with the interval_coverage integer-us div/clip arithmetic.
+        "state_durations_hourly": """
+WITH base AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
+    epoch_us(TIMESTAMP '2024-02-01 00:00:00') AS cut
+  FROM events
+  WHERE user_id < 20 AND ts IS NOT NULL AND event_type IS NOT NULL
+), led AS (
+  SELECT user_id, event_type, t,
+    least(coalesce(lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id),
+                   cut), cut) AS e
+  FROM base
+), ex AS (
+  SELECT user_id, event_type, t, e,
+    unnest(generate_series(t // 3600000000, (e - 1) // 3600000000)) AS bidx
+  FROM led WHERE e > t
+)
+SELECT user_id, make_timestamp(bidx * 3600000000) AS bucket_start,
+  event_type AS state,
+  count(CASE WHEN t // 3600000000 = bidx THEN 1 END) AS n_samples,
+  CAST(sum(least(e, (bidx + 1) * 3600000000) - greatest(t, bidx * 3600000000))
+       AS BIGINT) AS dur_us,
+  round(CAST(sum(least(e, (bidx + 1) * 3600000000) - greatest(t, bidx * 3600000000))
+        AS DOUBLE) / 3600000000.0, 6) AS dur_frac
+FROM ex GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+""",
+        # trailing 1h rolling MEDIAN (RANGE frame, exact linear
+        # interpolation at q=0.5 over BIGINTs -> (a+b)/2 exact) reduced
+        # to daily extremes.
+        "rolling_median_daily": """
+WITH base AS (
+  SELECT event_type, ts, CAST(floor(value * 100) AS BIGINT) AS v
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+), slid AS (
+  SELECT event_type, ts,
+    CAST(quantile_cont(v, 0.5) OVER w AS DOUBLE) AS med
+  FROM base
+  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+  count(*) AS n,
+  round(max(med), 6) AS med_max,
+  round(min(med), 6) AS med_min
+FROM slid GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # per-user inter-event gaps >= 36h; first sample opens no gap,
+        # ts ties are zero gaps. Integer-us exact, one pinned division.
+        "gap_report_users": """
+WITH d AS (
+  SELECT user_id, epoch_us(ts) AS t,
+    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      AS prev
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT user_id,
+  make_timestamp(prev) AS gap_start,
+  make_timestamp(t) AS gap_end,
+  CAST(t - prev AS BIGINT) AS gap_us,
+  round(CAST(t - prev AS DOUBLE) / 1000000.0, 6) AS gap_s
+FROM d
+WHERE prev IS NOT NULL AND t - prev >= 129600000000
+ORDER BY user_id, gap_start
 """,
     }

@@ -1,0 +1,93 @@
+"""Bar (candlestick) aggregation: OHLC + VWAP per calendar bucket.
+
+The classic finance downsample (TimescaleDB ``candlestick_agg``,
+QuestDB ``SAMPLE BY`` with first/last/min/max, kdb ``xbar`` bars) —
+per (series, bucket): the first value by time (open), the extremes
+(high/low), the last value by time (close), and optionally a
+weighted mean (VWAP when the weight is volume).
+
+Shape: vegindex has no finance ops, but the *open/close* selection is
+the same "representative row by time order" aggregate as the midday
+image pick (reference ``generate_summary_timeseries.py:393-400``) —
+and it is implemented the same way: a ``min``/``max`` over a struct
+whose leading fields are the order key, one hash aggregate, no window
+over raw rows. One shuffle on (series, bucket), map-side partial
+aggregation, pure JVM expressions — the plan survives 100 TB because
+the state per group is O(1).
+
+Determinism: ties on ``ts`` are broken by ``order_cols`` (pass a
+unique id); the struct comparison is lexicographic on
+``(epoch_us, *order_cols, value)`` so open/close are reproducible and
+cross-engine mirrorable (DuckDB compares structs the same way).
+NaN/NULL values are dropped up front — Spark and DuckDB disagree on
+NaN ordering inside comparisons, and the reference's nan-dropping
+aggregate semantics (SURVEY §2.4 A3) apply here too.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.buckets import bucket_start
+from ..functions.timeutil import epoch_us
+
+
+def ohlc_bars(
+    df: DataFrame,
+    tier: str,
+    series_cols: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    weight_col: str | None = None,
+    order_cols: Sequence[str] = (),
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Per (series, bucket_start): ``n``, ``open``, ``high``, ``low``,
+    ``close`` and — when ``weight_col`` is given — ``w_sum`` and
+    ``vwap = sum(value*weight) / sum(weight)``.
+
+    ``tier`` is any tier :func:`..functions.buckets.bucket_start`
+    accepts (hourly / daily / weekly / ``Nmin`` / ``Nday``).
+    ``order_cols`` breaks ts ties deterministically. Rows with NULL or
+    NaN ``value`` (or NULL ts) are dropped; with ``weight_col``, NULL /
+    NaN weights are likewise dropped (a bar exists only where a valid
+    (value, weight) pair does — the standard VWAP convention).
+
+    VWAP is a plain double dot product: bit-exact cross-engine only
+    when the inputs are integer-quantized (the driver query does);
+    ``round_to`` rounds the reported double outputs.
+    """
+    v = F.col(value_col)
+    keep = F.col(ts_col).isNotNull() & v.isNotNull() & ~F.isnan(v)
+    if weight_col is not None:
+        wt = F.col(weight_col)
+        keep = keep & wt.isNotNull() & ~F.isnan(wt)
+    t = epoch_us(F.col(ts_col))
+    ordkey = [t.alias("_t")] + [F.col(c).alias(f"_o{i}") for i, c in enumerate(order_cols)]
+    d = df.where(keep).select(
+        *series_cols,
+        bucket_start(F.col(ts_col), tier).alias("bucket_start"),
+        F.struct(*ordkey, v.alias("_v")).alias("_key"),
+        v.alias("_v"),
+        *([F.col(weight_col).alias("_w")] if weight_col is not None else []),
+    )
+
+    def _r(c):
+        return F.round(c, round_to) if round_to is not None else c
+
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        _r(F.min("_key").getField("_v")).alias("open"),
+        _r(F.max("_v")).alias("high"),
+        _r(F.min("_v")).alias("low"),
+        _r(F.max("_key").getField("_v")).alias("close"),
+    ]
+    if weight_col is not None:
+        aggs += [
+            _r(F.sum("_w")).alias("w_sum"),
+            _r(F.sum(F.col("_v") * F.col("_w")) / F.sum("_w")).alias("vwap"),
+        ]
+    return d.groupBy(*series_cols, "bucket_start").agg(*aggs)

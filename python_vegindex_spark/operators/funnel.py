@@ -229,3 +229,104 @@ def funnel_timing(
     return agg.select(F.explode(rows).alias("p")).select(
         "p.step", "p.n_converted", "p.median_s", "p.p90_s"
     )
+
+
+def state_durations(
+    df: DataFrame,
+    tier: str,
+    seq_cols: Sequence[str],
+    state_col: str,
+    through,
+    ts_col: str = "ts",
+    order_cols: Sequence[str] = (),
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Time spent in each state per calendar bucket (TimescaleDB
+    ``state_agg``/``duration_in`` analog; on transcripts: seconds per
+    role/tool per conv per hour).
+
+    Semantics: each sample asserts its state over ``[ts, next_ts)``
+    (LOCF — the state holds until the next sample), the LAST sample
+    holds until ``through`` (an explicit cut timestamp, never
+    wall-clock — the freshness discipline of operators/validate.py).
+    Intervals are clipped to ``[ts, through)`` and exploded onto
+    epoch-anchored buckets exactly like :func:`..rate.interval_coverage`
+    (integer-µs ``div``/clip arithmetic, never float).
+
+    Scale shape: ONE (sequence)-keyed window for the lead, then the
+    explode runs on one row per sample bounded by the interval's bucket
+    span, and one hash aggregate on (seq, bucket, state). Ties on ts
+    are zero-width intervals — they contribute nothing regardless of
+    tie order, so the result is order-deterministic without an id
+    column (pass ``order_cols`` anyway for reproducible plans).
+
+    Fixed-width tiers only (hourly / daily / ``Nmin``): durations need
+    exact bucket edges, which the doy-anchored weekly tier lacks.
+
+    Output per (seq, ``bucket_start``, ``state``): ``n_samples`` (the
+    samples whose NON-EMPTY interval starts in the bucket — zero-width
+    ties contribute neither duration nor count), ``dur_us`` (exact
+    BIGINT), ``dur_frac`` (dur_us / bucket_us, pinned division).
+    """
+    step_s = {"hourly": 3600, "daily": 86400}.get(tier)
+    if step_s is None:
+        from ..functions.buckets import tier_step_seconds
+
+        step_s = tier_step_seconds(tier)
+    if step_s is None:
+        raise ValueError(
+            f"state_durations needs a fixed-width tier (hourly/daily/Nmin), got {tier!r}"
+        )
+    step = int(step_s) * 1_000_000
+    t = epoch_us(F.col(ts_col))
+    cut = epoch_us(F.lit(through).cast("timestamp"))
+    d = df.where(
+        F.col(ts_col).isNotNull() & F.col(state_col).isNotNull()
+    ).select(
+        *seq_cols,
+        F.col(state_col).alias("state"),
+        t.alias("_t"),
+        cut.alias("_cut"),
+        *[F.col(c) for c in order_cols],
+    )
+    w = Window.partitionBy(*[F.col(c) for c in seq_cols]).orderBy(
+        "_t", *order_cols
+    )
+    d = (
+        d.withColumn("_e", F.least(F.coalesce(F.lead("_t").over(w), F.col("_cut")), F.col("_cut")))
+        .where(F.col("_e") > F.col("_t"))  # zero-width ties + rows past the cut drop
+    )
+    lo = F.col("_bidx") * F.lit(step)
+    hi = lo + F.lit(step)
+    overlap = F.least(F.col("_e"), hi) - F.greatest(F.col("_t"), lo)
+    per_bucket = d.select(
+        *seq_cols,
+        "state",
+        "_t",
+        "_e",
+        F.explode(
+            F.sequence(F.expr(f"_t div {step}"), F.expr(f"(_e - 1) div {step}"))
+        ).alias("_bidx"),
+    ).select(
+        *seq_cols,
+        "state",
+        "_bidx",
+        overlap.alias("_ov"),
+        # count the sample in its START bucket only
+        (F.expr(f"_t div {step}") == F.col("_bidx")).alias("_starts_here"),
+    )
+    out = per_bucket.groupBy(*seq_cols, "_bidx", "state").agg(
+        F.count(F.when(F.col("_starts_here"), 1)).alias("n_samples"),
+        F.sum("_ov").alias("dur_us"),
+    )
+    frac = F.col("dur_us").cast("double") / F.lit(float(step))
+    if round_to is not None:
+        frac = F.round(frac, round_to)
+    return out.select(
+        *seq_cols,
+        F.timestamp_micros(F.col("_bidx") * F.lit(step)).alias("bucket_start"),
+        "state",
+        "n_samples",
+        "dur_us",
+        frac.alias("dur_frac"),
+    )

@@ -946,3 +946,106 @@ def holt_smooth(
         return res
 
     return slim.groupBy(*keys).applyInPandas(_one, schema=schema)
+
+
+def sliding_time_quantile(
+    df: DataFrame,
+    window_s: int,
+    q: float,
+    series_cols: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    out_col: str = "w_quantile",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Append a trailing time-window EXACT quantile to every row — the
+    rolling-median monitor (Grafana "moving median", pandas
+    ``rolling(...).median()`` with a time offset). The robust sibling
+    of :func:`sliding_time_stats`' rolling mean: one spike moves the
+    mean but not the median.
+
+    Frame = SQL ``RANGE BETWEEN window_s PRECEDING AND CURRENT ROW``
+    over epoch-µs, so unevenly-sampled series window correctly and ts
+    ties are peers (each tied row sees all its peers — the result is
+    order-deterministic under ties, the :func:`sliding_time_stats`
+    guarantee). The quantile is Spark's exact ``percentile`` (linear
+    interpolation ≡ HF-7, SURVEY §2.4 A4) evaluated per frame; NULL /
+    NaN values are excluded from the frame's population (NaN would
+    otherwise sort greatest and poison high quantiles).
+
+    Scale: per-frame exact quantiles buffer the frame's values — cost
+    is O(rows x window occupancy) per series, the inherent price of an
+    exact rolling median (the streaming-sketch alternative is not
+    exact). Use on rolled-up bucket rows (the LTTB/CUSUM pre-reduction
+    contract) or bounded windows at raw grain; series are independent
+    tasks, so the shuffle is the usual single (series)-keyed exchange.
+
+    At q=0.5 over integer-quantized values the interpolation midpoint
+    ``(a+b)/2`` is exact in doubles — the driver oracle relies on that.
+    """
+    if window_s <= 0:
+        raise ValueError(f"window_s must be > 0, got {window_s}")
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q}")
+    tus = epoch_us(F.col(ts_col))
+    v = F.col(value_col)
+    d = df.withColumn("_tus", tus).withColumn(
+        "_v", F.when(v.isNotNull() & ~F.isnan(v.cast("double")), v)
+    )
+    w = (
+        Window.partitionBy(*[F.col(c) for c in series_cols])
+        .orderBy("_tus")
+        .rangeBetween(-int(window_s) * 1_000_000, 0)
+    )
+    out = F.percentile(F.col("_v"), F.lit(float(q))).over(w)
+    if round_to is not None:
+        out = F.round(out, round_to)
+    return d.withColumn(out_col, out).drop("_tus", "_v")
+
+
+def gap_report(
+    df: DataFrame,
+    min_gap_s: float,
+    series_cols: Sequence[str],
+    ts_col: str = "ts",
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Missing-data detection: every inter-sample gap of at least
+    ``min_gap_s`` seconds per series (the inverse of
+    :func:`interval_coverage` — outages as ROWS rather than per-bucket
+    uptime, the "show me the holes" ops query; Influx ``monitor.deadman``
+    / TimescaleDB ``heartbeat_agg -> dead_ranges`` analog).
+
+    One (series)-keyed lag window, a filter, integer-µs exact:
+    ``gap_us = ts - lag(ts)``; a series' first sample opens no gap
+    (no baseline — the deadman convention; lead/trail edges belong to
+    :func:`interval_coverage`, which has the explicit horizon). Ts ties
+    are zero gaps and can never be reported, so the result is
+    order-deterministic without a tie-break id.
+
+    Output: series, ``gap_start`` (last sample before the hole),
+    ``gap_end`` (first sample after), ``gap_us`` (BIGINT), ``gap_s``
+    (pinned single division, exact — µs/1e6 is one double op).
+    """
+    if min_gap_s <= 0:
+        raise ValueError(f"min_gap_s must be > 0, got {min_gap_s}")
+    min_us = int(round(float(min_gap_s) * 1_000_000))
+    t = epoch_us(F.col(ts_col))
+    d = df.where(F.col(ts_col).isNotNull()).select(
+        *series_cols, t.alias("_t"), *[F.col(c) for c in order_cols]
+    )
+    w = Window.partitionBy(*[F.col(c) for c in series_cols]).orderBy(
+        "_t", *order_cols
+    )
+    d = d.withColumn("_prev", F.lag("_t").over(w))
+    gap = F.col("_t") - F.col("_prev")
+    return (
+        d.where(F.col("_prev").isNotNull() & (gap >= F.lit(min_us)))
+        .select(
+            *series_cols,
+            F.timestamp_micros(F.col("_prev")).alias("gap_start"),
+            F.timestamp_micros(F.col("_t")).alias("gap_end"),
+            gap.alias("gap_us"),
+            (gap.cast("double") / F.lit(1_000_000.0)).alias("gap_s"),
+        )
+    )

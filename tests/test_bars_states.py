@@ -1,0 +1,225 @@
+"""Hand-built cases for the bar/state/rolling-quantile/gap operators.
+
+ohlc_bars (operators/bars.py), state_durations (operators/funnel.py),
+sliding_time_quantile + gap_report (operators/rate.py).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from python_vegindex_spark.operators.bars import ohlc_bars
+from python_vegindex_spark.operators.funnel import state_durations
+from python_vegindex_spark.operators.rate import gap_report, sliding_time_quantile
+
+
+def _ts(h, m=0, s=0, d=1):
+    return datetime(2024, 3, d, h, m, s)
+
+
+# ---------------------------------------------------------------- ohlc
+
+
+def test_ohlc_hand_values(spark):
+    rows = [
+        # series a, hour 10: open=4 (earliest), high=9, low=1, close=6
+        ("a", _ts(10, 0), 4.0, 2.0, 1),
+        ("a", _ts(10, 15), 9.0, 1.0, 2),
+        ("a", _ts(10, 30), 1.0, 3.0, 3),
+        ("a", _ts(10, 45), 6.0, 4.0, 4),
+        # series b, single row: open=high=low=close
+        ("b", _ts(10, 5), 5.0, 10.0, 5),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double, w double, id int")
+    out = ohlc_bars(
+        df, "hourly", ["k"], value_col="v", weight_col="w", order_cols=["id"]
+    ).orderBy("k")
+    a, b = out.collect()
+    assert (a["open"], a["high"], a["low"], a["close"], a["n"]) == (4.0, 9.0, 1.0, 6.0, 4)
+    # vwap = (4*2 + 9*1 + 1*3 + 6*4) / (2+1+3+4) = 44/10
+    assert a["vwap"] == pytest.approx(4.4)
+    assert a["w_sum"] == 10.0
+    assert (b["open"], b["close"], b["vwap"]) == (5.0, 5.0, 5.0)
+    assert a["bucket_start"] == _ts(10)
+
+
+def test_ohlc_tie_break_and_nan(spark):
+    rows = [
+        # two rows at the identical ts: order col id decides open/close
+        ("a", _ts(10, 0), 7.0, 1.0, 2),
+        ("a", _ts(10, 0), 3.0, 1.0, 1),  # id=1 -> open
+        ("a", _ts(10, 59), 8.0, 1.0, 3),
+        # NaN value and NaN weight rows are dropped entirely
+        ("a", _ts(10, 30), float("nan"), 1.0, 4),
+        ("a", _ts(10, 31), 99.0, float("nan"), 5),
+        ("a", None, 55.0, 1.0, 6),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double, w double, id int")
+    r = ohlc_bars(
+        df, "hourly", ["k"], value_col="v", weight_col="w", order_cols=["id"]
+    ).collect()[0]
+    assert r["n"] == 3
+    assert r["open"] == 3.0  # tie broken by id
+    assert r["close"] == 8.0
+    assert r["high"] == 8.0 and r["low"] == 3.0
+
+
+def test_ohlc_no_weight_col(spark):
+    df = spark.createDataFrame(
+        [("a", _ts(10, 1), 2.0), ("a", _ts(10, 2), 6.0)], "k string, ts timestamp, v double"
+    )
+    out = ohlc_bars(df, "hourly", ["k"], value_col="v")
+    assert "vwap" not in out.columns and "w_sum" not in out.columns
+    r = out.collect()[0]
+    assert (r["open"], r["close"]) == (2.0, 6.0)
+
+
+# ------------------------------------------------------- state durations
+
+
+def test_state_durations_hand_case(spark):
+    rows = [
+        ("u1", _ts(10, 0), "A"),
+        ("u1", _ts(10, 30), "B"),
+        ("u1", _ts(11, 15), "A"),
+    ]
+    df = spark.createDataFrame(rows, "u string, ts timestamp, state string")
+    out = state_durations(
+        df, "hourly", ["u"], "state", through=_ts(12, 0)
+    ).orderBy("bucket_start", "state")
+    got = {
+        (r["bucket_start"], r["state"]): (r["dur_us"], r["n_samples"])
+        for r in out.collect()
+    }
+    m = 60 * 1_000_000
+    assert got == {
+        (_ts(10), "A"): (30 * m, 1),
+        (_ts(10), "B"): (30 * m, 1),
+        (_ts(11), "B"): (15 * m, 0),  # carried across the edge, starts in 10h
+        (_ts(11), "A"): (45 * m, 1),
+    }
+    fr = {
+        (r["bucket_start"], r["state"]): r["dur_frac"]
+        for r in out.collect()
+    }
+    assert fr[(_ts(11), "A")] == pytest.approx(0.75)
+
+
+def test_state_durations_cut_and_ties(spark):
+    rows = [
+        ("u1", _ts(10, 0), "A"),
+        ("u1", _ts(10, 0), "X"),  # zero-width tie: contributes nothing
+        ("u1", _ts(10, 30), "B"),
+        ("u1", _ts(13, 0), "C"),  # at/after the cut: dropped
+    ]
+    df = spark.createDataFrame(rows, "u string, ts timestamp, state string")
+    out = state_durations(df, "hourly", ["u"], "state", through=_ts(11, 0))
+    got = {(r["bucket_start"], r["state"]): r["dur_us"] for r in out.collect()}
+    m = 60 * 1_000_000
+    # one of A/X is the zero-width tie (order under ties is not pinned
+    # without order_cols, but the zero-width row vanishes either way)
+    assert got.pop((_ts(10), "B")) == 30 * m
+    assert len(got) == 1 and set(got.values()) == {30 * m}
+    assert set(k[1] for k in got) <= {"A", "X"}
+
+
+def test_state_durations_multiday_span(spark):
+    # one sample holding across three daily buckets
+    df = spark.createDataFrame(
+        [("u", datetime(2024, 3, 1, 18), "S")], "u string, ts timestamp, state string"
+    )
+    out = state_durations(
+        df, "daily", ["u"], "state", through=datetime(2024, 3, 3, 6)
+    ).orderBy("bucket_start")
+    rows = out.collect()
+    h = 3600 * 1_000_000
+    assert [(r["bucket_start"].day, r["dur_us"], r["n_samples"]) for r in rows] == [
+        (1, 6 * h, 1),
+        (2, 24 * h, 0),
+        (3, 6 * h, 0),
+    ]
+
+
+def test_state_durations_validation(spark):
+    df = spark.createDataFrame(
+        [("u", _ts(10), "A")], "u string, ts timestamp, state string"
+    )
+    with pytest.raises(ValueError, match="fixed-width"):
+        state_durations(df, "weekly", ["u"], "state", through=_ts(12))
+
+
+# ------------------------------------------------------ rolling quantile
+
+
+def test_sliding_quantile_hand_values(spark):
+    rows = [
+        ("a", _ts(10, 0, 0), 5.0),
+        ("a", _ts(10, 0, 30), 1.0),
+        ("a", _ts(10, 1, 0), 9.0),
+        ("a", _ts(10, 3, 0), 3.0),  # old rows aged out (window 60s)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = sliding_time_quantile(
+        df, window_s=60, q=0.5, series_cols=["k"], value_col="v"
+    ).orderBy("ts")
+    meds = [r["w_quantile"] for r in out.collect()]
+    # frames: [5], [5,1], [5,1,9], [3]
+    assert meds == [5.0, 3.0, 5.0, 3.0]
+
+
+def test_sliding_quantile_nan_excluded_and_ties_are_peers(spark):
+    rows = [
+        ("a", _ts(10, 0, 0), 2.0),
+        ("a", _ts(10, 0, 10), float("nan")),
+        ("a", _ts(10, 0, 20), 4.0),
+        ("a", _ts(10, 0, 20), 6.0),  # ts tie: both are peers
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = sliding_time_quantile(
+        df, window_s=3600, q=0.5, series_cols=["k"], value_col="v"
+    )
+    tied = [r["w_quantile"] for r in out.collect() if r["ts"] == _ts(10, 0, 20)]
+    # both tied rows see {2,4,6} (NaN excluded): median 4
+    assert tied == [4.0, 4.0]
+
+
+def test_sliding_quantile_validation(spark):
+    df = spark.createDataFrame([("a", _ts(10), 1.0)], "k string, ts timestamp, v double")
+    with pytest.raises(ValueError):
+        sliding_time_quantile(df, window_s=0, q=0.5, series_cols=["k"])
+    with pytest.raises(ValueError):
+        sliding_time_quantile(df, window_s=60, q=1.5, series_cols=["k"])
+
+
+# ------------------------------------------------------------ gap report
+
+
+def test_gap_report_hand_case(spark):
+    rows = [
+        ("a", _ts(10, 0)),
+        ("a", _ts(10, 1)),   # 60s gap: below threshold
+        ("a", _ts(10, 31)),  # 1800s gap: reported
+        ("a", _ts(10, 31)),  # tie: zero gap, never reported
+        ("b", _ts(9, 0)),    # other series: first sample, no gap vs a
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    out = gap_report(df, min_gap_s=120, series_cols=["k"])
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["k"], r["gap_start"], r["gap_end"]) == ("a", _ts(10, 1), _ts(10, 31))
+    assert r["gap_us"] == 1800 * 1_000_000 and r["gap_s"] == 1800.0
+
+
+def test_gap_report_threshold_inclusive(spark):
+    df = spark.createDataFrame(
+        [("a", _ts(10, 0)), ("a", _ts(10, 2))], "k string, ts timestamp"
+    )
+    assert gap_report(df, min_gap_s=120, series_cols=["k"]).count() == 1
+    assert gap_report(df, min_gap_s=120.001, series_cols=["k"]).count() == 0
+    with pytest.raises(ValueError):
+        gap_report(df, min_gap_s=0, series_cols=["k"])
