@@ -2161,6 +2161,36 @@ def q_gap_report_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "gap_start")
 
 
+def q_holt_winters_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing
+    (operators/rate.holt_winters_smooth — the seasonal completion of
+    ewma/holt) over daily BIGINT sums with a 7-bucket season. The
+    level/trend/seasonal recursion is walked in applyInPandas and
+    mirrored by a DuckDB RECURSIVE CTE that carries the 7 seasonal
+    indices as a LIST column, identical pinned float order throughout."""
+    from python_vegindex_spark.operators.rate import holt_winters_smooth
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & ~F.isnan("value") & F.col("ts").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("bucket_start")
+    ).agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("v"))
+    out = holt_winters_smooth(
+        daily, ["event_type"], season_len=7, order_col="bucket_start",
+        value_col="v", alpha=0.3, beta=0.05, gamma=0.2,
+    )
+    return out.select(
+        "event_type",
+        "bucket_start",
+        "x",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round("fitted", 6).alias("fitted"),
+    ).orderBy("event_type", "bucket_start")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hourly_rollup_gapfill": q_hourly_rollup_gapfill,
@@ -2261,6 +2291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "state_durations_hourly": q_state_durations_hourly,
         "rolling_median_daily": q_rolling_median_daily,
         "gap_report_users": q_gap_report_users,
+        "holt_winters_weekly": q_holt_winters_weekly,
     }
 
 
@@ -4841,5 +4872,57 @@ SELECT user_id,
 FROM d
 WHERE prev IS NOT NULL AND t - prev >= 129600000000
 ORDER BY user_id, gap_start
+""",
+        # Holt-Winters additive: the RECURSIVE CTE carries the 7
+        # seasonal indices as a LIST column (head = s_{t-m}, rotated
+        # each step); every float literal is the Python-computed repr
+        # (1-alpha etc.) and the op order matches rate.py verbatim.
+        "holt_winters_weekly": f"""
+WITH RECURSIVE base AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL
+  GROUP BY 1, 2
+), rnk AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY bucket_start) AS rn
+  FROM base
+), init AS (
+  SELECT event_type,
+    CAST(sum(CASE WHEN rn <= 7 THEN x END) AS DOUBLE) / 7.0 AS l0,
+    (CAST(sum(CASE WHEN rn > 7 AND rn <= 14 THEN x END) AS DOUBLE) / 7.0
+       - CAST(sum(CASE WHEN rn <= 7 THEN x END) AS DOUBLE) / 7.0) / 7.0 AS b0
+  FROM rnk GROUP BY 1
+), seas0 AS (
+  SELECT r.event_type, list(CAST(r.x AS DOUBLE) - i.l0 ORDER BY r.rn) AS seas
+  FROM rnk r JOIN init i USING (event_type) WHERE r.rn <= 7 GROUP BY 1
+), walk AS (
+  SELECT i.event_type, CAST(7 AS BIGINT) AS rn, i.l0 AS level, i.b0 AS trend,
+         s.seas AS seas, CAST(NULL AS DOUBLE) AS fitted, CAST(NULL AS DOUBLE) AS snew
+  FROM init i JOIN seas0 s USING (event_type)
+  UNION ALL
+  SELECT w.event_type, w.rn + 1,
+    {0.3!r} * (CAST(p.x AS DOUBLE) - w.seas[1]) + {1.0 - 0.3!r} * (w.level + w.trend),
+    {0.05!r} * (({0.3!r} * (CAST(p.x AS DOUBLE) - w.seas[1])
+                 + {1.0 - 0.3!r} * (w.level + w.trend)) - w.level)
+      + {1.0 - 0.05!r} * w.trend,
+    w.seas[2:] || [{0.2!r} * (CAST(p.x AS DOUBLE) - (w.level + w.trend))
+                   + {1.0 - 0.2!r} * w.seas[1]],
+    w.level + w.trend + w.seas[1],
+    {0.2!r} * (CAST(p.x AS DOUBLE) - (w.level + w.trend)) + {1.0 - 0.2!r} * w.seas[1]
+  FROM walk w
+  JOIN rnk p ON p.event_type = w.event_type AND p.rn = w.rn + 1
+)
+SELECT r.event_type, r.bucket_start, r.x,
+  round(CASE WHEN r.rn >= 7 THEN w.level END, 6) AS level,
+  round(CASE WHEN r.rn >= 7 THEN w.trend END, 6) AS trend,
+  round(CASE WHEN r.rn < 7 THEN CAST(r.x AS DOUBLE) - i.l0
+             WHEN r.rn = 7 THEN w.seas[7]
+             ELSE w.snew END, 6) AS seasonal,
+  round(w.fitted, 6) AS fitted
+FROM rnk r
+JOIN init i USING (event_type)
+LEFT JOIN walk w ON w.event_type = r.event_type AND w.rn = r.rn
+ORDER BY 1, 2
 """,
     }

@@ -1049,3 +1049,130 @@ def gap_report(
             (gap.cast("double") / F.lit(1_000_000.0)).alias("gap_s"),
         )
     )
+
+
+def holt_winters_smooth(
+    df: DataFrame,
+    series_cols: Sequence[str],
+    season_len: int,
+    order_col: str = "bucket_start",
+    value_col: str = "v",
+    alpha: float = 0.3,
+    beta: float = 0.05,
+    gamma: float = 0.2,
+) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing (level + trend +
+    season; the full Influx ``holt_winters()`` / statsmodels
+    ``ExponentialSmoothing(trend='add', seasonal='add')`` recursion)
+    over ALREADY-AGGREGATED bucket rows — the seasonal completion of
+    :func:`ewma_smooth` (no memory) and :func:`holt_smooth` (level +
+    trend). ``season_len`` m is the season period in BUCKETS (7 for
+    daily rows with weekly seasonality; 24 for hourly rows with daily
+    seasonality).
+
+    Textbook init (Hyndman & Athanasopoulos convention, simple
+    averages — deterministic, no optimizer)::
+
+        l_m = mean(x_1..x_m)
+        b_m = (mean(x_{m+1}..x_{2m}) - mean(x_1..x_m)) / m   (0 if n < 2m)
+        s_i = x_i - l_m                     for i = 1..m
+        for t > m:
+          fitted_t = l_{t-1} + b_{t-1} + s_{t-m}   (one-step-ahead)
+          l_t = a*(x_t - s_{t-m}) + (1-a)*(l_{t-1} + b_{t-1})
+          b_t = B*(l_t - l_{t-1}) + (1-B)*b_{t-1}
+          s_t = g*(x_t - (l_{t-1} + b_{t-1})) + (1-g)*s_{t-m}
+
+    Output per input row: ``x``; ``level``/``trend`` (NULL on warm-up
+    rows 1..m-1, the INITIAL l_m/b_m on row m, recursion values after);
+    ``fitted`` (NULL through row m — the first one-step-ahead forecast
+    needs a full season behind it); ``seasonal`` (the initial index
+    ``x_i - l_m`` on rows 1..m, the updated ``s_t`` after). Series
+    shorter than m rows get all-NULL smoothing columns (not enough
+    data for one season); m <= n < 2m series start with zero trend,
+    the :func:`holt_smooth` single-row convention.
+
+    Like CUSUM/Holt the recursion is not prefix-decomposable →
+    grouped ``applyInPandas`` over bucket rows (LTTB's pre-reduction
+    contract: run it on the small rollup, never raw turns).
+    ``value_col`` must be integral; ``1-a``/``1-B``/``1-g`` are
+    computed ONCE here, every composite expression is parenthesized
+    exactly as written above, and any oracle must embed the identical
+    literals and op order (the EWMA literal discipline) — with that,
+    level/trend/seasonal/fitted reproduce bit-for-bit cross-engine
+    (a DuckDB RECURSIVE CTE carrying the m seasonal indices as a LIST
+    walks it identically — see the driver's ``holt_winters_weekly``).
+    """
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    if season_len < 2:
+        raise ValueError(f"season_len must be >= 2, got {season_len}")
+    for nm, p in (("alpha", alpha), ("beta", beta), ("gamma", gamma)):
+        if not 0.0 < p < 1.0:
+            raise ValueError(f"{nm} must be in (0, 1), got {p}")
+    m = int(season_len)
+    one_m_a = 1.0 - alpha
+    one_m_b = 1.0 - beta
+    one_m_g = 1.0 - gamma
+    keys = list(series_cols)
+    slim = df.where(
+        F.col(value_col).isNotNull() & F.col(order_col).isNotNull()
+    ).select(*keys, order_col, F.col(value_col).cast("long").alias("_x"))
+    schema = StructType(
+        [slim.schema[c] for c in (*keys, order_col)]
+        + [
+            StructField("x", slim.schema["_x"].dataType, True),
+            StructField("level", DoubleType(), True),
+            StructField("trend", DoubleType(), True),
+            StructField("seasonal", DoubleType(), True),
+            StructField("fitted", DoubleType(), True),
+        ]
+    )
+
+    def _one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        x = pdf["_x"].to_list()
+        n = len(x)
+        res = pdf[[*keys, order_col]].copy()
+        res["x"] = pdf["_x"]
+        if n < m:
+            res["level"] = None
+            res["trend"] = None
+            res["seasonal"] = None
+            res["fitted"] = None
+            return res
+        # init from the first season (and second, for the trend)
+        sum1 = sum(x[:m])  # int-exact
+        l_prev = float(sum1) / float(m)
+        if n >= 2 * m:
+            sum2 = sum(x[m : 2 * m])
+            b_prev = (float(sum2) / float(m) - float(sum1) / float(m)) / float(m)
+        else:
+            b_prev = 0.0
+        seas = [float(x[i]) - l_prev for i in range(m)]
+        levels: list[float | None] = [None] * m
+        trends: list[float | None] = [None] * m
+        fits: list[float | None] = [None] * m
+        snew: list[float | None] = list(seas)
+        levels[m - 1] = l_prev
+        trends[m - 1] = b_prev
+        for t in range(m, n):
+            s_tm = seas[0]
+            xt = float(x[t])
+            fit = l_prev + b_prev + s_tm
+            lvl = alpha * (xt - s_tm) + one_m_a * (l_prev + b_prev)
+            b = beta * (lvl - l_prev) + one_m_b * b_prev
+            s = gamma * (xt - (l_prev + b_prev)) + one_m_g * s_tm
+            levels.append(lvl)
+            trends.append(b)
+            fits.append(fit)
+            snew.append(s)
+            seas = seas[1:] + [s]
+            l_prev, b_prev = lvl, b
+        res["level"] = levels
+        res["trend"] = trends
+        res["seasonal"] = snew
+        res["fitted"] = fits
+        return res
+
+    return slim.groupBy(*keys).applyInPandas(_one, schema=schema)

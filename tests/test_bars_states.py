@@ -223,3 +223,49 @@ def test_gap_report_threshold_inclusive(spark):
     assert gap_report(df, min_gap_s=120.001, series_cols=["k"]).count() == 0
     with pytest.raises(ValueError):
         gap_report(df, min_gap_s=0, series_cols=["k"])
+
+
+# ------------------------------------------------------- holt-winters
+
+
+def test_holt_winters_hand_sequence(spark):
+    from python_vegindex_spark.operators.rate import holt_winters_smooth
+
+    rows = [("s", i, x) for i, x in enumerate([10, 14, 13, 17])]
+    df = spark.createDataFrame(rows, "k string, bucket_start int, v long")
+    out = (
+        holt_winters_smooth(
+            df, ["k"], season_len=2, value_col="v", alpha=0.5, beta=0.5, gamma=0.5
+        )
+        .orderBy("bucket_start")
+        .collect()
+    )
+    got = [(r["level"], r["trend"], r["seasonal"], r["fitted"]) for r in out]
+    assert got[0] == (None, None, -2.0, None)
+    assert got[1] == (12.0, 1.5, 2.0, None)
+    assert got[2] == (14.25, 1.875, -1.25, 11.5)
+    assert got[3] == (15.5625, 1.59375, 1.4375, 18.125)
+
+
+def test_holt_winters_short_series_and_validation(spark):
+    import pytest as _pytest
+
+    from python_vegindex_spark.operators.rate import holt_winters_smooth
+
+    rows = [("a", 0, 5), ("a", 1, 6), ("a", 2, 9), ("b", 0, 4)]
+    df = spark.createDataFrame(rows, "k string, bucket_start int, v long")
+    out = holt_winters_smooth(df, ["k"], season_len=2, value_col="v").orderBy(
+        "k", "bucket_start"
+    )
+    rs = out.collect()
+    # series a: n=3 in [m, 2m) -> zero initial trend; recursion still runs
+    a = [r for r in rs if r["k"] == "a"]
+    assert a[1]["level"] == 5.5 and a[1]["trend"] == 0.0
+    assert a[2]["fitted"] is not None
+    # series b: n=1 < m -> all smoothing columns NULL
+    b = [r for r in rs if r["k"] == "b"][0]
+    assert b["level"] is None and b["seasonal"] is None and b["fitted"] is None
+    with _pytest.raises(ValueError):
+        holt_winters_smooth(df, ["k"], season_len=1, value_col="v")
+    with _pytest.raises(ValueError):
+        holt_winters_smooth(df, ["k"], season_len=2, value_col="v", alpha=1.0)
