@@ -2191,6 +2191,50 @@ def q_holt_winters_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "bucket_start")
 
 
+def q_sax_daily_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic representation (operators/sax.sax_symbols, Lin &
+    Keogh DMKD'03): daily PAA means per event_type z-scored against the
+    series' population moments (order-free BIGINT sums, pinned float
+    order) and discretized into a 4-letter Gaussian alphabet. Symbols
+    come from comparisons against literal breakpoints, so they are
+    bit-exact cross-engine."""
+    from python_vegindex_spark.operators.sax import sax_symbols
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "ts", F.floor(F.col("value") * 100).cast("long").alias("v_int")
+    )
+    out = sax_symbols(
+        ev, "daily", ["event_type"], value_col="v_int", alphabet_size=4
+    )
+    return out.withColumn(
+        "bucket_start", F.col("bucket_start").cast("timestamp")
+    ).orderBy("event_type", "bucket_start")
+
+
+def q_sax_motif_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX motif mining (operators/sax.sax_motifs): the 3 most frequent
+    3-letter words per event_type over the daily symbol stream,
+    deterministic (cnt DESC, word ASC) tie-break."""
+    from python_vegindex_spark.operators.sax import sax_motifs, sax_symbols
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "ts", F.floor(F.col("value") * 100).cast("long").alias("v_int")
+    )
+    syms = sax_symbols(
+        ev, "daily", ["event_type"], value_col="v_int", alphabet_size=4
+    )
+    words = sax_motifs(syms, ["event_type"], word_len=3)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cnt").desc(), F.col("word").asc()
+    )
+    return (
+        words.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("event_type", "rank", "word", "cnt")
+        .orderBy("event_type", "rank")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hourly_rollup_gapfill": q_hourly_rollup_gapfill,
@@ -2292,6 +2336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_median_daily": q_rolling_median_daily,
         "gap_report_users": q_gap_report_users,
         "holt_winters_weekly": q_holt_winters_weekly,
+        "sax_daily_symbols": q_sax_daily_symbols,
+        "sax_motif_top": q_sax_motif_top,
     }
 
 
@@ -4924,5 +4970,85 @@ FROM rnk r
 JOIN init i USING (event_type)
 LEFT JOIN walk w ON w.event_type = r.event_type AND w.rn = r.rn
 ORDER BY 1, 2
+""",
+        # SAX: daily PAA means z-scored against per-series moments
+        # (exact re-aggregation of BIGINT bucket sums), symbol = count
+        # of Gaussian breakpoints <= z (comparisons only).
+        "sax_daily_symbols": """
+WITH base AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket_start,
+    CAST(floor(value * 100) AS BIGINT) AS v
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+), pb AS (
+  SELECT event_type, bucket_start, count(*) AS n,
+    CAST(sum(v) AS BIGINT) AS s, CAST(sum(v * v) AS BIGINT) AS sq
+  FROM base GROUP BY 1, 2
+), mo AS (
+  SELECT event_type,
+    CAST(sum(s) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS mu,
+    sqrt(CAST(sum(sq) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+         - (CAST(sum(s) AS DOUBLE) / CAST(sum(n) AS DOUBLE))
+           * (CAST(sum(s) AS DOUBLE) / CAST(sum(n) AS DOUBLE))) AS sigma
+  FROM pb GROUP BY 1
+), z AS (
+  SELECT p.event_type, p.bucket_start, p.n,
+    CAST(p.s AS DOUBLE) / CAST(p.n AS DOUBLE) AS paa,
+    (CAST(p.s AS DOUBLE) / CAST(p.n AS DOUBLE) - m.mu) / m.sigma AS zv,
+    m.sigma AS sigma
+  FROM pb p JOIN mo m USING (event_type)
+)
+SELECT event_type, bucket_start, n,
+  round(paa, 6) AS paa_mean,
+  round(CASE WHEN sigma > 0 THEN zv END, 6) AS z,
+  CASE WHEN sigma > 0 THEN substring('abcd',
+    1 + CAST(zv >= -0.6744898 AS INT) + CAST(zv >= 0.0 AS INT)
+      + CAST(zv >= 0.6744898 AS INT), 1) END AS symbol
+FROM z ORDER BY 1, 2
+""",
+        # top-3 SAX 3-letter words per series; a NULL symbol anywhere
+        # in the window forms no word (concat-NULL semantics).
+        "sax_motif_top": """
+WITH base AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket_start,
+    CAST(floor(value * 100) AS BIGINT) AS v
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+), pb AS (
+  SELECT event_type, bucket_start, count(*) AS n,
+    CAST(sum(v) AS BIGINT) AS s, CAST(sum(v * v) AS BIGINT) AS sq
+  FROM base GROUP BY 1, 2
+), mo AS (
+  SELECT event_type,
+    CAST(sum(s) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS mu,
+    sqrt(CAST(sum(sq) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+         - (CAST(sum(s) AS DOUBLE) / CAST(sum(n) AS DOUBLE))
+           * (CAST(sum(s) AS DOUBLE) / CAST(sum(n) AS DOUBLE))) AS sigma
+  FROM pb GROUP BY 1
+), sym AS (
+  SELECT p.event_type, p.bucket_start,
+    CASE WHEN m.sigma > 0 THEN substring('abcd',
+      1 + CAST((CAST(p.s AS DOUBLE) / CAST(p.n AS DOUBLE) - m.mu) / m.sigma >= -0.6744898 AS INT)
+        + CAST((CAST(p.s AS DOUBLE) / CAST(p.n AS DOUBLE) - m.mu) / m.sigma >= 0.0 AS INT)
+        + CAST((CAST(p.s AS DOUBLE) / CAST(p.n AS DOUBLE) - m.mu) / m.sigma >= 0.6744898 AS INT),
+      1) END AS symbol
+  FROM pb p JOIN mo m USING (event_type)
+), words AS (
+  SELECT event_type,
+    symbol
+      || lead(symbol, 1) OVER (PARTITION BY event_type ORDER BY bucket_start)
+      || lead(symbol, 2) OVER (PARTITION BY event_type ORDER BY bucket_start)
+      AS word
+  FROM sym
+), cnts AS (
+  SELECT event_type, word, count(*) AS cnt
+  FROM words WHERE word IS NOT NULL GROUP BY 1, 2
+), rk AS (
+  SELECT event_type, word, cnt,
+    row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, word ASC) AS rank
+  FROM cnts
+)
+SELECT event_type, CAST(rank AS INT) AS rank, word, cnt
+FROM rk WHERE rank <= 3 ORDER BY event_type, rank
 """,
     }

@@ -269,3 +269,55 @@ def test_holt_winters_short_series_and_validation(spark):
         holt_winters_smooth(df, ["k"], season_len=1, value_col="v")
     with _pytest.raises(ValueError):
         holt_winters_smooth(df, ["k"], season_len=2, value_col="v", alpha=1.0)
+
+
+# --------------------------------------------------------------- SAX
+
+
+def test_sax_symbols_hand_case(spark):
+    from python_vegindex_spark.operators.sax import sax_symbols
+
+    # series a: hourly values with mean 20, pop std 10 over {10,20,30}x4
+    rows = []
+    for d_, v in [(1, 10), (2, 20), (3, 30), (4, 10), (5, 20), (6, 30)]:
+        rows += [("a", datetime(2024, 3, d_, 0), v), ("a", datetime(2024, 3, d_, 1), v)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v long")
+    out = sax_symbols(
+        df, "daily", ["k"], value_col="v", alphabet_size=4
+    ).orderBy("bucket_start")
+    rs = out.collect()
+    # mu = 20, sigma = sqrt(500/6*... ) -> z = (paa-20)/sigma; day means
+    # are 10/20/30 so z ~ -1.22/0/1.22: symbols a, c, d (z=0 >= bp 0.0)
+    assert [r["symbol"] for r in rs] == ["a", "c", "d", "a", "c", "d"]
+    assert all(r["n"] == 2 for r in rs)
+    assert rs[0]["paa_mean"] == 10.0 and rs[1]["paa_mean"] == 20.0
+
+
+def test_sax_zero_variance_and_validation(spark):
+    import pytest as _pytest
+
+    from python_vegindex_spark.operators.sax import sax_symbols
+
+    df = spark.createDataFrame(
+        [("c", datetime(2024, 3, 1), 5), ("c", datetime(2024, 3, 2), 5)],
+        "k string, ts timestamp, v long",
+    )
+    rs = sax_symbols(df, "daily", ["k"], value_col="v").collect()
+    assert all(r["symbol"] is None and r["z"] is None for r in rs)
+    with _pytest.raises(ValueError):
+        sax_symbols(df, "daily", ["k"], value_col="v", alphabet_size=26)
+
+
+def test_sax_motifs_counting_and_gaps(spark):
+    from python_vegindex_spark.operators.sax import sax_motifs
+
+    rows = [
+        ("a", 1, "a"), ("a", 2, "b"), ("a", 3, "a"), ("a", 4, "b"),
+        ("a", 5, "a"), ("a", 6, None), ("a", 7, "b"), ("a", 8, "a"),
+    ]
+    df = spark.createDataFrame(rows, "k string, bucket_start int, symbol string")
+    out = sax_motifs(df, ["k"], word_len=2)
+    got = {r["word"]: r["cnt"] for r in out.collect()}
+    # pairs: ab, ba, ab, ba, (a,NULL)x, (NULL,b)x, ba ... walk:
+    # rows 1-2 ab, 2-3 ba, 3-4 ab, 4-5 ba, 5-6 NULL, 6-7 NULL, 7-8 ba
+    assert got == {"ab": 2, "ba": 3}
