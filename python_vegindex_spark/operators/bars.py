@@ -10,10 +10,15 @@ Shape: vegindex has no finance ops, but the *open/close* selection is
 the same "representative row by time order" aggregate as the midday
 image pick (reference ``generate_summary_timeseries.py:393-400``) —
 and it is implemented the same way: a ``min``/``max`` over a struct
-whose leading fields are the order key, one hash aggregate, no window
-over raw rows. One shuffle on (series, bucket), map-side partial
+whose leading fields are the order key, one aggregate, no window over
+raw rows. One shuffle on (series, bucket), map-side partial
 aggregation, pure JVM expressions — the plan survives 100 TB because
-the state per group is O(1).
+the state per group is O(1). (Struct-typed aggregation buffers make
+Spark pick SortAggregate over HashAggregate — the partial/final split
+and the single Exchange are unchanged, plan-asserted in
+tests/test_plans.py; the within-partition sort on the grouping key is
+the only extra cost, same trade the rollup's min-struct midday pick
+makes.)
 
 Determinism: ties on ``ts`` are broken by ``order_cols`` (pass a
 unique id); the struct comparison is lexicographic on

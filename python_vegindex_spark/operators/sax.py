@@ -104,7 +104,12 @@ def sax_symbols(
         F.count(F.lit(1)).alias("n"),
         F.sum("_v").alias("_s"),
         F.sum(F.col("_v") * F.col("_v")).alias("_sq"),
-    )
+    ).localCheckpoint(eager=True)
+    # ^ pin stage 1 (the correlate.py discipline): the moments branch
+    # prunes _s-only while the probe branch prunes _sq-only, so without
+    # the checkpoint Catalyst compiles two DIFFERENT aggregates over the
+    # raw table — two full scans. The checkpoint is series x buckets
+    # rows (tiny) and guarantees the big table is read exactly once.
     # series moments as exact re-aggregation of the bucket sums
     moments = per_bucket.groupBy(*series_cols).agg(
         F.sum("n").alias("_N"),

@@ -283,3 +283,46 @@ def test_asof_interpolate_plan_python_free(spark, turns_path):
     plan = _executed_plan(out)
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert marker not in plan, f"Python eval in interpolated as-of: {marker}"
+
+
+def test_ohlc_single_shuffle_no_python(spark, turns_path):
+    """OHLC bars: ONE hash-partition Exchange on (series, bucket) —
+    the struct min/max open/close picks are aggregates, never a window
+    over raw rows — and the plan is Python-free."""
+    from python_vegindex_spark.operators.bars import ohlc_bars
+
+    bronze = read_turns(spark, turns_path, "2023-01-01", "2026-01-01").select(
+        "conv_id", "ts", "turn_idx", F.length("text").cast("long").alias("v")
+    )
+    out = ohlc_bars(
+        bronze, "daily", ["conv_id"], value_col="v", order_cols=["turn_idx"]
+    )
+    out.collect()
+    plan = _executed_plan(out).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" not in plan, "open/close must not use a raw-row window"
+    # struct min/max buffers force SortAggregate (documented in bars.py)
+    # but it still partial-aggregates map-side before the one Exchange
+    assert "partial_min" in plan and "partial_max" in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "mapInPandas"):
+        assert marker not in plan, f"Python eval in OHLC plan: {marker}"
+
+
+def test_sax_single_raw_scan_no_python(spark, turns_path):
+    """SAX symbols: the raw table is scanned and shuffled ONCE (the
+    (series, bucket) aggregate); the per-series moments re-aggregate
+    the bucket sums, never the raw rows; Python-free."""
+    from python_vegindex_spark.operators.sax import sax_symbols
+
+    bronze = read_turns(spark, turns_path, "2023-01-01", "2026-01-01").select(
+        "conv_id", "ts", F.length("text").cast("long").alias("v")
+    )
+    out = sax_symbols(bronze, "daily", ["conv_id"], value_col="v")
+    out.collect()
+    plan = _executed_plan(out).split("== Initial Plan ==")[0]
+    # stage 1 is checkpointed, so the FINAL plan reads the pinned bucket
+    # aggregate (ExistingRDD), never the parquet files — the raw table
+    # was scanned exactly once, inside the checkpoint itself
+    assert "FileScan parquet" not in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "mapInPandas"):
+        assert marker not in plan, f"Python eval in SAX plan: {marker}"
