@@ -2235,6 +2235,45 @@ def q_sax_motif_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_diversity_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical diversity rollup
+    (operators/generic_rollup.category_diversity): per (event_type,
+    day), how concentrated activity is across users — Gini-Simpson +
+    Hurlbert PIE + modal share, all from exact BIGINT count sums with
+    one pinned division each (log-free by design, the value_drift
+    cross-engine discipline)."""
+    from python_vegindex_spark.operators.generic_rollup import category_diversity
+
+    ev = _t(spark, sf_dir, "events")
+    out = category_diversity(ev, "daily", ["event_type"], "user_id")
+    return out.withColumn(
+        "bucket_start", F.col("bucket_start").cast("timestamp")
+    ).orderBy("event_type", "bucket_start")
+
+
+def q_bollinger_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (operators/bars.bollinger_bands): trailing 7-day
+    mean +- 2 population stddevs around the daily BIGINT sum series per
+    event_type, plus the %B band position. Window sums are exact
+    BIGINTs; mean/std/bands in the engine-wide pinned order."""
+    from python_vegindex_spark.operators.bars import bollinger_bands
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & ~F.isnan("value") & F.col("ts").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("v"))
+    out = bollinger_bands(
+        daily, window_s=7 * 86400, series_cols=["event_type"],
+        k=2.0, ts_col="day", value_col="v",
+    )
+    return out.select(
+        "event_type", "day", "v", "w_n",
+        "bb_mean", "bb_std", "bb_upper", "bb_lower", "bb_pos",
+    ).orderBy("event_type", "day")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hourly_rollup_gapfill": q_hourly_rollup_gapfill,
@@ -2338,6 +2377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_winters_weekly": q_holt_winters_weekly,
         "sax_daily_symbols": q_sax_daily_symbols,
         "sax_motif_top": q_sax_motif_top,
+        "diversity_daily": q_diversity_daily,
+        "bollinger_daily": q_bollinger_daily,
     }
 
 
@@ -5050,5 +5091,67 @@ WITH base AS (
 )
 SELECT event_type, CAST(rank AS INT) AS rank, word, cnt
 FROM rk WHERE rank <= 3 ORDER BY event_type, rank
+""",
+        # Gini-Simpson / Hurlbert PIE diversity from exact BIGINT count
+        # sums, one pinned division per reported float (log-free).
+        "diversity_daily": """
+WITH c AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket_start, user_id,
+    count(*) AS cnt
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1, 2, 3
+), a AS (
+  SELECT event_type, bucket_start,
+    CAST(sum(cnt) AS BIGINT) AS n,
+    count(*) AS k_distinct,
+    CAST(max(cnt) AS BIGINT) AS cmax,
+    CAST(sum(cnt * cnt) AS BIGINT) AS c2,
+    CAST(sum(cnt * (cnt - 1)) AS BIGINT) AS cc1
+  FROM c GROUP BY 1, 2
+)
+SELECT event_type, bucket_start, n, k_distinct,
+  round(CAST(cmax AS DOUBLE) / CAST(n AS DOUBLE), 6) AS top_share,
+  round(1.0 - CAST(c2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+    AS simpson,
+  round(CASE WHEN n >= 2 THEN
+    1.0 - CAST(cc1 AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+  END, 6) AS pie
+FROM a ORDER BY 1, 2
+""",
+        # trailing 7-day RANGE window over daily BIGINT sums: exact
+        # window count/sum/sumsq, pinned mean/std/band op order.
+        "bollinger_daily": """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL
+  GROUP BY 1, 2
+), w AS (
+  SELECT event_type, day, v,
+    count(v) OVER fr AS w_n,
+    CAST(sum(v) OVER fr AS BIGINT) AS s,
+    CAST(sum(v * v) OVER fr AS BIGINT) AS sq
+  FROM daily
+  WINDOW fr AS (PARTITION BY event_type ORDER BY epoch_us(day)
+                RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+), f AS (
+  SELECT event_type, day, v, w_n,
+    CAST(s AS DOUBLE) / CAST(w_n AS DOUBLE) AS mean,
+    sqrt(CAST(sq AS DOUBLE) / CAST(w_n AS DOUBLE)
+         - (CAST(s AS DOUBLE) / CAST(w_n AS DOUBLE))
+           * (CAST(s AS DOUBLE) / CAST(w_n AS DOUBLE))) AS std
+  FROM w
+)
+SELECT event_type, day, v, w_n,
+  round(mean, 6) AS bb_mean,
+  round(std, 6) AS bb_std,
+  round(mean + 2.0 * std, 6) AS bb_upper,
+  round(mean - 2.0 * std, 6) AS bb_lower,
+  round(CASE WHEN (mean + 2.0 * std) - (mean - 2.0 * std) > 0 THEN
+    (CAST(v AS DOUBLE) - (mean - 2.0 * std))
+      / ((mean + 2.0 * std) - (mean - 2.0 * std))
+  END, 6) AS bb_pos
+FROM f ORDER BY 1, 2
 """,
     }

@@ -96,3 +96,71 @@ def ohlc_bars(
             _r(F.sum(F.col("_v") * F.col("_w")) / F.sum("_w")).alias("vwap"),
         ]
     return d.groupBy(*series_cols, "bucket_start").agg(*aggs)
+
+
+def bollinger_bands(
+    df: DataFrame,
+    window_s: int,
+    series_cols: Sequence[str],
+    k: float = 2.0,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Bollinger bands: trailing time-window mean ± ``k`` population
+    stddevs appended to every row — the volatility envelope around
+    :func:`..rate.sliding_time_stats`' rolling mean (run it on
+    rolled-up bucket rows with ``window_s`` spanning N buckets for the
+    classic N-period bands).
+
+    Frame = ``RANGE BETWEEN window_s PRECEDING AND CURRENT ROW`` over
+    epoch-µs (ts ties are peers — order-deterministic). With an
+    integral ``value_col`` the window's count/sum/sum-of-squares are
+    exact BIGINTs and the mean/std/bands derive in the engine-wide
+    pinned order (``mean = s/n; std = sqrt(sq/n - mean*mean)``;
+    ``band = mean ± k*std``) — engine-exact floats. NULL/NaN values
+    join the frame as nothing (excluded from n/s/sq).
+
+    Output adds ``w_n``, ``bb_mean``, ``bb_std``, ``bb_upper``,
+    ``bb_lower``, and ``bb_pos`` — the %B position of the row's own
+    value inside the band, ``(v - lower) / (upper - lower)`` (NULL when
+    the band has zero width).
+    """
+    if window_s <= 0:
+        raise ValueError(f"window_s must be > 0, got {window_s}")
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    v = F.col(value_col)
+    d = df.withColumn("_tus", epoch_us(F.col(ts_col))).withColumn(
+        "_v", F.when(v.isNotNull() & ~F.isnan(v.cast("double")), v)
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*[F.col(c) for c in series_cols])
+        .orderBy("_tus")
+        .rangeBetween(-int(window_s) * 1_000_000, 0)
+    )
+    n = F.count("_v").over(w)
+    s = F.sum("_v").over(w)
+    sq = F.sum(F.col("_v") * F.col("_v")).over(w)
+    nd = n.cast("double")
+    mean = s.cast("double") / nd
+    std = F.sqrt(sq.cast("double") / nd - mean * mean)
+    upper = mean + F.lit(float(k)) * std
+    lower = mean - F.lit(float(k)) * std
+    width = upper - lower
+    pos = F.when(width > 0, (F.col("_v").cast("double") - lower) / width)
+
+    def _r(c):
+        return F.round(c, round_to) if round_to is not None else c
+
+    return (
+        d.withColumn("w_n", n)
+        .withColumn("bb_mean", _r(mean))
+        .withColumn("bb_std", _r(std))
+        .withColumn("bb_upper", _r(upper))
+        .withColumn("bb_lower", _r(lower))
+        .withColumn("bb_pos", _r(pos))
+        .drop("_tus", "_v")
+    )

@@ -163,3 +163,75 @@ def top_frequent(
         .where(F.col("rank") <= k)
         .select(*series_cols, "bucket_start", "rank", "key", "n")
     )
+
+
+def category_diversity(
+    df: DataFrame,
+    tier: str,
+    series_cols: list[str],
+    key_col: str,
+    ts_col: str = "ts",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Categorical diversity per (series, bucket): how concentrated is
+    a key column's distribution — "is one tool/error code/user eating
+    the hour?" — the distribution-health companion of
+    :func:`top_frequent`'s top-k.
+
+    Reports the Gini-Simpson index and its unbiased small-sample form
+    (Hurlbert's PIE — the probability two rows drawn WITHOUT
+    replacement differ)::
+
+        simpson  = 1 - sum(c_i^2) / n^2
+        pie      = 1 - sum(c_i*(c_i-1)) / (n*(n-1))      (NULL at n < 2)
+
+    Simpson is chosen over Shannon entropy deliberately: no logarithms
+    (the cross-engine libm-ulp class the drift operator also avoids,
+    operators/downsample.value_drift) — both numerators and
+    denominators are exact BIGINT sums/products, finished by ONE pinned
+    double division each, so the floats are engine-exact.
+
+    Same two-aggregate shape as :func:`top_frequent`: raw rows collapse
+    to (series, bucket, key) counts map-side (the shuffle carries
+    counts, not rows), then one tiny aggregate per (series, bucket).
+    NULL keys are dropped. Output: series, ``bucket_start``, ``n``,
+    ``k_distinct``, ``top_share`` (modal count / n — the dominance
+    ratio, exact division), ``simpson``, ``pie``.
+    """
+    counts = (
+        df.where(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+        .groupBy(
+            *series_cols,
+            bucket_start(F.col(ts_col), tier).alias("bucket_start"),
+            F.col(key_col).alias("_key"),
+        )
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    agg = counts.groupBy(*series_cols, "bucket_start").agg(
+        F.sum("_c").alias("n"),
+        F.count(F.lit(1)).alias("k_distinct"),
+        F.max("_c").alias("_cmax"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_c2"),
+        F.sum(F.col("_c") * (F.col("_c") - 1)).alias("_cc1"),
+    )
+    nd = F.col("n").cast("double")
+    simpson = F.lit(1.0) - F.col("_c2").cast("double") / (nd * nd)
+    pie = F.when(
+        F.col("n") >= 2,
+        F.lit(1.0)
+        - F.col("_cc1").cast("double") / (nd * (nd - F.lit(1.0))),
+    )
+    top_share = F.col("_cmax").cast("double") / nd
+
+    def _r(c):
+        return F.round(c, round_to) if round_to is not None else c
+
+    return agg.select(
+        *series_cols,
+        "bucket_start",
+        "n",
+        "k_distinct",
+        _r(top_share).alias("top_share"),
+        _r(simpson).alias("simpson"),
+        _r(pie).alias("pie"),
+    )

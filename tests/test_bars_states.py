@@ -321,3 +321,72 @@ def test_sax_motifs_counting_and_gaps(spark):
     # pairs: ab, ba, ab, ba, (a,NULL)x, (NULL,b)x, ba ... walk:
     # rows 1-2 ab, 2-3 ba, 3-4 ab, 4-5 ba, 5-6 NULL, 6-7 NULL, 7-8 ba
     assert got == {"ab": 2, "ba": 3}
+
+
+# ----------------------------------------------------------- diversity
+
+
+def test_category_diversity_hand_case(spark):
+    from python_vegindex_spark.operators.generic_rollup import category_diversity
+
+    rows = (
+        [("s", _ts(10, i), "x") for i in range(3)]
+        + [("s", _ts(10, 30 + i), "y") for i in range(2)]
+        + [("s", _ts(10, 50), "z")]
+        + [("s", _ts(11, 0), "only")]          # second bucket: n=1
+        + [("s", _ts(11, 5), None)]            # NULL key dropped
+    )
+    df = spark.createDataFrame(rows, "k string, ts timestamp, key string")
+    out = category_diversity(df, "hourly", ["k"], "key").orderBy("bucket_start")
+    b0, b1 = out.collect()
+    # bucket 10h: counts {3,2,1}, n=6: simpson = 1 - 14/36, pie = 1 - 8/30
+    assert b0["n"] == 6 and b0["k_distinct"] == 3
+    assert b0["top_share"] == pytest.approx(0.5)
+    assert b0["simpson"] == pytest.approx(1 - 14 / 36, abs=1e-6)
+    assert b0["pie"] == pytest.approx(1 - 8 / 30, abs=1e-6)
+    # bucket 11h: single row -> simpson 0, pie NULL
+    assert b1["n"] == 1 and b1["simpson"] == 0.0 and b1["pie"] is None
+
+
+# ------------------------------------------------------ bollinger bands
+
+
+def test_bollinger_hand_values(spark):
+    from python_vegindex_spark.operators.bars import bollinger_bands
+
+    rows = [
+        ("a", _ts(10, 0, 0), 2),
+        ("a", _ts(10, 0, 30), 4),
+        ("a", _ts(10, 2, 0), 6),  # first two aged out (60s window)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v long")
+    out = bollinger_bands(
+        df, window_s=60, series_cols=["k"], k=2.0, value_col="v"
+    ).orderBy("ts")
+    r1, r2, r3 = out.collect()
+    # frame [2]: mean 2, std 0, bands collapse, pos NULL (zero width)
+    assert (r1["w_n"], r1["bb_mean"], r1["bb_std"], r1["bb_pos"]) == (1, 2.0, 0.0, None)
+    # frame [2,4]: mean 3, std 1 -> bands [1, 5]; row value 4 -> pos 0.75
+    assert (r2["w_n"], r2["bb_mean"], r2["bb_std"]) == (2, 3.0, 1.0)
+    assert (r2["bb_upper"], r2["bb_lower"], r2["bb_pos"]) == (5.0, 1.0, 0.75)
+    # frame [6]: window restarted
+    assert (r3["w_n"], r3["bb_mean"]) == (1, 6.0)
+
+
+def test_bollinger_nan_and_validation(spark):
+    import pytest as _pytest
+
+    from python_vegindex_spark.operators.bars import bollinger_bands
+
+    df = spark.createDataFrame(
+        [("a", _ts(10, 0, 0), 2.0), ("a", _ts(10, 0, 10), float("nan")),
+         ("a", _ts(10, 0, 20), 4.0)],
+        "k string, ts timestamp, v double",
+    )
+    rows = bollinger_bands(df, 3600, ["k"], value_col="v").orderBy("ts").collect()
+    assert rows[1]["w_n"] == 1 and rows[1]["bb_pos"] is None  # NaN row excluded
+    assert rows[2]["w_n"] == 2 and rows[2]["bb_mean"] == 3.0
+    with _pytest.raises(ValueError):
+        bollinger_bands(df, 0, ["k"])
+    with _pytest.raises(ValueError):
+        bollinger_bands(df, 60, ["k"], k=0)
