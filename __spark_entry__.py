@@ -2274,6 +2274,23 @@ def q_bollinger_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "day")
 
 
+def q_domain_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (operators/sampling.cap_per_group): keep at most
+    40 documents per source, chosen by smallest content hash — the
+    pretraining domain-frequency control. Content-keyed, so the
+    surviving row SET is reproducible and the DuckDB oracle (a single
+    md5 rank window) must produce the identical rows — which also
+    value-checks the two-phase distributed top-k against the naive
+    window."""
+    from python_vegindex_spark.operators.sampling import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    out = cap_per_group(docs, ["source"], cap=40, key_cols=["doc_id"])
+    return out.select(
+        "source", "grp_rank", "doc_id", "n_chars"
+    ).orderBy("source", "grp_rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hourly_rollup_gapfill": q_hourly_rollup_gapfill,
@@ -2379,6 +2396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_motif_top": q_sax_motif_top,
         "diversity_daily": q_diversity_daily,
         "bollinger_daily": q_bollinger_daily,
+        "domain_cap_docs": q_domain_cap_docs,
     }
 
 
@@ -5153,5 +5171,20 @@ SELECT event_type, day, v, w_n,
       / ((mean + 2.0 * std) - (mean - 2.0 * std))
   END, 6) AS bb_pos
 FROM f ORDER BY 1, 2
+""",
+        # single-window reference for the two-phase cap: smallest 8-hex
+        # md5 draw (string order == numeric order over lowercase hex).
+        "domain_cap_docs": """
+WITH d AS (
+  SELECT source, doc_id, n_chars,
+    row_number() OVER (
+      PARTITION BY source
+      ORDER BY substr(md5(concat_ws('|', '', CAST(doc_id AS VARCHAR))), 1, 8) ASC,
+               doc_id ASC
+    ) AS grp_rank
+  FROM documents
+)
+SELECT source, CAST(grp_rank AS INT) AS grp_rank, doc_id, n_chars
+FROM d WHERE grp_rank <= 40 ORDER BY source, grp_rank
 """,
     }

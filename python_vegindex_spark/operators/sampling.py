@@ -110,3 +110,64 @@ def split_train_eval(
             F.lit("eval"),
         ).otherwise(F.lit("train")),
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    cap: int,
+    key_cols: Sequence[str],
+    salt: str = "",
+    presalt_shards: int = 16,
+) -> DataFrame:
+    """Deterministic per-group row cap — the pretraining
+    "domain frequency" control (C4/CCNet-style: an over-represented
+    domain/source must not dominate the mixture): keep at most ``cap``
+    rows per group, chosen by SMALLEST content hash (the
+    :func:`sample_key` draw, tie-broken by the key itself), so the
+    surviving set is
+
+    * reproducible across runs/engines (content-keyed, no rand()),
+    * NESTED across caps (the cap-100 set contains the cap-10 set —
+      the same property salt-nesting gives fractions), and
+    * uniform within the group (md5 is order-free).
+
+    Scale shape — the naive single window sorts EVERY row of the
+    hottest domain in one task; instead the rank runs twice:
+
+    1. pre-prune within (group, shard) where shard = pmod(crc32(draw),
+       ``presalt_shards``): each shard keeps its local smallest ``cap``
+       draws — a window over 1/shards of the hot group,
+    2. final rank over the survivors (≤ shards × cap rows per group —
+       bounded, tiny) keeps the global smallest ``cap``.
+
+    Stage 1 can never evict a global top-``cap`` row (its shard keeps
+    its own smallest ``cap``, and the global winners number ≤ cap in
+    any shard) — the standard distributed top-k argument, so the
+    two-phase result is EXACTLY the single-window result.
+
+    Output: the input rows that survive, plus ``grp_rank`` (1-based
+    rank by draw within the group — ``grp_rank <= cap`` for all
+    survivors).
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    if presalt_shards < 1:
+        raise ValueError(f"presalt_shards must be >= 1, got {presalt_shards}")
+    from pyspark.sql import Window
+
+    draw = sample_key(key_cols, salt=salt)
+    d = df.withColumn("_draw", draw)
+    order = [F.col("_draw").asc()] + [F.col(c).asc() for c in key_cols]
+    shard = F.pmod(F.crc32(F.col("_draw")), F.lit(presalt_shards))
+    w1 = Window.partitionBy(
+        *[F.col(c) for c in group_cols], shard
+    ).orderBy(*order)
+    w2 = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(*order)
+    return (
+        d.withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= cap)
+        .withColumn("grp_rank", F.row_number().over(w2))
+        .where(F.col("grp_rank") <= cap)
+        .drop("_draw", "_r1")
+    )

@@ -390,3 +390,51 @@ def test_bollinger_nan_and_validation(spark):
         bollinger_bands(df, 0, ["k"])
     with _pytest.raises(ValueError):
         bollinger_bands(df, 60, ["k"], k=0)
+
+
+# ------------------------------------------------------- cap per group
+
+
+def test_cap_per_group_exact_and_nested(spark):
+    from pyspark.sql import Window
+
+    from python_vegindex_spark.operators.sampling import cap_per_group, sample_key
+
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", i) for i in range(60)], "grp string, id long"
+    )
+    capped = cap_per_group(df, ["grp"], cap=5, key_cols=["id"])
+    rows = capped.collect()
+    from collections import Counter
+
+    assert Counter(r["grp"] for r in rows) == {"g0": 5, "g1": 5, "g2": 5}
+    assert all(1 <= r["grp_rank"] <= 5 for r in rows)
+    # differential vs the naive single window (the two-phase claim)
+    naive = (
+        df.withColumn("_d", sample_key(["id"]))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("grp").orderBy(F.col("_d").asc(), F.col("id").asc())
+            ),
+        )
+        .where(F.col("rk") <= 5)
+    )
+    assert {(r["grp"], r["id"]) for r in rows} == {
+        (r["grp"], r["id"]) for r in naive.collect()
+    }
+    # nesting: cap=2 survivors are a subset of cap=5 survivors
+    two = {(r["grp"], r["id"]) for r in cap_per_group(df, ["grp"], 2, ["id"]).collect()}
+    assert two < {(r["grp"], r["id"]) for r in rows}
+
+
+def test_cap_per_group_small_groups_and_validation(spark):
+    import pytest as _pytest
+
+    from python_vegindex_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame([("a", 1), ("a", 2), ("b", 3)], "grp string, id long")
+    out = cap_per_group(df, ["grp"], cap=10, key_cols=["id"])
+    assert out.count() == 3  # groups under the cap pass through whole
+    with _pytest.raises(ValueError):
+        cap_per_group(df, ["grp"], 0, ["id"])
