@@ -462,3 +462,78 @@ def streaming_cascade_moments(
         "n", "v_sum", "v_sumsq", "v_min", "v_max",
     )
     return fine_out, coarse_out
+
+
+def streaming_ohlc_bars(
+    spark: SparkSession,
+    input_path: str,
+    tier: str = "hourly",
+    watermark: str = "2 hours",
+    series_cols: list[str] | None = None,
+    value_expr: str = "CAST(length(text) AS BIGINT)",
+    order_expr: str = "turn_idx",
+) -> DataFrame:
+    """Streaming twin of :func:`..operators.bars.ohlc_bars`: live turns
+    -> closed OHLC candlestick rows, emitted exactly once per bucket
+    when the watermark passes its end (append mode).
+
+    The SAME aggregate expressions as the batch operator — open/close
+    via lexicographic min/max over a ``(epoch-µs, order, value)``
+    struct, extremes over the value — run inside a watermarked tumbling
+    window, so a bucket closed by the stream is ROW-IDENTICAL to the
+    batch bar over the same input (pinned by
+    tests/test_streaming_chunks.py). Struct min/max aggregation state
+    is O(1) per open bucket; no second shuffle.
+
+    Epoch-aligned tiers only ('hourly'/'daily'/'Nmin' —
+    :func:`_window_length`'s shared rule). NULL/NaN values are dropped
+    before the window, matching the batch keep-filter. Late rows
+    inside the watermark land in their true bucket; later ones are
+    dropped by the state store (same documented divergence as the
+    streaming chunk encoder).
+    """
+    from ..functions.timeutil import epoch_us
+
+    window_len = _window_length(tier)
+    if tier in ("hourly", "daily", "1day"):
+        _require_utc(spark)
+    series_cols = list(series_cols or ["conv_id"])
+
+    stream = _turn_stream(spark, input_path)
+    v = F.expr(value_expr)
+    d = stream.select(
+        *series_cols,
+        F.col("ts"),
+        v.alias("_v"),
+        F.expr(order_expr).alias("_o"),
+    ).where(
+        F.col("ts").isNotNull()
+        & F.col("_v").isNotNull()
+        & ~F.isnan(F.col("_v").cast("double"))
+    )
+    key = F.struct(
+        epoch_us(F.col("ts")).alias("_t"), F.col("_o").alias("_o0"), F.col("_v")
+    )
+    agg = (
+        d.withColumn("_key", key)
+        .withWatermark("ts", watermark)
+        .groupBy(*series_cols, F.window("ts", window_len).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("_key").getField("_v").alias("open"),
+            F.max("_v").alias("high"),
+            F.min("_v").alias("low"),
+            F.max("_key").getField("_v").alias("close"),
+        )
+    )
+    return agg.select(
+        *series_cols,
+        (
+            F.to_date("w.start") if window_len == "1 day" else F.col("w.start")
+        ).alias("bucket_start"),
+        "n",
+        "open",
+        "high",
+        "low",
+        "close",
+    )

@@ -177,3 +177,52 @@ def test_streaming_minute_tier_byte_parity_with_batch(spark, tmp_path):
     assert (sb["n_points"] == bb["n_points"]).all()
     assert all(bytes(a) == bytes(b) for a, b in zip(sb["ts_chunk"], bb["ts_chunk"]))
     assert all(bytes(a) == bytes(b) for a, b in zip(sb["val_chunk"], bb["val_chunk"]))
+
+
+def test_streaming_ohlc_matches_batch_bars(spark, tmp_path):
+    """Every bucket the stream closes must be row-identical to the batch
+    ohlc_bars over the same input (same struct-min/max expressions)."""
+    from python_vegindex_spark.operators.bars import ohlc_bars
+    from python_vegindex_spark.streaming.structured import streaming_ohlc_bars
+
+    turns = synth_turns(spark, n_convs=20, seed=9, span_days=20)
+    in_dir = str(tmp_path / "ohlc_in")
+    out_dir = str(tmp_path / "ohlc_out")
+    ckpt = str(tmp_path / "ohlc_ckpt")
+
+    first = turns.filter(F.col("ts") < "2023-12-08")
+    rest = turns.filter(F.col("ts") >= "2023-12-08")
+    first.write.mode("overwrite").parquet(in_dir)
+    run_available_now(streaming_ohlc_bars(spark, in_dir), ckpt, out_dir)
+    rest.write.mode("append").parquet(in_dir)
+    run_available_now(streaming_ohlc_bars(spark, in_dir), ckpt, out_dir)
+
+    got = spark.read.parquet(out_dir)
+    # exactly-once per bucket
+    assert got.groupBy("conv_id", "bucket_start").count().filter(
+        F.col("count") > 1
+    ).count() == 0
+    assert got.count() > 0
+
+    batch = ohlc_bars(
+        turns.select(
+            "conv_id", "ts", "turn_idx",
+            F.length("text").cast("long").alias("v"),
+        ),
+        "hourly",
+        ["conv_id"],
+        value_col="v",
+        order_cols=["turn_idx"],
+        round_to=None,
+    ).select("conv_id", "bucket_start", "n", "open", "high", "low", "close")
+
+    cols = ["conv_id", "bucket_start", "n", "open", "high", "low", "close"]
+    g = got.select(*cols).toPandas().sort_values(cols[:2]).reset_index(drop=True)
+    # streaming emits only watermark-closed buckets: compare that subset
+    b = (
+        batch.toPandas()
+        .merge(g[["conv_id", "bucket_start"]], on=["conv_id", "bucket_start"])
+        .sort_values(cols[:2])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(g, b[cols], check_dtype=False)
