@@ -2291,6 +2291,22 @@ def q_domain_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "grp_rank")
 
 
+def q_dimensional_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP CUBE subtotals (operators/generic_rollup.dimensional_rollup):
+    events cubed over (event_type, user cohort) in ONE scan + one
+    Expand + one hash aggregate; grouping_id disambiguates subtotal
+    NULLs. BIGINT sums throughout."""
+    from python_vegindex_spark.operators.generic_rollup import dimensional_rollup
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.pmod(F.col("user_id"), F.lit(10)).cast("long").alias("cohort"),
+        F.floor(F.col("value") * 100).cast("long").alias("v_int"),
+    )
+    out = dimensional_rollup(ev, ["event_type", "cohort"], "v_int", mode="cube")
+    return out.orderBy("gid", "event_type", "cohort")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hourly_rollup_gapfill": q_hourly_rollup_gapfill,
@@ -2397,6 +2413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversity_daily": q_diversity_daily,
         "bollinger_daily": q_bollinger_daily,
         "domain_cap_docs": q_domain_cap_docs,
+        "dimensional_cube": q_dimensional_cube,
     }
 
 
@@ -5186,5 +5203,20 @@ WITH d AS (
 )
 SELECT source, CAST(grp_rank AS INT) AS grp_rank, doc_id, n_chars
 FROM d WHERE grp_rank <= 40 ORDER BY source, grp_rank
+""",
+        # CUBE subtotals; GROUPING(a, b) bitmask = Spark grouping_id
+        # (first dim most significant).
+        "dimensional_cube": """
+WITH base AS (
+  SELECT event_type, CAST(user_id % 10 AS BIGINT) AS cohort,
+    CAST(floor(value * 100) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+)
+SELECT event_type, cohort,
+  CAST(GROUPING(event_type, cohort) AS BIGINT) AS gid,
+  count(*) AS n,
+  CAST(sum(v) AS BIGINT) AS v_sum
+FROM base GROUP BY CUBE (event_type, cohort)
+ORDER BY gid, event_type, cohort
 """,
     }

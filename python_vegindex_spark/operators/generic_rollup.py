@@ -235,3 +235,67 @@ def category_diversity(
         _r(simpson).alias("simpson"),
         _r(pie).alias("pie"),
     )
+
+
+def dimensional_rollup(
+    df: DataFrame,
+    dim_cols: list[str],
+    value_col: str,
+    mode: str = "cube",
+    ts_col: str | None = None,
+    tier: str | None = None,
+) -> DataFrame:
+    """OLAP subtotals over dimension columns: ``GROUP BY CUBE`` /
+    ``ROLLUP`` with a grouping id — the drill-down/summary lattice the
+    reference has nowhere (SURVEY §2.4: "no grouping sets / cube /
+    rollup") and a dashboard engine needs everywhere ("by source, by
+    (source, lang), and the grand total, in one pass").
+
+    Catalyst's Expand does the heavy lifting: ONE scan, one Expand that
+    replicates each row once per grouping set, one hash aggregate —
+    the same physical shape the fused multi-tier rollup
+    (operators/multitier.py) exploits, with combinatorial sets instead
+    of tiers. Cost scales with the number of sets (2^d for cube,
+    d+1 for rollup) — keep ``dim_cols`` short at 100 TB, or use
+    ``mode="rollup"`` for the hierarchy-only lattice.
+
+    ``value_col`` must be integral (sums stay BIGINT-exact). Optional
+    (``ts_col``, ``tier``) adds a calendar bucket as the INNERMOST
+    grouping (always present, never subtotaled — per-bucket cubes).
+    ``gid`` is ``grouping_id()`` over ``dim_cols`` in order (first dim
+    = most significant bit; bit set = that dim is rolled up), which
+    disambiguates subtotal NULLs from NULL dimension VALUES.
+
+    Output: dims..., [bucket_start,] ``gid``, ``n``, ``v_sum``.
+    """
+    if mode not in ("cube", "rollup"):
+        raise ValueError(f"mode must be 'cube' or 'rollup', got {mode!r}")
+    if (ts_col is None) != (tier is None):
+        raise ValueError("pass ts_col and tier together or neither")
+    v = F.col(value_col)
+    d = df.where(v.isNotNull())
+    cols: list[Column] = [F.col(c) for c in dim_cols]
+    if ts_col is not None:
+        d = d.where(F.col(ts_col).isNotNull())
+        d = d.withColumn("bucket_start", bucket_start(F.col(ts_col), tier))
+    grouped = (
+        d.cube(*cols, *( [F.col("bucket_start")] if ts_col is not None else [] ))
+        if mode == "cube"
+        else d.rollup(*cols, *( [F.col("bucket_start")] if ts_col is not None else [] ))
+    )
+    out = grouped.agg(
+        F.grouping_id().alias("_gid_all"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("v_sum"),
+    )
+    if ts_col is not None:
+        # the bucket is never a subtotal axis: keep only sets where the
+        # bucket bit (least significant — listed last) is concrete
+        out = out.where(F.col("_gid_all") % 2 == 0).withColumn(
+            "gid", (F.col("_gid_all") / 2).cast("long")
+        )
+        sel = [*dim_cols, "bucket_start", "gid", "n", "v_sum"]
+    else:
+        out = out.withColumn("gid", F.col("_gid_all"))
+        sel = [*dim_cols, "gid", "n", "v_sum"]
+    return out.select(*sel)

@@ -438,3 +438,57 @@ def test_cap_per_group_small_groups_and_validation(spark):
     assert out.count() == 3  # groups under the cap pass through whole
     with _pytest.raises(ValueError):
         cap_per_group(df, ["grp"], 0, ["id"])
+
+
+# ----------------------------------------------------- dimensional cube
+
+
+def test_dimensional_rollup_hand_case(spark):
+    from python_vegindex_spark.operators.generic_rollup import dimensional_rollup
+
+    rows = [
+        ("web", "en", 10), ("web", "en", 20), ("web", "de", 5),
+        ("app", "en", 1), ("app", None, 2),  # NULL dim VALUE, not subtotal
+    ]
+    df = spark.createDataFrame(rows, "src string, lang string, v long")
+    out = dimensional_rollup(df, ["src", "lang"], "v", mode="cube")
+    got = {
+        (r["src"], r["lang"], r["gid"]): (r["n"], r["v_sum"]) for r in out.collect()
+    }
+    # concrete cells (gid=0) — includes the genuine NULL lang value
+    assert got[("web", "en", 0)] == (2, 30)
+    assert got[("app", None, 0)] == (1, 2)
+    # lang subtotals (gid=1: lang rolled up)
+    assert got[("web", None, 1)] == (3, 35)
+    assert got[("app", None, 1)] == (2, 3)
+    # src subtotals (gid=2) and grand total (gid=3)
+    assert got[(None, "en", 2)] == (3, 31)
+    assert got[(None, None, 3)] == (5, 38)
+    # cube = 4 sets; rollup drops the (None, lang) set
+    roll = dimensional_rollup(df, ["src", "lang"], "v", mode="rollup")
+    gids = {r["gid"] for r in roll.collect()}
+    assert gids == {0, 1, 3}
+
+
+def test_dimensional_rollup_bucketed_and_validation(spark):
+    import pytest as _pytest
+
+    from python_vegindex_spark.operators.generic_rollup import dimensional_rollup
+
+    rows = [
+        ("a", _ts(10, 0), 1), ("a", _ts(10, 30), 2), ("b", _ts(11, 0), 4),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v long")
+    out = dimensional_rollup(
+        df, ["k"], "v", mode="cube", ts_col="ts", tier="hourly"
+    )
+    got = {(r["k"], r["bucket_start"], r["gid"]): r["v_sum"] for r in out.collect()}
+    # bucket never subtotals: every row has a concrete bucket_start
+    assert all(k[1] is not None for k in got)
+    assert got[("a", _ts(10), 0)] == 3
+    assert got[(None, _ts(10), 1)] == 3  # k rolled up within the bucket
+    assert got[(None, _ts(11), 1)] == 4
+    with _pytest.raises(ValueError):
+        dimensional_rollup(df, ["k"], "v", mode="matrix")
+    with _pytest.raises(ValueError):
+        dimensional_rollup(df, ["k"], "v", ts_col="ts")
