@@ -2307,6 +2307,22 @@ def q_dimensional_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("gid", "event_type", "cohort")
 
 
+def q_bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search (operators/terms.bm25_search): top-25 docs
+    for a 3-term query over the documents table — the lexical
+    retriever next to the embedding ANN family. Counts/lengths are
+    exact integers; the per-doc score composes per-term in a PINNED
+    left-associative order (each term's sum holds <= 1 addend), and
+    the rank key is (rounded score DESC, doc_id ASC), so ranking
+    survives cross-engine libm ulp in ln."""
+    from python_vegindex_spark.operators.terms import bm25_search
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_search(
+        docs, ["spark", "stream", "vector"], k=25
+    ).orderBy("rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hourly_rollup_gapfill": q_hourly_rollup_gapfill,
@@ -2414,6 +2430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bollinger_daily": q_bollinger_daily,
         "domain_cap_docs": q_domain_cap_docs,
         "dimensional_cube": q_dimensional_cube,
+        "bm25_search_docs": q_bm25_search_docs,
     }
 
 
@@ -5218,5 +5235,51 @@ SELECT event_type, cohort,
   CAST(sum(v) AS BIGINT) AS v_sum
 FROM base GROUP BY CUBE (event_type, cohort)
 ORDER BY gid, event_type, cohort
+""",
+        # BM25: Lucene non-negative idf, k1=1.2 b=0.75; the per-doc
+        # score adds its three term scores in sorted-term order (each
+        # conditional sum holds <= 1 addend), matching the engine's
+        # pinned composition; rank on (rounded score, id).
+        "bm25_search_docs": """
+WITH words AS (
+  SELECT doc_id AS id,
+    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+  FROM documents
+), w2 AS (
+  SELECT * FROM words WHERE length(term) >= 1
+), doclen AS (
+  SELECT id, count(*) AS dl FROM w2 GROUP BY 1
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avglen
+  FROM doclen
+), hits AS (
+  SELECT id, term, count(*) AS tf FROM w2
+  WHERE term IN ('spark', 'stream', 'vector') GROUP BY 1, 2
+), dfv AS (
+  SELECT term, count(*) AS df FROM hits GROUP BY 1
+), ts AS (
+  SELECT h.id, d.dl, h.term, h.tf,
+    ln(1.0 + (s.n - CAST(f.df AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))
+      * (CAST(h.tf AS DOUBLE) * 2.2)
+      / (CAST(h.tf AS DOUBLE)
+         + 1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE) / s.avglen)) AS sc
+  FROM hits h
+  JOIN dfv f USING (term)
+  JOIN doclen d ON d.id = h.id
+  CROSS JOIN stats s
+), per_doc AS (
+  SELECT id, dl,
+    round(coalesce(sum(CASE WHEN term = 'spark' THEN sc END), 0.0)
+        + coalesce(sum(CASE WHEN term = 'stream' THEN sc END), 0.0)
+        + coalesce(sum(CASE WHEN term = 'vector' THEN sc END), 0.0), 6) AS score,
+    count(*) AS n_terms_hit,
+    CAST(sum(tf) AS BIGINT) AS tf_total
+  FROM ts GROUP BY 1, 2
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS INT) AS rank,
+  id AS doc_id, score, n_terms_hit, tf_total, dl
+FROM per_doc
+ORDER BY rank LIMIT 25
 """,
     }

@@ -278,24 +278,39 @@ def dimensional_rollup(
     if ts_col is not None:
         d = d.where(F.col(ts_col).isNotNull())
         d = d.withColumn("bucket_start", bucket_start(F.col(ts_col), tier))
-    grouped = (
-        d.cube(*cols, *( [F.col("bucket_start")] if ts_col is not None else [] ))
-        if mode == "cube"
-        else d.rollup(*cols, *( [F.col("bucket_start")] if ts_col is not None else [] ))
-    )
+    if ts_col is None:
+        grouped = d.cube(*cols) if mode == "cube" else d.rollup(*cols)
+        gid_expr, keep = F.grouping_id(), None
+    elif mode == "cube":
+        # bucket listed LAST: its grouping bit is the least significant,
+        # so bucket-concrete sets are the even gids and gid//2 recovers
+        # the pure-dims bitmask
+        grouped = d.cube(*cols, F.col("bucket_start"))
+        gid_expr, keep = F.grouping_id(), F.col("_gid_all") % 2 == 0
+    else:
+        # ROLLUP strips from the RIGHT, so the bucket must lead or the
+        # very first subtotal level would erase it (leaving the
+        # bucket-concrete filter nothing but the finest set); with the
+        # bucket first, sets are (bucket, d1..dk), (bucket, d1..dk-1),
+        # ..., (bucket), () — every subtotal level keeps the bucket.
+        # gid = the dims bitmask directly (bucket bit is the HIGH bit
+        # and 0 on every kept set)
+        grouped = d.rollup(F.col("bucket_start"), *cols)
+        gid_expr, keep = F.grouping_id(), F.col("_gid_all") < 2 ** len(dim_cols)
     out = grouped.agg(
-        F.grouping_id().alias("_gid_all"),
+        gid_expr.alias("_gid_all"),
         F.count(F.lit(1)).alias("n"),
         F.sum(v).alias("v_sum"),
     )
     if ts_col is not None:
-        # the bucket is never a subtotal axis: keep only sets where the
-        # bucket bit (least significant — listed last) is concrete
-        out = out.where(F.col("_gid_all") % 2 == 0).withColumn(
-            "gid", (F.col("_gid_all") / 2).cast("long")
+        out = out.where(keep).withColumn(
+            "gid",
+            (F.col("_gid_all") / 2).cast("long")
+            if mode == "cube"
+            else F.col("_gid_all").cast("long"),
         )
         sel = [*dim_cols, "bucket_start", "gid", "n", "v_sum"]
     else:
-        out = out.withColumn("gid", F.col("_gid_all"))
+        out = out.withColumn("gid", F.col("_gid_all").cast("long"))
         sel = [*dim_cols, "gid", "n", "v_sum"]
     return out.select(*sel)

@@ -24,6 +24,8 @@ training-data operator family.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -85,4 +87,106 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("source", "rank", "term", "tf", "df", "tfidf")
+    )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    min_len: int = 1,
+) -> DataFrame:
+    """BM25 keyword search: the top ``k`` documents for a bag of query
+    terms (Robertson/Sparck-Jones probabilistic ranking — the classic
+    lexical retriever next to the embedding ANN family in
+    operators/similarity.py). Uses the house whitespace tokenization
+    shared with :func:`tfidf_top_terms` / the decontam grams.
+
+    Per (doc, query term): ``score = idf(t) * tf*(k1+1) /
+    (tf + k1*(1 - b + b*len/avglen))`` with the Lucene non-negative
+    idf ``ln(1 + (N - df + 0.5)/(df + 0.5))``; a doc's score sums over
+    the query terms it contains. ``len`` is the doc's token count
+    (post-``min_len`` filter), ``avglen`` its corpus mean — counts and
+    lengths are all exact integers; only the final score composition is
+    float, and the ranking tie-breaks on (rounded score DESC, doc id
+    ASC) so order survives cross-engine libm ulp in ``ln`` (the
+    tfidf_top_terms discipline: report floats rounded, rank on a
+    deterministic key).
+
+    Scale shape: the query is a tiny broadcast (terms -> df via one
+    aggregate over the exploded token stream, which also yields doc
+    lengths in the same pass family); the corpus-side work is one
+    explode + two hash aggregates + a broadcast join — the payload
+    text never shuffles. N and avglen ride a broadcast scalar.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    terms = sorted({t.lower() for t in query_terms if t and len(t) >= min_len})
+    if not terms:
+        raise ValueError("query_terms must contain at least one usable term")
+    words = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    ).where(F.length("term") >= min_len)
+    doclen = words.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("dl").alias("_dlsum")
+    )
+    hits = words.where(F.col("term").isin(terms)).groupBy("id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_ = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        hits.join(F.broadcast(df_), "term")
+        .join(doclen, "id")
+        .crossJoin(F.broadcast(stats))
+    )
+    nd = F.col("_n").cast("double")
+    avglen = F.col("_dlsum").cast("double") / nd
+    idf = F.log(
+        F.lit(1.0)
+        + (nd - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tf = F.col("tf").cast("double")
+    denom = tf + F.lit(float(k1)) * (
+        F.lit(1.0 - float(b)) + F.lit(float(b)) * F.col("dl").cast("double") / avglen
+    )
+    term_score = idf * (tf * F.lit(float(k1) + 1.0)) / denom
+    # fixed-order score composition: one conditional sum per query term
+    # (each holds <= 1 non-null addend, so it is exact), then a
+    # left-associative add in sorted-term order — the per-doc score is
+    # ORDER-PINNED, immune to group-sum reordering, so rounded ranks
+    # reproduce cross-engine (any oracle must add in the same order)
+    per_term = [
+        F.sum(F.when(F.col("term") == t, term_score)).alias(f"_s{i}")
+        for i, t in enumerate(terms)
+    ]
+    agg = scored.groupBy("id", "dl").agg(
+        *per_term,
+        F.count(F.lit(1)).alias("n_terms_hit"),
+        F.sum("tf").alias("tf_total"),
+    )
+    total = F.coalesce(F.col("_s0"), F.lit(0.0))
+    for i in range(1, len(terms)):
+        total = total + F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+    per_doc = agg.withColumn("score", F.round(total, 6)).drop(
+        *[f"_s{i}" for i in range(len(terms))]
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("rank"),
+            F.col("id").alias(id_col),
+            "score",
+            "n_terms_hit",
+            "tf_total",
+            "dl",
+        )
     )

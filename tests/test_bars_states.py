@@ -492,3 +492,88 @@ def test_dimensional_rollup_bucketed_and_validation(spark):
         dimensional_rollup(df, ["k"], "v", mode="matrix")
     with _pytest.raises(ValueError):
         dimensional_rollup(df, ["k"], "v", ts_col="ts")
+
+
+def test_dimensional_rollup_bucketed_rollup_mode(spark):
+    """ROLLUP + bucket: the bucket must survive every subtotal level
+    (it leads the rollup order), so per-bucket grand totals exist."""
+    from python_vegindex_spark.operators.generic_rollup import dimensional_rollup
+
+    rows = [
+        ("a", "x", _ts(10, 0), 1), ("a", "y", _ts(10, 30), 2),
+        ("b", "x", _ts(10, 40), 4), ("a", "x", _ts(11, 0), 8),
+    ]
+    df = spark.createDataFrame(rows, "k string, j string, ts timestamp, v long")
+    out = dimensional_rollup(
+        df, ["k", "j"], "v", mode="rollup", ts_col="ts", tier="hourly"
+    )
+    got = {
+        (r["k"], r["j"], r["bucket_start"], r["gid"]): r["v_sum"]
+        for r in out.collect()
+    }
+    assert all(key[2] is not None for key in got)  # bucket never subtotaled
+    assert got[("a", "x", _ts(10), 0)] == 1
+    assert got[("a", None, _ts(10), 1)] == 3      # j rolled up
+    assert got[(None, None, _ts(10), 3)] == 7     # per-bucket grand total
+    assert got[(None, None, _ts(11), 3)] == 8
+    # rollup lattice only: gid=2 (k rolled, j concrete) must NOT exist
+    assert not any(key[3] == 2 for key in got)
+
+
+# ---------------------------------------------------------------- BM25
+
+
+def test_bm25_hand_reference(spark):
+    import math
+
+    from python_vegindex_spark.operators.terms import bm25_search
+
+    corpus = [
+        (1, "apple banana apple"),
+        (2, "banana cherry"),
+        (3, "cherry cherry cherry durian"),
+        (4, "apple"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = bm25_search(df, ["apple", "cherry"], k=10).collect()
+
+    # independent reference
+    toks = {i: t.split() for i, t in corpus}
+    N = len(toks)
+    avg = sum(len(v) for v in toks.values()) / N
+    dfs = {
+        t: sum(1 for v in toks.values() if t in v) for t in ("apple", "cherry")
+    }
+    def score(i):
+        s = 0.0
+        for t in ("apple", "cherry"):
+            tf = toks[i].count(t)
+            if not tf:
+                continue
+            idf = math.log(1.0 + (N - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            s += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(toks[i]) / avg))
+        return s
+
+    exp = {i: score(i) for i in toks if score(i) > 0}
+    assert {r["doc_id"] for r in got} == set(exp)
+    for r in got:
+        assert r["score"] == pytest.approx(exp[r["doc_id"]], abs=1e-6)
+    # ranking follows (score desc, id asc)
+    ranked = sorted(got, key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in ranked] == sorted(
+        exp, key=lambda i: (-round(exp[i], 6), i)
+    )
+
+
+def test_bm25_case_fold_and_validation(spark):
+    import pytest as _pytest
+
+    from python_vegindex_spark.operators.terms import bm25_search
+
+    df = spark.createDataFrame([(1, "Apple APPLE"), (2, "pear")], "doc_id long, text string")
+    got = bm25_search(df, ["APPLE"], k=5).collect()
+    assert len(got) == 1 and got[0]["doc_id"] == 1 and got[0]["tf_total"] == 2
+    with _pytest.raises(ValueError):
+        bm25_search(df, [], k=5)
+    with _pytest.raises(ValueError):
+        bm25_search(df, ["x"], k=0)
