@@ -2323,6 +2323,50 @@ def q_bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+def q_blackout_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blackout-window exclusion (operators/interval_join
+    .exclude_intervals): two fixed maintenance windows anti-joined out
+    of events (broadcast, fact side never shuffles), then a daily
+    count/sum rollup proves the excluded rows are gone."""
+    from python_vegindex_spark.operators.interval_join import exclude_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    bl = spark.createDataFrame(
+        [
+            ("2024-01-10 06:00:00", "2024-01-10 18:00:00"),
+            ("2024-01-20 00:00:00", "2024-01-21 00:00:00"),
+        ],
+        "start_ts string, end_ts string",
+    ).select(
+        F.col("start_ts").cast("timestamp").alias("start_ts"),
+        F.col("end_ts").cast("timestamp").alias("end_ts"),
+    )
+    kept = exclude_intervals(ev, bl)
+    return (
+        kept.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("v_sum"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def q_stride_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic decimation (operators/downsample.stride_downsample):
+    every 97th event per event_type by (ts, event_id) order — exact
+    per-series rate, deterministic survivor set."""
+    from python_vegindex_spark.operators.downsample import stride_downsample
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "event_id")
+    out = stride_downsample(
+        ev, stride=97, series_cols=["event_type"], order_cols=["event_id"]
+    )
+    return out.select(
+        "event_type", "sample_idx", "ts", "event_id"
+    ).orderBy("event_type", "sample_idx")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hourly_rollup_gapfill": q_hourly_rollup_gapfill,
@@ -2431,6 +2475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap_docs": q_domain_cap_docs,
         "dimensional_cube": q_dimensional_cube,
         "bm25_search_docs": q_bm25_search_docs,
+        "blackout_rollup": q_blackout_rollup,
+        "stride_decimate": q_stride_decimate,
     }
 
 
@@ -5281,5 +5327,28 @@ SELECT CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS INT) AS rank,
   id AS doc_id, score, n_terms_hit, tf_total, dl
 FROM per_doc
 ORDER BY rank LIMIT 25
+""",
+        # anti range join: rows inside either blackout never reach the
+        # rollup; start inclusive, end exclusive.
+        "blackout_rollup": """
+SELECT event_type, date_trunc('day', ts) AS day,
+  count(*) AS n,
+  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v_sum
+FROM events
+WHERE NOT (ts >= TIMESTAMP '2024-01-10 06:00:00' AND ts < TIMESTAMP '2024-01-10 18:00:00')
+  AND NOT (ts >= TIMESTAMP '2024-01-20 00:00:00' AND ts < TIMESTAMP '2024-01-21 00:00:00')
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # every 97th row per series by (ts, event_id); survivor set is a
+        # pure function of the data.
+        "stride_decimate": """
+WITH d AS (
+  SELECT event_type, ts, event_id,
+    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS ord
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT event_type, CAST(ord // 97 AS BIGINT) AS sample_idx, ts, event_id
+FROM d WHERE ord % 97 = 0
+ORDER BY event_type, sample_idx
 """,
     }

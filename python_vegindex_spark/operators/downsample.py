@@ -367,3 +367,41 @@ def histogram_quantile(
             F.round(est, 6).alias("est"),
         )
     )
+
+
+def stride_downsample(
+    df: DataFrame,
+    stride: int,
+    series_cols: Sequence[str],
+    ts_col: str = "ts",
+    order_cols: Sequence[str] = (),
+    offset: int = 0,
+) -> DataFrame:
+    """Systematic (every-``stride``-th sample) decimation per series —
+    the third member of the visual-reduction family: M4 is pixel-exact,
+    LTTB is perceptual, stride is the dumb-but-predictable one (every
+    k-th point by time order, deterministic and joinable across runs).
+
+    One (series)-keyed window for the ordinal, one filter:
+    ``(row_number - 1) % stride == offset`` — a series' FIRST sample
+    survives at offset 0, and the survivor set is a function of the
+    data alone (ties broken by ``order_cols``; pass a unique id for
+    full determinism). Unlike hash sampling (operators/sampling.py)
+    the rate is exact per series, not Bernoulli; unlike M4/LTTB it
+    preserves spacing, not features — use it for "plot 1-in-100"
+    pre-reduction where uniform time coverage matters.
+    """
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    if not 0 <= offset < stride:
+        raise ValueError(f"offset must be in [0, stride), got {offset}")
+    w = Window.partitionBy(*[F.col(c) for c in series_cols]).orderBy(
+        F.col(ts_col), *[F.col(c) for c in order_cols]
+    )
+    return (
+        df.where(F.col(ts_col).isNotNull())
+        .withColumn("_ord", F.row_number().over(w) - 1)
+        .where(F.col("_ord") % stride == offset)
+        .withColumn("sample_idx", (F.col("_ord") / stride).cast("long"))
+        .drop("_ord")
+    )

@@ -72,3 +72,37 @@ def dim_lookup(
 ) -> DataFrame:
     """J3: plain broadcast equi-join against a small dimension."""
     return facts.join(F.broadcast(dim), on=on, how=how)
+
+
+def exclude_intervals(
+    df: DataFrame,
+    blackouts: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Blackout-window exclusion: drop every fact row whose timestamp
+    falls inside ANY ``[start, end)`` interval of the (tiny)
+    ``blackouts`` table — the ops staple for maintenance windows, load
+    tests, and known-bad ingestion ranges that must not pollute
+    rollups/baselines (the anti form of :func:`interval_join`).
+
+    ``key_cols`` scopes blackouts to matching series (e.g. per
+    conv/host); omit for global windows. Intervals may overlap freely —
+    anti-join semantics need no validation pass.
+
+    Shape: ``left_anti`` broadcast join — a BroadcastNestedLoopJoin for
+    global windows, a broadcast hash join with a residual range filter
+    when ``key_cols`` exist. The fact side never shuffles and survivors
+    stream through; cost is rows × intervals comparisons, so keep the
+    blackout list broadcast-sized (it is, by nature).
+    """
+    t = F.col(f"__f.{ts_col}")
+    cond = (t >= F.col(f"__b.{start_col}")) & (t < F.col(f"__b.{end_col}"))
+    for k in key_cols or []:
+        cond = cond & (F.col(f"__f.{k}") == F.col(f"__b.{k}"))
+    return (
+        df.alias("__f")
+        .join(F.broadcast(blackouts.alias("__b")), cond, "left_anti")
+    )

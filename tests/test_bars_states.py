@@ -577,3 +577,57 @@ def test_bm25_case_fold_and_validation(spark):
         bm25_search(df, [], k=5)
     with _pytest.raises(ValueError):
         bm25_search(df, ["x"], k=0)
+
+
+# ----------------------------------------------- blackouts + decimation
+
+
+def test_exclude_intervals_global_and_keyed(spark):
+    from python_vegindex_spark.operators.interval_join import exclude_intervals
+
+    facts = spark.createDataFrame(
+        [("a", _ts(10, 0)), ("a", _ts(10, 30)), ("a", _ts(11, 0)),
+         ("b", _ts(10, 30))],
+        "k string, ts timestamp",
+    )
+    bl = spark.createDataFrame(
+        [(_ts(10, 15), _ts(10, 45))], "start_ts timestamp, end_ts timestamp"
+    )
+    out = exclude_intervals(facts, bl).collect()
+    assert {(r["k"], r["ts"]) for r in out} == {
+        ("a", _ts(10, 0)), ("a", _ts(11, 0)),
+    }
+    # keyed: only series a's blackout applies
+    blk = spark.createDataFrame(
+        [("a", _ts(10, 15), _ts(10, 45))],
+        "k string, start_ts timestamp, end_ts timestamp",
+    )
+    outk = exclude_intervals(facts, blk, key_cols=["k"]).collect()
+    assert {(r["k"], r["ts"]) for r in outk} == {
+        ("a", _ts(10, 0)), ("a", _ts(11, 0)), ("b", _ts(10, 30)),
+    }
+    # boundary semantics: start inclusive, end exclusive
+    bl2 = spark.createDataFrame(
+        [(_ts(10, 0), _ts(10, 30))], "start_ts timestamp, end_ts timestamp"
+    )
+    out2 = exclude_intervals(facts, bl2).collect()
+    assert ("a", _ts(10, 30)) in {(r["k"], r["ts"]) for r in out2}
+    assert ("a", _ts(10, 0)) not in {(r["k"], r["ts"]) for r in out2}
+
+
+def test_stride_downsample(spark):
+    import pytest as _pytest
+
+    from python_vegindex_spark.operators.downsample import stride_downsample
+
+    rows = [("a", _ts(10, i), i) for i in range(10)] + [("b", _ts(10, 0), 99)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v long")
+    out = stride_downsample(df, stride=3, series_cols=["k"], order_cols=["v"])
+    got = sorted((r["k"], r["v"], r["sample_idx"]) for r in out.collect())
+    assert got == [("a", 0, 0), ("a", 3, 1), ("a", 6, 2), ("a", 9, 3), ("b", 99, 0)]
+    off = stride_downsample(df, stride=3, series_cols=["k"], order_cols=["v"], offset=1)
+    assert sorted(r["v"] for r in off.collect() if r["k"] == "a") == [1, 4, 7]
+    with _pytest.raises(ValueError):
+        stride_downsample(df, 0, ["k"])
+    with _pytest.raises(ValueError):
+        stride_downsample(df, 3, ["k"], offset=3)
