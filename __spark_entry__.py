@@ -2367,6 +2367,45 @@ def q_stride_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "sample_idx")
 
 
+def q_cascade_daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar cascade (operators/cascade.cascade_bars): hourly bars
+    composed into daily bars — open/close picked by struct min/max over
+    (fine bucket, value), VWAP from the composed exact dot-product
+    sums. The oracle computes daily bars DIRECTLY from raw rows, so the
+    cascade ≡ direct claim is value-checked end to end."""
+    from python_vegindex_spark.operators.bars import ohlc_bars
+    from python_vegindex_spark.operators.cascade import cascade_bars
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull() & ~F.isnan("value") & F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.floor(F.col("value") * 100).cast("long").alias("v_int"),
+            (F.pmod(F.col("event_id"), F.lit(97)) + 1).cast("long").alias("w_int"),
+        )
+    )
+    fine = ohlc_bars(
+        ev, "hourly", ["event_type"], value_col="v_int", weight_col="w_int",
+        order_cols=["event_id"], round_to=None,
+    )
+    daily = cascade_bars(fine, "hourly", "daily", ["event_type"])
+    return daily.select(
+        "event_type",
+        "bucket_start",
+        "n",
+        F.col("open").cast("long").alias("open"),
+        F.col("high").cast("long").alias("high"),
+        F.col("low").cast("long").alias("low"),
+        F.col("close").cast("long").alias("close"),
+        F.col("w_sum").cast("long").alias("w_sum"),
+        F.col("vw_sum").cast("long").alias("vw_sum"),
+        F.round("vwap", 6).alias("vwap"),
+    ).orderBy("event_type", "bucket_start")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hourly_rollup_gapfill": q_hourly_rollup_gapfill,
@@ -2477,6 +2516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search_docs": q_bm25_search_docs,
         "blackout_rollup": q_blackout_rollup,
         "stride_decimate": q_stride_decimate,
+        "cascade_daily_bars": q_cascade_daily_bars,
     }
 
 
@@ -5350,5 +5390,27 @@ WITH d AS (
 SELECT event_type, CAST(ord // 97 AS BIGINT) AS sample_idx, ts, event_id
 FROM d WHERE ord % 97 = 0
 ORDER BY event_type, sample_idx
+""",
+        # the oracle computes DAILY bars straight from raw rows — the
+        # hourly->daily cascade must reproduce them bit-for-bit.
+        "cascade_daily_bars": """
+WITH base AS (
+  SELECT event_type, ts, event_id,
+    CAST(floor(value * 100) AS BIGINT) AS v,
+    CAST((event_id % 97) + 1 AS BIGINT) AS w,
+    CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+)
+SELECT event_type, bucket_start,
+  count(*) AS n,
+  CAST((min({'t': epoch_us(ts), 'e': event_id, 'v': v})).v AS BIGINT) AS open,
+  CAST(max(v) AS BIGINT) AS high,
+  CAST(min(v) AS BIGINT) AS low,
+  CAST((max({'t': epoch_us(ts), 'e': event_id, 'v': v})).v AS BIGINT) AS close,
+  CAST(sum(w) AS BIGINT) AS w_sum,
+  CAST(sum(v * w) AS BIGINT) AS vw_sum,
+  round(CAST(sum(v * w) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 6) AS vwap
+FROM base GROUP BY 1, 2 ORDER BY 1, 2
 """,
     }

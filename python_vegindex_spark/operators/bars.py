@@ -93,6 +93,10 @@ def ohlc_bars(
     if weight_col is not None:
         aggs += [
             _r(F.sum("_w")).alias("w_sum"),
+            # the raw dot-product sum rides along unrounded so coarse
+            # tiers can compose VWAP exactly (cascade_bars) — dividing
+            # first and multiplying back would lose ulps
+            F.sum(F.col("_v") * F.col("_w")).alias("vw_sum"),
             _r(F.sum(F.col("_v") * F.col("_w")) / F.sum("_w")).alias("vwap"),
         ]
     return d.groupBy(*series_cols, "bucket_start").agg(*aggs)

@@ -59,6 +59,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.buckets import bucket_start, tier_nday, tier_step_seconds
+from ..functions.timeutil import epoch_us
 
 MOMENT_COLS = ("n", "v_sum", "v_sumsq", "v_min", "v_max")
 
@@ -265,3 +266,65 @@ def finish_moments(mom: DataFrame, round_to: int | None = 6) -> DataFrame:
         F.col("v_min"),
         F.col("v_max"),
     )
+
+
+def cascade_bars(
+    bars: DataFrame,
+    from_tier: str,
+    to_tier: str,
+    series_cols: Sequence[str],
+) -> DataFrame:
+    """Fine-tier OHLC bars → coarse-tier bars without re-touching raw
+    data — the candlestick member of the cascade family ("1-minute
+    bars forever, roll daily/weekly bars off them", the TimescaleDB
+    `rollup(candlestick_agg)` pattern).
+
+    OHLC composes EXACTLY over a nesting partition of the coarse
+    bucket: ``open`` = the open of the earliest fine bar (struct min on
+    (fine bucket, open) — the operators/bars.py pick, one level up),
+    ``close`` = close of the latest, ``high``/``low`` = max/min,
+    ``n`` = sum. Fine buckets within one coarse bucket never tie, so
+    no tie-break column is needed. Runs on the small aggregate; one
+    shuffle of rolled-up rows. Same lattice-nesting validation as the
+    moment cascade (3day→weekly correctly rejected). VWAP composes
+    when the fine bars carry the UNROUNDED dot-product sum
+    (``vw_sum``, emitted by ohlc_bars alongside ``w_sum``): both sums
+    add exactly, and the coarse vwap is the same one pinned division —
+    so cascaded vwap is IDENTICAL to computing the coarse bar from raw
+    rows (dividing fine vwaps back out would lose ulps; that path is
+    deliberately not offered).
+    """
+    _check_nesting(from_tier, to_tier)
+    b = F.to_timestamp(bucket_start(F.col("bucket_start"), to_tier))
+    fine_b = F.col("bucket_start").cast("timestamp")
+    has_w = "w_sum" in bars.columns
+    if has_w and "vw_sum" not in bars.columns:
+        raise ValueError(
+            "weighted bars must carry the unrounded dot-product sum "
+            "'vw_sum' (ohlc_bars emits it next to w_sum) — vwap alone "
+            "cannot be composed exactly"
+        )
+    d = bars.select(
+        *series_cols,
+        b.alias("_cb"),
+        F.struct(epoch_us(fine_b).alias("_t"), F.col("open").alias("_v")).alias("_ko"),
+        F.struct(epoch_us(fine_b).alias("_t"), F.col("close").alias("_v")).alias("_kc"),
+        "n",
+        "high",
+        "low",
+        *(["w_sum", "vw_sum"] if has_w else []),
+    )
+    aggs = [
+        F.sum("n").alias("n"),
+        F.min("_ko").getField("_v").alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max("_kc").getField("_v").alias("close"),
+    ]
+    if has_w:
+        aggs += [
+            F.sum("w_sum").alias("w_sum"),
+            F.sum("vw_sum").alias("vw_sum"),
+            (F.sum("vw_sum") / F.sum("w_sum")).alias("vwap"),
+        ]
+    return d.groupBy(*series_cols, F.col("_cb").alias("bucket_start")).agg(*aggs)

@@ -182,3 +182,56 @@ def test_cascade_plan_jvm_only(spark, ev):
     plan = out._jdf.queryExecution().executedPlan().toString()
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert marker not in plan, f"Python in cascade plan: {marker}"
+
+
+def test_cascade_bars_equals_direct(spark):
+    """hourly bars -> daily bars must equal daily bars computed from raw
+    rows, including the composed VWAP (exact dot-product sums)."""
+    from datetime import datetime
+
+    from python_vegindex_spark.operators.bars import ohlc_bars
+    from python_vegindex_spark.operators.cascade import cascade_bars
+
+    rows = []
+    for d_ in (1, 2):
+        for h in (0, 5, 13, 22):
+            for m, v, w, i in ((0, 7, 2, 1), (20, 3, 5, 2), (40, 11, 1, 3)):
+                rows.append(
+                    ("s", datetime(2024, 3, d_, h, m), v * d_ + h, w, i + h * 10 + d_ * 1000)
+                )
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v long, w long, id long")
+    fine = ohlc_bars(
+        df, "hourly", ["k"], value_col="v", weight_col="w",
+        order_cols=["id"], round_to=None,
+    )
+    cascaded = cascade_bars(fine, "hourly", "daily", ["k"])
+    direct = ohlc_bars(
+        df, "daily", ["k"], value_col="v", weight_col="w",
+        order_cols=["id"], round_to=None,
+    ).withColumn("bucket_start", F.col("bucket_start").cast("timestamp"))
+    cols = ["k", "bucket_start", "n", "open", "high", "low", "close", "w_sum", "vw_sum", "vwap"]
+    got = sorted(tuple(r) for r in cascaded.select(*cols).collect())
+    exp = sorted(tuple(r) for r in direct.select(*cols).collect())
+    assert got == exp  # bit-identical, vwap included
+
+
+def test_cascade_bars_rejects_non_nesting_and_missing_dot(spark):
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from python_vegindex_spark.operators.bars import ohlc_bars
+    from python_vegindex_spark.operators.cascade import cascade_bars
+
+    df = spark.createDataFrame(
+        [("s", datetime(2024, 3, 1), 1, 1, 1)],
+        "k string, ts timestamp, v long, w long, id long",
+    )
+    fine = ohlc_bars(df, "3day", ["k"], value_col="v", round_to=None)
+    with _pytest.raises(ValueError):
+        cascade_bars(fine, "3day", "weekly", ["k"])
+    bad = ohlc_bars(
+        df, "hourly", ["k"], value_col="v", weight_col="w", round_to=None
+    ).drop("vw_sum")
+    with _pytest.raises(ValueError, match="vw_sum"):
+        cascade_bars(bad, "hourly", "daily", ["k"])
