@@ -2406,6 +2406,39 @@ def q_cascade_daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "bucket_start")
 
 
+def q_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-point query (operators/generic_rollup.last_point,
+    TimescaleDB last()/SkipScan analog): every user's most recent
+    event value — ONE struct-max aggregate, no window, no sort."""
+    from python_vegindex_spark.operators.generic_rollup import last_point
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    out = last_point(ev, ["user_id"], value_col="value", order_cols=["event_id"])
+    return out.select(
+        "user_id", "last_ts", F.round("last_value", 6).alias("last_value"), "n"
+    ).orderBy("user_id")
+
+
+def q_slo_burn_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO attainment + burn rate (operators/rate.slo_fraction): hourly
+    fraction of events with value <= 250 per event_type against a 0.55
+    objective — conditional BIGINT counts, pinned divisions, the
+    1-objective budget literal Python-computed once and embedded
+    verbatim in the oracle."""
+    from python_vegindex_spark.operators.rate import slo_fraction
+
+    ev = _t(spark, sf_dir, "events")
+    out = slo_fraction(
+        ev, "hourly", ["event_type"], threshold=250.0, objective=0.55
+    )
+    return out.select(
+        "event_type", "bucket_start", "n", "n_good",
+        "good_frac", "breached", "burn_rate",
+    ).orderBy("event_type", "bucket_start")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hourly_rollup_gapfill": q_hourly_rollup_gapfill,
@@ -2517,6 +2550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blackout_rollup": q_blackout_rollup,
         "stride_decimate": q_stride_decimate,
         "cascade_daily_bars": q_cascade_daily_bars,
+        "latest_per_user": q_latest_per_user,
+        "slo_burn_hourly": q_slo_burn_hourly,
     }
 
 
@@ -5412,5 +5447,37 @@ SELECT event_type, bucket_start,
   CAST(sum(v * w) AS BIGINT) AS vw_sum,
   round(CAST(sum(v * w) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 6) AS vwap
 FROM base GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # last point per series: one struct max, ties broken by event_id.
+        "latest_per_user": """
+WITH base AS (
+  SELECT user_id, ts, event_id, value FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+)
+SELECT user_id,
+  make_timestamp((max({'t': epoch_us(ts), 'o': event_id, 'v': value})).t) AS last_ts,
+  round((max({'t': epoch_us(ts), 'o': event_id, 'v': value})).v, 6) AS last_value,
+  count(*) AS n
+FROM base GROUP BY 1 ORDER BY 1
+""",
+        # SLO: conditional counts + pinned divisions; budget literal =
+        # python repr(1.0 - 0.55).
+        "slo_burn_hourly": f"""
+WITH base AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_start, value
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+), a AS (
+  SELECT event_type, bucket_start,
+    count(*) AS n,
+    count(CASE WHEN value <= 250.0 THEN 1 END) AS n_good
+  FROM base GROUP BY 1, 2
+)
+SELECT event_type, bucket_start, n, n_good,
+  round(CAST(n_good AS DOUBLE) / CAST(n AS DOUBLE), 6) AS good_frac,
+  (CAST(n_good AS DOUBLE) / CAST(n AS DOUBLE)) < 0.55 AS breached,
+  round((1.0 - CAST(n_good AS DOUBLE) / CAST(n AS DOUBLE)) / {1.0 - 0.55!r}, 6)
+    AS burn_rate
+FROM a ORDER BY 1, 2
 """,
     }

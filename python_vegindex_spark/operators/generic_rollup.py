@@ -314,3 +314,43 @@ def dimensional_rollup(
         out = out.withColumn("gid", F.col("_gid_all").cast("long"))
         sel = [*dim_cols, "gid", "n", "v_sum"]
     return out.select(*sel)
+
+
+def last_point(
+    df: DataFrame,
+    series_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Current state of every series — the dashboard "last point" query
+    (TimescaleDB `last(value, time)` / SkipScan, PromQL instant
+    vector): per series, the most recent sample's (ts, value).
+
+    One aggregate, no window, no sort of raw rows: ``max`` over a
+    ``(epoch-µs, order..., value)`` struct — the operators/bars.py
+    open/close pick reduced to its essence. O(1) state per series,
+    map-side partials, one shuffle on the series key.
+
+    Output: series..., ``last_ts``, ``last_value``, ``n`` (sample
+    count). Rows with NULL ts/value are ignored; ts ties break on
+    ``order_cols`` then value (deterministic).
+    """
+    v = F.col(value_col)
+    d = df.where(F.col(ts_col).isNotNull() & v.isNotNull()).select(
+        *series_cols,
+        F.struct(
+            epoch_us(F.col(ts_col)).alias("_t"),
+            *[F.col(c).alias(f"_o{i}") for i, c in enumerate(order_cols or [])],
+            v.alias("_v"),
+        ).alias("_k"),
+    )
+    agg = d.groupBy(*series_cols).agg(
+        F.max("_k").alias("_m"), F.count(F.lit(1)).alias("n")
+    )
+    return agg.select(
+        *series_cols,
+        F.timestamp_micros(F.col("_m._t")).alias("last_ts"),
+        F.col("_m._v").alias("last_value"),
+        "n",
+    )

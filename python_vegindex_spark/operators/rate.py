@@ -1176,3 +1176,52 @@ def holt_winters_smooth(
         return res
 
     return slim.groupBy(*keys).applyInPandas(_one, schema=schema)
+
+
+def slo_fraction(
+    df: DataFrame,
+    tier: str,
+    series_cols: Sequence[str],
+    threshold: float,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    objective: float | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """SLI/SLO attainment per bucket: the fraction of samples at or
+    under ``threshold`` ("% of requests under 200 ms") — conditional
+    counts and ONE pinned division, so the fraction is engine-exact.
+    With ``objective`` (e.g. 0.99) the output adds the breach flag and
+    the error-budget consumption ``bad_frac / (1 - objective)`` (> 1
+    means the bucket burned more than its budget — the
+    Google-SRE burn-rate number for that window).
+
+    One hash aggregate on (series, bucket); NULL/NaN samples count
+    toward nothing. Same shape as every rollup — composable upward by
+    summing n/n_good (they are plain BIGINTs).
+    """
+    if objective is not None and not 0.0 < objective < 1.0:
+        raise ValueError(f"objective must be in (0, 1), got {objective}")
+    v = F.col(value_col)
+    ok = v.isNotNull() & ~F.isnan(v.cast("double"))
+    d = df.where(F.col(ts_col).isNotNull() & ok).select(
+        *series_cols,
+        bucket_start(F.col(ts_col), tier).alias("bucket_start"),
+        v.alias("_v"),
+    )
+    agg = d.groupBy(*series_cols, "bucket_start").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("_v") <= F.lit(float(threshold)), 1)).alias("n_good"),
+    )
+    good = F.col("n_good").cast("double") / F.col("n").cast("double")
+    bad = F.lit(1.0) - good
+
+    def _r(c):
+        return F.round(c, round_to) if round_to is not None else c
+
+    out = agg.withColumn("good_frac", _r(good))
+    if objective is not None:
+        budget = 1.0 - float(objective)
+        out = out.withColumn("breached", good < F.lit(float(objective)))
+        out = out.withColumn("burn_rate", _r(bad / F.lit(budget)))
+    return out

@@ -631,3 +631,45 @@ def test_stride_downsample(spark):
         stride_downsample(df, 0, ["k"])
     with _pytest.raises(ValueError):
         stride_downsample(df, 3, ["k"], offset=3)
+
+
+# --------------------------------------------------- last point + SLO
+
+
+def test_last_point(spark):
+    from python_vegindex_spark.operators.generic_rollup import last_point
+
+    rows = [
+        ("a", _ts(10, 0), 1.0, 1), ("a", _ts(11, 0), 5.0, 2),
+        ("a", _ts(11, 0), 7.0, 3),  # ts tie: higher order col wins
+        ("b", _ts(9, 0), 2.0, 4), ("b", None, 99.0, 5),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double, id int")
+    out = {
+        r["k"]: r
+        for r in last_point(df, ["k"], value_col="v", order_cols=["id"]).collect()
+    }
+    assert out["a"]["last_ts"] == _ts(11, 0) and out["a"]["last_value"] == 7.0
+    assert out["a"]["n"] == 3
+    assert out["b"]["last_value"] == 2.0 and out["b"]["n"] == 1
+
+
+def test_slo_fraction_hand_case(spark):
+    import pytest as _pytest
+
+    from python_vegindex_spark.operators.rate import slo_fraction
+
+    rows = [("a", _ts(10, i), float(v)) for i, v in enumerate([100, 150, 300, 250])]
+    rows += [("a", _ts(11, 0), float("nan"))]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = slo_fraction(
+        df, "hourly", ["k"], threshold=200.0, value_col="v", objective=0.75
+    ).orderBy("bucket_start").collect()
+    r = out[0]
+    assert (r["n"], r["n_good"]) == (4, 2)
+    assert r["good_frac"] == 0.5
+    assert bool(r["breached"]) is True
+    assert r["burn_rate"] == pytest.approx(2.0)  # 0.5 bad / 0.25 budget
+    assert len(out) == 1  # the NaN-only bucket has no valid samples
+    with _pytest.raises(ValueError):
+        slo_fraction(df, "hourly", ["k"], 200.0, objective=1.0)
