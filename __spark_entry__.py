@@ -2439,6 +2439,53 @@ def q_slo_burn_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "bucket_start")
 
 
+def q_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature scaling (operators/mlprep.normalize_per_group):
+    z-score AND min-max of the quantized value within each event_type —
+    stats fit on the FULL table (order-free BIGINT sums, pinned
+    mean/std), applied to the user_id < 5 slice through the broadcast
+    join (the train-fit / row-apply split)."""
+    from python_vegindex_spark.operators.mlprep import group_stats, normalize_per_group
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull() & ~F.isnan("value"))
+        .select(
+            "event_id", "user_id", "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("v_int"),
+        )
+    )
+    st = group_stats(ev, ["event_type"], "v_int")
+    sl = ev.where(F.col("user_id") < 5)
+    z = normalize_per_group(sl, ["event_type"], "v_int", stats=st)
+    zm = normalize_per_group(z, ["event_type"], "v_int", method="minmax", stats=st)
+    return zm.select(
+        "event_id", "event_type", "v_int", "v_int_zscore", "v_int_minmax"
+    ).orderBy("event_id")
+
+
+def q_doc_len_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency discretization (operators/mlprep.quantile_bins):
+    documents binned into per-source n_chars quartiles; bin edges are
+    exact HF-7 percentiles over integers at q = i/4 (binary-exact
+    fractions, so the edge doubles are bit-identical cross-engine and
+    assignment comparisons cannot flip). Output: per-(source, bin)
+    count and char range."""
+    from python_vegindex_spark.operators.mlprep import quantile_bins
+
+    docs = _t(spark, sf_dir, "documents")
+    binned = quantile_bins(docs, ["source"], "n_chars", n_bins=4)
+    return (
+        binned.groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("source", "bin")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hourly_rollup_gapfill": q_hourly_rollup_gapfill,
@@ -2552,6 +2599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cascade_daily_bars": q_cascade_daily_bars,
         "latest_per_user": q_latest_per_user,
         "slo_burn_hourly": q_slo_burn_hourly,
+        "normalize_events": q_normalize_events,
+        "doc_len_quartiles": q_doc_len_quartiles,
     }
 
 
@@ -5479,5 +5528,52 @@ SELECT event_type, bucket_start, n, n_good,
   round((1.0 - CAST(n_good AS DOUBLE) / CAST(n AS DOUBLE)) / {1.0 - 0.55!r}, 6)
     AS burn_rate
 FROM a ORDER BY 1, 2
+""",
+        # fit on ALL rows, apply to the slice; pinned mean/std order.
+        "normalize_events": """
+WITH base AS (
+  SELECT event_id, user_id, event_type,
+    CAST(floor(value * 100) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+), st AS (
+  SELECT event_type,
+    CAST(sum(v) AS DOUBLE) / CAST(count(v) AS DOUBLE) AS mean,
+    sqrt(CAST(sum(v * v) AS DOUBLE) / CAST(count(v) AS DOUBLE)
+         - (CAST(sum(v) AS DOUBLE) / CAST(count(v) AS DOUBLE))
+           * (CAST(sum(v) AS DOUBLE) / CAST(count(v) AS DOUBLE))) AS std,
+    min(v) AS vmin, max(v) AS vmax
+  FROM base GROUP BY 1
+)
+SELECT b.event_id, b.event_type, b.v AS v_int,
+  round(CASE WHEN s.std > 0
+        THEN (CAST(b.v AS DOUBLE) - s.mean) / s.std END, 6) AS v_int_zscore,
+  round(CASE WHEN CAST(s.vmax AS DOUBLE) - CAST(s.vmin AS DOUBLE) > 0
+        THEN (CAST(b.v AS DOUBLE) - CAST(s.vmin AS DOUBLE))
+             / (CAST(s.vmax AS DOUBLE) - CAST(s.vmin AS DOUBLE)) END, 6)
+    AS v_int_minmax
+FROM base b JOIN st s USING (event_type)
+WHERE b.user_id < 5
+ORDER BY b.event_id
+""",
+        # quartile edges: linear-interpolated exact percentiles over
+        # integers at q=i/4 — binary-exact, so bins cannot flip.
+        "doc_len_quartiles": """
+WITH st AS (
+  SELECT source,
+    quantile_cont(n_chars, 0.25) AS e1,
+    quantile_cont(n_chars, 0.5) AS e2,
+    quantile_cont(n_chars, 0.75) AS e3
+  FROM documents GROUP BY 1
+), b AS (
+  SELECT d.source,
+    CASE WHEN d.n_chars IS NULL THEN NULL
+         ELSE CAST(d.n_chars > s.e1 AS INT) + CAST(d.n_chars > s.e2 AS INT)
+            + CAST(d.n_chars > s.e3 AS INT) END AS bin,
+    d.n_chars
+  FROM documents d JOIN st s USING (source)
+)
+SELECT source, bin, count(*) AS n,
+  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM b GROUP BY 1, 2 ORDER BY 1, 2
 """,
     }

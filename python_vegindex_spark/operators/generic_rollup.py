@@ -333,11 +333,15 @@ def last_point(
     map-side partials, one shuffle on the series key.
 
     Output: series..., ``last_ts``, ``last_value``, ``n`` (sample
-    count). Rows with NULL ts/value are ignored; ts ties break on
-    ``order_cols`` then value (deterministic).
+    count). Rows with NULL or NaN ts/value are ignored (NaN ≡ NULL,
+    the engine-wide rule); ts ties break on ``order_cols`` then value
+    (deterministic).
     """
     v = F.col(value_col)
-    d = df.where(F.col(ts_col).isNotNull() & v.isNotNull()).select(
+    # NaN ≡ NULL (engine-wide rule): a NaN sample is not a state
+    d = df.where(
+        F.col(ts_col).isNotNull() & v.isNotNull() & ~F.isnan(v.cast("double"))
+    ).select(
         *series_cols,
         F.struct(
             epoch_us(F.col(ts_col)).alias("_t"),

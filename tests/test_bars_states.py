@@ -673,3 +673,63 @@ def test_slo_fraction_hand_case(spark):
     assert len(out) == 1  # the NaN-only bucket has no valid samples
     with _pytest.raises(ValueError):
         slo_fraction(df, "hourly", ["k"], 200.0, objective=1.0)
+
+
+# --------------------------------------------------------------- mlprep
+
+
+def test_normalize_per_group_zscore_and_minmax(spark):
+    import pytest as _pytest
+
+    from python_vegindex_spark.operators.mlprep import normalize_per_group
+
+    rows = [("a", v) for v in (10, 20, 30)] + [("b", 5), ("b", 5)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    z = {
+        (r["g"], r["v"]): r["v_zscore"]
+        for r in normalize_per_group(df, ["g"], "v").collect()
+    }
+    # group a: mean 20, pop std sqrt(200/3); group b: std 0 -> NULL
+    import math
+
+    sd = math.sqrt(1400.0 / 3.0 - 400.0)  # pop std of {10,20,30}
+    assert z[("a", 10)] == pytest.approx(-10 / sd, abs=1e-6)
+    assert z[("a", 20)] == 0.0
+    assert z[("b", 5)] is None
+    mm = {
+        (r["g"], r["v"]): r["v_minmax"]
+        for r in normalize_per_group(df, ["g"], "v", method="minmax").collect()
+    }
+    assert mm[("a", 10)] == 0.0 and mm[("a", 30)] == 1.0 and mm[("a", 20)] == 0.5
+    assert mm[("b", 5)] is None
+    with _pytest.raises(ValueError):
+        normalize_per_group(df, ["g"], "v", method="robust")
+
+
+def test_normalize_with_frozen_stats(spark):
+    from python_vegindex_spark.operators.mlprep import group_stats, normalize_per_group
+
+    train = spark.createDataFrame([("a", 0), ("a", 10)], "g string, v long")
+    serve = spark.createDataFrame([("a", 20)], "g string, v long")
+    st = group_stats(train, ["g"], "v")
+    out = normalize_per_group(serve, ["g"], "v", stats=st).collect()[0]
+    # serve row scaled by TRAIN stats: mean 5, pop std 5 -> z = 3
+    assert out["v_zscore"] == 3.0
+
+
+def test_quantile_bins(spark):
+    import pytest as _pytest
+
+    from python_vegindex_spark.operators.mlprep import quantile_bins
+
+    rows = [("a", v) for v in range(1, 9)] + [("a", None)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r["v"]: r["bin"] for r in quantile_bins(df, ["g"], "v", n_bins=4).collect()}
+    # edges at p25/p50/p75 of 1..8 -> 2.75, 4.5, 6.25
+    assert out[1] == 0 and out[2] == 0
+    assert out[3] == 1 and out[4] == 1
+    assert out[5] == 2 and out[6] == 2
+    assert out[7] == 3 and out[8] == 3
+    assert out[None] is None
+    with _pytest.raises(ValueError):
+        quantile_bins(df, ["g"], "v", n_bins=1)
