@@ -2486,6 +2486,19 @@ def q_doc_len_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wau_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day active users per event_type
+    (operators/rate.trailing_distinct — the WAU generator): distinct
+    (series, day, user) triples replicate to the <= 7 daily buckets
+    they influence, clipped to the observed range, exact
+    count-distinct per target bucket."""
+    from python_vegindex_spark.operators.rate import trailing_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    out = trailing_distinct(ev, "daily", 7, ["event_type"], "user_id")
+    return out.orderBy("event_type", "bucket_start")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hourly_rollup_gapfill": q_hourly_rollup_gapfill,
@@ -2601,6 +2614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slo_burn_hourly": q_slo_burn_hourly,
         "normalize_events": q_normalize_events,
         "doc_len_quartiles": q_doc_len_quartiles,
+        "wau_trailing_7d": q_wau_trailing_7d,
     }
 
 
@@ -5575,5 +5589,25 @@ WITH st AS (
 SELECT source, bin, count(*) AS n,
   min(n_chars) AS min_chars, max(n_chars) AS max_chars
 FROM b GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # trailing 7-day distinct: distinct triples replicated to the
+        # target buckets they influence (clipped to observed range),
+        # exact count-distinct per target.
+        "wau_trailing_7d": """
+WITH pairs AS (
+  SELECT DISTINCT event_type,
+    epoch_us(ts) // 86400000000 AS b, user_id
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), rng AS (
+  SELECT event_type, min(b) AS lo, max(b) AS hi FROM pairs GROUP BY 1
+), t AS (
+  SELECT p.event_type, p.user_id,
+    unnest(generate_series(p.b, least(p.b + 6, r.hi))) AS tb
+  FROM pairs p JOIN rng r USING (event_type)
+)
+SELECT event_type,
+  make_timestamp(tb * 86400000000) AS bucket_start,
+  count(DISTINCT user_id) AS n_distinct
+FROM t GROUP BY 1, 2 ORDER BY 1, 2
 """,
     }

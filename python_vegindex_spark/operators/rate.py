@@ -1225,3 +1225,90 @@ def slo_fraction(
         out = out.withColumn("breached", good < F.lit(float(objective)))
         out = out.withColumn("burn_rate", _r(bad / F.lit(budget)))
     return out
+
+
+def trailing_distinct(
+    df: DataFrame,
+    tier: str,
+    window_buckets: int,
+    series_cols: Sequence[str],
+    key_col: str,
+    ts_col: str = "ts",
+    approx: bool = False,
+    approx_lgk: int = 12,
+) -> DataFrame:
+    """Trailing-window distinct cardinality per bucket — the "7-day
+    active users" metric (a DAU/WAU/MAU generator): for every bucket
+    in the series' gap-filled spine, the number of DISTINCT keys seen
+    in the last ``window_buckets`` buckets ending at it (inclusive).
+
+    Distinct-over-sliding-windows cannot reuse adjacent windows'
+    counts (distinct is not subtractable), so the exact path collapses
+    raw rows to DISTINCT (series, bucket, key) triples map-side (the
+    only raw-grain shuffle — the heavy lift), replicates each triple
+    to the ≤ ``window_buckets`` target buckets it influences (integer
+    epoch division, the interval_coverage explode), and counts
+    distinct per target. Cost: pairs × window copies of NARROW rows —
+    the standard exact formulation; raw payload never replicates.
+
+    ``approx=True`` switches the per-target count to a mergeable
+    DataSketches HLL union over the SAME replicated triples
+    (fixed ~2^lgk bytes per group instead of a dedup map) — the
+    billion-cardinality path, same default-exact policy as the
+    percentile family. Exact stays the default.
+
+    Fixed-width tiers only (hourly/daily/``Nmin``). Targets are
+    clipped to the series' observed [min, max] bucket range, so the
+    output matches the gap-filled spine exactly: a bucket with no
+    activity still reports the distinct count carried by its trailing
+    window.
+    """
+    if window_buckets < 1:
+        raise ValueError(f"window_buckets must be >= 1, got {window_buckets}")
+    step_s = tier_step_seconds(tier) or {"hourly": 3600, "daily": 86400}.get(tier)
+    if step_s is None:
+        raise ValueError(
+            f"trailing_distinct needs a fixed-width tier (hourly/daily/Nmin), got {tier!r}"
+        )
+    step = int(step_s) * 1_000_000
+    t = epoch_us(F.col(ts_col))
+    pairs = (
+        df.where(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+        .select(
+            *series_cols,
+            F.expr(f"unix_micros(cast({ts_col} as timestamp)) div {step}").alias("_b"),
+            F.col(key_col).alias("_k"),
+        )
+        .distinct()
+    )
+    rng = pairs.groupBy(*series_cols).agg(
+        F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
+    )
+    targets = (
+        pairs.join(F.broadcast(rng), list(series_cols))
+        .select(
+            *series_cols,
+            "_k",
+            F.explode(
+                F.sequence(
+                    F.col("_b"),
+                    F.least(F.col("_b") + F.lit(window_buckets - 1), F.col("_hi")),
+                )
+            ).alias("_tb"),
+        )
+    )
+    if approx:
+        agg = targets.groupBy(*series_cols, "_tb").agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("_k").cast("string"), F.lit(approx_lgk))
+            ).alias("n_distinct")
+        )
+    else:
+        agg = targets.groupBy(*series_cols, "_tb").agg(
+            F.count_distinct(F.col("_k")).alias("n_distinct")
+        )
+    return agg.select(
+        *series_cols,
+        F.timestamp_micros(F.col("_tb") * F.lit(step)).alias("bucket_start"),
+        "n_distinct",
+    )

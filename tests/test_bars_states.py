@@ -733,3 +733,37 @@ def test_quantile_bins(spark):
     assert out[None] is None
     with _pytest.raises(ValueError):
         quantile_bins(df, ["g"], "v", n_bins=1)
+
+
+# ----------------------------------------------------- trailing distinct
+
+
+def test_trailing_distinct_hand_case(spark):
+    import pytest as _pytest
+
+    from python_vegindex_spark.operators.rate import trailing_distinct
+
+    d1, d2, d4 = datetime(2024, 3, 1), datetime(2024, 3, 2), datetime(2024, 3, 4)
+    rows = [
+        ("s", d1, "u1"), ("s", d1, "u2"), ("s", d1, "u1"),  # dup collapses
+        ("s", d2, "u2"), ("s", d2, "u3"),
+        ("s", d4, "u1"),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, u string")
+    out = {
+        r["bucket_start"].day: r["n_distinct"]
+        for r in trailing_distinct(df, "daily", 2, ["k"], "u").collect()
+    }
+    # day1: {u1,u2}=2; day2: day1+day2 = {u1,u2,u3}=3; day3: day2 only
+    # (window [d2,d3]) = {u2,u3}=2; day4: {u1}=1 (day3 empty)
+    assert out == {1: 2, 2: 3, 3: 2, 4: 1}
+    # approx path agrees at tiny cardinalities
+    ap = {
+        r["bucket_start"].day: r["n_distinct"]
+        for r in trailing_distinct(df, "daily", 2, ["k"], "u", approx=True).collect()
+    }
+    assert {k: int(round(v)) for k, v in ap.items()} == out
+    with _pytest.raises(ValueError):
+        trailing_distinct(df, "daily", 0, ["k"], "u")
+    with _pytest.raises(ValueError):
+        trailing_distinct(df, "weekly", 2, ["k"], "u")
