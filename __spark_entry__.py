@@ -2499,6 +2499,28 @@ def q_wau_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("event_type", "bucket_start")
 
 
+def q_mad_robust_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily rollup (operators/rate.mad_rollup): exact median +
+    MAD + robust outlier count per event_type — median/MAD over
+    integer-quantized values are exact halves on both engines; the
+    outlier threshold literal (k * 1.4826) is Python-computed once and
+    embedded verbatim in the oracle."""
+    from python_vegindex_spark.operators.rate import mad_rollup
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull() & ~F.isnan("value"))
+        .select(
+            "event_type", "ts",
+            F.floor(F.col("value") * 100).cast("long").alias("v_int"),
+        )
+    )
+    out = mad_rollup(ev, "daily", ["event_type"], value_col="v_int")
+    return out.withColumn(
+        "bucket_start", F.col("bucket_start").cast("timestamp")
+    ).orderBy("event_type", "bucket_start")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hourly_rollup_gapfill": q_hourly_rollup_gapfill,
@@ -2615,6 +2637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_events": q_normalize_events,
         "doc_len_quartiles": q_doc_len_quartiles,
         "wau_trailing_7d": q_wau_trailing_7d,
+        "mad_robust_daily": q_mad_robust_daily,
     }
 
 
@@ -5609,5 +5632,34 @@ SELECT event_type,
   make_timestamp(tb * 86400000000) AS bucket_start,
   count(DISTINCT user_id) AS n_distinct
 FROM t GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # median/MAD exact halves over quantized ints; threshold literal
+        # = python repr(3.0 * 1.4826).
+        "mad_robust_daily": f"""
+WITH base AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket_start,
+    CAST(CAST(floor(value * 100) AS BIGINT) AS DOUBLE) AS v
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+), med AS (
+  SELECT event_type, bucket_start, count(*) AS n,
+    CAST(quantile_cont(v, 0.5) AS DOUBLE) AS med
+  FROM base GROUP BY 1, 2
+), mad AS (
+  SELECT b.event_type, b.bucket_start,
+    CAST(quantile_cont(abs(b.v - m.med), 0.5) AS DOUBLE) AS mad
+  FROM base b JOIN med m USING (event_type, bucket_start)
+  GROUP BY 1, 2
+)
+SELECT b.event_type, b.bucket_start,
+  any_value(m.n) AS n,
+  round(any_value(m.med), 6) AS median,
+  round(any_value(d.mad), 6) AS mad,
+  count(CASE WHEN abs(b.v - m.med) > {3.0 * 1.4826!r} * d.mad THEN 1 END)
+    AS n_outliers
+FROM base b
+JOIN med m USING (event_type, bucket_start)
+JOIN mad d USING (event_type, bucket_start)
+GROUP BY 1, 2 ORDER BY 1, 2
 """,
     }

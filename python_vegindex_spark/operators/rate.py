@@ -1312,3 +1312,88 @@ def trailing_distinct(
         F.timestamp_micros(F.col("_tb") * F.lit(step)).alias("bucket_start"),
         "n_distinct",
     )
+
+
+def mad_rollup(
+    df: DataFrame,
+    tier: str,
+    series_cols: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    outlier_k: float = 3.0,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Robust per-bucket statistics: exact MEDIAN and MAD (median
+    absolute deviation from the bucket median) plus a robust outlier
+    count — the robust twin of the mean/stddev rollup (one contaminated
+    sample moves a mean and explodes a stddev; median/MAD barely
+    notice, which is why robust monitoring baselines use them).
+
+    Three aggregates on the same (series, bucket) key, each consuming
+    the previous pass's SMALL result through a broadcast join (the raw
+    table re-groups, but Catalyst reuses the identical exchange):
+
+    1. exact median (HF-7 ``percentile``),
+    2. ``mad = median(|v - med|)``,
+    3. ``n_outliers = count(|v - med| > k * 1.4826 * mad)`` —
+       1.4826 ≈ the MAD→sigma consistency constant for normal data;
+       the literal is Python-computed once here, so any oracle
+       inherits it verbatim. A zero-MAD bucket flags nothing (every
+       deviation compares against 0 strictly — ties at the median are
+       not outliers, and the > keeps the guard).
+
+    Exactness: over integer-quantized values the median is an exact
+    half, deviations ``|v - med|`` are exact halves, and their median
+    is again exact — median/MAD are engine-exact; the outlier
+    comparison multiplies exact doubles by the shared literal,
+    deterministic on both engines. NaN ≡ NULL dropped.
+
+    Output per (series, ``bucket_start``): ``n``, ``median``, ``mad``,
+    ``n_outliers``.
+    """
+    if outlier_k <= 0:
+        raise ValueError(f"outlier_k must be > 0, got {outlier_k}")
+    thresh_lit = float(outlier_k) * 1.4826  # pinned: one python product
+    v = F.col(value_col)
+    d = df.where(
+        F.col(ts_col).isNotNull() & v.isNotNull() & ~F.isnan(v.cast("double"))
+    ).select(
+        *series_cols,
+        bucket_start(F.col(ts_col), tier).alias("bucket_start"),
+        v.cast("double").alias("_v"),
+    )
+    keys = [*series_cols, "bucket_start"]
+    med = d.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile(F.col("_v"), F.lit(0.5)).alias("_med"),
+    )
+    dev = F.abs(F.col("_v") - F.col("_med"))
+    mad = (
+        d.join(F.broadcast(med), keys)
+        .groupBy(*keys)
+        .agg(F.percentile(dev, F.lit(0.5)).alias("_mad"))
+    )
+    stats = med.join(mad, keys)
+    out = (
+        d.join(F.broadcast(stats), keys)
+        .groupBy(*keys)
+        .agg(
+            F.first("n").alias("n"),
+            F.first("_med").alias("_med"),
+            F.first("_mad").alias("_mad"),
+            F.count(
+                F.when(dev > F.lit(thresh_lit) * F.col("_mad"), 1)
+            ).alias("n_outliers"),
+        )
+    )
+
+    def _r(c):
+        return F.round(c, round_to) if round_to is not None else c
+
+    return out.select(
+        *keys,
+        "n",
+        _r(F.col("_med")).alias("median"),
+        _r(F.col("_mad")).alias("mad"),
+        "n_outliers",
+    )

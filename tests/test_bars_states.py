@@ -767,3 +767,26 @@ def test_trailing_distinct_hand_case(spark):
         trailing_distinct(df, "daily", 0, ["k"], "u")
     with _pytest.raises(ValueError):
         trailing_distinct(df, "weekly", 2, ["k"], "u")
+
+
+# ------------------------------------------------------------ MAD rollup
+
+
+def test_mad_rollup_hand_case(spark):
+    import pytest as _pytest
+
+    from python_vegindex_spark.operators.rate import mad_rollup
+
+    # bucket 10h: values 1..7 plus a wild 1000 -> median 4.5,
+    # deviations {3.5,2.5,1.5,.5,.5,1.5,2.5,995.5} -> mad 2.0;
+    # threshold 3*1.4826*2 = 8.8956 -> only 1000 is an outlier
+    rows = [("s", _ts(10, i), float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 1000])]
+    rows += [("s", _ts(11, 0), 5.0)]  # singleton bucket: mad 0, no outliers
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {r["bucket_start"]: r for r in mad_rollup(df, "hourly", ["k"], value_col="v").collect()}
+    b0 = out[_ts(10)]
+    assert (b0["n"], b0["median"], b0["mad"], b0["n_outliers"]) == (8, 4.5, 2.0, 1)
+    b1 = out[_ts(11)]
+    assert (b1["n"], b1["median"], b1["mad"], b1["n_outliers"]) == (1, 5.0, 0.0, 0)
+    with _pytest.raises(ValueError):
+        mad_rollup(df, "hourly", ["k"], outlier_k=0)
