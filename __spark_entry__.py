@@ -2521,6 +2521,89 @@ def q_mad_robust_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "bucket_start")
 
 
+def q_trimmed_mean_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily 10 %-trimmed mean per event_type
+    (operators/robust.trimmed_mean_rollup): drop the floor(n*0.1)
+    smallest and largest quantized values per bucket, mean the exact
+    BIGINT sum of the survivors — the surviving value-multiset is
+    deterministic even when ties straddle the cut, and the mean is one
+    division."""
+    from python_vegindex_spark.operators.robust import trimmed_mean_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    out = trimmed_mean_rollup(ev, "daily", ["event_type"], trim_frac=0.1)
+    return out.withColumn(
+        "bucket_start", F.col("bucket_start").cast("timestamp")
+    ).orderBy("event_type", "bucket_start")
+
+
+def q_theilsen_daily_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily Theil-Sen robust slope per event_type
+    (operators/robust.theilsen_slopes): exact median of all pairwise
+    slopes over strictly-increasing timestamps; each slope is one
+    IEEE division of exact integers, re-quantized before the median so
+    the even-count interpolation is over BIGINTs (exact halves on both
+    engines)."""
+    from python_vegindex_spark.operators.robust import theilsen_slopes
+
+    ev = _t(spark, sf_dir, "events")
+    out = theilsen_slopes(ev, "daily", ["event_type"], round_to=None)
+    # UNROUNDED on purpose: the median of quantized slopes is an exact
+    # integer-or-half, so slope = m / 1e6 is ONE deterministic IEEE
+    # division (bit-identical across engines) — but rounding it to 6 dp
+    # hits a decimal TIE whenever m is a half (x.xxxxxx5), and engines
+    # disagree on tie direction. The raw double is the safer contract.
+    return out.withColumn(
+        "bucket_start", F.col("bucket_start").cast("timestamp")
+    ).orderBy("event_type", "bucket_start")
+
+
+def q_spearman_daily_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise SPEARMAN rank correlation between event-type series'
+    daily integer bucket sums (operators/correlate.spearman_correlation)
+    — the robust twin of series_correlation_daily. Tie-averaged ranks
+    stay integral via the doubling trick (2*avg_rank = 2*min_rank +
+    ties - 1); the moment sums run the exact-integer Pearson
+    machinery."""
+    from python_vegindex_spark.operators.correlate import spearman_correlation
+
+    ev = _t(spark, sf_dir, "events")
+    return spearman_correlation(ev, "daily", "event_type").orderBy(
+        "series_a", "series_b"
+    )
+
+
+def q_seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of each event-type's daily mean
+    series (operators/decompose.seasonal_decompose): centered pooled
+    7-day trend from order-free BIGINT window sums (one division),
+    per-weekday seasonal index as the exact median of quantized
+    detrended values, residual = detrended - seasonal."""
+    from python_vegindex_spark.operators.decompose import seasonal_decompose
+
+    ev = _t(spark, sf_dir, "events")
+    # round_to=None for the same decimal-tie reason as theilsen: the
+    # seasonal index is an exact half / 1e6 — rounding that to 6 dp is
+    # a coin-flip tie across engines; the unrounded doubles are
+    # bit-identical (every op pinned).
+    out = seasonal_decompose(ev, ["event_type"], season=7, round_to=None)
+    return out.withColumn("day", F.col("day").cast("timestamp")).orderBy(
+        "event_type", "day"
+    )
+
+
+def q_chunk_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window RAG chunking with overlap
+    (operators/packing.chunk_overlap): 512-char chunks at stride 384;
+    exact integer lattice + substring + md5, all JVM."""
+    from python_vegindex_spark.operators.packing import chunk_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_overlap(docs, chunk_chars=512, stride=384).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hourly_rollup_gapfill": q_hourly_rollup_gapfill,
@@ -2638,6 +2721,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_len_quartiles": q_doc_len_quartiles,
         "wau_trailing_7d": q_wau_trailing_7d,
         "mad_robust_daily": q_mad_robust_daily,
+        "trimmed_mean_daily": q_trimmed_mean_daily,
+        "theilsen_daily_slope": q_theilsen_daily_slope,
+        "spearman_daily_corr": q_spearman_daily_corr,
+        "seasonal_decompose_daily": q_seasonal_decompose_daily,
+        "chunk_overlap_docs": q_chunk_overlap_docs,
     }
 
 
@@ -5661,5 +5749,158 @@ FROM base b
 JOIN med m USING (event_type, bucket_start)
 JOIN mad d USING (event_type, bucket_start)
 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # trimmed mean: the surviving value-multiset after dropping
+        # floor(n*0.1) per side is deterministic (row_number tie-breaks
+        # arbitrarily but removes exactly k copies of the tied VALUE),
+        # so the BIGINT survivor sum and its one division are exact.
+        "trimmed_mean_daily": """
+WITH base AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket_start,
+    CAST(floor(value * 100) AS BIGINT) AS q
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+), ranked AS (
+  SELECT event_type, bucket_start, q,
+    row_number() OVER (PARTITION BY event_type, bucket_start ORDER BY q) AS rk,
+    count(*) OVER (PARTITION BY event_type, bucket_start) AS n
+  FROM base
+), k AS (
+  SELECT *, CAST(floor(n * 0.1) AS BIGINT) AS n_trim FROM ranked
+)
+SELECT event_type, bucket_start,
+  any_value(n) AS n, any_value(n_trim) AS n_trim,
+  count(*) AS n_kept,
+  round(CAST(sum(q) AS DOUBLE) / CAST(count(*) * 100 AS DOUBLE), 6)
+    AS trimmed_mean
+FROM k WHERE rk > n_trim AND rk <= n - n_trim
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # Theil-Sen: each pairwise slope is one IEEE division of exact
+        # ints in the pinned order (dq * 10000.0) / dt_us, re-quantized
+        # (floor * 1e6) so the median interpolates BIGINTs (exact halves).
+        "theilsen_daily_slope": """
+WITH base AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket_start,
+    epoch_us(ts) AS t, CAST(floor(value * 100) AS BIGINT) AS q
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+), counts AS (
+  SELECT event_type, bucket_start, count(*) AS n FROM base GROUP BY 1, 2
+), sl AS (
+  SELECT a.event_type, a.bucket_start,
+    CAST(floor(
+      CAST(b.q - a.q AS DOUBLE) * 10000.0 / CAST(b.t - a.t AS DOUBLE)
+      * 1000000.0) AS BIGINT) AS sq
+  FROM base a JOIN base b USING (event_type, bucket_start)
+  WHERE a.t < b.t
+), med AS (
+  SELECT event_type, bucket_start, count(*) AS n_pairs,
+    quantile_cont(CAST(sq AS DOUBLE), 0.5) AS m
+  FROM sl GROUP BY 1, 2
+)
+SELECT c.event_type, c.bucket_start, c.n,
+  coalesce(m.n_pairs, 0) AS n_pairs,
+  m.m / 1000000.0 AS slope
+FROM counts c LEFT JOIN med m USING (event_type, bucket_start)
+ORDER BY 1, 2
+""",
+        # Spearman: tie-averaged ranks kept integral by the doubling
+        # trick (2*min_rank + ties - 1), then the shared exact-integer
+        # Pearson moment machinery (corr is shift/scale invariant).
+        "spearman_daily_corr": """
+WITH s AS (
+  SELECT event_type, CAST(ts AS DATE) AS b,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1, 2
+), p AS (
+  SELECT x.event_type AS series_a, y.event_type AS series_b,
+         x.v AS va, y.v AS vb
+  FROM s x JOIN s y USING (b) WHERE x.event_type < y.event_type
+), r AS (
+  SELECT series_a, series_b,
+    2 * rank() OVER (PARTITION BY series_a, series_b ORDER BY va)
+      + count(*) OVER (PARTITION BY series_a, series_b, va) - 1 AS ra,
+    2 * rank() OVER (PARTITION BY series_a, series_b ORDER BY vb)
+      + count(*) OVER (PARTITION BY series_a, series_b, vb) - 1 AS rb
+  FROM p
+), m AS (
+  SELECT series_a, series_b, count(*) AS cnt,
+    sum(ra) AS sx, sum(rb) AS sy,
+    sum(ra * ra) AS sxx, sum(ra * rb) AS sxy, sum(rb * rb) AS syy
+  FROM r GROUP BY 1, 2
+)
+SELECT series_a, series_b, CAST(cnt AS BIGINT) AS n,
+  round(CASE WHEN cnt >= 2
+          AND (CAST(cnt AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+          AND (CAST(cnt AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+        THEN (CAST(cnt AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(cnt AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(cnt AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        END, 6) AS corr
+FROM m ORDER BY 1, 2
+""",
+        # classical additive decomposition: pooled centered 7-day trend
+        # from order-free BIGINT RANGE-window sums (one division),
+        # per-position median of quantized detrended (exact halves),
+        # residual one subtraction + one division.
+        "seasonal_decompose_daily": """
+WITH base AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+    CAST(floor(value * 100) AS BIGINT) AS q
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+), daily AS (
+  SELECT event_type, d, count(*) AS n, sum(q) AS s FROM base GROUP BY 1, 2
+), t AS (
+  SELECT event_type, d, n, s,
+    count(*) OVER w AS days_in,
+    sum(s) OVER w AS ts_sum,
+    sum(n) OVER w AS tn
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d
+               RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), t2 AS (
+  SELECT event_type, d, n,
+    CAST(s AS DOUBLE) / CAST(n * 100 AS DOUBLE) AS v,
+    CASE WHEN days_in = 7
+         THEN CAST(ts_sum AS DOUBLE) / CAST(tn * 100 AS DOUBLE) END AS trend,
+    d % 7 AS season_pos
+  FROM t
+), t3 AS (
+  SELECT *, CAST(floor((v - trend) * 1000000.0) AS BIGINT) AS dq FROM t2
+), seas AS (
+  SELECT event_type, season_pos,
+    quantile_cont(CAST(dq AS DOUBLE), 0.5) AS sm
+  FROM t3 WHERE dq IS NOT NULL GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT t3.event_type,
+  make_timestamp(d * 86400000000) AS day,
+  n, v, season_pos,
+  trend,
+  sm / 1000000.0 AS seasonal,
+  (CAST(dq AS DOUBLE) - sm) / 1000000.0 AS residual
+FROM t3 LEFT JOIN seas USING (event_type, season_pos)
+ORDER BY 1, 2
+""",
+        # sliding-window chunking: exact integer lattice + substr + md5
+        # (character indexing and UTF-8 md5 agree across engines).
+        "chunk_overlap_docs": """
+WITH d AS (
+  SELECT doc_id, coalesce(text, '') AS txt,
+    greatest((length(coalesce(text, '')) - 512 + 383) // 384, 0) AS n_extra
+  FROM documents
+), e AS (
+  SELECT doc_id, txt,
+    unnest(generate_series(0, n_extra)) AS chunk_idx
+  FROM d
+)
+SELECT doc_id, chunk_idx,
+  chunk_idx * 384 + 1 AS chunk_start,
+  length(substr(txt, CAST(chunk_idx * 384 + 1 AS INT), 512)) AS chunk_len,
+  md5(substr(txt, CAST(chunk_idx * 384 + 1 AS INT), 512)) AS chunk_md5
+FROM e ORDER BY 1, 2
 """,
     }

@@ -301,3 +301,63 @@ def autocorrelation(
         )
         out = res if out is None else out.unionByName(res)
     return out
+
+
+def spearman_correlation(
+    df: DataFrame,
+    tier: str,
+    series_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    scale: int = 100,
+    min_buckets: int = 2,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Pairwise SPEARMAN rank correlation between every two series'
+    bucket sums — the robust twin of :func:`series_correlation`
+    (monotone association instead of linear; one wild bucket moves a
+    Pearson corr arbitrarily, but only shifts a rank by one).
+
+    Ranks are the textbook tie-averaged ranks computed over the COMMON
+    buckets of each pair (standard paired-sample Spearman), kept
+    integer-exact by the doubling trick: ``2*avg_rank = 2*min_rank +
+    ties - 1`` is always an integer, and Pearson over the doubled ranks
+    equals Pearson over the ranks (correlation is shift/scale
+    invariant). The moment sums then run through the same exact
+    DECIMAL(38,0) machinery as :func:`series_correlation` — the final
+    pinned-order double expression is the only floating-point step.
+
+    Scale: stage 1 is the shared one-scan bucket aggregate; the rank
+    windows partition by (pair) over bucket rows — k^2 x buckets
+    aggregate-sized work, never raw rows.
+    """
+    from pyspark.sql import Window
+
+    sums = _bucket_sums(
+        df, tier, [series_col], ts_col, value_col, scale
+    ).localCheckpoint(eager=True)
+    lhs = sums.select(
+        F.col(series_col).alias("series_a"), "bucket_start", F.col("_v").alias("_va")
+    )
+    rhs = sums.select(
+        F.col(series_col).alias("series_b"), "bucket_start", F.col("_v").alias("_vb")
+    )
+    pairs = lhs.join(rhs, on="bucket_start").where(
+        F.col("series_a") < F.col("series_b")
+    )
+    pk = ["series_a", "series_b"]
+
+    def _r2(col: str) -> F.Column:
+        # 2 * tie-averaged rank, always integral: 2*min_rank + ties - 1
+        wr = Window.partitionBy(*pk).orderBy(F.col(col))
+        wt = Window.partitionBy(*pk, col)
+        return (
+            F.lit(2) * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - F.lit(1)
+        ).cast("long")
+
+    ranked = pairs.select(
+        *pk,
+        _r2("_va").alias("_a"),
+        _r2("_vb").alias("_b"),
+    )
+    return _pearson_from_pairs(ranked, pk, min_buckets, round_to)

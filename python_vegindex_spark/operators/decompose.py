@@ -1,0 +1,150 @@
+"""Classical seasonal decomposition (additive, robust): value = trend
++ seasonal + residual over a daily series.
+
+The decomposition twin of the smoothing family (`rate.holt_smooth`,
+`rate.holt_winters`): where Holt-Winters *forecasts* by recursively
+updating level/trend/season state, classical decomposition *explains*
+an observed series by splitting every point into three additive parts —
+the moving-average trend, a per-season-position index, and what's left.
+vegindex's multi-year gcc series are exactly this shape (annual cycle +
+slow trend + weather residual); the engine's transcript series have the
+weekly cycle instead.
+
+Definitions (pinned for cross-engine bit-exactness):
+
+* ``v`` — the daily mean of the quantized measure, one division of two
+  exact BIGINTs (sum, count).
+* ``trend`` — the CENTERED POOLED mean over the ±half-season day
+  window: BIGINT sums of (sum, count) over a RANGE frame on the day
+  integer (order-free integer adds, immune to segment-tree
+  accumulation order), then ONE division. Emitted only when all
+  ``season`` lattice days are present in the window (gap days leave
+  trend NULL rather than a biased partial window). Pooling (sum of
+  sums / sum of counts) rather than mean-of-means keeps it exact.
+* ``seasonal`` — per season position (``day_int % season``, anchored
+  at the 1970-01-01 epoch, locale-free), the exact MEDIAN of the
+  quantized detrended values ``floor((v - trend) * qscale)`` — floor
+  products are deterministic and BIGINT medians are exact halves.
+  Robust by construction (median, not mean), so no recentering pass
+  is applied; the indexes inherit the trend's centering. Positions
+  seen fewer than ``min_cycles`` times emit NULL.
+* ``residual`` — ``detrended_q / qscale - seasonal`` (one division,
+  one subtraction).
+
+Scale: two hash aggregates on (series, day) and (series, position) —
+both tiny relative to the raw table — plus one RANGE window per series
+over DAY rows (thousands of rows per series, never raw rows). The raw
+table is touched once.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from python_vegindex_spark.functions.timeutil import epoch_us
+
+__all__ = ["seasonal_decompose"]
+
+_US_PER_DAY = 86_400_000_000
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    series_cols: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    season: int = 7,
+    scale: int = 100,
+    qscale: int = 1_000_000,
+    min_cycles: int = 2,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Daily additive decomposition; see module docstring for the
+    pinned definitions. ``season`` must be odd (the centered window is
+    ±(season//2) days around each day).
+
+    Output per (series, ``day`` date): ``n`` (raw rows), ``v`` (daily
+    mean), ``season_pos``, ``trend``, ``seasonal``, ``residual``
+    (trend/seasonal/residual NULL when the window is incomplete or the
+    position under-observed).
+    """
+    if season < 3 or season % 2 == 0:
+        raise ValueError(f"season must be odd and >= 3, got {season}")
+    if min_cycles < 1:
+        raise ValueError(f"min_cycles must be >= 1, got {min_cycles}")
+    half = season // 2
+    ts = F.col(ts_col)
+    v = F.col(value_col).cast("double")
+    d = df.where(ts.isNotNull() & v.isNotNull() & ~F.isnan(v)).select(
+        *series_cols,
+        # pure-integer day index: exact for any epoch, no double round-trip
+        ((epoch_us(ts) - F.pmod(epoch_us(ts), F.lit(_US_PER_DAY))) / F.lit(_US_PER_DAY))
+        .cast("long")
+        .alias("_day"),
+        F.floor(v * scale).cast("long").alias("_q"),
+    )
+    daily = d.groupBy(*series_cols, "_day").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_q").alias("_s")
+    )
+    w = (
+        Window.partitionBy(*series_cols)
+        .orderBy(F.col("_day"))
+        .rangeBetween(-half, half)
+    )
+    t = daily.select(
+        *series_cols,
+        "_day",
+        "n",
+        "_s",
+        F.count(F.lit(1)).over(w).alias("_days_in"),
+        F.sum("_s").over(w).alias("_ts_sum"),
+        F.sum("n").over(w).alias("_tn"),
+    )
+    # v and trend: one division each over exact integers.
+    t = t.select(
+        *series_cols,
+        "_day",
+        "n",
+        (F.col("_s").cast("double") / (F.col("n") * F.lit(int(scale))).cast("double")).alias("_v"),
+        F.when(
+            F.col("_days_in") == season,
+            F.col("_ts_sum").cast("double")
+            / (F.col("_tn") * F.lit(int(scale))).cast("double"),
+        ).alias("_trend"),
+        F.pmod(F.col("_day"), F.lit(season)).alias("season_pos"),
+    )
+    t = t.withColumn(
+        "_dq",
+        F.floor((F.col("_v") - F.col("_trend")) * F.lit(float(qscale))).cast("long"),
+    )
+    seas = (
+        t.where(F.col("_dq").isNotNull())
+        .groupBy(*series_cols, "season_pos")
+        .agg(
+            F.count(F.lit(1)).alias("_cyc"),
+            F.percentile(F.col("_dq").cast("double"), F.lit(0.5)).alias("_sm"),
+        )
+        .where(F.col("_cyc") >= int(min_cycles))
+        .select(*series_cols, "season_pos", "_sm")
+    )
+    out = t.join(F.broadcast(seas), [*series_cols, "season_pos"], "left")
+    qs = F.lit(float(qscale))
+    seasonal = F.col("_sm") / qs
+    residual = (F.col("_dq").cast("double") - F.col("_sm")) / qs
+    vv, tr = F.col("_v"), F.col("_trend")
+    if round_to is not None:
+        vv, tr = F.round(vv, round_to), F.round(tr, round_to)
+        seasonal, residual = F.round(seasonal, round_to), F.round(residual, round_to)
+    return out.select(
+        *series_cols,
+        F.to_date(F.timestamp_micros((F.col("_day") * _US_PER_DAY).cast("long"))).alias("day"),
+        "n",
+        vv.alias("v"),
+        "season_pos",
+        tr.alias("trend"),
+        seasonal.alias("seasonal"),
+        residual.alias("residual"),
+    )

@@ -146,3 +146,58 @@ def pack_greedy(
         return pdf
 
     return df.groupBy(*shard_cols).applyInPandas(assign, schema)
+
+
+def chunk_overlap(
+    df: DataFrame,
+    chunk_chars: int = 512,
+    stride: int = 384,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking with overlap — the RAG-indexing
+    third member of the packing family (pack_chunks cuts a concatenated
+    stream, pack_greedy bins whole docs; this one cuts WITHIN a doc so
+    every span of ``chunk_chars`` is covered and consecutive chunks
+    overlap by ``chunk_chars - stride``).
+
+    Chunk i covers characters ``[i*stride, i*stride + chunk_chars)``
+    (0-based); the number of chunks is ``1 + ceil(max(0, len - chunk)
+    / stride)`` — the minimal set such that every character is covered
+    and the final chunk reaches the end. Empty/NULL texts emit one
+    empty chunk (the doc stays represented downstream). Exact integer
+    lattice + ``substring`` + ``md5`` — all JVM, all
+    SQL-oracle-able; character (codepoint) indexing on both engines.
+
+    Scale: one ``posexplode`` per doc — narrow, no shuffle; output size
+    is the standard ~``chunk/stride``x text amplification every RAG
+    indexer pays. Dedup the chunks afterwards with the dedup family if
+    the corpus repeats boilerplate.
+
+    Output: (id, ``chunk_idx``, ``chunk_start`` 1-based inclusive,
+    ``chunk_len``, ``chunk_md5``).
+    """
+    if chunk_chars <= 0:
+        raise ValueError(f"chunk_chars must be positive, got {chunk_chars}")
+    if not (0 < stride <= chunk_chars):
+        raise ValueError(
+            f"stride must be in (0, chunk_chars={chunk_chars}], got {stride}"
+        )
+    c, s = int(chunk_chars), int(stride)
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    ln = F.length(txt)
+    # ceil((len - c) / s) without doubles: (len - c + s - 1) div s
+    n_extra = F.greatest(F.expr(f"(length({text_col}) - {c} + {s - 1}) div {s}"), F.lit(0))
+    d = df.select(
+        F.col(id_col),
+        txt.alias("_txt"),
+        F.posexplode(F.sequence(F.lit(0), n_extra)).alias("chunk_idx", "_i"),
+    )
+    chunk = F.substring(F.col("_txt"), F.col("chunk_idx") * s + 1, c)
+    return d.select(
+        id_col,
+        "chunk_idx",
+        (F.col("chunk_idx") * s + 1).alias("chunk_start"),
+        F.length(chunk).alias("chunk_len"),
+        F.md5(F.encode(chunk, "UTF-8")).alias("chunk_md5"),
+    )
