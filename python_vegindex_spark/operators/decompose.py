@@ -116,10 +116,14 @@ def seasonal_decompose(
         ).alias("_trend"),
         F.pmod(F.col("_day"), F.lit(season)).alias("season_pos"),
     )
+    # pin the small day-level frame: it feeds BOTH the seasonal-median
+    # aggregate and the final join — without the checkpoint each branch
+    # re-runs the whole lineage back to the raw scan (the correlate
+    # family's triple-scan lesson, test_plans.py)
     t = t.withColumn(
         "_dq",
         F.floor((F.col("_v") - F.col("_trend")) * F.lit(float(qscale))).cast("long"),
-    )
+    ).localCheckpoint(eager=True)
     seas = (
         t.where(F.col("_dq").isNotNull())
         .groupBy(*series_cols, "season_pos")

@@ -326,3 +326,49 @@ def test_sax_single_raw_scan_no_python(spark, turns_path):
     assert "FileScan parquet" not in plan, plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "mapInPandas"):
         assert marker not in plan, f"Python eval in SAX plan: {marker}"
+
+
+def test_robust_family_python_free_single_scan(spark, turns_path):
+    """Round-3 session-3 family: trimmed mean / Theil-Sen / decomposition
+    plans are pure JVM (no Python eval), and the decomposition touches
+    the raw table exactly once (daily aggregate feeds both the trend
+    window and the seasonal median)."""
+    from python_vegindex_spark.operators.decompose import seasonal_decompose
+    from python_vegindex_spark.operators.robust import (
+        theilsen_slopes,
+        trimmed_mean_rollup,
+    )
+
+    bronze = read_turns(spark, turns_path, "2023-01-01", "2026-01-01").withColumn(
+        "value", F.length("text").cast("double")
+    )
+    for df in (
+        trimmed_mean_rollup(bronze, "daily", ["role"]),
+        theilsen_slopes(bronze.limit(2000), "daily", ["role"]),
+        seasonal_decompose(bronze, ["role"]),
+    ):
+        df.collect()
+        plan = _executed_plan(df)
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+            assert marker not in plan, f"Python eval in robust family: {marker}"
+    dec = seasonal_decompose(bronze, ["role"])
+    dec.collect()
+    plan = _executed_plan(dec)
+    assert plan.count("FileScan parquet") <= 1
+
+
+def test_chunk_overlap_no_shuffle_no_python(spark, turns_path):
+    """Overlap chunking is a narrow per-row explode: no Exchange, no
+    Python eval — the plan the 100-TB story needs (chunking must not
+    reshuffle the corpus)."""
+    from python_vegindex_spark.operators.packing import chunk_overlap
+
+    bronze = read_turns(spark, turns_path, "2023-01-01", "2026-01-01").select(
+        F.col("conv_id").alias("doc_id"), "text"
+    )
+    out = chunk_overlap(bronze, chunk_chars=64, stride=48)
+    out.collect()
+    plan = _executed_plan(out)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan, f"Python eval in chunk_overlap: {marker}"
+    assert "Exchange" not in plan, "chunk_overlap must not shuffle"
