@@ -496,10 +496,36 @@ class SnapshotTable:
             },
         )
 
-    def compact(self, target_rows_per_file: int = 1_000_000) -> int:
-        """``rewrite_data_files`` analog: fold all file groups into one
-        bin-packed group. Old groups stay on disk (older snapshots keep
-        reading them) until ``expire_snapshots``."""
+    def compact(
+        self,
+        target_rows_per_file: int = 1_000_000,
+        zorder_by: list[str] | None = None,
+    ) -> int:
+        """``rewrite_data_files`` analog: fold all file groups into
+        bin-packed groups. Old groups stay on disk (older snapshots keep
+        reading them) until ``expire_snapshots``.
+
+        ``zorder_by`` rewrites the data CLUSTERED on the Morton
+        (Z-order) curve over the named numeric/temporal columns instead
+        of in arrival order — the Delta ``OPTIMIZE ... ZORDER BY`` /
+        Iceberg ``rewrite_data_files(strategy => 'sort', sort_order =>
+        'zorder(...)')`` analog. Each dimension is normalized to a
+        fixed-width bucket lattice over its observed [min, max]
+        (NULLs map to bucket 0) and the bucket bits are interleaved
+        into one long; rows are then range-split on that key, so every
+        output group covers a small HYPERCUBE of the value space and
+        the per-group min/max zone maps become selective on EVERY
+        z-ordered column at once — multi-dimension ``prune_range``
+        reads drop most groups, where arrival-order or single-column
+        sort layouts only ever prune one dimension.
+
+        Scale shape: one min/max aggregate for the lattice bounds, one
+        approx-quantile pass for balanced range splits, and one
+        pinned-cache scan per output group — the whole rewrite is
+        O(table), no per-row Python, no global sort (range split on the
+        z key is what a cluster's repartitionByRange would do; the
+        per-group writes here keep each group one manifest entry).
+        """
         import math
 
         parent = self.current_version()
@@ -509,15 +535,125 @@ class SnapshotTable:
         df = self.read(version=parent)
         rows = sum(g["rows"] for g in manifest["files"])
         n_out = max(1, math.ceil(rows / target_rows_per_file))
-        g = self._write_group(df.coalesce(n_out))
+        if not zorder_by:
+            g = self._write_group(df.coalesce(n_out))
+            groups = [g]
+            op = "compact"
+        else:
+            groups = self._zorder_groups(df, zorder_by, n_out)
+            op = "zorder_compact"
         return self._commit(
-            parent, [g], "compact", manifest["schema"],
+            parent, groups, op, manifest["schema"],
             {
-                "rows_written": g["rows"],
-                "groups_added": 1,
+                "rows_written": sum(g["rows"] for g in groups),
+                "groups_added": len(groups),
                 "groups_removed": len(manifest["files"]),
+                **({"zorder_by": list(zorder_by)} if zorder_by else {}),
             },
         )
+
+    def _zvalue_column(self, df: DataFrame, cols: list[str]):
+        """Morton key over ``cols``: per-dimension equal-width bucket in
+        [0, 2^bits) over the observed [min, max] (one aggregate pass for
+        the bounds; NULL and degenerate min==max land in bucket 0), bits
+        interleaved dimension-major so the curve alternates between
+        dimensions at every scale. bits*ndims is capped at 48 so the
+        z key (and its double image for the quantile split) stays
+        integer-exact."""
+        from pyspark.sql import types as T
+
+        if not cols:
+            raise ValueError("zorder_by must name at least one column")
+        ndims = len(cols)
+        bits = min(16, 48 // ndims)
+        if bits < 1:
+            raise ValueError(f"too many zorder columns ({ndims}); max 48")
+        fields = {f.name: f.dataType for f in df.schema.fields}
+        nums = []
+        for c in cols:
+            if c not in fields:
+                raise ValueError(f"zorder column {c!r} not in table schema")
+            dt = fields[c]
+            col = F.col(c)
+            if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+                nums.append(F.unix_micros(col.cast("timestamp")).cast("double"))
+            elif isinstance(dt, T.DateType):
+                nums.append(F.datediff(col, F.lit("1970-01-01")).cast("double"))
+            elif isinstance(dt, T.NumericType):
+                nums.append(col.cast("double"))
+            else:
+                raise ValueError(
+                    f"zorder column {c!r} has non-orderable-numeric type "
+                    f"{dt.simpleString()}; z-order supports numeric, "
+                    "timestamp and date columns"
+                )
+        bounds = df.select(
+            *[F.min(e).alias(f"_lo{i}") for i, e in enumerate(nums)],
+            *[F.max(e).alias(f"_hi{i}") for i, e in enumerate(nums)],
+        ).collect()[0]
+        top = (1 << bits) - 1
+        bucket_exprs = []
+        for i, e in enumerate(nums):
+            lo, hi = bounds[f"_lo{i}"], bounds[f"_hi{i}"]
+            if lo is None or hi is None or hi <= lo:
+                bucket_exprs.append(F.lit(0).cast("long"))
+                continue
+            scaled = (e - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(float(top))
+            b = F.least(
+                F.greatest(F.floor(scaled).cast("long"), F.lit(0)), F.lit(top)
+            )
+            bucket_exprs.append(F.coalesce(b, F.lit(0)))
+        z = F.lit(0).cast("long")
+        for b in range(bits):
+            for d, be in enumerate(bucket_exprs):
+                shift = b * ndims + d
+                z = z.bitwiseOR(
+                    F.shiftleft(F.shiftright(be, b).bitwiseAND(F.lit(1)), shift)
+                )
+        return z
+
+    def _zorder_groups(
+        self, df: DataFrame, zorder_by: list[str], n_out: int
+    ) -> list[dict]:
+        """Split ``df`` into ``<= n_out`` file groups by contiguous
+        ranges of the Morton key (balanced via approx quantiles of the
+        key) and write each as one manifest group. The keyed frame is
+        pinned once (localCheckpoint) so the per-group writes scan the
+        small cached frame, not the source lineage."""
+        zcol = "_z_morton_tmp"
+        if zcol in df.columns:
+            raise ValueError(f"column name {zcol!r} collides with z-order temp")
+        zdf = df.withColumn(zcol, self._zvalue_column(df, zorder_by))
+        zdf = zdf.localCheckpoint(eager=True)
+        try:
+            if n_out <= 1:
+                return [self._write_group(zdf.sort(zcol).drop(zcol).coalesce(1))]
+            qs = [i / n_out for i in range(1, n_out)]
+            cuts = zdf.select(F.col(zcol).cast("double").alias("_zd")).stat.approxQuantile(
+                "_zd", qs, 0.001
+            )
+            edges = sorted({int(c) for c in cuts})
+            groups: list[dict] = []
+            prev: int | None = None
+            for j, edge in enumerate([*edges, None]):
+                part = zdf
+                if prev is not None:
+                    part = part.filter(F.col(zcol) > prev)
+                if edge is not None:
+                    part = part.filter(F.col(zcol) <= edge)
+                prev = edge
+                g = self._write_group(part.sort(zcol).drop(zcol).coalesce(1))
+                if g["rows"] == 0:
+                    # quantile duplicates can empty a slice; drop the dir
+                    import shutil
+
+                    shutil.rmtree(os.path.join(self.root, g["group"]),
+                                  ignore_errors=True)
+                    continue
+                groups.append(g)
+            return groups
+        finally:
+            zdf.unpersist()
 
     def rollback(self, version: int) -> int:
         """Commit a new snapshot that references snapshot ``version``'s
