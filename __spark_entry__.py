@@ -2592,6 +2592,63 @@ def q_seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZORDER BY compaction end-to-end (sources/snapshots.compact):
+    arrival-order appends span the full (user_id, value) space, the
+    Morton rewrite re-clusters them, and a 2-D box read must BOTH
+    prune file groups at the manifest level (asserted in-query — a
+    layout regression fails the gate) and equal the plain SQL filter.
+    Checksums integer-exact."""
+    import shutil
+    import tempfile
+
+    from python_vegindex_spark.session import scratch_dir
+    from python_vegindex_spark.sources.snapshots import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    root = tempfile.mkdtemp(prefix="snap_z_", dir=scratch_dir())
+    try:
+        t = SnapshotTable(spark, root, stats_cols=["user_id", "value"])
+        for i in range(3):  # arrival order: every group spans both dims
+            t.append(ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i))
+        total = sum(
+            g["rows"] for g in t._manifest(t.current_version())["files"]
+        )
+        v = t.compact(
+            target_rows_per_file=max(1, total // 8),
+            zorder_by=["user_id", "value"],
+        )
+        m = t._manifest(v)
+        box = {"user_id": (100, 300), "value": (100.0, 300.0)}
+        picked = t._select_range(m["files"], box)
+        if len(m["files"]) > 1 and not len(picked) < len(m["files"]):
+            raise AssertionError(
+                "z-order layout failed to prune the 2-D box query"
+            )
+        ok = F.col("value").isNotNull() & ~F.isnan("value")
+        rows = (
+            t.read(version=v, prune_range=box)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("event_id").cast("long").alias("id_sum"),
+                F.sum(
+                    F.when(ok, F.floor(F.col("value") * 100).cast("long"))
+                ).cast("long").alias("v_sum"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    out = spark.createDataFrame(
+        [(r["event_type"], r["n"], r["id_sum"], r["v_sum"]) for r in rows],
+        "event_type string, n long, id_sum long, v_sum long",
+    )
+    return out.orderBy("event_type")
+
+
 def q_chunk_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window RAG chunking with overlap
     (operators/packing.chunk_overlap): 512-char chunks at stride 384;
@@ -2726,6 +2783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman_daily_corr": q_spearman_daily_corr,
         "seasonal_decompose_daily": q_seasonal_decompose_daily,
         "chunk_overlap_docs": q_chunk_overlap_docs,
+        "snapshot_zorder_read": q_snapshot_zorder_read,
     }
 
 
@@ -5902,5 +5960,18 @@ SELECT doc_id, chunk_idx,
   length(substr(txt, CAST(chunk_idx * 384 + 1 AS INT), 512)) AS chunk_len,
   md5(substr(txt, CAST(chunk_idx * 384 + 1 AS INT), 512)) AS chunk_md5
 FROM e ORDER BY 1, 2
+""",
+        # z-order read ≡ plain filter: pruning is layout-only, the box
+        # semantics are a 2-D BETWEEN (NaN value fails <= hi on both
+        # engines; NULLs fail both bounds).
+        "snapshot_zorder_read": """
+SELECT event_type,
+  count(*) AS n,
+  CAST(sum(event_id) AS BIGINT) AS id_sum,
+  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v_sum
+FROM events
+WHERE user_id >= 100 AND user_id <= 300
+  AND value >= 100.0 AND value <= 300.0
+GROUP BY 1 ORDER BY 1
 """,
     }

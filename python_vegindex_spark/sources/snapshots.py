@@ -580,7 +580,10 @@ class SnapshotTable:
             elif isinstance(dt, T.DateType):
                 nums.append(F.datediff(col, F.lit("1970-01-01")).cast("double"))
             elif isinstance(dt, T.NumericType):
-                nums.append(col.cast("double"))
+                e = col.cast("double")
+                # NaN-safe: NaN would win the max() bound and poison the
+                # whole lattice; treat it as NULL (-> bucket 0)
+                nums.append(F.when(F.isnan(e), F.lit(None)).otherwise(e))
             else:
                 raise ValueError(
                     f"zorder column {c!r} has non-orderable-numeric type "

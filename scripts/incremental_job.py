@@ -3,7 +3,8 @@
     spark-submit --master local[N] --py-files /tmp/pvs.zip \
         scripts/incremental_job.py --turns <bronze_path> --store <dir> \
         [--tiers hourly,daily,weekly] [--nmin 2] [--backfill <delta_path>] \
-        [--snapshots] [--history TIER | --rollback TIER:V | --expire TIER:K]
+        [--snapshots] [--history TIER | --rollback TIER:V | --expire TIER:K |
+         --zorder TIER:COL,COL]
 
 One bronze scan updates every gold tier past its checkpoint
 (streaming/incremental.incremental_rollup_tiers); with ``--backfill``
@@ -47,6 +48,10 @@ def main() -> None:
     ap.add_argument("--history", default=None, metavar="TIER",
                     help="instead of ingesting, print a snapshot-mode "
                          "gold tier's commit history")
+    ap.add_argument("--zorder", default=None, metavar="TIER:COL,COL",
+                    help="instead of ingesting, rewrite the tier's gold "
+                         "snapshot ZORDER BY the named columns (Morton-"
+                         "clustered file groups; snapshots.compact)")
     ap.add_argument("--expire", default=None, metavar="TIER:KEEP",
                     help="instead of ingesting, expire all but the "
                          "newest KEEP snapshots of a gold tier (deletes "
@@ -78,12 +83,22 @@ def main() -> None:
 
     store = RollupStore(args.store, snapshots=args.snapshots)
 
-    if args.history or args.rollback or args.expire:
+    if args.history or args.rollback or args.expire or args.zorder:
         if not args.snapshots:
-            ap.error("--history/--rollback/--expire require --snapshots")
+            ap.error("--history/--rollback/--expire/--zorder require --snapshots")
         if args.history:
             metrics = {"mode": "history", "tier": args.history,
                        "history": store.gold_snapshot(spark, args.history).history()}
+        elif args.zorder:
+            tier, _, cols = args.zorder.partition(":")
+            zcols = [c for c in cols.split(",") if c]
+            if not zcols:
+                ap.error("--zorder needs TIER:COL[,COL...]")
+            snap = store.gold_snapshot(spark, tier)
+            new_v = snap.compact(zorder_by=zcols)
+            m = snap._manifest(new_v)
+            metrics = {"mode": "zorder", "tier": tier, "zorder_by": zcols,
+                       "new_version": new_v, "n_groups": len(m["files"])}
         elif args.rollback:
             tier, _, ver = args.rollback.partition(":")
             new_v = store.gold_snapshot(spark, tier).rollback(int(ver))

@@ -255,6 +255,11 @@ def test_incremental_job_cli_snapshots(spark, tmp_path):
     assert ex["expired_snapshots"] == 2 and ex["retained"] == [3]
     assert store.read_gold(spark, "daily").count() == len(exp)
 
+    z = run(["--turns", p_all, "--zorder", "daily:bucket_start,turn_count"])
+    assert z["mode"] == "zorder" and z["zorder_by"] == ["bucket_start", "turn_count"]
+    assert z["new_version"] == 4 and z["n_groups"] >= 1
+    assert store.read_gold(spark, "daily").count() == len(exp)
+
 
 def test_schema_evolution_add_column(spark, root):
     """Iceberg add-column semantics: an append with a new column evolves
