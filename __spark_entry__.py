@@ -2592,6 +2592,23 @@ def q_seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day Pearson correlation per event-type pair per day
+    (operators/correlate.rolling_correlation): the time-resolved member
+    of the correlation family — six exact integer moment sums over a
+    RANGE frame on the day index, one pinned double expression per
+    row."""
+    from python_vegindex_spark.operators.correlate import rolling_correlation
+
+    ev = _t(spark, sf_dir, "events")
+    out = rolling_correlation(
+        ev, "daily", "event_type", window=7, min_periods=3
+    )
+    return out.withColumn(
+        "bucket_start", F.col("bucket_start").cast("timestamp")
+    ).orderBy("series_a", "series_b", "bucket_start")
+
+
 def q_snapshot_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ZORDER BY compaction end-to-end (sources/snapshots.compact):
     arrival-order appends span the full (user_id, value) space, the
@@ -2784,6 +2801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_decompose_daily": q_seasonal_decompose_daily,
         "chunk_overlap_docs": q_chunk_overlap_docs,
         "snapshot_zorder_read": q_snapshot_zorder_read,
+        "rolling_corr_daily": q_rolling_corr_daily,
     }
 
 
@@ -5973,5 +5991,43 @@ FROM events
 WHERE user_id >= 100 AND user_id <= 300
   AND value >= 100.0 AND value <= 300.0
 GROUP BY 1 ORDER BY 1
+""",
+        # trailing-window Pearson: six HUGEINT moment sums over a RANGE
+        # frame on the day index (order-free), one pinned double
+        # expression per row — mirrors the Spark DECIMAL(38,0) frame.
+        "rolling_corr_daily": """
+WITH s AS (
+  SELECT event_type, CAST(ts AS DATE) AS b,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1, 2
+), p AS (
+  SELECT x.event_type AS series_a, y.event_type AS series_b, b,
+         epoch_us(CAST(b AS TIMESTAMP)) // 86400000000 AS d,
+         x.v AS va, y.v AS vb
+  FROM s x JOIN s y USING (b) WHERE x.event_type < y.event_type
+), f AS (
+  SELECT series_a, series_b, b,
+    count(*) OVER w AS n,
+    sum(CAST(va AS HUGEINT)) OVER w AS sx,
+    sum(CAST(vb AS HUGEINT)) OVER w AS sy,
+    sum(CAST(va AS HUGEINT) * va) OVER w AS sxx,
+    sum(CAST(va AS HUGEINT) * vb) OVER w AS sxy,
+    sum(CAST(vb AS HUGEINT) * vb) OVER w AS syy
+  FROM p
+  WINDOW w AS (PARTITION BY series_a, series_b ORDER BY d
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT series_a, series_b, CAST(b AS TIMESTAMP) AS bucket_start,
+  CAST(n AS BIGINT) AS n,
+  round(CASE WHEN n >= 3
+          AND (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+          AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+        THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        END, 6) AS corr
+FROM f ORDER BY 1, 2, 3
 """,
     }

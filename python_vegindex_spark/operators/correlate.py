@@ -361,3 +361,108 @@ def spearman_correlation(
         _r2("_vb").alias("_b"),
     )
     return _pearson_from_pairs(ranked, pk, min_buckets, round_to)
+
+
+def rolling_correlation(
+    df: DataFrame,
+    tier: str,
+    series_col: str,
+    window: int = 7,
+    min_periods: int = 3,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    scale: int = 100,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """TRAILING-window Pearson correlation between every two series'
+    bucket sums — "are these two metrics moving together *right now*?",
+    the time-resolved member of the correlation family (the all-time
+    matrix answers "in general"; this one emits a correlation PER
+    BUCKET over the last ``window`` buckets).
+
+    Exactness discipline: the six Pearson moments accumulate over a
+    RANGE frame on the bucket's integer step index — window sums of
+    DECIMAL(38,0) products of the BIGINT bucket sums, order-free and
+    segment-tree-immune — and the only floating-point step is the
+    final pinned corr expression per row. Gap buckets are simply
+    absent (sample correlation over the observed buckets in the
+    window); rows with fewer than ``min_periods`` observed buckets
+    emit NULL.
+
+    Fixed-step tiers only (hourly/Nmin/daily — the same restriction as
+    :func:`autocorrelation`): the frame is "last ``window`` LATTICE
+    steps", not "last ``window`` observed rows", so a gap shrinks the
+    sample instead of silently stretching the window back in time.
+
+    Scale: one raw scan (the shared stage-1 bucket aggregate), a
+    self-join and windows over ``series x buckets`` aggregate rows.
+
+    Output per (series_a < series_b, ``bucket_start``): ``n`` (observed
+    common buckets in the window), ``corr``.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2 buckets, got {window}")
+    if min_periods < 2:
+        raise ValueError(f"min_periods must be >= 2, got {min_periods}")
+    from pyspark.sql import Window
+
+    from ..functions.timeutil import epoch_us
+
+    step_s = tier_step_seconds(tier)
+    if step_s is None:
+        if tier != "daily":
+            raise ValueError(
+                f"rolling correlation needs a fixed-step tier "
+                f"(hourly/Nmin/daily), got {tier!r}"
+            )
+        step_s = 86400
+    sums = _bucket_sums(
+        df, tier, [series_col], ts_col, value_col, scale
+    ).localCheckpoint(eager=True)
+    lhs = sums.select(
+        F.col(series_col).alias("series_a"), "bucket_start", F.col("_v").alias("_va")
+    )
+    rhs = sums.select(
+        F.col(series_col).alias("series_b"), "bucket_start", F.col("_v").alias("_vb")
+    )
+    pairs = lhs.join(rhs, on="bucket_start").where(
+        F.col("series_a") < F.col("series_b")
+    )
+    dec = "decimal(38,0)"
+    a = F.col("_va").cast(dec)
+    b = F.col("_vb").cast(dec)
+    step = (
+        epoch_us(F.col("bucket_start").cast("timestamp"))
+        / F.lit(int(step_s) * 1_000_000)
+    ).cast("long")
+    w = (
+        Window.partitionBy("series_a", "series_b")
+        .orderBy(F.col("_step"))
+        .rangeBetween(-(int(window) - 1), 0)
+    )
+    framed = pairs.withColumn("_step", step).select(
+        "series_a",
+        "series_b",
+        "bucket_start",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(a).over(w).alias("_sx"),
+        F.sum(b).over(w).alias("_sy"),
+        F.sum(a * a).over(w).alias("_sxx"),
+        F.sum(a * b).over(w).alias("_sxy"),
+        F.sum(b * b).over(w).alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    cov_n = n * F.col("_sxy").cast("double") - sx * sy
+    varx_n = n * F.col("_sxx").cast("double") - sx * sx
+    vary_n = n * F.col("_syy").cast("double") - sy * sy
+    corr = F.when(
+        (F.col("n") >= int(min_periods)) & (varx_n > 0) & (vary_n > 0),
+        cov_n / (F.sqrt(varx_n) * F.sqrt(vary_n)),
+    )
+    if round_to is not None:
+        corr = F.round(corr, round_to)
+    return framed.select(
+        "series_a", "series_b", "bucket_start", "n", corr.alias("corr")
+    )

@@ -21,8 +21,10 @@ Definitions (pinned for cross-engine bit-exactness):
   ``season`` lattice days are present in the window (gap days leave
   trend NULL rather than a biased partial window). Pooling (sum of
   sums / sum of counts) rather than mean-of-means keeps it exact.
-* ``seasonal`` — per season position (``day_int % season``, anchored
-  at the 1970-01-01 epoch, locale-free), the exact MEDIAN of the
+* ``seasonal`` — per season position (``pmod(day_int, season)``,
+  anchored at the 1970-01-01 epoch, locale-free; note pre-epoch days
+  need ``pmod`` semantics — a C-style ``%`` oracle only matches for
+  timestamps >= 1970), the exact MEDIAN of the
   quantized detrended values ``floor((v - trend) * qscale)`` — floor
   products are deterministic and BIGINT medians are exact halves.
   Robust by construction (median, not mean), so no recentering pass

@@ -185,9 +185,10 @@ def chunk_overlap(
         )
     c, s = int(chunk_chars), int(stride)
     txt = F.coalesce(F.col(text_col), F.lit(""))
-    ln = F.length(txt)
     # ceil((len - c) / s) without doubles: (len - c + s - 1) div s
-    n_extra = F.greatest(F.expr(f"(length({text_col}) - {c} + {s - 1}) div {s}"), F.lit(0))
+    n_extra = F.greatest(
+        F.expr(f"(length(`{text_col}`) - {c} + {s - 1}) div {s}"), F.lit(0)
+    )
     d = df.select(
         F.col(id_col),
         txt.alias("_txt"),

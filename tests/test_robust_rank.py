@@ -248,3 +248,40 @@ def test_chunk_overlap_validates():
         chunk_overlap(None, chunk_chars=0)
     with pytest.raises(ValueError):
         chunk_overlap(None, chunk_chars=10, stride=11)
+
+
+# ---------------------------------------------------------- rolling corr
+
+
+def test_rolling_correlation_window_and_gap(spark):
+    """Trailing 3-day correlation: perfectly aligned daily sums give
+    corr 1.0 once min_periods is met; the frame is LATTICE days, so a
+    gap shrinks the sample (n drops) instead of stretching the window."""
+    from python_vegindex_spark.operators.correlate import rolling_correlation
+
+    rows = []
+    # days 1..5 with day 4 missing; b = 2*a (same daily ordering)
+    for i, day in enumerate([1, 2, 3, 5]):
+        a = float(10 + i * 3)
+        rows.append(("a", D(2024, 1, day), a))
+        rows.append(("b", D(2024, 1, day), 2.0 * a))
+    out = rolling_correlation(
+        _ev(spark, rows), "daily", "event_type", window=3, min_periods=2
+    ).orderBy("bucket_start").collect()
+    by_day = {r["bucket_start"].day if hasattr(r["bucket_start"], "day") else r["bucket_start"]: r for r in out}
+    days = sorted(by_day)
+    # day 1: n=1 -> NULL; day 2: n=2 -> corr 1.0; day 3: n=3 -> 1.0
+    assert by_day[days[0]]["n"] == 1 and by_day[days[0]]["corr"] is None
+    assert by_day[days[1]]["n"] == 2 and by_day[days[1]]["corr"] == pytest.approx(1.0)
+    assert by_day[days[2]]["n"] == 3 and by_day[days[2]]["corr"] == pytest.approx(1.0)
+    # day 5's 3-day lattice frame covers days 3..5, day 4 missing -> n=2
+    assert by_day[days[3]]["n"] == 2
+
+
+def test_rolling_correlation_validates(spark):
+    from python_vegindex_spark.operators.correlate import rolling_correlation
+
+    with pytest.raises(ValueError, match="window"):
+        rolling_correlation(None, "daily", "s", window=1)
+    with pytest.raises(ValueError, match="fixed-step"):
+        rolling_correlation(_ev(spark, []), "3day", "s")
