@@ -192,7 +192,7 @@ def chunk_overlap(
     d = df.select(
         F.col(id_col),
         txt.alias("_txt"),
-        F.posexplode(F.sequence(F.lit(0), n_extra)).alias("chunk_idx", "_i"),
+        F.explode(F.sequence(F.lit(0), n_extra)).alias("chunk_idx"),
     )
     chunk = F.substring(F.col("_txt"), F.col("chunk_idx") * s + 1, c)
     return d.select(

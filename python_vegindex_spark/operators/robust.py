@@ -141,20 +141,24 @@ def theilsen_slopes(
     ``slope`` (original-units/second, or NULL when fewer than 2
     distinct timestamps).
     """
-    d = _quantized(df, tier, series_cols, ts_col, value_col, scale).select(
-        *series_cols,
-        "bucket_start",
-        epoch_us(F.col("_ts")).alias("_t"),
-        "_q",
+    # pin the quantized frame: it feeds the guard, the per-bucket counts
+    # AND both self-join sides — without the checkpoint each consumer
+    # would re-run the raw-table lineage (the correlate/decompose
+    # single-scan discipline, plan-asserted in test_plans.py)
+    d = (
+        _quantized(df, tier, series_cols, ts_col, value_col, scale)
+        .select(
+            *series_cols,
+            "bucket_start",
+            epoch_us(F.col("_ts")).alias("_t"),
+            "_q",
+        )
+        .localCheckpoint(eager=True)
     )
     keys = [*series_cols, "bucket_start"]
+    counts = d.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
     if max_bucket_rows is not None:
-        mx = (
-            d.groupBy(*keys)
-            .agg(F.count(F.lit(1)).alias("c"))
-            .agg(F.max("c").alias("m"))
-            .collect()[0]["m"]
-        )
+        mx = counts.agg(F.max("n").alias("m")).collect()[0]["m"]
         if mx is not None and mx > max_bucket_rows:
             raise ValueError(
                 f"theilsen_slopes: a bucket holds {mx} rows "
@@ -162,7 +166,6 @@ def theilsen_slopes(
                 "O(n^2) per bucket — roll up to a coarser grain first or "
                 "raise/disable the guard explicitly"
             )
-    counts = d.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
     a = d.select(*keys, F.col("_t").alias("_t1"), F.col("_q").alias("_q1"))
     b = d.select(*keys, F.col("_t").alias("_t2"), F.col("_q").alias("_q2"))
     pairs = a.join(b, keys).where(F.col("_t1") < F.col("_t2"))

@@ -79,14 +79,24 @@ class RollupStore:
     def gold(self, tier: str) -> str:
         return f"{self.root}/gold_{tier}"
 
-    def gold_snapshot(self, spark: SparkSession, tier: str):
+    def gold_snapshot(
+        self, spark: SparkSession, tier: str, stats_cols: list[str] | None = None
+    ):
         """The gold tier's SnapshotTable handle (snapshots mode only) —
-        for time travel, history and rollback at the call site."""
+        for time travel, history and rollback at the call site.
+        ``stats_cols`` opts written groups into per-group min/max zone
+        maps on those columns (needed before a ZORDER rewrite can make
+        ``prune_range`` reads selective)."""
         if not self.snapshots:
             raise ValueError("store was not created with snapshots=True")
         from ..sources.snapshots import SnapshotTable
 
-        return SnapshotTable(spark, self.gold(tier), partition_by=["bucket_start"])
+        return SnapshotTable(
+            spark,
+            self.gold(tier),
+            partition_by=["bucket_start"],
+            stats_cols=stats_cols,
+        )
 
     def read_gold(self, spark: SparkSession, tier: str) -> DataFrame | None:
         if self.snapshots:

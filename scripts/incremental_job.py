@@ -51,7 +51,13 @@ def main() -> None:
     ap.add_argument("--zorder", default=None, metavar="TIER:COL,COL",
                     help="instead of ingesting, rewrite the tier's gold "
                          "snapshot ZORDER BY the named columns (Morton-"
-                         "clustered file groups; snapshots.compact)")
+                         "clustered file groups with min/max zone maps "
+                         "on those columns; snapshots.compact)")
+    ap.add_argument("--zorder-target-rows", type=int, default=1_000_000,
+                    metavar="N",
+                    help="rows per file group for the --zorder rewrite "
+                         "(sizes how many groups — and therefore how "
+                         "much pruning granularity — the layout gets)")
     ap.add_argument("--expire", default=None, metavar="TIER:KEEP",
                     help="instead of ingesting, expire all but the "
                          "newest KEEP snapshots of a gold tier (deletes "
@@ -94,11 +100,18 @@ def main() -> None:
             zcols = [c for c in cols.split(",") if c]
             if not zcols:
                 ap.error("--zorder needs TIER:COL[,COL...]")
-            snap = store.gold_snapshot(spark, tier)
-            new_v = snap.compact(zorder_by=zcols)
+            # stats_cols=zcols: the rewrite must RECORD zone maps on the
+            # z-ordered columns or prune_range reads stay unselective
+            snap = store.gold_snapshot(spark, tier, stats_cols=zcols)
+            new_v = snap.compact(
+                target_rows_per_file=args.zorder_target_rows,
+                zorder_by=zcols,
+            )
             m = snap._manifest(new_v)
+            with_stats = sum(1 for g in m["files"] if g.get("stats"))
             metrics = {"mode": "zorder", "tier": tier, "zorder_by": zcols,
-                       "new_version": new_v, "n_groups": len(m["files"])}
+                       "new_version": new_v, "n_groups": len(m["files"]),
+                       "groups_with_zone_maps": with_stats}
         elif args.rollback:
             tier, _, ver = args.rollback.partition(":")
             new_v = store.gold_snapshot(spark, tier).rollback(int(ver))

@@ -255,10 +255,22 @@ def test_incremental_job_cli_snapshots(spark, tmp_path):
     assert ex["expired_snapshots"] == 2 and ex["retained"] == [3]
     assert store.read_gold(spark, "daily").count() == len(exp)
 
-    z = run(["--turns", p_all, "--zorder", "daily:bucket_start,turn_count"])
+    z = run(["--turns", p_all, "--zorder", "daily:bucket_start,turn_count",
+             "--zorder-target-rows", "5"])
     assert z["mode"] == "zorder" and z["zorder_by"] == ["bucket_start", "turn_count"]
-    assert z["new_version"] == 4 and z["n_groups"] >= 1
+    assert z["new_version"] == 4 and z["n_groups"] >= 2
+    # the rewrite records zone maps on the z-ordered columns — without
+    # them the mode would be a silent pruning no-op
+    assert z["groups_with_zone_maps"] == z["n_groups"]
     assert store.read_gold(spark, "daily").count() == len(exp)
+    snap = store.gold_snapshot(spark, "daily", stats_cols=["bucket_start", "turn_count"])
+    box = {"turn_count": (2, 5)}
+    # pruned read ≡ plain filter (pruning effectiveness itself is pinned
+    # by test_zorder_compact_prunes_multi_dim_boxes at a larger scale)
+    assert (
+        snap.read(prune_range=box).count()
+        == store.read_gold(spark, "daily").filter(F.col("turn_count").between(2, 5)).count()
+    )
 
 
 def test_schema_evolution_add_column(spark, root):
