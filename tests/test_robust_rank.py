@@ -285,3 +285,127 @@ def test_rolling_correlation_validates(spark):
         rolling_correlation(None, "daily", "s", window=1)
     with pytest.raises(ValueError, match="fixed-step"):
         rolling_correlation(_ev(spark, []), "3day", "s")
+
+
+# ------------------------------------------------------- property-based
+
+
+def _np_trimmed(vals: list[float], frac: float) -> tuple[int, float]:
+    q = np.floor(np.asarray(vals) * 100).astype(np.int64)
+    q.sort()
+    k = int(np.floor(len(q) * frac))
+    kept = q[k: len(q) - k]
+    return len(kept), float(kept.sum()) / (len(kept) * 100)
+
+
+def _np_spearman(a: np.ndarray, b: np.ndarray) -> float:
+    def ranks(x):
+        order = np.argsort(x, kind="stable")
+        r = np.empty(len(x), dtype=float)
+        i = 0
+        sx = x[order]
+        while i < len(x):
+            j = i
+            while j + 1 < len(x) and sx[j + 1] == sx[i]:
+                j += 1
+            r[order[i: j + 1]] = (i + j) / 2.0 + 1.0
+            i = j + 1
+        return r
+
+    return float(np.corrcoef(ranks(a), ranks(b))[0, 1])
+
+
+def test_trimmed_mean_property(spark):
+    """Random multisets (with ties) vs an independent numpy oracle."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        vals=st.lists(
+            st.integers(min_value=-500, max_value=500).map(lambda v: v / 7.0),
+            min_size=1, max_size=40,
+        ),
+        frac=st.sampled_from([0.0, 0.1, 0.25, 0.4]),
+    )
+    def check(vals, frac):
+        rows = [("a", D(2024, 1, 1, 0, 0, i % 60, i // 60), float(v))
+                for i, v in enumerate(vals)]
+        r = trimmed_mean_rollup(
+            _ev(spark, rows), "daily", ["event_type"], trim_frac=frac
+        ).collect()[0]
+        n_kept, mean = _np_trimmed(vals, frac)
+        assert r["n_kept"] == n_kept
+        assert r["trimmed_mean"] == pytest.approx(mean, abs=1e-6)
+
+    check()
+
+
+def test_spearman_property(spark):
+    """Random paired series (with ties) vs an independent average-rank
+    numpy Spearman."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        pairs=st.lists(
+            st.tuples(st.integers(0, 20), st.integers(0, 20)),
+            min_size=3, max_size=25,
+        )
+    )
+    def check(pairs):
+        a = np.array([p[0] for p in pairs], dtype=float)
+        b = np.array([p[1] for p in pairs], dtype=float)
+        if np.all(a == a[0]) or np.all(b == b[0]):
+            return  # zero variance -> NULL by contract
+        rows = []
+        for i, (x, y) in enumerate(pairs):
+            day = D(2024, 1, 1) + dt.timedelta(days=i)
+            rows.append(("a", day, float(x)))
+            rows.append(("b", day, float(y)))
+        r = spearman_correlation(
+            _ev(spark, rows), "daily", "event_type"
+        ).collect()[0]
+        expect = _np_spearman(a, b)
+        assert r["corr"] == pytest.approx(expect, abs=1e-6)
+
+    check()
+
+
+def test_chunk_overlap_property(spark):
+    """For random (len, chunk, stride): full coverage, correct chunk
+    count 1 + ceil(max(0, len-chunk)/stride), last chunk reaches the
+    end, all starts on the stride lattice."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        n=st.integers(0, 300),
+        chunk=st.integers(1, 64),
+        data=st.data(),
+    )
+    def check(n, chunk, data):
+        stride = data.draw(st.integers(1, chunk))
+        txt = "".join(chr(97 + (i % 26)) for i in range(n))
+        df = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+        out = (
+            chunk_overlap(df, chunk_chars=chunk, stride=stride)
+            .orderBy("chunk_idx").collect()
+        )
+        import math
+        expect_n = 1 + max(0, math.ceil(max(0, n - chunk) / stride))
+        assert len(out) == expect_n
+        covered = 0
+        for i, r in enumerate(out):
+            assert r["chunk_idx"] == i
+            assert r["chunk_start"] == i * stride + 1
+            assert r["chunk_start"] <= covered + 1  # no holes
+            covered = max(covered, r["chunk_start"] + r["chunk_len"] - 1)
+        assert covered == n
+
+    check()
