@@ -2592,6 +2592,19 @@ def q_seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment detection via shared aligned chunk hashes
+    (operators/packing.chunk_containment): docs that share exact
+    128-char lattice chunks pair through an equi-join on the chunk md5
+    (never all-pairs); containment = shared / min(chunk counts) — the
+    asymmetric-duplication screen MinHash's symmetric Jaccard misses."""
+    from python_vegindex_spark.operators.packing import chunk_containment
+
+    docs = _t(spark, sf_dir, "documents")
+    out = chunk_containment(docs, chunk_chars=128, min_shared=1)
+    return out.orderBy("id_a", "id_b")
+
+
 def q_rolling_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 7-day Pearson correlation per event-type pair per day
     (operators/correlate.rolling_correlation): the time-resolved member
@@ -2802,6 +2815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_overlap_docs": q_chunk_overlap_docs,
         "snapshot_zorder_read": q_snapshot_zorder_read,
         "rolling_corr_daily": q_rolling_corr_daily,
+        "chunk_containment_docs": q_chunk_containment_docs,
     }
 
 
@@ -6029,5 +6043,36 @@ SELECT series_a, series_b, CAST(b AS TIMESTAMP) AS bucket_start,
               * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
         END, 6) AS corr
 FROM f ORDER BY 1, 2, 3
+""",
+        # containment via shared aligned chunk hashes: exact integer
+        # counts from an equi-join on md5, one pinned division (ratios
+        # of small ints never land exactly midway at the 6th decimal,
+        # so the round is tie-free).
+        "chunk_containment_docs": """
+WITH d AS (
+  SELECT doc_id, coalesce(text, '') AS txt,
+    greatest((length(coalesce(text, '')) - 128 + 127) // 128, 0) AS n_extra
+  FROM documents
+), ch AS (
+  SELECT DISTINCT doc_id,
+    md5(substr(txt, CAST(ci * 128 + 1 AS INT), 128)) AS h
+  FROM (
+    SELECT doc_id, txt, unnest(generate_series(0, n_extra)) AS ci FROM d
+  )
+  WHERE length(substr(txt, CAST(ci * 128 + 1 AS INT), 128)) > 0
+), sz AS (
+  SELECT doc_id, count(*) AS nc FROM ch GROUP BY 1
+), p AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_shared
+  FROM ch x JOIN ch y USING (h) WHERE x.doc_id < y.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 1
+)
+SELECT id_a, id_b, n_shared, sa.nc AS chunks_a, sb.nc AS chunks_b,
+  round(CAST(n_shared AS DOUBLE) / CAST(least(sa.nc, sb.nc) AS DOUBLE), 6)
+    AS containment
+FROM p
+JOIN sz sa ON sa.doc_id = p.id_a
+JOIN sz sb ON sb.doc_id = p.id_b
+ORDER BY 1, 2
 """,
     }

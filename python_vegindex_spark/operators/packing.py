@@ -202,3 +202,78 @@ def chunk_overlap(
         F.length(chunk).alias("chunk_len"),
         F.md5(F.encode(chunk, "UTF-8")).alias("chunk_md5"),
     )
+
+
+def chunk_containment(
+    df: DataFrame,
+    chunk_chars: int = 128,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_shared: int = 2,
+) -> DataFrame:
+    """Containment detection via shared chunk hashes — the dedup family
+    member MinHash misses: MinHash-Jaccard scores SYMMETRIC similarity,
+    so a short document wholly quoted inside a long one scores low;
+    containment (|A∩B| / |smaller|) flags it.
+
+    Both docs are cut on the same NON-overlapping ``chunk_chars``
+    lattice (stride = chunk size, so a doc's chunk multiset is a
+    deterministic function of its text) and pairs are generated by an
+    equi-join on chunk md5 — never all-pairs: only docs that share an
+    exact aligned chunk meet. That makes this a fast exact-substring
+    screen for aligned duplication (boilerplate blocks, full-doc
+    copies, prefix/suffix reuse), not a fuzzy matcher — shifted copies
+    need the shingle-based MinHash path (operators/dedup.py).
+
+    Exactness: shared counts are exact integers (distinct chunk hashes
+    per doc, pair counts from the join); ``containment`` is one pinned
+    division of two BIGINTs.
+
+    Scale: chunking is narrow (no shuffle); the join shuffles on the
+    chunk hash — uniform 128-bit keys, no skew beyond genuinely
+    repeated content; ``min_shared`` cuts the long tail of single
+    shared boilerplate chunks before the per-pair aggregate.
+
+    Output per (``id_a`` < ``id_b``): ``n_shared`` (distinct shared
+    chunk hashes), ``chunks_a``, ``chunks_b``, ``containment``.
+    """
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    chunks = (
+        chunk_overlap(
+            df, chunk_chars=chunk_chars, stride=chunk_chars,
+            id_col=id_col, text_col=text_col,
+        )
+        .where(F.col("chunk_len") > 0)
+        .select(F.col(id_col).alias("_id"), "chunk_md5")
+        .distinct()
+    )
+    sizes = chunks.groupBy("_id").agg(F.count(F.lit(1)).alias("_nc"))
+    a = chunks.select(F.col("_id").alias("id_a"), "chunk_md5")
+    b = chunks.select(F.col("_id").alias("id_b"), "chunk_md5")
+    pairs = (
+        a.join(b, "chunk_md5")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= int(min_shared))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(sizes.select(F.col("_id").alias("id_a"),
+                                     F.col("_nc").alias("chunks_a"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("_id").alias("id_b"),
+                                     F.col("_nc").alias("chunks_b"))),
+            "id_b",
+        )
+    )
+    containment = F.col("n_shared").cast("double") / F.least(
+        "chunks_a", "chunks_b"
+    ).cast("double")
+    return out.select(
+        "id_a", "id_b", "n_shared", "chunks_a", "chunks_b",
+        F.round(containment, 6).alias("containment"),
+    )

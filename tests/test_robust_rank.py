@@ -409,3 +409,49 @@ def test_chunk_overlap_property(spark):
         assert covered == n
 
     check()
+
+
+# ----------------------------------------------------- chunk containment
+
+
+def test_chunk_containment_detects_contained_doc(spark):
+    """Doc B is an aligned prefix of doc A: containment 1.0; an
+    unrelated doc C pairs with neither."""
+    from python_vegindex_spark.operators.packing import chunk_containment
+
+    blk = lambda ch: ch * 8  # one full 8-char lattice chunk
+    a = blk("a") + blk("b") + blk("c") + blk("d")
+    b = blk("a") + blk("b")
+    c = blk("z") + blk("y")
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    out = chunk_containment(df, chunk_chars=8, min_shared=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert (r["chunks_a"], r["chunks_b"], r["n_shared"]) == (4, 2, 2)
+    assert r["containment"] == pytest.approx(1.0)
+
+
+def test_chunk_containment_min_shared_and_dupes(spark):
+    """min_shared filters single-chunk boilerplate pairs; repeated
+    chunks within one doc count once (distinct hashes)."""
+    from python_vegindex_spark.operators.packing import chunk_containment
+
+    blk = lambda ch: ch * 8
+    df = spark.createDataFrame(
+        [
+            (1, blk("a") + blk("a") + blk("b")),  # distinct chunks: {a, b}
+            (2, blk("a") + blk("x")),             # shares only {a}
+            (3, blk("a") + blk("b")),             # shares {a, b} with 1
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r["id_a"], r["id_b"]): r
+           for r in chunk_containment(df, chunk_chars=8, min_shared=2).collect()}
+    assert set(out) == {(1, 3)}
+    r = out[(1, 3)]
+    assert r["n_shared"] == 2 and r["containment"] == pytest.approx(1.0)
+    with pytest.raises(ValueError):
+        chunk_containment(df, min_shared=0)
