@@ -2592,6 +2592,22 @@ def q_seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_savgol_daily_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Savitzky-Golay quadratic smoothing of each event-type's daily
+    mean (operators/decompose.savgol_smooth, window 5) — the
+    phenology-standard peak-preserving smoother, as a pinned
+    left-associative integer-coefficient convolution with ONE final
+    division; gap/edge windows emit NULL via the lattice-contiguity
+    check. Unrounded doubles (bit-identical: every op pinned)."""
+    from python_vegindex_spark.operators.decompose import savgol_smooth
+
+    ev = _t(spark, sf_dir, "events")
+    out = savgol_smooth(ev, ["event_type"], window=5)
+    return out.withColumn("day", F.col("day").cast("timestamp")).orderBy(
+        "event_type", "day"
+    )
+
+
 def q_chunk_containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment detection via shared aligned chunk hashes
     (operators/packing.chunk_containment): docs that share exact
@@ -2816,6 +2832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_zorder_read": q_snapshot_zorder_read,
         "rolling_corr_daily": q_rolling_corr_daily,
         "chunk_containment_docs": q_chunk_containment_docs,
+        "savgol_daily_smooth": q_savgol_daily_smooth,
     }
 
 
@@ -6074,5 +6091,34 @@ FROM p
 JOIN sz sa ON sa.doc_id = p.id_a
 JOIN sz sb ON sb.doc_id = p.id_b
 ORDER BY 1, 2
+""",
+        # Savitzky-Golay window-5 quadratic: pinned left-assoc integer-
+        # coefficient convolution over one-division daily means, ONE
+        # final division; lattice-contiguity check NULLs gap/edge rows.
+        "savgol_daily_smooth": """
+WITH base AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+    count(*) AS n, sum(CAST(floor(value * 100) AS BIGINT)) AS s
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1, 2
+), m AS (
+  SELECT event_type, d, n,
+    CAST(s AS DOUBLE) / CAST(n * 100 AS DOUBLE) AS v
+  FROM base
+), wnd AS (
+  SELECT event_type, d, n, v,
+    lag(v, 2) OVER w AS vm2, lag(v, 1) OVER w AS vm1,
+    lead(v, 1) OVER w AS vp1, lead(v, 2) OVER w AS vp2,
+    lag(d, 2) OVER w AS dm2, lag(d, 1) OVER w AS dm1,
+    lead(d, 1) OVER w AS dp1, lead(d, 2) OVER w AS dp2
+  FROM m WINDOW w AS (PARTITION BY event_type ORDER BY d)
+)
+SELECT event_type, make_timestamp(d * 86400000000) AS day, n, v,
+  CASE WHEN dm2 = d - 2 AND dm1 = d - 1 AND dp1 = d + 1 AND dp2 = d + 2
+    THEN ((((vm2 * (-3) + vm1 * 12) + v * 17) + vp1 * 12) + vp2 * (-3))
+         / 35.0
+  END AS sg
+FROM wnd ORDER BY 1, 2
 """,
     }

@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 
 from python_vegindex_spark.functions.timeutil import epoch_us
 
-__all__ = ["seasonal_decompose"]
+__all__ = ["seasonal_decompose", "savgol_smooth"]
 
 _US_PER_DAY = 86_400_000_000
 
@@ -153,4 +153,113 @@ def seasonal_decompose(
         tr.alias("trend"),
         seasonal.alias("seasonal"),
         residual.alias("residual"),
+    )
+
+
+_SG_COEFFS = {
+    # (window, derivative) -> (integer numerators, integer denominator)
+    # standard quadratic/cubic least-squares coefficients (Savitzky &
+    # Golay 1964, corrected tables) — exactly representable integers
+    (5, 0): ((-3, 12, 17, 12, -3), 35),
+    (7, 0): ((-2, 3, 6, 7, 6, 3, -2), 21),
+    (9, 0): ((-21, 14, 39, 54, 59, 54, 39, 14, -21), 231),
+    (5, 1): ((-2, -1, 0, 1, 2), 10),
+    (7, 1): ((-3, -2, -1, 0, 1, 2, 3), 28),
+    (9, 1): ((-4, -3, -2, -1, 0, 1, 2, 3, 4), 60),
+}
+
+
+def savgol_smooth(
+    df: DataFrame,
+    series_cols: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: int = 5,
+    derivative: int = 0,
+    scale: int = 100,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Savitzky-Golay smoothing (or first derivative) of each series'
+    DAILY mean — THE standard smoother of the reference's own domain
+    (phenology pipelines run exactly this quadratic least-squares
+    filter over gcc/NDVI daily series before extracting transition
+    dates; the engine runs it over transcript dailies the same way).
+
+    A centered window of ``window`` consecutive LATTICE days is
+    convolved with the classic integer coefficient rows (e.g.
+    ``(-3, 12, 17, 12, -3)/35`` for window 5): the fit of a quadratic
+    at the center point, so peaks are preserved where a moving average
+    flattens them. ``derivative=1`` returns the fitted slope per DAY.
+
+    Exactness: daily means are one-division doubles from BIGINT sums;
+    the convolution is evaluated in PINNED left-associative order with
+    integer literal coefficients and ONE final division by the integer
+    denominator — every op identical on both engines, so results are
+    bit-identical (report unrounded by default; the 6-dp round is a
+    tie hazard for dyadic-rational inputs).
+
+    Gaps: lag/lead are row-based, so each output row additionally
+    checks that its neighbors sit at EXACTLY the right day offsets —
+    a window crossing a gap (or the series edge) emits NULL rather
+    than silently convolving misaligned days.
+
+    Scale: one raw-scan hash aggregate to daily rows, then one window
+    (single shuffle on series) over day rows.
+
+    Output per (series, ``day``): ``n`` (raw rows), ``v`` (daily
+    mean), ``sg``.
+    """
+    key = (int(window), int(derivative))
+    if key not in _SG_COEFFS:
+        raise ValueError(
+            f"unsupported (window, derivative) {key}; supported: "
+            f"{sorted(_SG_COEFFS)}"
+        )
+    coeffs, denom = _SG_COEFFS[key]
+    half = window // 2
+    ts = F.col(ts_col)
+    v = F.col(value_col).cast("double")
+    d = df.where(ts.isNotNull() & v.isNotNull() & ~F.isnan(v)).select(
+        *series_cols,
+        ((epoch_us(ts) - F.pmod(epoch_us(ts), F.lit(_US_PER_DAY))) / F.lit(_US_PER_DAY))
+        .cast("long")
+        .alias("_day"),
+        F.floor(v * scale).cast("long").alias("_q"),
+    )
+    daily = d.groupBy(*series_cols, "_day").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_q").alias("_s")
+    )
+    daily = daily.withColumn(
+        "_v",
+        F.col("_s").cast("double") / (F.col("n") * F.lit(int(scale))).cast("double"),
+    )
+    w = Window.partitionBy(*series_cols).orderBy(F.col("_day"))
+    # neighbor columns at offsets -half..half (0 = self), plus their day
+    # indexes for the lattice-contiguity check
+    terms = []
+    aligned = F.lit(True)
+    for k, c in zip(range(-half, half + 1), coeffs):
+        if k == 0:
+            nv = F.col("_v")
+        elif k < 0:
+            nv = F.lag("_v", -k).over(w)
+            aligned = aligned & (F.lag("_day", -k).over(w) == F.col("_day") + k)
+        else:
+            nv = F.lead("_v", k).over(w)
+            aligned = aligned & (F.lead("_day", k).over(w) == F.col("_day") + k)
+        if c != 0:
+            terms.append(nv * F.lit(int(c)))
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t  # pinned left-assoc order
+    sg = F.when(aligned, acc / F.lit(float(denom)))
+    if round_to is not None:
+        sg = F.round(sg, round_to)
+    vv = F.round(F.col("_v"), round_to) if round_to is not None else F.col("_v")
+    return daily.select(
+        *series_cols,
+        F.to_date(F.timestamp_micros((F.col("_day") * _US_PER_DAY).cast("long"))).alias("day"),
+        "n",
+        vv.alias("v"),
+        sg.alias("sg"),
     )

@@ -455,3 +455,49 @@ def test_chunk_containment_min_shared_and_dupes(spark):
     assert r["n_shared"] == 2 and r["containment"] == pytest.approx(1.0)
     with pytest.raises(ValueError):
         chunk_containment(df, min_shared=0)
+
+
+# ------------------------------------------------------- savitzky-golay
+
+
+def test_savgol_quadratic_reproduction(spark):
+    """SG is exact on polynomials up to the fit degree: a quadratic
+    daily series is reproduced exactly at interior points; a first
+    derivative returns the exact slope of a linear series."""
+    from python_vegindex_spark.operators.decompose import savgol_smooth
+
+    rows = [("a", D(2024, 1, 1 + i, 12), float(2 * i * i - 3 * i + 7))
+            for i in range(9)]
+    out = {r["day"].isoformat(): r for r in
+           savgol_smooth(_ev(spark, rows), ["event_type"], window=5).collect()}
+    days = sorted(out)
+    for i, day in enumerate(days):
+        r = out[day]
+        if 2 <= i <= 6:  # interior: full lattice window
+            assert r["sg"] == pytest.approx(float(2 * i * i - 3 * i + 7), abs=1e-9)
+        else:
+            assert r["sg"] is None
+
+    lin = [("a", D(2024, 1, 1 + i, 12), float(5 * i + 1)) for i in range(7)]
+    der = {r["day"].isoformat(): r["sg"] for r in savgol_smooth(
+        _ev(spark, lin), ["event_type"], window=5, derivative=1).collect()}
+    mid = sorted(der)[3]
+    assert der[mid] == pytest.approx(5.0, abs=1e-9)
+
+
+def test_savgol_gap_nulls_window(spark):
+    from python_vegindex_spark.operators.decompose import savgol_smooth
+
+    rows = [("a", D(2024, 1, 1 + i, 12), 1.0) for i in range(9) if i != 4]
+    out = savgol_smooth(_ev(spark, rows), ["event_type"], window=5).collect()
+    # every 5-day window either hits the edge or spans the missing day 5
+    assert all(r["sg"] is None for r in out)
+
+
+def test_savgol_validates():
+    from python_vegindex_spark.operators.decompose import savgol_smooth
+
+    with pytest.raises(ValueError, match="unsupported"):
+        savgol_smooth(None, ["s"], window=6)
+    with pytest.raises(ValueError, match="unsupported"):
+        savgol_smooth(None, ["s"], window=5, derivative=2)
