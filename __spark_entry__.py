@@ -2608,6 +2608,23 @@ def q_savgol_daily_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transition_dates_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-crossing transition dates per (event_type, year)
+    (operators/decompose.transition_dates): the phenology greenup/season
+    extraction — first/last day the SG-smoothed daily series reaches
+    50 % of its seasonal amplitude. Dates are exact (comparisons over
+    bit-identical smoothed doubles); lo/hi/thr unrounded."""
+    from python_vegindex_spark.operators.decompose import transition_dates
+
+    ev = _t(spark, sf_dir, "events")
+    out = transition_dates(ev, ["event_type"], frac=0.5, window=5)
+    return (
+        out.withColumn("sos_day", F.col("sos_day").cast("timestamp"))
+        .withColumn("eos_day", F.col("eos_day").cast("timestamp"))
+        .orderBy("event_type", "year")
+    )
+
+
 def q_chunk_containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment detection via shared aligned chunk hashes
     (operators/packing.chunk_containment): docs that share exact
@@ -2833,6 +2850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_corr_daily": q_rolling_corr_daily,
         "chunk_containment_docs": q_chunk_containment_docs,
         "savgol_daily_smooth": q_savgol_daily_smooth,
+        "transition_dates_yearly": q_transition_dates_yearly,
     }
 
 
@@ -6120,5 +6138,51 @@ SELECT event_type, make_timestamp(d * 86400000000) AS day, n, v,
          / 35.0
   END AS sg
 FROM wnd ORDER BY 1, 2
+""",
+        # transition dates: thr = lo + 0.5*(hi-lo) over the bit-exact
+        # smoothed doubles; sos/eos = first/last day with sg >= thr —
+        # comparisons over identical doubles make the DATES exact.
+        "transition_dates_yearly": """
+WITH base AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+    count(*) AS n, sum(CAST(floor(value * 100) AS BIGINT)) AS s
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1, 2
+), m AS (
+  SELECT event_type, d,
+    CAST(s AS DOUBLE) / CAST(n * 100 AS DOUBLE) AS v
+  FROM base
+), wnd AS (
+  SELECT event_type, d, v,
+    lag(v, 2) OVER w AS vm2, lag(v, 1) OVER w AS vm1,
+    lead(v, 1) OVER w AS vp1, lead(v, 2) OVER w AS vp2,
+    lag(d, 2) OVER w AS dm2, lag(d, 1) OVER w AS dm1,
+    lead(d, 1) OVER w AS dp1, lead(d, 2) OVER w AS dp2
+  FROM m WINDOW w AS (PARTITION BY event_type ORDER BY d)
+), sm AS (
+  SELECT event_type, make_timestamp(d * 86400000000) AS day,
+    ((((vm2 * (-3) + vm1 * 12) + v * 17) + vp1 * 12) + vp2 * (-3))
+      / 35.0 AS sg
+  FROM wnd
+  WHERE dm2 = d - 2 AND dm1 = d - 1 AND dp1 = d + 1 AND dp2 = d + 2
+), amp AS (
+  SELECT event_type, CAST(year(day) AS INT) AS year,
+    count(*) AS n_days, min(sg) AS lo, max(sg) AS hi
+  FROM sm GROUP BY 1, 2
+), amp2 AS (
+  SELECT *, lo + 0.5 * (hi - lo) AS thr FROM amp
+), crossed AS (
+  SELECT s.event_type, CAST(year(s.day) AS INT) AS year,
+    min(s.day) AS sos_day, max(s.day) AS eos_day
+  FROM sm s JOIN amp2 a
+    ON a.event_type = s.event_type AND a.year = year(s.day)
+  WHERE s.sg >= a.thr
+  GROUP BY 1, 2
+)
+SELECT a.event_type, a.year, a.n_days, a.lo, a.hi, a.thr,
+  c.sos_day, c.eos_day
+FROM amp2 a LEFT JOIN crossed c USING (event_type, year)
+ORDER BY 1, 2
 """,
     }

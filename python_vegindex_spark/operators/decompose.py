@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 
 from python_vegindex_spark.functions.timeutil import epoch_us
 
-__all__ = ["seasonal_decompose", "savgol_smooth"]
+__all__ = ["seasonal_decompose", "savgol_smooth", "transition_dates"]
 
 _US_PER_DAY = 86_400_000_000
 
@@ -262,4 +262,75 @@ def savgol_smooth(
         "n",
         vv.alias("v"),
         sg.alias("sg"),
+    )
+
+
+def transition_dates(
+    df: DataFrame,
+    series_cols: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    frac: float = 0.5,
+    window: int = 5,
+    scale: int = 100,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Threshold-crossing transition dates per (series, year) — the
+    downstream step Savitzky-Golay smoothing exists FOR in the
+    reference's domain: phenology pipelines smooth the gcc/NDVI daily
+    series, then report the greenup date as the first day the smoothed
+    curve reaches ``frac`` of its seasonal amplitude (and the season
+    end as the last such day). The engine runs the same extraction
+    over transcript dailies ("when did this metric's season start?").
+
+    Per (series, year) over the non-NULL smoothed days: ``thr = lo +
+    frac * (hi - lo)`` (one pinned expression over the exact smoothed
+    doubles), ``sos_day`` = first day with ``sg >= thr``, ``eos_day``
+    = last such day. Comparisons over bit-identical doubles are
+    engine-exact, so the reported DATES are exact, not approximate.
+
+    Scale: the smoothed frame is pinned once (localCheckpoint) and
+    feeds both the per-year amplitude aggregate (tiny) and the
+    crossing filter — day-level rows throughout, one raw scan.
+
+    Output per (series, ``year``): ``n_days``, ``lo``, ``hi``,
+    ``thr``, ``sos_day``, ``eos_day``.
+    """
+    if not (0.0 <= frac <= 1.0):
+        raise ValueError(f"frac must be in [0, 1], got {frac}")
+    sm = (
+        savgol_smooth(
+            df, series_cols, ts_col=ts_col, value_col=value_col,
+            window=window, scale=scale, round_to=None,
+        )
+        .where(F.col("sg").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    keys = [*series_cols, "year"]
+    sm = sm.withColumn("year", F.year("day"))
+    amp = sm.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.min("sg").alias("lo"),
+        F.max("sg").alias("hi"),
+    )
+    thr = F.col("lo") + F.lit(float(frac)) * (F.col("hi") - F.col("lo"))
+    amp = amp.withColumn("thr", thr)
+    crossed = (
+        sm.join(F.broadcast(amp), keys)
+        .where(F.col("sg") >= F.col("thr"))
+        .groupBy(*keys)
+        .agg(F.min("day").alias("sos_day"), F.max("day").alias("eos_day"))
+    )
+    out = amp.join(crossed, keys, "left")
+    cols = [F.col("lo"), F.col("hi"), F.col("thr")]
+    if round_to is not None:
+        cols = [F.round(c, round_to) for c in cols]
+    return out.select(
+        *keys,
+        "n_days",
+        cols[0].alias("lo"),
+        cols[1].alias("hi"),
+        cols[2].alias("thr"),
+        "sos_day",
+        "eos_day",
     )

@@ -501,3 +501,42 @@ def test_savgol_validates():
         savgol_smooth(None, ["s"], window=6)
     with pytest.raises(ValueError, match="unsupported"):
         savgol_smooth(None, ["s"], window=5, derivative=2)
+
+
+# ---------------------------------------------------- transition dates
+
+
+def test_transition_dates_hand(spark):
+    """A clean seasonal hump: flat 10, ramp to 30, back down — the
+    50%-amplitude crossing dates bracket the hump exactly."""
+    from python_vegindex_spark.operators.decompose import transition_dates
+
+    # quadratic hump peaking mid-series, interior-only sg ~= v exactly
+    vals = [10.0, 10.0, 10.0, 14.0, 22.0, 30.0, 22.0, 14.0, 10.0, 10.0, 10.0]
+    rows = [("a", D(2024, 1, 1 + i, 12), v) for i, v in enumerate(vals)]
+    out = transition_dates(_ev(spark, rows), ["event_type"], frac=0.5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["year"] == 2024 and r["n_days"] == len(vals) - 4  # edges NULL
+    # smoothed interior values stay within the raw envelope; thr halfway
+    assert r["lo"] < r["thr"] < r["hi"]
+    # sos before the peak, eos after it, sos < eos
+    assert r["sos_day"] < dt.date(2024, 1, 6) < r["eos_day"]
+
+
+def test_transition_dates_flat_series(spark):
+    """Zero amplitude: thr == lo, every smoothed day qualifies."""
+    from python_vegindex_spark.operators.decompose import transition_dates
+
+    rows = [("a", D(2024, 1, 1 + i, 12), 5.0) for i in range(9)]
+    r = transition_dates(_ev(spark, rows), ["event_type"]).collect()[0]
+    assert r["lo"] == r["hi"] == r["thr"]
+    assert r["sos_day"] == dt.date(2024, 1, 3)  # first interior day
+    assert r["eos_day"] == dt.date(2024, 1, 7)  # last interior day
+
+
+def test_transition_dates_validates():
+    from python_vegindex_spark.operators.decompose import transition_dates
+
+    with pytest.raises(ValueError, match="frac"):
+        transition_dates(None, ["s"], frac=1.5)
