@@ -372,3 +372,49 @@ def test_chunk_overlap_no_shuffle_no_python(spark, turns_path):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert marker not in plan, f"Python eval in chunk_overlap: {marker}"
     assert "Exchange" not in plan, "chunk_overlap must not shuffle"
+
+
+def test_savgol_and_transition_python_free_single_scan(spark, turns_path):
+    """SG smoothing: one raw scan feeding one window stage, no Python;
+    transition dates: the pinned smoothed frame means the final plan
+    never re-touches parquet."""
+    from python_vegindex_spark.operators.decompose import (
+        savgol_smooth,
+        transition_dates,
+    )
+
+    bronze = read_turns(spark, turns_path, "2023-01-01", "2026-01-01").withColumn(
+        "value", F.length("text").cast("double")
+    )
+    sg = savgol_smooth(bronze, ["role"])
+    sg.collect()
+    plan = _executed_plan(sg)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan, f"Python eval in savgol plan: {marker}"
+    # count scans in the FINAL plan only (the AQE dump appends an
+    # "== Initial Plan ==" section that would double-count)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") <= 1
+
+    td = transition_dates(bronze, ["role"])
+    td.collect()
+    plan = _executed_plan(td)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan, f"Python eval in transition plan: {marker}"
+    assert "FileScan parquet" not in plan  # smoothed frame is pinned
+
+
+def test_chunk_containment_single_hash_join_no_python(spark, turns_path):
+    """Containment: the only join is the equi-join on the chunk hash
+    (plus broadcast size lookups) — no Python eval, no cartesian."""
+    from python_vegindex_spark.operators.packing import chunk_containment
+
+    bronze = read_turns(spark, turns_path, "2023-01-01", "2026-01-01").select(
+        F.col("conv_id").alias("doc_id"), "text"
+    )
+    out = chunk_containment(bronze, chunk_chars=64)
+    out.collect()
+    plan = _executed_plan(out)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan, f"Python eval in containment plan: {marker}"
+    assert "CartesianProduct" not in plan
