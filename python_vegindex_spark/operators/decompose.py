@@ -53,6 +53,36 @@ __all__ = ["seasonal_decompose", "savgol_smooth", "transition_dates"]
 _US_PER_DAY = 86_400_000_000
 
 
+def _daily_mean(
+    df: DataFrame,
+    series_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    scale: int,
+) -> DataFrame:
+    """Shared stage 1 of the daily decomposition/smoothing family:
+    (series, ``_day`` epoch-day BIGINT, ``n``, ``_s`` BIGINT sum of the
+    quantized measure, ``_v`` one-division daily mean). NaN ≡ NULL
+    dropped; the pinned-exactness rules live HERE once."""
+    ts = F.col(ts_col)
+    v = F.col(value_col).cast("double")
+    d = df.where(ts.isNotNull() & v.isNotNull() & ~F.isnan(v)).select(
+        *series_cols,
+        # pure-integer day index: exact for any epoch, no double round-trip
+        ((epoch_us(ts) - F.pmod(epoch_us(ts), F.lit(_US_PER_DAY))) / F.lit(_US_PER_DAY))
+        .cast("long")
+        .alias("_day"),
+        F.floor(v * scale).cast("long").alias("_q"),
+    )
+    daily = d.groupBy(*series_cols, "_day").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_q").alias("_s")
+    )
+    return daily.withColumn(
+        "_v",
+        F.col("_s").cast("double") / (F.col("n") * F.lit(int(scale))).cast("double"),
+    )
+
+
 def seasonal_decompose(
     df: DataFrame,
     series_cols: Sequence[str],
@@ -78,19 +108,7 @@ def seasonal_decompose(
     if min_cycles < 1:
         raise ValueError(f"min_cycles must be >= 1, got {min_cycles}")
     half = season // 2
-    ts = F.col(ts_col)
-    v = F.col(value_col).cast("double")
-    d = df.where(ts.isNotNull() & v.isNotNull() & ~F.isnan(v)).select(
-        *series_cols,
-        # pure-integer day index: exact for any epoch, no double round-trip
-        ((epoch_us(ts) - F.pmod(epoch_us(ts), F.lit(_US_PER_DAY))) / F.lit(_US_PER_DAY))
-        .cast("long")
-        .alias("_day"),
-        F.floor(v * scale).cast("long").alias("_q"),
-    )
-    daily = d.groupBy(*series_cols, "_day").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("_q").alias("_s")
-    )
+    daily = _daily_mean(df, series_cols, ts_col, value_col, scale)
     w = (
         Window.partitionBy(*series_cols)
         .orderBy(F.col("_day"))
@@ -100,17 +118,17 @@ def seasonal_decompose(
         *series_cols,
         "_day",
         "n",
-        "_s",
+        "_v",
         F.count(F.lit(1)).over(w).alias("_days_in"),
         F.sum("_s").over(w).alias("_ts_sum"),
         F.sum("n").over(w).alias("_tn"),
     )
-    # v and trend: one division each over exact integers.
+    # trend: one division over exact integer window sums.
     t = t.select(
         *series_cols,
         "_day",
         "n",
-        (F.col("_s").cast("double") / (F.col("n") * F.lit(int(scale))).cast("double")).alias("_v"),
+        "_v",
         F.when(
             F.col("_days_in") == season,
             F.col("_ts_sum").cast("double")
@@ -217,22 +235,7 @@ def savgol_smooth(
         )
     coeffs, denom = _SG_COEFFS[key]
     half = window // 2
-    ts = F.col(ts_col)
-    v = F.col(value_col).cast("double")
-    d = df.where(ts.isNotNull() & v.isNotNull() & ~F.isnan(v)).select(
-        *series_cols,
-        ((epoch_us(ts) - F.pmod(epoch_us(ts), F.lit(_US_PER_DAY))) / F.lit(_US_PER_DAY))
-        .cast("long")
-        .alias("_day"),
-        F.floor(v * scale).cast("long").alias("_q"),
-    )
-    daily = d.groupBy(*series_cols, "_day").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("_q").alias("_s")
-    )
-    daily = daily.withColumn(
-        "_v",
-        F.col("_s").cast("double") / (F.col("n") * F.lit(int(scale))).cast("double"),
-    )
+    daily = _daily_mean(df, series_cols, ts_col, value_col, scale)
     w = Window.partitionBy(*series_cols).orderBy(F.col("_day"))
     # neighbor columns at offsets -half..half (0 = self), plus their day
     # indexes for the lattice-contiguity check

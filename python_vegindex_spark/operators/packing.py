@@ -231,8 +231,13 @@ def chunk_containment(
 
     Scale: chunking is narrow (no shuffle); the join shuffles on the
     chunk hash — uniform 128-bit keys, no skew beyond genuinely
-    repeated content; ``min_shared`` cuts the long tail of single
-    shared boilerplate chunks before the per-pair aggregate.
+    repeated content; ``min_shared`` drops the long tail of
+    single-shared-boilerplate pairs from the OUTPUT (the pairs still
+    flow through the hash join and the per-pair aggregate — size the
+    join for the boilerplate profile of the corpus, or pre-filter
+    hyper-common chunk hashes). The size lookups are plain joins on
+    the doc id — AQE picks broadcast only when the doc count actually
+    fits (a forced broadcast would OOM at corpus scale).
 
     Output per (``id_a`` < ``id_b``): ``n_shared`` (distinct shared
     chunk hashes), ``chunks_a``, ``chunks_b``, ``containment``.
@@ -260,13 +265,13 @@ def chunk_containment(
     )
     out = (
         pairs.join(
-            F.broadcast(sizes.select(F.col("_id").alias("id_a"),
-                                     F.col("_nc").alias("chunks_a"))),
+            sizes.select(F.col("_id").alias("id_a"),
+                         F.col("_nc").alias("chunks_a")),
             "id_a",
         )
         .join(
-            F.broadcast(sizes.select(F.col("_id").alias("id_b"),
-                                     F.col("_nc").alias("chunks_b"))),
+            sizes.select(F.col("_id").alias("id_b"),
+                         F.col("_nc").alias("chunks_b")),
             "id_b",
         )
     )
