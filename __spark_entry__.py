@@ -2625,6 +2625,31 @@ def q_transition_dates_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_growth_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve over ingestion order
+    (operators/vocab.vocab_growth, batch = 50 docs): per batch the
+    never-seen-before term count, cumulative vocabulary, token volume
+    and cumulative tokens. All-integer outputs (counts and cumulative
+    sums of counts) so the oracle comparison is trivially bit-exact."""
+    from python_vegindex_spark.operators.vocab import vocab_growth
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_growth(docs, batch_size=50).orderBy("batch")
+
+
+def q_postings_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (operators/vocab.postings_index, top-50 by
+    the integer rank key df DESC, tf DESC, term ASC): per term the
+    document frequency, collection term frequency and an order-free
+    BIGINT occurrence checksum sum(doc_id*100003 + pos) standing in
+    for the serialized postings list — any dropped/duplicated/moved
+    occurrence changes it. No floats anywhere."""
+    from python_vegindex_spark.operators.vocab import postings_index
+
+    docs = _t(spark, sf_dir, "documents")
+    return postings_index(docs, k=50).orderBy("rank")
+
+
 def q_chunk_containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment detection via shared aligned chunk hashes
     (operators/packing.chunk_containment): docs that share exact
@@ -2851,6 +2876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_containment_docs": q_chunk_containment_docs,
         "savgol_daily_smooth": q_savgol_daily_smooth,
         "transition_dates_yearly": q_transition_dates_yearly,
+        "vocab_growth_docs": q_vocab_growth_docs,
+        "postings_index_docs": q_postings_index_docs,
     }
 
 
@@ -6184,5 +6211,61 @@ SELECT a.event_type, a.year, a.n_days, a.lo, a.hi, a.thr,
   c.sos_day, c.eos_day
 FROM amp2 a LEFT JOIN crossed c USING (event_type, year)
 ORDER BY 1, 2
+""",
+        # Heaps-law growth: all-integer (counts + cumulative integer
+        # sums); batch index via `//` — floors == Spark's `div`
+        # truncation for the non-negative doc ids here (SURVEY §8).
+        "vocab_growth_docs": """
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS term
+  FROM (SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+        FROM documents)
+), t AS (
+  SELECT * FROM toks WHERE length(term) >= 1
+), first_seen AS (
+  SELECT term, min(doc_id) AS f FROM t GROUP BY 1
+), npb AS (
+  SELECT f // 50 AS batch, CAST(count(*) AS BIGINT) AS new_terms
+  FROM first_seen GROUP BY 1
+), tpb AS (
+  SELECT doc_id // 50 AS batch, CAST(count(*) AS BIGINT) AS tokens
+  FROM t GROUP BY 1
+)
+SELECT tpb.batch,
+       CAST(tpb.batch * 50 AS BIGINT) AS first_doc,
+       coalesce(npb.new_terms, 0) AS new_terms,
+       CAST(sum(coalesce(npb.new_terms, 0))
+            OVER (ORDER BY tpb.batch) AS BIGINT) AS cum_vocab,
+       tpb.tokens,
+       CAST(sum(tpb.tokens) OVER (ORDER BY tpb.batch) AS BIGINT)
+         AS cum_tokens
+FROM tpb LEFT JOIN npb USING (batch)
+ORDER BY batch
+""",
+        # inverted index: df/tf/occurrence-checksum are BIGINTs; the
+        # top-k rank key (df DESC, tf DESC, term ASC) is integer-exact
+        "postings_index_docs": """
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS term
+  FROM (SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+        FROM documents)
+), t AS (
+  SELECT * FROM toks WHERE length(term) >= 1
+), idx AS (
+  SELECT term,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         CAST(count(*) AS BIGINT) AS tf,
+         CAST(sum(doc_id * 100003 + pos) AS BIGINT) AS postings_checksum
+  FROM t GROUP BY 1
+), ranked AS (
+  SELECT CAST(row_number() OVER (
+           ORDER BY df DESC, tf DESC, term ASC) AS BIGINT) AS rank,
+         term, df, tf, postings_checksum
+  FROM idx
+)
+SELECT rank, term, df, tf, postings_checksum
+FROM ranked WHERE rank <= 50 ORDER BY rank
 """,
     }
