@@ -2650,6 +2650,21 @@ def q_postings_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return postings_index(docs, k=50).orderBy("rank")
 
 
+def q_cosine_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs document cosine via the term-partitioned
+    postings self-join (operators/terms.cosine_pairs, min_cos=0.92):
+    the exact complement of the MinHash/containment screens. Integer
+    dot + squared norms, one IEEE sqrt·sqrt multiply and ONE division
+    — bit-identical doubles, so the threshold decides identically
+    cross-engine. (max_df pruning is left off here only because the
+    synthetic corpus has a 31-term dense vocabulary — pruning it
+    empties every vector; the unit tests exercise the guard.)"""
+    from python_vegindex_spark.operators.terms import cosine_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return cosine_pairs(docs, min_cos=0.92).orderBy("id_a", "id_b")
+
+
 def q_chunk_containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment detection via shared aligned chunk hashes
     (operators/packing.chunk_containment): docs that share exact
@@ -2878,6 +2893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_dates_yearly": q_transition_dates_yearly,
         "vocab_growth_docs": q_vocab_growth_docs,
         "postings_index_docs": q_postings_index_docs,
+        "cosine_pairs_docs": q_cosine_pairs_docs,
     }
 
 
@@ -6267,5 +6283,32 @@ WITH toks AS (
 )
 SELECT rank, term, df, tf, postings_checksum
 FROM ranked WHERE rank <= 50 ORDER BY rank
+""",
+        # exact all-pairs cosine: integer dot/norms; cos is ONE pinned
+        # division of a sqrt*sqrt product over exact ints -> the 0.92
+        # threshold decides identically in both engines
+        "cosine_pairs_docs": """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+), t AS (
+  SELECT * FROM toks WHERE length(term) >= 1
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2
+), norms AS (
+  SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS norm2 FROM tf GROUP BY 1
+), dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+  FROM tf a JOIN tf b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, dot, na.norm2 AS norm2_a, nb.norm2 AS norm2_b,
+       dot / (sqrt(na.norm2) * sqrt(nb.norm2)) AS cos
+FROM dots
+JOIN norms na ON na.doc_id = id_a
+JOIN norms nb ON nb.doc_id = id_b
+WHERE dot / (sqrt(na.norm2) * sqrt(nb.norm2)) >= 0.92
+ORDER BY id_a, id_b
 """,
     }

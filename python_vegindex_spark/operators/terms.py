@@ -190,3 +190,92 @@ def bm25_search(
             "dl",
         )
     )
+
+
+def cosine_pairs(
+    docs: DataFrame,
+    min_cos: float = 0.5,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 1,
+) -> DataFrame:
+    """Exact all-pairs document cosine similarity over sparse TF
+    vectors, via a term-partitioned postings self-join — the classic
+    MapReduce all-pairs pattern (Elsayed et al. 2008, "Pairwise
+    Document Similarity in Large Collections"): pairs materialize ONLY
+    for documents sharing a surviving term, never a cross join.
+
+    The exact complement to the engine's approximate screens: MinHash
+    bounds Jaccard, chunk containment catches asymmetric quoting; this
+    reports the true cosine for every pair above ``min_cos``.
+
+    ``max_df`` drops terms appearing in more than ``max_df`` documents
+    BEFORE the self-join. At scale this is not an optimization but the
+    quadratic-blowup guard: a term with document frequency d expands to
+    d·(d-1)/2 candidate pairs on one shuffle key, so a stop-word in
+    half a 10^9-doc corpus is 10^17 pairs on one reducer. With pruning,
+    per-term fan-out is bounded by max_df²; both the dot product AND
+    the norms are computed over the pruned term space, so the reported
+    cosine is self-consistent: the true cosine in the pruned vector
+    space (stop-word mass excluded from both sides).
+
+    Float discipline (SURVEY §8): dot and squared norms are exact
+    BIGINTs; ``sqrt`` is IEEE-correctly-rounded on integers < 2^53, so
+    ``dot / (sqrt(norm2_a) * sqrt(norm2_b))`` — one multiply, one
+    division, pinned order — is bit-identical cross-engine, and the
+    ``min_cos`` filter decides identically.
+
+    Output: (id_a, id_b, dot, norm2_a, norm2_b, cos) with id_a < id_b.
+    """
+    if not 0.0 <= float(min_cos) <= 1.0:
+        raise ValueError(f"min_cos must be in [0, 1], got {min_cos}")
+    if max_df is not None and max_df < 1:
+        raise ValueError(f"max_df must be >= 1, got {max_df}")
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "term"
+        ),
+    ).where(F.length("term") >= int(min_len))
+    tf = toks.groupBy("id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    if max_df is not None:
+        # postings have one row per (doc, term) -> count(*) per term IS
+        # the document frequency; inner-join keeps only cool terms
+        keep = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df")).where(
+            F.col("_df") <= int(max_df)
+        ).select("term")
+        tf = tf.join(keep, on="term", how="inner")
+    norms = tf.groupBy("id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("norm2")
+    )
+    a, b = tf.alias("a"), tf.alias("b")
+    dots = (
+        a.join(
+            b,
+            on=(F.col("a.term") == F.col("b.term"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(
+            F.sum(F.col("a.tf") * F.col("b.tf")).cast("long").alias("dot")
+        )
+    )
+    na = norms.select(
+        F.col("id").alias("id_a"), F.col("norm2").alias("norm2_a")
+    )
+    nb = norms.select(
+        F.col("id").alias("id_b"), F.col("norm2").alias("norm2_b")
+    )
+    cos = F.col("dot") / (F.sqrt("norm2_a") * F.sqrt("norm2_b"))
+    return (
+        dots.join(na, on="id_a")
+        .join(nb, on="id_b")
+        .withColumn("cos", cos)
+        .where(F.col("cos") >= float(min_cos))
+        .select("id_a", "id_b", "dot", "norm2_a", "norm2_b", "cos")
+    )

@@ -90,3 +90,73 @@ def test_vocab_plans_python_free(docs):
         plan = df._jdf.queryExecution().executedPlan().toString()
         for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "mapInPandas"):
             assert marker not in plan, f"{marker} found in vocab plan"
+
+
+# ---------------------------------------------------------------- cosine
+
+
+def test_cosine_pairs_hand_case(spark):
+    from python_vegindex_spark.operators.terms import cosine_pairs
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "a b b"), (2, "c"), (3, "a a b")],
+        "doc_id long, text string",
+    )
+    rows = cosine_pairs(docs, min_cos=0.0).orderBy("id_a", "id_b").collect()
+    got = [(r.id_a, r.id_b, r.dot, r.norm2_a, r.norm2_b, r.cos) for r in rows]
+    # d2 shares no term with anyone: the pair never materializes.
+    # expected cos pinned the operator's own way: dot/(sqrt*sqrt) —
+    # sqrt(5)**2 is 4.999... in IEEE doubles, NOT 5
+    c08 = 4 / (5**0.5 * 5**0.5)
+    assert got == [
+        (0, 1, 4, 5, 5, c08),
+        (0, 3, 5, 5, 5, 5 / (5**0.5 * 5**0.5)),
+        (1, 3, 4, 5, 5, c08),
+    ]
+    # threshold keeps only the exact duplicate
+    kept = cosine_pairs(docs, min_cos=0.9).collect()
+    assert [(r.id_a, r.id_b, r.cos) for r in kept] == [
+        (0, 3, 5 / (5**0.5 * 5**0.5))
+    ]
+
+
+def test_cosine_pairs_max_df_prunes_norms_too(spark):
+    from python_vegindex_spark.operators.terms import cosine_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a a b"),
+            (1, "a b b"),
+            (3, "a a b"),
+            (4, "x y"),
+            (5, "x y"),
+            (6, "x y a"),
+        ],
+        "doc_id long, text string",
+    )
+    # a (df=4) and b (df=3) are pruned at max_df=2; x,y (df=3)... also
+    # pruned -> use max_df=3: a (df=4) pruned, b/x/y (df=3) kept
+    rows = (
+        cosine_pairs(docs, min_cos=0.99, max_df=3)
+        .orderBy("id_a", "id_b")
+        .collect()
+    )
+    got = [(r.id_a, r.id_b, r.dot, r.norm2_a, r.norm2_b, r.cos) for r in rows]
+    # post-pruning d6 = {x:1, y:1} (norm2 2, NOT 3): cos(d4, d6) hits
+    # the pinned unit value — proof norms are computed post-pruning
+    one2 = 2 / (2**0.5 * 2**0.5)
+    assert (4, 6, 2, 2, 2, one2) in got and (5, 6, 2, 2, 2, one2) in got
+    assert (4, 5, 2, 2, 2, one2) in got
+    # b survives: d0/d1/d3 vectors are {b:1},{b:2},{b:1} -> all cos 1.0
+    assert (0, 3, 1, 1, 1, 1.0) in got
+    assert len(got) == 6  # (0,1),(0,3),(1,3),(4,5),(4,6),(5,6)
+
+
+def test_cosine_pairs_validation(spark):
+    from python_vegindex_spark.operators.terms import cosine_pairs
+
+    docs = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="min_cos"):
+        cosine_pairs(docs, min_cos=1.5)
+    with pytest.raises(ValueError, match="max_df"):
+        cosine_pairs(docs, max_df=0)
