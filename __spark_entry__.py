@@ -2650,6 +2650,23 @@ def q_postings_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return postings_index(docs, k=50).orderBy("rank")
 
 
+def q_sequence_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event-type trigram mining per user (operators/funnel.
+    sequence_ngrams, n=3): the k-th-order generalization of the
+    transition matrix — per-gram total occurrences and distinct-user
+    support, both exact integers; order pinned by (ts, event_id)."""
+    from python_vegindex_spark.operators.funnel import sequence_ngrams
+
+    return sequence_ngrams(
+        _t(spark, sf_dir, "events"),
+        ["user_id"],
+        "event_type",
+        n=3,
+        order_cols=["event_id"],
+        min_support=2,
+    ).orderBy("gram")
+
+
 def q_cosine_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs document cosine via the term-partitioned
     postings self-join (operators/terms.cosine_pairs, min_cos=0.92):
@@ -2894,6 +2911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth_docs": q_vocab_growth_docs,
         "postings_index_docs": q_postings_index_docs,
         "cosine_pairs_docs": q_cosine_pairs_docs,
+        "sequence_trigrams": q_sequence_trigrams,
     }
 
 
@@ -6310,5 +6328,23 @@ JOIN norms na ON na.doc_id = id_a
 JOIN norms nb ON nb.doc_id = id_b
 WHERE dot / (sqrt(na.norm2) * sqrt(nb.norm2)) >= 0.92
 ORDER BY id_a, id_b
+""",
+        # ordered event-type trigrams per user: lead twice over the
+        # (ts, event_id)-pinned sequence order, all-integer support
+        "sequence_trigrams": """
+WITH d AS (
+  SELECT user_id, event_type AS s0,
+    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s1,
+    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s2
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+), g AS (
+  SELECT user_id, s0 || '>' || s1 || '>' || s2 AS gram
+  FROM d WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+)
+SELECT gram,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_seqs
+FROM g GROUP BY 1 HAVING count(*) >= 2
+ORDER BY gram
 """,
     }

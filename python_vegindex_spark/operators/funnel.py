@@ -29,6 +29,7 @@ carry every event through the shuffle instead.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -329,4 +330,69 @@ def state_durations(
         "n_samples",
         "dur_us",
         frac.alias("dur_frac"),
+    )
+
+
+def sequence_ngrams(
+    df: DataFrame,
+    seq_cols: Sequence[str],
+    state_col: str,
+    n: int = 3,
+    ts_col: str = "ts",
+    order_cols: Sequence[str] = (),
+    min_support: int = 1,
+    sep: str = ">",
+) -> DataFrame:
+    """Ordered state n-gram mining: the k-th-order generalization of
+    :func:`transition_counts` (n=2 reproduces it, gram-encoded).
+
+    Every run of ``n`` consecutive states within a sequence becomes one
+    gram ``s1>s2>...>sn``; output is per-gram ``n_occurrences`` (total,
+    overlapping windows counted) and ``n_seqs`` (distinct sequences
+    containing the gram) — the standard support measures of sequential
+    pattern mining, both exact integers.
+
+    Scale shape: one window pass partitioned by the sequence key (the
+    same per-sequence shuffle every sequence operator here pays —
+    transcripts are hot-key-free since one conversation is one
+    partition-local run), then ONE hash aggregate on the gram string;
+    gram keys are near-uniform under hashing. ``n_seqs`` rides a
+    distinct on (gram, sequence) — a second skinny aggregate over the
+    gram stream, never the corpus.
+
+    ``order_cols`` must make the per-sequence order total (pass a
+    unique id) or window output is nondeterministic. ``sep`` must not
+    occur in state values — gram strings would alias (validated
+    downstream only by the caller; states here are enum-like).
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    if min_support < 1:
+        raise ValueError(f"min_support must be >= 1, got {min_support}")
+    w = Window.partitionBy(*[F.col(c) for c in seq_cols]).orderBy(
+        ts_col, *order_cols
+    )
+    leads = [F.lead(state_col, i).over(w).alias(f"_s{i}") for i in range(n)]
+    d = df.where(
+        F.col(ts_col).isNotNull() & F.col(state_col).isNotNull()
+    ).select(*[F.col(c) for c in seq_cols], *leads)
+    # windows running off the end of a sequence have NULL tails: drop
+    full = d.where(
+        functools.reduce(
+            lambda a, b: a & b,
+            [F.col(f"_s{i}").isNotNull() for i in range(n)],
+        )
+    ).select(
+        *[F.col(c) for c in seq_cols],
+        F.concat_ws(sep, *[F.col(f"_s{i}") for i in range(n)]).alias("gram"),
+    )
+    return (
+        full.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct(*[F.col(c) for c in seq_cols])
+            .cast("long")
+            .alias("n_seqs"),
+        )
+        .where(F.col("n_occurrences") >= int(min_support))
     )

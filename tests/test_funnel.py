@@ -185,3 +185,78 @@ def test_cohort_plan_jvm_only(spark):
     p = cohort_retention(df, ["u"])._jdf.queryExecution().executedPlan().toString()
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert marker not in p
+
+
+def test_sequence_ngrams_hand_case(spark):
+    from python_vegindex_spark.operators.funnel import sequence_ngrams
+
+    rows = [
+        ("u1", _ts(0), 1, "A"),
+        ("u1", _ts(10), 2, "B"),
+        ("u1", _ts(20), 3, "A"),
+        ("u1", _ts(30), 4, "B"),
+        ("u2", _ts(0), 5, "A"),
+        ("u2", _ts(10), 6, "B"),
+        ("u2", _ts(20), 7, "A"),
+        ("u3", _ts(0), 8, "C"),       # too short for any trigram
+        ("u3", _ts(5), 9, None),      # NULL state dropped pre-window
+        ("u3", _ts(10), 10, "C"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_id long, state string"
+    )
+    got = {
+        r.gram: (r.n_occurrences, r.n_seqs)
+        for r in sequence_ngrams(
+            df, ["user_id"], "state", n=3, order_cols=["event_id"]
+        ).collect()
+    }
+    # u1: A>B>A, B>A>B; u2: A>B>A -> support 2 sequences for A>B>A
+    assert got == {"A>B>A": (2, 2), "B>A>B": (1, 1)}
+
+    # min_support prunes the singleton gram
+    kept = sequence_ngrams(
+        df, ["user_id"], "state", n=3, order_cols=["event_id"], min_support=2
+    ).collect()
+    assert [(r.gram, r.n_occurrences) for r in kept] == [("A>B>A", 2)]
+
+
+def test_sequence_ngrams_n2_matches_transition_counts(spark):
+    from python_vegindex_spark.operators.funnel import sequence_ngrams
+
+    rows = [
+        ("u1", _ts(0), 1, "A"),
+        ("u1", _ts(10), 2, "B"),
+        ("u1", _ts(20), 3, "A"),
+        ("u2", _ts(0), 4, "B"),
+        ("u2", _ts(10), 5, "B"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_id long, state string"
+    )
+    bigrams = {
+        r.gram: r.n_occurrences
+        for r in sequence_ngrams(
+            df, ["user_id"], "state", n=2, order_cols=["event_id"]
+        ).collect()
+    }
+    pairs = {
+        f"{r.from_state}>{r.to_state}": r.n
+        for r in transition_counts(
+            df, ["user_id"], "state", order_cols=["event_id"]
+        ).collect()
+    }
+    assert bigrams == pairs == {"A>B": 1, "B>A": 1, "B>B": 1}
+
+
+def test_sequence_ngrams_validation(spark):
+    from python_vegindex_spark.operators.funnel import sequence_ngrams
+
+    df = spark.createDataFrame(
+        [("u1", _ts(0), 1, "A")],
+        "user_id string, ts timestamp, event_id long, state string",
+    )
+    with pytest.raises(ValueError, match="n must"):
+        sequence_ngrams(df, ["user_id"], "state", n=1)
+    with pytest.raises(ValueError, match="min_support"):
+        sequence_ngrams(df, ["user_id"], "state", min_support=0)
