@@ -2650,6 +2650,30 @@ def q_postings_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return postings_index(docs, k=50).orderBy("rank")
 
 
+def q_weighted_percentiles_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact type-1 weighted percentiles per (event_type, day)
+    (operators/weighted.weighted_percentiles): value quantized to
+    BIGINT cents, weight = the props JSON's integer k — the
+    token-weighted-latency shape. Selection is the all-integer
+    cross-multiplication cum*100 >= q100*W over a distinct-value
+    pre-aggregate; the only float is the final pinned v/100."""
+    from python_vegindex_spark.operators.weighted import weighted_percentiles
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).alias("bucket_start"),
+            "value",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+    )
+    return weighted_percentiles(
+        ev, ["event_type", "bucket_start"], "value", "k", qs=(0.5, 0.9)
+    ).orderBy("event_type", "bucket_start")
+
+
 def q_sequence_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered event-type trigram mining per user (operators/funnel.
     sequence_ngrams, n=3): the k-th-order generalization of the
@@ -2912,6 +2936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_index_docs": q_postings_index_docs,
         "cosine_pairs_docs": q_cosine_pairs_docs,
         "sequence_trigrams": q_sequence_trigrams,
+        "weighted_percentiles_daily": q_weighted_percentiles_daily,
     }
 
 
@@ -6346,5 +6371,36 @@ SELECT gram,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_seqs
 FROM g GROUP BY 1 HAVING count(*) >= 2
 ORDER BY gram
+""",
+        # type-1 weighted percentiles: distinct-value pre-aggregate +
+        # integer cross-multiplied selection; only float = pinned v/100
+        "weighted_percentiles_daily": """
+WITH b AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket_start,
+         CAST(floor(value * 100) AS BIGINT) AS v,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS w
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+    AND json_extract_string(props, '$.k') IS NOT NULL
+    AND CAST(json_extract_string(props, '$.k') AS BIGINT) > 0
+), g AS (
+  SELECT event_type, bucket_start, v,
+         CAST(sum(w) AS BIGINT) AS wv, CAST(count(*) AS BIGINT) AS nn
+  FROM b GROUP BY 1, 2, 3
+), c AS (
+  SELECT event_type, bucket_start, v, wv, nn,
+         CAST(sum(wv) OVER (PARTITION BY event_type, bucket_start
+                            ORDER BY v) AS BIGINT) AS cum,
+         CAST(sum(wv) OVER (PARTITION BY event_type, bucket_start)
+              AS BIGINT) AS tw,
+         CAST(sum(nn) OVER (PARTITION BY event_type, bucket_start)
+              AS BIGINT) AS n
+  FROM g
+)
+SELECT event_type, bucket_start, n, tw AS total_w,
+       min(CASE WHEN cum * 100 >= 50 * tw THEN v END) / 100.0 AS wp50,
+       min(CASE WHEN cum * 100 >= 90 * tw THEN v END) / 100.0 AS wp90
+FROM c GROUP BY 1, 2, 3, 4
+ORDER BY 1, 2
 """,
     }
