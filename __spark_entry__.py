@@ -2650,6 +2650,26 @@ def q_postings_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return postings_index(docs, k=50).orderBy("rank")
 
 
+def q_assemble_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation assembly (operators/assemble.assemble_conversations):
+    the transcripts->corpus bridge — one role-tagged document per
+    sequence in stable (ts, event_id) order, the driver contract's
+    per-turn-text-equality invariant expressed as an oracle query.
+    Mapped onto events: user_id = conversation, event_type = role,
+    props = turn text. String equality is the whole point: any
+    dropped/reordered/mutated turn changes the assembled text."""
+    from python_vegindex_spark.operators.assemble import assemble_conversations
+
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    return assemble_conversations(
+        ev,
+        conv_col="user_id",
+        order_cols=("ts", "event_id"),
+        role_col="event_type",
+        text_col="props",
+    ).orderBy("user_id")
+
+
 def q_weighted_percentiles_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact type-1 weighted percentiles per (event_type, day)
     (operators/weighted.weighted_percentiles): value quantized to
@@ -2937,6 +2957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs_docs": q_cosine_pairs_docs,
         "sequence_trigrams": q_sequence_trigrams,
         "weighted_percentiles_daily": q_weighted_percentiles_daily,
+        "assemble_conversations": q_assemble_conversations,
     }
 
 
@@ -6402,5 +6423,24 @@ SELECT event_type, bucket_start, n, tw AS total_w,
        min(CASE WHEN cum * 100 >= 90 * tw THEN v END) / 100.0 AS wp90
 FROM c GROUP BY 1, 2, 3, 4
 ORDER BY 1, 2
+""",
+        # conversation assembly: role-tagged ordered concat — string
+        # equality IS the per-turn-text-equality invariant. The order
+        # key (ts, event_id) is total per user; the trailing r,t in the
+        # ORDER BY mirror Spark's struct sort and never fire
+        "assemble_conversations": """
+WITH b AS (
+  SELECT user_id, ts, event_id,
+         coalesce(event_type, '') AS r, coalesce(props, '') AS t
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), a AS (
+  SELECT user_id,
+         string_agg(r || ': ' || t, chr(10)
+                    ORDER BY ts, event_id, r, t) AS text,
+         CAST(count(*) AS BIGINT) AS n_turns
+  FROM b GROUP BY 1
+)
+SELECT user_id, text, n_turns, CAST(length(text) AS BIGINT) AS n_chars
+FROM a ORDER BY user_id
 """,
     }

@@ -1,0 +1,83 @@
+"""Conversation assembly: transcripts -> one document per conversation.
+
+The bridge between the engine's two data shapes: the turn table
+(conv_id, turn_idx, role, text, tool, ts — the north-rule input) and
+the document corpus every text operator consumes (dedup, quality
+gates, vocab, chunking, packing). This is the SFT-export / corpus-
+build step: role-tagged turns joined in stable (conv_id, turn_idx)
+order — the exact per-row invariant ``tests/test_text_invariant.py``
+pins for the raw layers, carried through to the derived corpus.
+
+Scale shape: ONE shuffle keyed by the conversation id (one
+conversation = one group; conv ids are near-uniform under hashing, and
+a single conversation never exceeds one group — the natural partition
+of transcript data). ``array_sort`` over (order..., role, text)
+structs pins the intra-group order deterministically; the struct sort
+key starts with the caller's order columns, which the contract
+requires to be unique per conversation (turn_idx is). ``max_turns``
+bounds the pathological giant-conversation group: the sorted array is
+sliced BEFORE the join, so memory per group is bounded by the kept
+prefix.
+
+All JVM built-ins (collect_list / array_sort / slice / transform /
+array_join) — no Python in the path, no window function.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def assemble_conversations(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: Sequence[str] = ("turn_idx",),
+    role_col: str = "role",
+    text_col: str = "text",
+    sep: str = "\n",
+    role_sep: str = ": ",
+    max_turns: int | None = None,
+) -> DataFrame:
+    """One document per conversation.
+
+    Output: ``conv_col``, ``text`` (role-tagged turns joined by
+    ``sep``), ``n_turns`` (turns kept after the ``max_turns``
+    truncation), ``n_chars`` (length of the assembled text). NULL
+    role/text render as empty strings (a NULL payload must not
+    blank the whole document). Rows with a NULL conversation id are
+    dropped — they have no home document.
+    """
+    if max_turns is not None and max_turns < 1:
+        raise ValueError(f"max_turns must be >= 1, got {max_turns}")
+    if not order_cols:
+        raise ValueError("order_cols must be non-empty")
+    struct_cols = [F.col(c) for c in order_cols] + [
+        F.coalesce(F.col(role_col).cast("string"), F.lit("")).alias("_r"),
+        F.coalesce(F.col(text_col).cast("string"), F.lit("")).alias("_t"),
+    ]
+    arr = F.array_sort(F.collect_list(F.struct(*struct_cols)))
+    grouped = (
+        turns.where(F.col(conv_col).isNotNull())
+        .groupBy(conv_col)
+        .agg(arr.alias("_arr"))
+    )
+    kept = (
+        F.slice(F.col("_arr"), 1, int(max_turns))
+        if max_turns is not None
+        else F.col("_arr")
+    )
+    text = F.array_join(
+        F.transform(
+            kept, lambda x: F.concat(x["_r"], F.lit(role_sep), x["_t"])
+        ),
+        sep,
+    )
+    return grouped.select(
+        conv_col,
+        text.alias("text"),
+        F.size(kept).cast("long").alias("n_turns"),
+        F.length(text).cast("long").alias("n_chars"),
+    )

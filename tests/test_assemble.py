@@ -1,0 +1,86 @@
+"""Conversation assembly (operators/assemble): the transcripts ->
+corpus bridge, pinned to the per-turn text-equality invariant."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_vegindex_spark.operators.assemble import assemble_conversations
+from python_vegindex_spark.sources.synth import synth_turns
+
+ROWS = [
+    # deliberately out of order: assembly must sort by turn_idx
+    ("c1", 2, "user", "third", None, "2024-01-01 00:02:00"),
+    ("c1", 0, "user", "first", None, "2024-01-01 00:00:00"),
+    ("c1", 1, "assistant", "second\nwith newline", "search", "2024-01-01 00:01:00"),
+    ("c2", 0, "user", None, None, "2024-01-01 00:00:00"),   # NULL text
+    ("c2", 1, None, "reply", None, "2024-01-01 00:01:00"),  # NULL role
+    (None, 0, "user", "orphan", None, "2024-01-01 00:00:00"),  # dropped
+]
+
+
+@pytest.fixture(scope="module")
+def turns(spark):
+    return spark.createDataFrame(
+        ROWS,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_assemble_stable_order_and_nulls(turns):
+    got = {
+        r.conv_id: r
+        for r in assemble_conversations(turns).collect()
+    }
+    assert set(got) == {"c1", "c2"}  # NULL conv dropped
+    c1 = got["c1"]
+    assert c1.text == "user: first\nassistant: second\nwith newline\nuser: third"
+    assert (c1.n_turns, c1.n_chars) == (3, len(c1.text))
+    # NULL role/text render empty, never NULL-ing the document
+    assert got["c2"].text == "user: \n: reply"
+
+
+def test_assemble_max_turns_truncates_sorted_prefix(turns):
+    got = {
+        r.conv_id: r
+        for r in assemble_conversations(turns, max_turns=2).collect()
+    }
+    # truncation happens AFTER the sort: keeps turns 0 and 1
+    assert got["c1"].text == "user: first\nassistant: second\nwith newline"
+    assert got["c1"].n_turns == 2
+    with pytest.raises(ValueError, match="max_turns"):
+        assemble_conversations(turns, max_turns=0)
+    with pytest.raises(ValueError, match="order_cols"):
+        assemble_conversations(turns, order_cols=())
+
+
+def test_assemble_synth_per_turn_equality(spark):
+    """Composition with the real transcript shape: every turn of every
+    synth conversation appears byte-identically, in (conv_id,
+    turn_idx) order — the driver contract's per-row invariant."""
+    src = synth_turns(spark, n_convs=20, seed=3).select(
+        "conv_id", "turn_idx", "role", "text"
+    )
+    expected: dict[str, list[tuple[int, str, str]]] = {}
+    for r in src.collect():
+        expected.setdefault(r.conv_id, []).append(
+            (r.turn_idx, r.role or "", r.text or "")
+        )
+    docs = {
+        r.conv_id: r.text
+        for r in assemble_conversations(src).collect()
+    }
+    assert set(docs) == set(expected)
+    for conv, turns_ in expected.items():
+        want = "\n".join(f"{role}: {text}" for _, role, text in sorted(turns_))
+        assert docs[conv] == want, f"mismatch in {conv}"
+
+
+def test_assemble_plan_python_and_window_free(turns):
+    out = assemble_conversations(turns)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF",
+                   "mapInPandas", "Window"):
+        assert marker not in plan, f"{marker} in assembly plan"
