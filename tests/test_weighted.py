@@ -81,3 +81,44 @@ def test_weighted_plan_python_free(spark):
     assert math.isclose(
         {r.g: r.wp50 for r in out.collect()}["b"], 2.0
     )
+
+
+def test_weighted_percentile_property_vs_expansion(spark):
+    """Random (value, weight) multisets vs the brute-force definition:
+    repeat each value `weight` times, then the type-1 quantile of the
+    expanded multiset (smallest v at cumulative count >= ceil(q*N))
+    must equal the operator's weighted answer."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        pairs=st.lists(
+            st.tuples(
+                st.integers(min_value=-300, max_value=300),
+                st.integers(min_value=1, max_value=9),
+            ),
+            min_size=1, max_size=30,
+        ),
+        q100=st.sampled_from([10, 25, 50, 75, 90, 100]),
+    )
+    def check(pairs, q100):
+        # whole-number values: floor(v * 100) is exact, so the brute
+        # force below shares the operator's quantization (a cent-level
+        # fraction like 0.29 would floor to 28 cents — 0.29*100 is
+        # 28.999... in doubles — which is the operator's DEFINED
+        # semantics, shared bit-for-bit by the DuckDB oracle)
+        rows = [("g", float(v), w) for v, w in pairs]
+        r = weighted_percentiles(
+            _df(spark, rows), ["g"], "value", "w", qs=(q100 / 100.0,)
+        ).collect()[0]
+        expanded = sorted(v for v, w in pairs for _ in range(w))
+        n = len(expanded)
+        # smallest index i (1-based) with i*100 >= q100*n
+        i = (q100 * n + 99) // 100
+        want = float(expanded[i - 1])
+        got = r[f"wp{q100}"]
+        assert got == want, (pairs, q100, got, want)
+
+    check()
