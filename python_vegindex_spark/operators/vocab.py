@@ -17,12 +17,13 @@ classic corpus-level builds:
   in for the serialized postings list so the whole build is value-
   checkable without shipping gigabytes to the driver.
 
-Scale shape (both): ONE explode of the tokenizer output and ONE hash
-aggregate keyed by term — term keys are near-uniform under hashing, so
-the shuffle has no hot key even when the corpus has hot documents.
-``vocab_growth`` adds a second tiny aggregate over batches (thousands
-of rows, not corpus-sized) and an ordered cumulative sum over those
-batch rows only. Nothing corpus-sized ever passes through a window.
+Scale shape (both): ONE explode of the tokenizer output and ONE
+corpus-sized hash aggregate — keyed by term for the postings build,
+by (term, batch) for the growth curve — term keys are near-uniform
+under hashing, so the shuffle has no hot key even when the corpus has
+hot documents. Everything downstream of that first aggregate is
+vocabulary-sized or batch-count-sized, and the only window runs over
+the batch rows (corpus_size / batch_size of them), never the corpus.
 
 Exactness discipline: everything here is INTEGER (counts, min doc ids,
 position checksums) — no floats anywhere, so the DuckDB oracle
@@ -91,18 +92,27 @@ def vocab_growth(
     # for the non-negative ids this takes; SURVEY §8).
     batch_of = F.expr(f"`{id_col}` div {int(batch_size)}")
 
-    # stage 1: per-term first-seen doc -> per-batch new-term counts
-    first_seen = toks.groupBy("term").agg(F.min(id_col).alias("_first"))
+    # the ONE corpus-sized pass: occurrences per (term, batch). A
+    # term's first batch == the batch of its min doc id (batch is
+    # monotone in doc id), so both downstream aggregates — new terms
+    # per batch AND token volume per batch — read this vocabulary×
+    # batch-sized table, and the raw corpus is exploded exactly once.
+    # pinned (house rule, SURVEY §8): two consumers below — without
+    # the checkpoint each would re-run the corpus explode
+    per_term_batch = (
+        toks.groupBy(F.col("term"), batch_of.alias("batch"))
+        .agg(F.count(F.lit(1)).cast("long").alias("occ"))
+        .localCheckpoint(eager=True)
+    )
+
     new_per_batch = (
-        first_seen
-        .groupBy(F.expr(f"_first div {int(batch_size)}").alias("batch"))
+        per_term_batch.groupBy("term")
+        .agg(F.min("batch").alias("batch"))
+        .groupBy("batch")
         .agg(F.count(F.lit(1)).cast("long").alias("new_terms"))
     )
-    # stage 2: per-batch token volume (separate skinny agg, same scan
-    # family; Catalyst reuses the exploded child via the shuffle)
-    tok_per_batch = (
-        toks.groupBy(batch_of.alias("batch"))
-        .agg(F.count(F.lit(1)).cast("long").alias("tokens"))
+    tok_per_batch = per_term_batch.groupBy("batch").agg(
+        F.sum("occ").cast("long").alias("tokens")
     )
     w = (
         Window.orderBy("batch")
@@ -160,14 +170,14 @@ def postings_index(
     )
     if k is None:
         return idx
-    ranked = idx.withColumn(
-        "rank",
-        F.row_number().over(
-            Window.orderBy(
-                F.col("df").desc(), F.col("tf").desc(), F.col("term").asc()
-            )
-        ).cast("long"),
+    # global top-k via orderBy().limit() — Spark plans this as
+    # TakeOrderedAndProject (per-partition top-k, then a merge of only
+    # k·n_partitions rows), never a vocabulary-sized single-partition
+    # sort. The row_number window then ranks the k survivors only.
+    order = (
+        F.col("df").desc(), F.col("tf").desc(), F.col("term").asc()
     )
-    return ranked.where(F.col("rank") <= int(k)).select(
-        "rank", "term", "df", "tf", "postings_checksum"
-    )
+    top = idx.orderBy(*order).limit(int(k))
+    return top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order)).cast("long")
+    ).select("rank", "term", "df", "tf", "postings_checksum")

@@ -160,3 +160,18 @@ def test_cosine_pairs_validation(spark):
         cosine_pairs(docs, min_cos=1.5)
     with pytest.raises(ValueError, match="max_df"):
         cosine_pairs(docs, max_df=0)
+
+
+def test_vocab_scale_plan_shapes(spark):
+    # top-k must plan as TakeOrderedAndProject (per-partition top-k +
+    # k-row merge), never a vocabulary-sized single-partition sort
+    df = spark.createDataFrame(
+        [(i, "a b c") for i in range(10)], "doc_id long, text string"
+    )
+    p = postings_index(df, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p
+    # the growth curve explodes the corpus exactly once: both consumers
+    # read the pinned (term, batch) checkpoint, so the executed plan
+    # contains ZERO Generate (explode) nodes
+    g = vocab_growth(df, 2)._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in g
