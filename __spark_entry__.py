@@ -2650,6 +2650,30 @@ def q_postings_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return postings_index(docs, k=50).orderBy("rank")
 
 
+def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (operators/graph.pagerank_integer, 3
+    iterations) over the supplier->customer fulfillment graph built
+    from lineitem JOIN orders — link-graph centrality as the
+    crawl-quality-prior shape. Every rank is BIGINT micro-mass on a
+    10^12 scale; the oracle is the same fixpoint UNROLLED into plain
+    SQL, so the whole iterative loop is value-checked bit-for-bit.
+    Top-50 by the integer key (rank_q DESC, node ASC)."""
+    from python_vegindex_spark.operators.graph import pagerank_integer
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    ranks = pagerank_integer(edges, iters=3)
+    return ranks.orderBy(F.col("rank_q").desc(), F.col("node").asc()).limit(50)
+
+
 def q_assemble_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation assembly (operators/assemble.assemble_conversations):
     the transcripts->corpus bridge — one role-tagged document per
@@ -2958,6 +2982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_trigrams": q_sequence_trigrams,
         "weighted_percentiles_daily": q_weighted_percentiles_daily,
         "assemble_conversations": q_assemble_conversations,
+        "pagerank_suppliers": q_pagerank_suppliers,
     }
 
 
@@ -3123,6 +3148,63 @@ dgc AS (
   FROM dg
 )
 """
+
+
+def _pagerank_oracle_sql(
+    iters: int = 3,
+    d_num: int = 85,
+    d_den: int = 100,
+    scale: int = 10**12,
+    k: int = 50,
+) -> str:
+    """Oracle for q_pagerank_suppliers: the SAME integer fixpoint
+    UNROLLED into chained CTEs (DuckDB disallows aggregates in a
+    recursive term, and unrolling keeps every iteration a plain
+    join + GROUP BY). All operands non-negative, so `//` (floor)
+    matches Spark's `div` (truncate) exactly."""
+    base = f"(({d_den - d_num}) * ({scale} // p.n)) // {d_den}"
+    parts = [
+        """
+WITH e AS (
+  SELECT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
+         'C' || CAST(o_custkey AS VARCHAR) AS dst,
+         CAST(count(*) AS BIGINT) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), outw AS (
+  SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY 1
+), ew AS (
+  SELECT e.src, e.dst, e.w, o.outw FROM e JOIN outw o USING (src)
+), nodes AS (
+  SELECT DISTINCT src AS node FROM e
+  UNION
+  SELECT DISTINCT dst FROM e
+), params AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM nodes
+), r0 AS (
+  SELECT node, CAST(%d // p.n AS BIGINT) AS rank_q FROM nodes, params p
+)""" % scale
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", c{i} AS (
+  SELECT ew.dst AS node,
+         CAST(sum((r.rank_q * ew.w) // ew.outw) AS BIGINT) AS inflow
+  FROM ew JOIN r{i - 1} r ON ew.src = r.node GROUP BY 1
+), r{i} AS (
+  SELECT nodes.node,
+         CAST({base} + ({d_num} * coalesce(c{i}.inflow, 0)) // {d_den}
+              AS BIGINT) AS rank_q
+  FROM nodes LEFT JOIN c{i} USING (node), params p
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, rank_q FROM r{iters}
+ORDER BY rank_q DESC, node ASC LIMIT {k}
+"""
+    )
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6443,4 +6525,5 @@ WITH b AS (
 SELECT user_id, text, n_turns, CAST(length(text) AS BIGINT) AS n_chars
 FROM a ORDER BY user_id
 """,
+        "pagerank_suppliers": _pagerank_oracle_sql(),
     }

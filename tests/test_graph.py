@@ -1,0 +1,90 @@
+"""Integer-exact PageRank (operators/graph)."""
+
+from __future__ import annotations
+
+import pytest
+
+from python_vegindex_spark.operators.graph import (
+    PAGERANK_SCALE,
+    pagerank_integer,
+)
+
+
+def _ref(edges, iters, scale=PAGERANK_SCALE, dn=85, dd=100):
+    """Independent pure-Python mirror of the integer fixpoint."""
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    outw: dict[str, int] = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0) + w
+    n = len(nodes)
+    init = scale // n
+    base = ((dd - dn) * init) // dd
+    r = {v: init for v in nodes}
+    for _ in range(iters):
+        inflow = {v: 0 for v in nodes}
+        for s, d, w in edges:
+            inflow[d] += (r[s] * w) // outw[s]
+        r = {v: base + (dn * inflow[v]) // dd for v in nodes}
+    return r
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    return {
+        r.node: r.rank_q for r in pagerank_integer(df, **kw).collect()
+    }
+
+
+def test_pagerank_matches_reference_chain(spark):
+    edges = [("A", "B", 1), ("B", "C", 1)]
+    for iters in (1, 3):
+        assert _run(spark, edges, iters=iters) == _ref(edges, iters)
+
+
+def test_pagerank_weighted_split_and_cycle(spark):
+    # weighted fan-out (3:1 floor split) feeding a cycle back to A
+    edges = [("A", "B", 3), ("A", "C", 1), ("B", "A", 1), ("C", "A", 2)]
+    got = _run(spark, edges, iters=4)
+    want = _ref(edges, 4)
+    assert got == want
+    # B receives 3/4 of A's mass, C 1/4: order must reflect it
+    assert got["B"] > got["C"]
+
+
+def test_pagerank_dangling_and_isolated_source(spark):
+    # C dangles (mass dropped); A has no in-edges -> settles at base
+    edges = [("A", "B", 1), ("B", "C", 1)]
+    got = _run(spark, edges, iters=3)
+    ref = _ref(edges, 3)
+    assert got == ref
+    init = PAGERANK_SCALE // 3
+    assert got["A"] == (15 * init) // 100  # pure teleport mass
+
+
+def test_pagerank_drops_bad_edges_and_validates(spark):
+    edges_df = [("A", "B", 1), ("A", "C", 0), (None, "B", 5), ("B", None, 5)]
+    got = _run(spark, edges_df, iters=1)
+    # zero-weight and NULL-endpoint edges ignored entirely: C never
+    # becomes a node, B's inflow is A's whole mass
+    assert set(got) == {"A", "B"}
+    assert got == _ref([("A", "B", 1)], 1, scale=PAGERANK_SCALE)
+    with pytest.raises(ValueError, match="iters"):
+        pagerank_integer(
+            spark.createDataFrame([("A", "B", 1)], "src string, dst string, w long"),
+            iters=0,
+        )
+    with pytest.raises(ValueError, match="damping"):
+        pagerank_integer(
+            spark.createDataFrame([("A", "B", 1)], "src string, dst string, w long"),
+            damping_num=100,
+        )
+
+
+def test_pagerank_plan_python_free(spark):
+    df = spark.createDataFrame(
+        [("A", "B", 1), ("B", "A", 2)], "src string, dst string, w long"
+    )
+    out = pagerank_integer(df, iters=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "mapInPandas"):
+        assert marker not in plan, f"{marker} in pagerank plan"
