@@ -15,9 +15,14 @@ of transcript data). ``array_sort`` over (order..., role, text)
 structs pins the intra-group order deterministically; the struct sort
 key starts with the caller's order columns, which the contract
 requires to be unique per conversation (turn_idx is). ``max_turns``
-bounds the pathological giant-conversation group: the sorted array is
-sliced BEFORE the join, so memory per group is bounded by the kept
-prefix.
+truncates the OUTPUT to the sorted prefix — note it does NOT bound the
+aggregation buffer: ``collect_list`` materializes the whole
+conversation per group before the slice (inherent to sort-after-
+collect; conversations are short relative to executor memory by the
+transcript data contract). For a corpus with adversarially long
+conversations, pre-filter upstream — e.g. ``turns.where(col("turn_idx")
+< N)`` when the order key is the 0-based turn index — which bounds the
+buffer itself.
 
 All JVM built-ins (collect_list / array_sort / slice / transform /
 array_join) — no Python in the path, no window function.

@@ -365,6 +365,8 @@ def sequence_ngrams(
     occur in state values — gram strings would alias (validated
     downstream only by the caller; states here are enum-like).
     """
+    if not seq_cols:
+        raise ValueError("seq_cols must be non-empty")
     if n < 2:
         raise ValueError(f"n must be >= 2, got {n}")
     if min_support < 1:

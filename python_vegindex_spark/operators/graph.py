@@ -84,6 +84,11 @@ def pagerank_integer(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    if n == 0:
+        raise ValueError(
+            "pagerank_integer: edge list is empty after dropping "
+            "NULL-endpoint and non-positive-weight rows"
+        )
     init = scale // n
     base = ((damping_den - damping_num) * init) // damping_den
 

@@ -248,6 +248,10 @@ def cosine_pairs(
             F.col("_df") <= int(max_df)
         ).select("term")
         tf = tf.join(keep, on="term", how="inner")
+    # pinned (house rule, SURVEY §8): FOUR consumers below (self-join
+    # a/b sides + both norm lookups) — without the checkpoint each
+    # would re-run the corpus-sized tokenize/explode/TF lineage
+    tf = tf.localCheckpoint(eager=True)
     norms = tf.groupBy("id").agg(
         F.sum(F.col("tf") * F.col("tf")).cast("long").alias("norm2")
     )

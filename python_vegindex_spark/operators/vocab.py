@@ -160,6 +160,8 @@ def postings_index(
     the deterministic integer rank key (never a float). ``k=None``
     returns the full index (the real sink path).
     """
+    if k is not None and k < 1:
+        raise ValueError(f"k must be >= 1 or None, got {k}")
     toks = tokenize_positions(df, id_col, text_col, min_len)
     idx = toks.groupBy("term").agg(
         F.countDistinct(id_col).cast("long").alias("df"),

@@ -175,3 +175,33 @@ def test_vocab_scale_plan_shapes(spark):
     # contains ZERO Generate (explode) nodes
     g = vocab_growth(df, 2)._jdf.queryExecution().executedPlan().toString()
     assert "Generate" not in g
+
+
+def test_review_validations_and_cosine_pin(spark):
+    from python_vegindex_spark.operators.funnel import sequence_ngrams
+    from python_vegindex_spark.operators.graph import pagerank_integer
+    from python_vegindex_spark.operators.terms import cosine_pairs
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a b")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="k must"):
+        postings_index(docs, k=0)
+    ev = spark.createDataFrame(
+        [("u", "A")], "user_id string, state string"
+    )
+    with pytest.raises(ValueError, match="seq_cols"):
+        sequence_ngrams(ev, [], "state")
+    with pytest.raises(ValueError, match="empty"):
+        pagerank_integer(
+            spark.createDataFrame(
+                [("A", None, 5)], "src string, dst string, w long"
+            )
+        )
+    # cosine's corpus-sized TF lineage is pinned: the executed plan of
+    # the four-consumer query contains ZERO Generate (explode) nodes
+    plan = (
+        cosine_pairs(docs, min_cos=0.0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Generate" not in plan
