@@ -2674,6 +2674,34 @@ def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.orderBy(F.col("rank_q").desc(), F.col("node").asc()).limit(50)
 
 
+def q_triangle_counts_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node exact triangle counts (operators/graph.triangle_counts)
+    over the user co-occurrence graph — users active in the same
+    (event_type, minute) bucket (operators/graph.cooccurrence_edges,
+    hot buckets > 50 users dropped pre-join: the projection blowup
+    guard). Counting uses the degree-ordered orientation so the wedge
+    join's fan-out is O(sqrt(m))-bounded even at celebrity nodes.
+    All-integer."""
+    from python_vegindex_spark.operators.graph import (
+        cooccurrence_edges,
+        triangle_counts,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            F.date_trunc("minute", F.col("ts")).alias("bucket"),
+        )
+    )
+    edges = cooccurrence_edges(
+        ev, "user_id", ("event_type", "bucket"), max_bucket_nodes=50
+    )
+    return triangle_counts(edges).orderBy("node")
+
+
 def q_assemble_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation assembly (operators/assemble.assemble_conversations):
     the transcripts->corpus bridge — one role-tagged document per
@@ -2983,6 +3011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_percentiles_daily": q_weighted_percentiles_daily,
         "assemble_conversations": q_assemble_conversations,
         "pagerank_suppliers": q_pagerank_suppliers,
+        "triangle_counts_users": q_triangle_counts_users,
     }
 
 
@@ -6526,4 +6555,44 @@ SELECT user_id, text, n_turns, CAST(length(text) AS BIGINT) AS n_chars
 FROM a ORDER BY user_id
 """,
         "pagerank_suppliers": _pagerank_oracle_sql(),
+        # exact triangle counting: same degree-ordered orientation,
+        # wedge join, canonical-edge closure; per-node via 3-way unnest
+        "triangle_counts_users": """
+WITH m AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS node, event_type,
+         date_trunc('minute', ts) AS b
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), sz AS (
+  SELECT event_type, b FROM m GROUP BY 1, 2 HAVING count(*) <= 50
+), cool AS (
+  SELECT m.* FROM m JOIN sz USING (event_type, b)
+), e AS (
+  SELECT DISTINCT least(a.node, c.node) AS a, greatest(a.node, c.node) AS b
+  FROM cool a JOIN cool c
+    ON a.event_type = c.event_type AND a.b = c.b AND a.node < c.node
+), deg AS (
+  SELECT node, count(*) AS deg
+  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1
+), ed AS (
+  SELECT e.a, e.b, da.deg AS dda, db.deg AS ddb
+  FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+), o AS (
+  SELECT CASE WHEN dda < ddb OR (dda = ddb AND a < b) THEN a ELSE b END AS src,
+         CASE WHEN dda < ddb OR (dda = ddb AND a < b) THEN b ELSE a END AS dst
+  FROM ed
+), wed AS (
+  SELECT w1.src AS u, w1.dst AS v, w2.dst AS w
+  FROM o w1 JOIN o w2 ON w1.src = w2.src AND w1.dst < w2.dst
+), tri AS (
+  SELECT u, v, w FROM wed JOIN e ON wed.v = e.a AND wed.w = e.b
+), per AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS triangles
+  FROM (SELECT u AS node FROM tri UNION ALL SELECT v FROM tri
+        UNION ALL SELECT w FROM tri)
+  GROUP BY 1
+)
+SELECT deg.node, coalesce(per.triangles, 0) AS triangles
+FROM deg LEFT JOIN per USING (node)
+ORDER BY node
+""",
     }

@@ -114,3 +114,122 @@ def pagerank_integer(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    node_col: str,
+    bucket_cols: list[str] | tuple[str, ...],
+    max_bucket_nodes: int = 50,
+) -> DataFrame:
+    """Undirected co-occurrence edges: nodes sharing a bucket.
+
+    The projection step that turns event/interaction data into a
+    unipartite graph (users active in the same (event_type, hour),
+    docs sharing a shingle, ...). Projections are QUADRATIC per
+    bucket — b nodes make b(b-1)/2 pairs on one shuffle key — so
+    ``max_bucket_nodes`` drops hot buckets BEFORE the self-join, the
+    same blowup guard as cosine's max_df / MinHash's banding: a bucket
+    shared by half the graph says nothing about affinity anyway.
+
+    Output: (src, dst) distinct with src < dst (string order).
+    """
+    if max_bucket_nodes < 2:
+        raise ValueError(
+            f"max_bucket_nodes must be >= 2, got {max_bucket_nodes}"
+        )
+    b = [F.col(c) for c in bucket_cols]
+    members = (
+        df.where(F.col(node_col).isNotNull())
+        .select(F.col(node_col).cast("string").alias("node"), *b)
+        .distinct()
+    )
+    sizes = members.groupBy(*bucket_cols).agg(
+        F.count(F.lit(1)).alias("_bn")
+    ).where(F.col("_bn") <= int(max_bucket_nodes)).select(*bucket_cols)
+    cool = members.join(sizes, on=list(bucket_cols))
+    a, c = cool.alias("a"), cool.alias("c")
+    cond = F.col("a.node") < F.col("c.node")
+    for col in bucket_cols:
+        cond = cond & (F.col(f"a.{col}") == F.col(f"c.{col}"))
+    return (
+        a.join(c, on=cond)
+        .select(F.col("a.node").alias("src"), F.col("c.node").alias("dst"))
+        .distinct()
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Exact per-node triangle counts over an undirected edge list.
+
+    The standard degree-ordered orientation (Schank/Wagner, the
+    MapReduce classic): orient every edge from the endpoint with the
+    SMALLER (degree, node) key to the larger, so each triangle is
+    found exactly once as a wedge (u->v, u->w) closed by (v->w), and —
+    the scale point — per-node out-degree after orientation is bounded
+    by O(sqrt(m)) on any graph: the wedge self-join's fan-out is
+    skew-immune even around celebrity nodes, which is precisely why
+    one orients before joining instead of joining the raw edges.
+
+    Input: (src, dst) undirected pairs (dedup'd and de-self-looped
+    here). Output: (node, triangles) for every node incident to at
+    least one edge — all-integer.
+    """
+    e = (
+        edges.select(
+            F.col("src").cast("string").alias("a"),
+            F.col("dst").cast("string").alias("b"),
+        )
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # consumed by degrees AND both join sides
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    # orient by the total order (deg, node): lower key -> higher key
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("_db"))
+    ed = e.join(da, on="a").join(db, on="b")
+    lower_is_a = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(lower_is_a, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(lower_is_a, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    ).localCheckpoint(eager=True)  # wedge join uses it twice + closure probe
+
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    wedges = w1.join(
+        w2,
+        on=(F.col("w1.src") == F.col("w2.src"))
+        & (F.col("w1.dst") < F.col("w2.dst")),
+    ).select(
+        F.col("w1.src").alias("u"),
+        F.col("w1.dst").alias("v"),
+        F.col("w2.dst").alias("w"),
+    )
+    # close the wedge: (v, w) with v < w must be a canonical edge —
+    # e is already (min, max)-canonical, so probe it directly
+    closure = e.select(F.col("a").alias("cv"), F.col("b").alias("cw"))
+    tris = wedges.join(
+        closure,
+        on=(wedges["v"] == closure["cv"]) & (wedges["w"] == closure["cw"]),
+    ).select("u", "v", "w")
+    per_node = (
+        tris.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )
+    nodes = deg.select("node")
+    return (
+        nodes.join(per_node, on="node", how="left")
+        .na.fill({"triangles": 0})
+        .select("node", "triangles")
+    )

@@ -88,3 +88,64 @@ def test_pagerank_plan_python_free(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "mapInPandas"):
         assert marker not in plan, f"{marker} in pagerank plan"
+
+
+def test_triangle_counts_k4_plus_pendant(spark):
+    from python_vegindex_spark.operators.graph import triangle_counts
+
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    edges = k4 + [("d", "e"), ("b", "a"), ("a", "a")]  # dup reversed + self loop
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.triangles for r in triangle_counts(df).collect()}
+    # K4 has C(4,3)=4 triangles; each member sits in 3; pendant e in 0
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3, "e": 0}
+
+
+def test_triangle_counts_property_vs_bruteforce(spark):
+    import itertools
+    import random
+
+    from python_vegindex_spark.operators.graph import triangle_counts
+
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(12)]
+    edges = sorted(
+        {tuple(sorted(p)) for p in itertools.combinations(nodes, 2) if rng.random() < 0.35}
+    )
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.triangles for r in triangle_counts(df).collect()}
+    es = set(edges)
+    want = {n: 0 for n in {x for e in edges for x in e}}
+    for x, y, z in itertools.combinations(sorted(want), 3):
+        if (
+            tuple(sorted((x, y))) in es
+            and tuple(sorted((x, z))) in es
+            and tuple(sorted((y, z))) in es
+        ):
+            want[x] += 1
+            want[y] += 1
+            want[z] += 1
+    assert got == want
+
+
+def test_cooccurrence_edges_hot_bucket_guard(spark):
+    from python_vegindex_spark.operators.graph import cooccurrence_edges
+
+    rows = (
+        [("u%d" % i, "hot") for i in range(5)]      # hot bucket: dropped
+        + [("a", "cool"), ("b", "cool"), ("c", "cool")]
+        + [("a", "cool")]                            # dup membership
+        + [(None, "cool")]
+    )
+    df = spark.createDataFrame(rows, "user string, bucket string")
+    got = sorted(
+        (r.src, r.dst)
+        for r in cooccurrence_edges(
+            df, "user", ("bucket",), max_bucket_nodes=4
+        ).collect()
+    )
+    assert got == [("a", "b"), ("a", "c"), ("b", "c")]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="max_bucket_nodes"):
+        cooccurrence_edges(df, "user", ("bucket",), max_bucket_nodes=1)
