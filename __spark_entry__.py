@@ -2702,6 +2702,39 @@ def q_triangle_counts_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges).orderBy("node")
 
 
+def q_bfs_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS blast radius (operators/graph.bfs_distances,
+    depth 3) over the user co-occurrence graph (same guarded
+    projection as triangle_counts_users): exact hop distance from the
+    deterministic seed set user_id % 13 == 0 — the contamination-
+    spread / influence-radius query. All-integer; the oracle unrolls
+    the same min-plus rounds in SQL."""
+    from python_vegindex_spark.operators.graph import (
+        bfs_distances,
+        cooccurrence_edges,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            F.date_trunc("minute", F.col("ts")).alias("bucket"),
+        )
+    )
+    edges = cooccurrence_edges(
+        ev, "user_id", ("event_type", "bucket"), max_bucket_nodes=50
+    )
+    seeds = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull() & (F.col("user_id") % 13 == 0))
+        .select(F.col("user_id").cast("string").alias("node"))
+        .distinct()
+    )
+    return bfs_distances(edges, seeds, max_depth=3).orderBy("node")
+
+
 def q_assemble_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation assembly (operators/assemble.assemble_conversations):
     the transcripts->corpus bridge — one role-tagged document per
@@ -3012,6 +3045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assemble_conversations": q_assemble_conversations,
         "pagerank_suppliers": q_pagerank_suppliers,
         "triangle_counts_users": q_triangle_counts_users,
+        "bfs_blast_radius": q_bfs_blast_radius,
     }
 
 
@@ -3177,6 +3211,45 @@ dgc AS (
   FROM dg
 )
 """
+
+
+def _bfs_oracle_sql(depth: int = 3) -> str:
+    """Oracle for q_bfs_blast_radius: the co-occurrence projection
+    (same CTEs as triangle_counts_users) + `depth` unrolled min-plus
+    relaxation rounds — exact distances <= depth, all-integer."""
+    parts = [
+        """
+WITH m AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS node, event_type,
+         date_trunc('minute', ts) AS b
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), sz AS (
+  SELECT event_type, b FROM m GROUP BY 1, 2 HAVING count(*) <= 50
+), cool AS (
+  SELECT m.* FROM m JOIN sz USING (event_type, b)
+), e AS (
+  SELECT DISTINCT least(a.node, c.node) AS a, greatest(a.node, c.node) AS b
+  FROM cool a JOIN cool c
+    ON a.event_type = c.event_type AND a.b = c.b AND a.node < c.node
+), sym AS (
+  SELECT a AS src, b AS dst FROM e UNION SELECT b, a FROM e
+), d0 AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS node, CAST(0 AS BIGINT) AS dist
+  FROM events WHERE user_id IS NOT NULL AND user_id % 13 = 0
+)"""
+    ]
+    for i in range(1, depth + 1):
+        parts.append(
+            f""", d{i} AS (
+  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+    SELECT s.dst AS node, d.dist + 1 AS dist
+    FROM sym s JOIN d{i - 1} d ON s.src = d.node
+    UNION ALL SELECT node, dist FROM d{i - 1}
+  ) GROUP BY 1
+)"""
+        )
+    parts.append(f"\nSELECT node, dist FROM d{depth} ORDER BY node\n")
+    return "".join(parts)
 
 
 def _pagerank_oracle_sql(
@@ -6595,4 +6668,5 @@ SELECT deg.node, coalesce(per.triangles, 0) AS triangles
 FROM deg LEFT JOIN per USING (node)
 ORDER BY node
 """,
+        "bfs_blast_radius": _bfs_oracle_sql(),
     }

@@ -233,3 +233,59 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .na.fill({"triangles": 0})
         .select("node", "triangles")
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 3,
+) -> DataFrame:
+    """Multi-source BFS: exact hop distance (<= max_depth) from a seed
+    set over an undirected edge list — the blast-radius query
+    (contamination spread through a near-dup graph, influence radius
+    through a co-occurrence graph).
+
+    ``edges``: (src, dst) undirected pairs. ``seeds``: one column of
+    node ids. Output: (node, dist) for every node within ``max_depth``
+    hops of any seed (seeds at dist 0; seeds not present in the edge
+    list still appear). Distances are exact BIGINTs: round r relaxes
+    ``dist(v) = min(dist(v), min over neighbors dist(u) + 1)``, and
+    after r rounds every node at true distance <= r is final — so with
+    a fixed round count the result is EXACT for the radius it reports,
+    not an approximation.
+
+    Scale shape: edges symmetrized and pinned once; each round is ONE
+    equi-join of the current frontier table with the edge list and ONE
+    min-aggregate — the same per-round shape and lineage discipline
+    (localCheckpoint per round) as pagerank_integer/dedup_clusters.
+    State stays (node, dist) pairs; payloads never enter the loop.
+    """
+    if max_depth < 0:
+        raise ValueError(f"max_depth must be >= 0, got {max_depth}")
+    e0 = edges.select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    sym = (
+        e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seed_col = seeds.columns[0]
+    dist = (
+        seeds.select(F.col(seed_col).cast("string").alias("node"))
+        .where(F.col("node").isNotNull())
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("dist"))
+    )
+    for _ in range(max_depth):
+        relaxed = (
+            sym.join(dist, sym["src"] == dist["node"])
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+            .union(dist)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        dist = relaxed
+    return dist

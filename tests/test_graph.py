@@ -149,3 +149,26 @@ def test_cooccurrence_edges_hot_bucket_guard(spark):
 
     with _pt.raises(ValueError, match="max_bucket_nodes"):
         cooccurrence_edges(df, "user", ("bucket",), max_bucket_nodes=1)
+
+
+def test_bfs_distances_hand_graph(spark):
+    from python_vegindex_spark.operators.graph import bfs_distances
+
+    # path a-b-c-d-e plus isolated seed z (keeps dist 0, no edges)
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame([("a",), ("z",)], "node string")
+    got = {r.node: r.dist for r in bfs_distances(df, seeds, max_depth=2).collect()}
+    # depth 2: e (dist 4) and d (dist 3) not yet reached
+    assert got == {"a": 0, "z": 0, "b": 1, "c": 2}
+    # depth 0: seeds only
+    got0 = {r.node: r.dist for r in bfs_distances(df, seeds, max_depth=0).collect()}
+    assert got0 == {"a": 0, "z": 0}
+    # two seeds meeting in the middle take the MIN distance
+    seeds2 = spark.createDataFrame([("a",), ("e",)], "node string")
+    got2 = {r.node: r.dist for r in bfs_distances(df, seeds2, max_depth=3).collect()}
+    assert got2 == {"a": 0, "e": 0, "b": 1, "d": 1, "c": 2}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="max_depth"):
+        bfs_distances(df, seeds, max_depth=-1)
