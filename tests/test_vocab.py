@@ -205,3 +205,88 @@ def test_review_validations_and_cosine_pin(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Generate" not in plan
+
+
+def test_cosine_pairs_property_vs_bruteforce(spark):
+    """Random tiny corpora vs a pure-Python cosine over TF dicts,
+    including the pinned sqrt*sqrt float path and max_df pruning."""
+    import itertools
+    import random
+
+    from python_vegindex_spark.operators.terms import cosine_pairs
+
+    rng = random.Random(11)
+    vocab = ["a", "b", "c", "d", "e"]
+    for trial in range(4):
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 6))))
+            for i in range(8)
+        ]
+        max_df = rng.choice([None, 3, 5])
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r.id_a, r.id_b): (r.dot, r.norm2_a, r.norm2_b, r.cos)
+            for r in cosine_pairs(df, min_cos=0.0, max_df=max_df).collect()
+        }
+        # brute force with identical pruning + pinned float ops
+        tf: dict[int, dict[str, int]] = {}
+        for i, text in docs:
+            d: dict[str, int] = {}
+            for t in text.split():
+                d[t] = d.get(t, 0) + 1
+            tf[i] = d
+        if max_df is not None:
+            dfreq: dict[str, int] = {}
+            for d in tf.values():
+                for t in d:
+                    dfreq[t] = dfreq.get(t, 0) + 1
+            tf = {
+                i: {t: c for t, c in d.items() if dfreq[t] <= max_df}
+                for i, d in tf.items()
+            }
+        want = {}
+        for i, j in itertools.combinations(sorted(tf), 2):
+            dot = sum(tf[i][t] * tf[j].get(t, 0) for t in tf[i])
+            if dot == 0:
+                continue
+            na = sum(c * c for c in tf[i].values())
+            nb = sum(c * c for c in tf[j].values())
+            want[(i, j)] = (dot, na, nb, dot / (na**0.5 * nb**0.5))
+        assert got == want, f"trial {trial} max_df={max_df}"
+
+
+def test_sequence_ngrams_property_vs_bruteforce(spark):
+    import random
+
+    from python_vegindex_spark.operators.funnel import sequence_ngrams
+
+    rng = random.Random(5)
+    states = ["A", "B", "C"]
+    rows = []
+    eid = 0
+    seqs: dict[str, list[str]] = {}
+    for u in range(6):
+        seq = [rng.choice(states) for _ in range(rng.randint(0, 7))]
+        seqs[f"u{u}"] = seq
+        for i, st in enumerate(seq):
+            rows.append((f"u{u}", f"2024-01-01 00:{i:02d}:00", eid, st))
+            eid += 1
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows, "user_id string, ts string, event_id long, state string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    for n in (2, 3):
+        got = {
+            r.gram: (r.n_occurrences, r.n_seqs)
+            for r in sequence_ngrams(
+                df, ["user_id"], "state", n=n, order_cols=["event_id"]
+            ).collect()
+        }
+        want: dict[str, list] = {}
+        for u, seq in seqs.items():
+            for i in range(len(seq) - n + 1):
+                g = ">".join(seq[i : i + n])
+                want.setdefault(g, []).append(u)
+        want_d = {g: (len(us), len(set(us))) for g, us in want.items()}
+        assert got == want_d, f"n={n}"
