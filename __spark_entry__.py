@@ -50,6 +50,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _mean_q(c, scale: int):
+    """UNROUNDED exact mean of floor(c*scale)/scale as an aggregate.
+
+    The cross-engine-tie-proof mean (SURVEY §8): DECIMAL integer sum,
+    ONE pinned double division by (scale · n). round(avg(double), k)
+    is a coin flip whenever the true mean lands exactly midway at the
+    k-th decimal (hit at sf0.1, 2026-08-20); this never rounds.
+    Mirror in DuckDB: CAST(sum(CAST(floor(c*scale) AS BIGINT)) AS
+    DOUBLE) / (scale.0 * CAST(count(c) AS DOUBLE)).
+    """
+    q = F.floor(c * F.lit(int(scale))).cast("decimal(38,0)")
+    n = F.count(F.when(c.isNotNull(), 1)).cast("double")
+    return F.sum(q).cast("double") / (F.lit(float(scale)) * n)
+
+
 # --------------------------------------------------------------------------
 # queries (Spark side)
 # --------------------------------------------------------------------------
@@ -59,7 +74,8 @@ def q_hourly_rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap-filled, exact HF-7 percentiles."""
     ev = _t(spark, sf_dir, "events")
     return rollup_series(
-        ev, tier="hourly", series_cols=["event_type"], value_col="value"
+        ev, tier="hourly", series_cols=["event_type"], value_col="value",
+        value_scale=100,
     ).orderBy("event_type", "bucket_start")
 
 
@@ -67,7 +83,8 @@ def q_daily_user_rollup_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 count tiering (nmin=3) per user_id, daily buckets, gap-filled."""
     ev = _t(spark, sf_dir, "events")
     out = rollup_series(
-        ev, tier="daily", series_cols=["user_id"], value_col="value", nmin=3
+        ev, tier="daily", series_cols=["user_id"], value_col="value", nmin=3,
+        value_scale=100,
     )
     return out.select(
         "user_id", F.col("bucket_start").cast("timestamp").alias("bucket_start"),
@@ -80,7 +97,7 @@ def q_weekly_anchored_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     out = rollup_series(
         ev, tier="weekly", series_cols=["event_type"], value_col="value",
-        gap_fill=False,
+        gap_fill=False, value_scale=100,
     )
     return out.withColumn(
         "bucket_start", F.col("bucket_start").cast("timestamp")
@@ -103,6 +120,7 @@ def q_multitier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         series_cols=["event_type"],
         value_col="value",
         nmin=2,
+        value_scale=100,
     )
     return out.orderBy("event_type", "tier", "bucket_start")
 
@@ -257,15 +275,23 @@ def q_latency_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4 per-series latency deltas (lag window) + rollup per user."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # integer microsecond gaps; mean/p90 via ONE pinned division each,
+    # UNROUNDED (round(avg(us/1e6), 6) ties exactly midway at the 6th
+    # decimal whenever sum_us/n lands on the half-us grid — hit at
+    # sf0.1; HF-7 interpolation over identical integers is bit-equal
+    # across engines, proven by the hf_quantile_types oracle)
     gaps = ev.withColumn(
-        "gap_s", (epoch_us(F.col("ts")) - epoch_us(F.lag("ts").over(w))) / 1e6
-    ).filter(F.col("gap_s").isNotNull())
+        "gap_us", epoch_us(F.col("ts")) - epoch_us(F.lag("ts").over(w))
+    ).filter(F.col("gap_us").isNotNull())
     return (
         gaps.groupBy("user_id")
         .agg(
             F.count("*").cast("long").alias("n_gaps"),
-            F.round(F.avg("gap_s"), 6).alias("gap_mean"),
-            F.round(F.percentile("gap_s", F.lit(0.9)), 6).alias("gap_p90"),
+            (
+                F.sum("gap_us").cast("double")
+                / (F.lit(1e6) * F.count("*").cast("double"))
+            ).alias("gap_mean"),
+            (F.percentile("gap_us", F.lit(0.9)) / F.lit(1e6)).alias("gap_p90"),
         )
         .orderBy("user_id")
     )
@@ -604,7 +630,7 @@ def q_summary_threshold_nullout(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     summ = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
         F.count(F.when(F.col("value") > 0.5, 1)).cast("int").alias("image_count"),
-        F.round(F.avg("value"), 6).alias("v_mean"),
+        _mean_q(F.col("value"), 100).alias("v_mean"),
         F.round(F.percentile("value", F.lit(0.9)), 6).alias("v_90"),
         F.round(F.max("value"), 6).alias("v_max"),
     )
@@ -631,7 +657,7 @@ def q_interval_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.groupBy(F.col("o_orderpriority").alias("priority"))
         .agg(
             F.count("*").cast("long").alias("n_items"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            _mean_q(F.col("l_extendedprice"), 100).alias("avg_price"),
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         )
         .orderBy("priority")
@@ -686,8 +712,9 @@ def q_text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         token_count(F.col("text")).cast("long").alias("tokens"),
         F.length("text").cast("long").alias("chars"),
-        F.round(
-            token_count(F.col("text")) * 100.0 / F.greatest(F.length("text"), F.lit(1)), 6
+        (
+            (token_count(F.col("text")) * F.lit(100)).cast("double")
+            / F.greatest(F.length("text"), F.lit(1)).cast("double")
         ).alias("tokens_per_100_chars"),
     ).orderBy("doc_id")
 
@@ -700,9 +727,9 @@ def q_lang_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.groupBy("lang")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
-            F.round(F.avg(toks), 6).alias("tokens_mean"),
+            _mean_q(toks.cast("double"), 1).alias("tokens_mean"),
             F.round(F.percentile(toks.cast("double"), F.lit(0.9)), 6).alias("tokens_p90"),
-            F.round(F.avg((toks >= 50).cast("int")), 6).alias("share_long"),
+            _mean_q((toks >= 50).cast("double"), 1).alias("share_long"),
         )
         .orderBy("lang")
     )
@@ -725,8 +752,8 @@ def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            _mean_q(F.col("l_extendedprice"), 100).alias("avg_price"),
+            _mean_q(F.col("l_discount"), 100).alias("avg_disc"),
             F.count("*").cast("long").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -755,7 +782,7 @@ def q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = hot.unionByName(errs).dropDuplicates(["event_id"])
     return (
         u.groupBy("event_type")
-        .agg(F.count("*").cast("long").alias("n"), F.round(F.avg("value"), 6).alias("value_mean"))
+        .agg(F.count("*").cast("long").alias("n"), _mean_q(F.col("value"), 100).alias("value_mean"))
         .orderBy("event_type")
     )
 
@@ -811,7 +838,7 @@ def q_validity_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = interval_join(ev, dim)
     return (
         j.groupBy("segment", "event_type")
-        .agg(F.count("*").cast("long").alias("n"), F.round(F.avg("value"), 6).alias("value_mean"))
+        .agg(F.count("*").cast("long").alias("n"), _mean_q(F.col("value"), 100).alias("value_mean"))
         .orderBy("segment", "event_type")
     )
 
@@ -831,7 +858,17 @@ def q_tpch_multi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.count("*").cast("long").alias("n_items"),
-            F.round(F.avg(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("avg_revenue"),
+            # price*(1-disc) lives exactly on the 1e-4 grid: cents_p *
+            # (100 - cents_d) is an EXACT integer — sum those, ONE divide
+            (
+                F.sum(
+                    (
+                        F.floor(F.col("l_extendedprice") * 100)
+                        * (F.lit(100) - F.floor(F.col("l_discount") * 100))
+                    ).cast("decimal(38,0)")
+                ).cast("double")
+                / (F.lit(10000.0) * F.count("*").cast("double"))
+            ).alias("avg_revenue"),
         )
         .orderBy("nation")
     )
@@ -1035,7 +1072,8 @@ def q_codec_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = encode_chunks(ev, tier="daily", series_cols=["event_type"])
     back = decode_chunks(chunks, series_cols=["event_type"])
     return rollup_series(
-        back, tier="hourly", series_cols=["event_type"], gap_fill=False
+        back, tier="hourly", series_cols=["event_type"], gap_fill=False,
+        value_scale=100,
     ).orderBy("event_type", "bucket_start")
 
 
@@ -1377,6 +1415,7 @@ def q_locf_interpolate_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         series_cols=["event_type"],
         value_col="value",
         percentiles=(),
+        value_scale=100,
     ).select("event_type", "bucket_start", "n", "v_mean")
     # the spine marks gap buckets with n=0 / NULL stats
     filled = fill_series(
@@ -1387,8 +1426,11 @@ def q_locf_interpolate_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket_start",
         "n",
         "v_mean",
-        F.round("v_mean_locf", 6).alias("v_locf"),
-        F.round("v_mean_interp", 6).alias("v_interp"),
+        # unrounded: LOCF carries an exact cents-grid mean, and the
+        # interpolation of two such means can land midway at the 6th
+        # decimal — round would be a cross-engine coin flip there
+        F.col("v_mean_locf").alias("v_locf"),
+        F.col("v_mean_interp").alias("v_interp"),
     ).orderBy("event_type", "bucket_start")
 
 
@@ -1466,7 +1508,8 @@ def q_rollup_15min_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact percentiles — the minute-grain twin of hourly_rollup_gapfill."""
     ev = _t(spark, sf_dir, "events")
     return rollup_series(
-        ev, tier="15min", series_cols=["event_type"], value_col="value"
+        ev, tier="15min", series_cols=["event_type"], value_col="value",
+        value_scale=100,
     ).orderBy("event_type", "bucket_start")
 
 
@@ -1543,6 +1586,7 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         tier="hourly",
         series_cols=["event_type"],
         order_cols=["event_id"],
+        value_scale=100,
     ).orderBy("event_type", "bucket_start")
 
 
@@ -3058,10 +3102,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # DuckDB oracles
 # --------------------------------------------------------------------------
 
+# v_mean/v_std from EXACT integer cent moments, UNROUNDED (pinned: one
+# divide per stat, sqrt of an exact integer) — round(avg(double), 6) is
+# a cross-engine coin flip whenever the group mean lands on the
+# cents/n grid exactly midway at the 6th decimal (hit at sf0.1:
+# signup@2024-01-18T22 mean 43.4728125, n=32). Percentile/min/max
+# decimal expansions terminate far above the 6th digit -> still safe
+# to round. Spark twin: rollup_series(value_scale=100).
 _ROLLUP_STATS = """
         count(value) AS n,
-        round(avg(value), 6) AS v_mean,
-        round(stddev_pop(value), 6) AS v_std,
+        CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS DOUBLE)
+          / (100.0 * CAST(count(value) AS DOUBLE)) AS v_mean,
+        sqrt(CAST(count(value) * sum(CAST(floor(value * 100) AS BIGINT)
+                                     * CAST(floor(value * 100) AS BIGINT))
+                  - sum(CAST(floor(value * 100) AS BIGINT))
+                    * sum(CAST(floor(value * 100) AS BIGINT)) AS DOUBLE))
+          / (100.0 * CAST(count(value) AS DOUBLE)) AS v_std,
         round(min(value), 6) AS v_min,
         round(max(value), 6) AS v_max,
         round(quantile_cont(value, 0.5), 6) AS v_50,
@@ -3600,16 +3656,18 @@ WITH base AS (
 SELECT event_type, bucket_start, event_id AS mid_event_id, round(value, 6) AS mid_value
 FROM ranked WHERE rn = 1 ORDER BY 1, 2
 """,
+        # integer-us gaps, one pinned division per stat, unrounded
+        # (see q_latency_lag_stats — the round(.,6) midway-tie fix)
         "latency_lag_stats": """
 WITH gaps AS (
   SELECT user_id,
-         (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) / 1e6 AS gap_s
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
   FROM events
 )
 SELECT user_id, count(*) AS n_gaps,
-       round(avg(gap_s), 6) AS gap_mean,
-       round(quantile_cont(gap_s, 0.9), 6) AS gap_p90
-FROM gaps WHERE gap_s IS NOT NULL
+       CAST(sum(gap_us) AS DOUBLE) / (1e6 * CAST(count(*) AS DOUBLE)) AS gap_mean,
+       quantile_cont(gap_us, 0.9) / 1e6 AS gap_p90
+FROM gaps WHERE gap_us IS NOT NULL
 GROUP BY 1 ORDER BY 1
 """,
         "session_stats": """
@@ -3962,7 +4020,8 @@ ORDER BY date
 WITH s AS (
   SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
          CAST(count(*) FILTER (WHERE value > 0.5) AS INT) AS image_count,
-         round(avg(value), 6) AS v_mean,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS DOUBLE)
+           / (100.0 * CAST(count(value) AS DOUBLE)) AS v_mean,
          round(quantile_cont(value, 0.9), 6) AS v_90,
          round(max(value), 6) AS v_max
   FROM events GROUP BY 1, 2)
@@ -4038,7 +4097,8 @@ ORDER BY c.event_id
         "interval_join_agg": """
 SELECT o.o_orderpriority AS priority,
        count(*) AS n_items,
-       round(avg(l.l_extendedprice), 4) AS avg_price,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+         / (100.0 * CAST(count(l.l_extendedprice) AS DOUBLE)) AS avg_price,
        round(sum(l.l_quantity), 2) AS sum_qty
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE l.l_shipdate >= o.o_orderdate
@@ -4081,7 +4141,7 @@ inter AS (
   GROUP BY 1, 2
 )
 SELECT p.id_a, p.id_b,
-       round(COALESCE(i.c, 0) * 1.0 / (sa.n + sb.n - COALESCE(i.c, 0)), 6) AS jaccard
+       (CAST(COALESCE(i.c, 0) AS DOUBLE) / CAST(sa.n + sb.n - COALESCE(i.c, 0) AS DOUBLE)) AS jaccard
 FROM pairs p
 LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
 JOIN sizes sa ON sa.doc_id = p.id_a
@@ -4098,9 +4158,10 @@ SELECT doc_id, lang,
        CASE WHEN coalesce(length(trim(text)), 0) = 0 THEN 0
             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tokens,
        length(text) AS chars,
-       round(CASE WHEN coalesce(length(trim(text)), 0) = 0 THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END * 100.0
-             / greatest(length(text), 1), 6) AS tokens_per_100_chars
+       CAST(CASE WHEN coalesce(length(trim(text)), 0) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+            * 100 AS DOUBLE)
+         / CAST(greatest(length(text), 1) AS DOUBLE) AS tokens_per_100_chars
 FROM documents ORDER BY doc_id
 """,
         "lang_quality_summary": """
@@ -4111,17 +4172,20 @@ WITH t AS (
   FROM documents
 )
 SELECT lang, count(*) AS n_docs,
-       round(avg(tokens), 6) AS tokens_mean,
+       CAST(sum(tokens) AS DOUBLE) / (1.0 * CAST(count(tokens) AS DOUBLE)) AS tokens_mean,
        round(quantile_cont(CAST(tokens AS DOUBLE), 0.9), 6) AS tokens_p90,
-       round(avg(CASE WHEN tokens >= 50 THEN 1 ELSE 0 END), 6) AS share_long
+       CAST(sum(CASE WHEN tokens >= 50 THEN 1 ELSE 0 END) AS DOUBLE)
+         / (1.0 * CAST(count(tokens) AS DOUBLE)) AS share_long
 FROM t GROUP BY 1 ORDER BY 1
 """,
         "ann_cosine_topk": _EXACT_TOPK_ORACLE,
         "tpch_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 6) AS avg_disc,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+           / (100.0 * CAST(count(l_extendedprice) AS DOUBLE)) AS avg_price,
+       CAST(sum(CAST(floor(l_discount * 100) AS BIGINT)) AS DOUBLE)
+           / (100.0 * CAST(count(l_discount) AS DOUBLE)) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2024-09-01'
@@ -4144,7 +4208,9 @@ WITH u AS (
     SELECT event_id FROM events WHERE event_type = 'error'
   )
 )
-SELECT e.event_type, count(*) AS n, round(avg(e.value), 6) AS value_mean
+SELECT e.event_type, count(*) AS n,
+       CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS DOUBLE)
+           / (100.0 * CAST(count(e.value) AS DOUBLE)) AS value_mean
 FROM events e JOIN u USING (event_id)
 GROUP BY 1 ORDER BY 1
 """,
@@ -4179,14 +4245,18 @@ WITH dim(segment, start_ts, end_ts) AS (
          ('w2', TIMESTAMP '2024-01-08', TIMESTAMP '2024-01-20'),
          ('w3', TIMESTAMP '2024-01-20', TIMESTAMP '2024-02-01')
 )
-SELECT d.segment, e.event_type, count(*) AS n, round(avg(e.value), 6) AS value_mean
+SELECT d.segment, e.event_type, count(*) AS n,
+       CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS DOUBLE)
+           / (100.0 * CAST(count(e.value) AS DOUBLE)) AS value_mean
 FROM events e JOIN dim d ON e.ts >= d.start_ts AND e.ts < d.end_ts
 GROUP BY 1, 2 ORDER BY 1, 2
 """,
         "tpch_multi_join": """
 SELECT n.n_name AS nation,
        count(*) AS n_items,
-       round(avg(l.l_extendedprice * (1 - l.l_discount)), 4) AS avg_revenue
+       CAST(sum(CAST(floor(l.l_extendedprice * 100)
+                     * (100 - floor(l.l_discount * 100)) AS BIGINT)) AS DOUBLE)
+         / (10000.0 * CAST(count(*) AS DOUBLE)) AS avg_revenue
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -4396,7 +4466,7 @@ verified AS (
   LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
   JOIN sizes sa ON sa.doc_id = p.id_a
   JOIN sizes sb ON sb.doc_id = p.id_b
-  WHERE round(COALESCE(i.c, 0) * 1.0 / (sa.n + sb.n - COALESCE(i.c, 0)), 6) >= 0.5
+  WHERE (CAST(COALESCE(i.c, 0) AS DOUBLE) / CAST(sa.n + sb.n - COALESCE(i.c, 0) AS DOUBLE)) >= 0.5
 ),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM verified
@@ -4465,7 +4535,7 @@ inter AS (
 ),
 j AS (
   SELECT p.id_a, p.id_b,
-         round(COALESCE(i.c, 0) * 1.0 / (sa.n + sb.n - COALESCE(i.c, 0)), 6) AS jaccard
+         (CAST(COALESCE(i.c, 0) AS DOUBLE) / CAST(sa.n + sb.n - COALESCE(i.c, 0) AS DOUBLE)) AS jaccard
   FROM pairs p
   LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
   JOIN sizes sa ON sa.doc_id = p.id_a
@@ -4902,7 +4972,9 @@ WITH base AS (
   SELECT event_type, date_trunc('hour', ts) AS bucket_start, value FROM events
 ), agg AS (
   SELECT event_type, bucket_start,
-         count(value) AS n, round(avg(value), 6) AS v_mean
+         count(value) AS n,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS DOUBLE)
+           / (100.0 * CAST(count(value) AS DOUBLE)) AS v_mean
   FROM base GROUP BY 1, 2
 ), bounds AS (
   SELECT event_type, min(bucket_start) AS mn, max(bucket_start) AS mx
@@ -4929,11 +5001,11 @@ WITH base AS (
               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 )
 SELECT event_type, bucket_start, n, v_mean,
-  round(prev_v, 6) AS v_locf,
-  round(CASE WHEN v_mean IS NOT NULL THEN v_mean
-        ELSE prev_v + (next_v - prev_v)
-             * (CAST(tus - prev_t AS DOUBLE) / CAST(next_t - prev_t AS DOUBLE))
-        END, 6) AS v_interp
+  prev_v AS v_locf,
+  CASE WHEN v_mean IS NOT NULL THEN v_mean
+       ELSE prev_v + (next_v - prev_v)
+            * (CAST(tus - prev_t AS DOUBLE) / CAST(next_t - prev_t AS DOUBLE))
+       END AS v_interp
 FROM f ORDER BY 1, 2
 """,
         # PromQL increase()/rate() with reset handling over a
@@ -5005,7 +5077,8 @@ WITH base AS (
 SELECT event_type, bucket_start,
   count(*) AS n_samples,
   CAST(sum(dt) AS BIGINT) AS covered_us,
-  round(sum(value * CAST(dt AS DOUBLE)) / sum(CAST(dt AS DOUBLE)), 6) AS twa
+  CAST(sum(CAST(floor(value * 100) AS BIGINT) * dt) AS DOUBLE)
+    / (100.0 * CAST(sum(dt) AS DOUBLE)) AS twa
 FROM d GROUP BY 1, 2 ORDER BY 1, 2
 """,
         # epoch-anchored 15-minute buckets: integer-us modulo, the same

@@ -275,10 +275,12 @@ def ngram_jaccard(
         .select(
             "id_a",
             "id_b",
-            F.round(
-                F.when(F.col("uni") > 0, F.col("inter") / F.col("uni")).otherwise(0.0),
-                6,
-            ).alias("jaccard"),
+            # UNROUNDED single integer division: round(x, 6) is a
+            # cross-engine coin flip when inter/uni lands exactly
+            # midway at the 6th decimal (SURVEY §8 tie hazard)
+            F.when(F.col("uni") > 0, F.col("inter") / F.col("uni"))
+            .otherwise(0.0)
+            .alias("jaccard"),
         )
     )
     return out

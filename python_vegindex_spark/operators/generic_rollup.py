@@ -34,6 +34,7 @@ def rollup_series(
     nmin: int = 1,
     gap_fill: bool = True,
     round_to: int | None = 6,
+    value_scale: int | None = None,
 ) -> DataFrame:
     """Roll one value column into tier buckets per series.
 
@@ -41,6 +42,18 @@ def rollup_series(
     v_mean, v_std (population), v_{q} exact percentiles, v_min, v_max —
     nulled below ``nmin`` per the reference tiering. ``round_to`` rounds
     float aggregates for stable cross-engine comparison.
+
+    ``value_scale`` (e.g. 100 for 2-decimal measures): compute v_mean
+    and v_std from EXACT integer moments of ``floor(v * scale)`` —
+    DECIMAL(38,0) sums, then one pinned double expression, UNROUNDED.
+    This is the cross-engine-tie-proof path (SURVEY §8): ``round(avg)``
+    lands EXACTLY midway at the 6th decimal whenever the group mean
+    hits the scale/n grid (e.g. 2-decimal values, n=32 -> ...8125),
+    and engines disagree on the coin flip. Quantization is lossless
+    when the data carries <= log10(scale) decimals; precision-critical
+    measures (NDVI) should leave it None. round_to still applies to
+    min/max/percentiles, whose decimal expansions terminate far above
+    the 6th digit (safe to round).
 
     NaN ≡ NULL (dropped before every aggregate, n included) — the
     engine-wide rule (functions/quantile module docstring); Spark's
@@ -58,16 +71,39 @@ def rollup_series(
 
     aggs = [
         F.count(F.when(v.isNotNull(), 1)).alias("n"),
-        _r(F.avg(v)).alias("v_mean"),
-        _r(F.stddev_pop(v)).alias("v_std"),
         _r(F.min(v)).alias("v_min"),
         _r(F.max(v)).alias("v_max"),
     ]
+    if value_scale is None:
+        aggs[1:1] = [
+            _r(F.avg(v)).alias("v_mean"),
+            _r(F.stddev_pop(v)).alias("v_std"),
+        ]
+    else:
+        qv = F.floor(v * F.lit(int(value_scale))).cast("decimal(19,0)")
+        aggs += [
+            F.sum(qv).cast("decimal(38,0)").alias("_s1"),
+            F.sum(qv * qv).cast("decimal(38,0)").alias("_s2"),
+        ]
     for q in percentiles:
         aggs.append(
             _r(F.percentile(v, F.lit(q))).alias(f"v_{int(round(q * 100))}")
         )
     agg = d.groupBy(*series_cols, "bucket_start").agg(*aggs)
+    if value_scale is not None:
+        # pinned: ONE divide per stat; sqrt argument is an EXACT
+        # integer (n*Σq² − (Σq)² as DECIMAL(38,0) → double, identical
+        # rounding in both engines), so every bit matches DuckDB
+        den = F.lit(float(value_scale)) * F.col("n").cast("double")
+        var_num = (
+            F.col("n").cast("decimal(38,0)") * F.col("_s2")
+            - F.col("_s1") * F.col("_s1")
+        )
+        agg = agg.withColumn(
+            "v_mean", F.col("_s1").cast("double") / den
+        ).withColumn(
+            "v_std", F.sqrt(var_num.cast("double")) / den
+        ).drop("_s1", "_s2")
 
     if gap_fill:
         spine = bucket_spine(d, tier, series_cols)

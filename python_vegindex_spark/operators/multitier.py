@@ -307,10 +307,14 @@ def rollup_series_tiers(
     nmin: int = 1,
     gap_fill: bool = True,
     round_to: int | None = 6,
+    value_scale: int | None = None,
 ) -> DataFrame:
     """Generic multi-tier twin of ``generic_rollup.rollup_series``: one
     value column, every tier, one scan + one shuffle. Output adds a
     ``tier`` column; ``bucket_start`` is a timestamp for every tier.
+
+    ``value_scale``: exact-integer-moment v_mean/v_std (unrounded,
+    cross-engine-tie-proof) — same contract as ``rollup_series``.
 
     Unlike ``rollup_series`` (bucket_spine join), gap-fill here is the
     join-free O(output) form — the generic single-tier operator keeps
@@ -329,15 +333,36 @@ def rollup_series_tiers(
 
     aggs = [
         F.count(F.when(v.isNotNull(), 1)).alias("n"),
-        _r(F.avg(v)).alias("v_mean"),
-        _r(F.stddev_pop(v)).alias("v_std"),
         _r(F.min(v)).alias("v_min"),
         _r(F.max(v)).alias("v_max"),
     ]
+    if value_scale is None:
+        aggs[1:1] = [
+            _r(F.avg(v)).alias("v_mean"),
+            _r(F.stddev_pop(v)).alias("v_std"),
+        ]
+    else:
+        qv = F.floor(v * F.lit(int(value_scale))).cast("decimal(19,0)")
+        aggs += [
+            F.sum(qv).cast("decimal(38,0)").alias("_s1"),
+            F.sum(qv * qv).cast("decimal(38,0)").alias("_s2"),
+        ]
     qarr = F.array(*[F.lit(float(q)) for q in percentiles])
     if percentiles:
         aggs.append(F.percentile(v, qarr).alias("_pq"))
     agg = d.groupBy(*series_cols, "tier", "bucket_start").agg(*aggs)
+    if value_scale is not None:
+        # pinned exact-moment finish — see rollup_series
+        den = F.lit(float(value_scale)) * F.col("n").cast("double")
+        var_num = (
+            F.col("n").cast("decimal(38,0)") * F.col("_s2")
+            - F.col("_s1") * F.col("_s1")
+        )
+        agg = agg.withColumn(
+            "v_mean", F.col("_s1").cast("double") / den
+        ).withColumn(
+            "v_std", F.sqrt(var_num.cast("double")) / den
+        ).drop("_s1", "_s2")
     pnames = [f"v_{int(round(q * 100))}" for q in percentiles]
     agg = agg.select(
         "*",

@@ -123,6 +123,7 @@ def time_weighted_avg(
     value_col: str = "value",
     order_cols: Sequence[str] = (),
     round_to: int | None = 6,
+    value_scale: int | None = None,
 ) -> DataFrame:
     """Per-bucket time-weighted average under LOCF weighting (the
     TimescaleDB ``time_weight('locf')`` / Influx ``integral`` analog).
@@ -166,13 +167,28 @@ def time_weighted_avg(
     def _r(c):
         return F.round(c, round_to) if round_to is not None else c
 
+    if value_scale is None:
+        twa = _r(
+            F.sum(v * F.col("_dt").cast("double"))
+            / F.sum(F.col("_dt").cast("double"))
+        )
+    else:
+        # EXACT integer numerator: floor(v*scale) * dt_us summed as
+        # DECIMAL(38,0), ONE pinned double division, UNROUNDED — the
+        # float sum-of-products is order-dependent AND round(., 6)
+        # coin-flips when the true twa lands midway (SURVEY §8)
+        num = F.sum(
+            (F.floor(v * F.lit(int(value_scale))) * F.col("_dt")).cast(
+                "decimal(38,0)"
+            )
+        ).cast("double")
+        twa = num / (
+            F.lit(float(value_scale)) * F.sum("_dt").cast("double")
+        )
     return d.groupBy(*series_cols, "bucket_start").agg(
         F.count(F.lit(1)).alias("n_samples"),
         F.sum("_dt").alias("covered_us"),
-        _r(
-            F.sum(v * F.col("_dt").cast("double"))
-            / F.sum(F.col("_dt").cast("double"))
-        ).alias("twa"),
+        twa.alias("twa"),
     )
 
 
