@@ -145,7 +145,9 @@ def q_cascade_weekly_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hourly = rollup_moments(ev, "hourly", ["event_type"], value_col="y")
     weekly = cascade_moments(hourly, "hourly", "weekly", ["event_type"])
-    return finish_moments(weekly).orderBy("event_type", "bucket_start")
+    return finish_moments(weekly, round_to=None).orderBy(
+        "event_type", "bucket_start"
+    )
 
 
 def q_cascade_histogram_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -675,7 +677,7 @@ def q_merge_upsert_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.groupBy("event_type")
         .agg(
             F.count("*").cast("long").alias("n"),
-            F.round(F.avg("value"), 6).alias("value_mean"),
+            _mean_q(F.col("value"), 100).alias("value_mean"),
         )
         .orderBy("event_type")
     )
@@ -815,7 +817,7 @@ def q_paired_index_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
         # rounded value would keep raw values just outside [-1, 1]
         paired.select("event_id", ndvi.alias("_raw"))
         .filter(F.col("_raw").between(-1.0, 1.0))
-        .select("event_id", F.round("_raw", 6).alias("ndvi_c"))
+        .select("event_id", F.col("_raw").alias("ndvi_c"))
         .orderBy("event_id")
     )
 
@@ -945,8 +947,8 @@ def q_deg_dms_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         d.cast("long").alias("dms_deg"),
         m.cast("long").alias("dms_min"),
-        F.round(s, 4).alias("dms_sec"),
-        F.round(back, 6).alias("deg_back"),
+        s.alias("dms_sec"),
+        back.alias("deg_back"),
     ).orderBy("event_id")
 
 
@@ -1494,8 +1496,8 @@ def q_sliding_window_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("day").cast("timestamp").alias("day"),
             F.col("_m.n").alias("peak_n"),
             F.col("_m.s").alias("peak_sum"),
-            F.round(
-                F.col("_m.s").cast("double") / F.col("_m.n").cast("double"), 6
+            (
+                F.col("_m.s").cast("double") / F.col("_m.n").cast("double")
             ).alias("peak_avg"),
         )
         .orderBy("event_type", "day")
@@ -1633,7 +1635,9 @@ def q_linear_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.floor(F.col("value") * 100).cast("long").alias("v_int"),
     )
-    out = linear_trend(ev, "daily", ["event_type"], value_col="v_int")
+    out = linear_trend(
+        ev, "daily", ["event_type"], value_col="v_int", round_to=None
+    )
     return out.withColumn(
         "bucket_start", F.col("bucket_start").cast("timestamp")
     ).orderBy("event_type", "bucket_start")
@@ -1716,7 +1720,8 @@ def q_seasonal_profile_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_vegindex_spark.operators.rate import seasonal_profile
 
     return seasonal_profile(
-        _events_vint(spark, sf_dir), ["event_type"], value_col="v_int"
+        _events_vint(spark, sf_dir), ["event_type"], value_col="v_int",
+        round_to=None,
     ).orderBy("event_type", "dow", "hour")
 
 
@@ -1804,7 +1809,7 @@ def q_funnel_step_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["signup", "click", "purchase"],
         max_gap_s=7 * 86400,
     )
-    return funnel_timing(f, 3).orderBy("step")
+    return funnel_timing(f, 3, round_to=None).orderBy("step")
 
 
 
@@ -1837,13 +1842,14 @@ def q_pop_wow_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date("ts").cast("timestamp").alias("bucket_start"),
         )
         .agg(
-            F.round(
-                F.sum("v_int").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            (
+                F.sum("v_int").cast("double") / F.count(F.lit(1)).cast("double")
             ).alias("v_mean")
         )
     )
     return period_over_period(
-        daily, ["event_type"], "bucket_start", "v_mean", period_s=7 * 86400
+        daily, ["event_type"], "bucket_start", "v_mean", period_s=7 * 86400,
+        round_to=None,
     ).orderBy("event_type", "bucket_start")
 
 
@@ -1975,7 +1981,9 @@ def q_forecast_backtest_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_vegindex_spark.operators.correlate import forecast_backtest_error
 
     ev = _t(spark, sf_dir, "events")
-    return forecast_backtest_error(ev, "daily", ["event_type"], season=7).orderBy(
+    return forecast_backtest_error(
+        ev, "daily", ["event_type"], season=7, round_to=None
+    ).orderBy(
         "event_type", "lag"
     )
 
@@ -2121,6 +2129,7 @@ def q_ohlc_vwap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="v_int",
         weight_col="w_int",
         order_cols=["event_id"],
+        round_to=None,
     )
     return out.select(
         "event_type",
@@ -2289,7 +2298,9 @@ def q_diversity_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_vegindex_spark.operators.generic_rollup import category_diversity
 
     ev = _t(spark, sf_dir, "events")
-    out = category_diversity(ev, "daily", ["event_type"], "user_id")
+    out = category_diversity(
+        ev, "daily", ["event_type"], "user_id", round_to=None
+    )
     return out.withColumn(
         "bucket_start", F.col("bucket_start").cast("timestamp")
     ).orderBy("event_type", "bucket_start")
@@ -2446,7 +2457,7 @@ def q_cascade_daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("close").cast("long").alias("close"),
         F.col("w_sum").cast("long").alias("w_sum"),
         F.col("vw_sum").cast("long").alias("vw_sum"),
-        F.round("vwap", 6).alias("vwap"),
+        F.col("vwap"),
     ).orderBy("event_type", "bucket_start")
 
 
@@ -2475,7 +2486,8 @@ def q_slo_burn_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     out = slo_fraction(
-        ev, "hourly", ["event_type"], threshold=250.0, objective=0.55
+        ev, "hourly", ["event_type"], threshold=250.0, objective=0.55,
+        round_to=None,
     )
     return out.select(
         "event_type", "bucket_start", "n", "n_good",
@@ -2575,7 +2587,9 @@ def q_trimmed_mean_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_vegindex_spark.operators.robust import trimmed_mean_rollup
 
     ev = _t(spark, sf_dir, "events")
-    out = trimmed_mean_rollup(ev, "daily", ["event_type"], trim_frac=0.1)
+    out = trimmed_mean_rollup(
+        ev, "daily", ["event_type"], trim_frac=0.1, round_to=None
+    )
     return out.withColumn(
         "bucket_start", F.col("bucket_start").cast("timestamp")
     ).orderBy("event_type", "bucket_start")
@@ -3443,12 +3457,12 @@ WITH base AS (
   FROM base GROUP BY 1, 2
 )
 SELECT event_type, CAST(bucket_start AS TIMESTAMP) AS bucket_start, n,
-  round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS v_mean,
-  round(sqrt(greatest(
+  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS v_mean,
+  sqrt(greatest(
     CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
       - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
         * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)),
-    0.0)), 6) AS v_std,
+    0.0)) AS v_std,
   v_min, v_max
 FROM mom ORDER BY 1, 2
 """,
@@ -4107,7 +4121,9 @@ GROUP BY 1 ORDER BY 1
 """,
         "merge_upsert_checksum": """
 SELECT event_type, count(*) AS n,
-       round(avg(CASE WHEN event_id % 7 = 0 THEN value + 100.0 ELSE value END), 6) AS value_mean
+       CAST(sum(CAST(floor((CASE WHEN event_id % 7 = 0 THEN value + 100.0
+                                  ELSE value END) * 100) AS BIGINT)) AS DOUBLE)
+         / (100.0 * CAST(count(*) AS DOUBLE)) AS value_mean
 FROM events GROUP BY 1 ORDER BY 1
 """,
         "ngram_jaccard_verify": """
@@ -4234,7 +4250,7 @@ WITH p AS (
          (r / sqrt(exp_p)) AS rp
   FROM paired WHERE ir IS NOT NULL AND ir <> 0
 )
-SELECT event_id, round((xp - rp) / (xp + rp), 6) AS ndvi_c
+SELECT event_id, (xp - rp) / (xp + rp) AS ndvi_c
 FROM calc
 WHERE (xp - rp) / (xp + rp) BETWEEN -1.0 AND 1.0
 ORDER BY event_id
@@ -4337,8 +4353,8 @@ WITH t AS (
 SELECT event_id,
        CAST(d AS BIGINT) AS dms_deg,
        CAST(mm AS BIGINT) AS dms_min,
-       round((a - d - mm / 60) * 3600, 4) AS dms_sec,
-       round(sign(value) * (d + mm / 60 + (a - d - mm / 60) * 3600 / 3600), 6) AS deg_back
+       (a - d - mm / 60) * 3600 AS dms_sec,
+       sign(value) * (d + mm / 60 + (a - d - mm / 60) * 3600 / 3600) AS deg_back
 FROM m ORDER BY event_id
 """,
         "embedding_near_dups": """
@@ -5053,7 +5069,7 @@ WITH base AS (
 )
 SELECT m.event_type, m.day, m.peak_n,
   CAST(max(d.w_sum) AS BIGINT) AS peak_sum,
-  round(CAST(max(d.w_sum) AS DOUBLE) / CAST(m.peak_n AS DOUBLE), 6) AS peak_avg
+  CAST(max(d.w_sum) AS DOUBLE) / CAST(m.peak_n AS DOUBLE) AS peak_avg
 FROM mx m JOIN d
   ON d.event_type = m.event_type AND d.day = m.day AND d.w_n = m.peak_n
 GROUP BY 1, 2, 3
@@ -5226,11 +5242,11 @@ WITH base AS (
   FROM sums
 )
 SELECT event_type, CAST(bucket_start AS TIMESTAMP) AS bucket_start, n,
-  round(CASE WHEN n >= 2 AND varx_n > 0 THEN cov_n / varx_n END, 6) AS slope,
-  round(CASE WHEN n >= 2 AND varx_n > 0
-        THEN (syd - (cov_n / varx_n) * sxd) / CAST(n AS DOUBLE) END, 6) AS intercept,
-  round(CASE WHEN n >= 2 AND varx_n > 0 AND vary_n > 0
-        THEN cov_n / (sqrt(varx_n) * sqrt(vary_n)) END, 6) AS corr
+  CASE WHEN n >= 2 AND varx_n > 0 THEN cov_n / varx_n END AS slope,
+  CASE WHEN n >= 2 AND varx_n > 0
+       THEN (syd - (cov_n / varx_n) * sxd) / CAST(n AS DOUBLE) END AS intercept,
+  CASE WHEN n >= 2 AND varx_n > 0 AND vary_n > 0
+       THEN cov_n / (sqrt(varx_n) * sqrt(vary_n)) END AS corr
 FROM d ORDER BY 1, 2
 """,
         # exact distinct cardinality per bucket
@@ -5313,10 +5329,10 @@ WITH base AS (
   FROM base GROUP BY 1, 2, 3
 )
 SELECT event_type, dow, hour, n,
-  round(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
-  round(sqrt(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)
-             - (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
-               * (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS std
+  CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+  sqrt(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)
+       - (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+         * (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))) AS std
 FROM s ORDER BY 1, 2, 3
 """,
         # broadcast seasonal scoring -> flagged counts; identical z
@@ -5420,13 +5436,13 @@ WITH base AS (
   FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
 )
 SELECT 2 AS step, count(t2 - t1) AS n_converted,
-  round(quantile_cont(t2 - t1, 0.5) / CAST(1000000 AS DOUBLE), 6) AS median_s,
-  round(quantile_cont(t2 - t1, 0.9) / CAST(1000000 AS DOUBLE), 6) AS p90_s
+  quantile_cont(t2 - t1, 0.5) / CAST(1000000 AS DOUBLE) AS median_s,
+  quantile_cont(t2 - t1, 0.9) / CAST(1000000 AS DOUBLE) AS p90_s
 FROM u
 UNION ALL
 SELECT 3 AS step, count(t3 - t2) AS n_converted,
-  round(quantile_cont(t3 - t2, 0.5) / CAST(1000000 AS DOUBLE), 6) AS median_s,
-  round(quantile_cont(t3 - t2, 0.9) / CAST(1000000 AS DOUBLE), 6) AS p90_s
+  quantile_cont(t3 - t2, 0.5) / CAST(1000000 AS DOUBLE) AS median_s,
+  quantile_cont(t3 - t2, 0.9) / CAST(1000000 AS DOUBLE) AS p90_s
 FROM u
 ORDER BY step
 """,
@@ -5453,8 +5469,8 @@ ORDER BY event_type, bucket_start, rank
 WITH daily AS (
   SELECT event_type,
     CAST(CAST(ts AS DATE) AS TIMESTAMP) AS bucket_start,
-    round(CAST(CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS DOUBLE)
-          / CAST(count(*) AS DOUBLE), 6) AS v_mean
+    CAST(CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS DOUBLE)
+      / CAST(count(*) AS DOUBLE) AS v_mean
   FROM events
   WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL
   GROUP BY 1, 2
@@ -5466,10 +5482,9 @@ WITH daily AS (
   FROM daily
 )
 SELECT event_type, bucket_start, v_mean,
-  round(prev_raw, 6) AS prev_value,
-  round(v_mean - prev_raw, 6) AS delta,
-  round(CASE WHEN prev_raw <> 0 THEN (v_mean - prev_raw) / prev_raw END, 6)
-    AS pct_change
+  prev_raw AS prev_value,
+  v_mean - prev_raw AS delta,
+  CASE WHEN prev_raw <> 0 THEN (v_mean - prev_raw) / prev_raw END AS pct_change
 FROM w ORDER BY 1, 2
 """,
         # hysteresis: last-non-null-edge window, identical on both engines
@@ -5569,8 +5584,8 @@ WITH s AS (
   FROM p GROUP BY 1, 2
 )
 SELECT event_type, lag, CAST(cnt AS BIGINT) AS n,
-  round((CAST(sabs AS DOUBLE) / CAST(cnt AS DOUBLE)) / 100.0, 6) AS mae,
-  round(sqrt(CAST(ssq AS DOUBLE) / CAST(cnt AS DOUBLE)) / 100.0, 6) AS rmse
+  (CAST(sabs AS DOUBLE) / CAST(cnt AS DOUBLE)) / 100.0 AS mae,
+  sqrt(CAST(ssq AS DOUBLE) / CAST(cnt AS DOUBLE)) / 100.0 AS rmse
 FROM m ORDER BY 1, 2
 """,
         # pruned snapshot read == the plain filter over the source rows
@@ -5726,7 +5741,7 @@ SELECT event_type, bucket_start,
   CAST(min(v) AS BIGINT) AS low,
   CAST((max({'t': epoch_us(ts), 'e': event_id, 'v': v})).v AS BIGINT) AS close,
   CAST(sum(w) AS BIGINT) AS w_sum,
-  round(CAST(sum(v * w) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 6) AS vwap
+  CAST(sum(v * w) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS vwap
 FROM base GROUP BY 1, 2 ORDER BY 1, 2
 """,
         # LOCF time-in-state: each sample holds to the next (or the
@@ -5946,12 +5961,11 @@ WITH c AS (
   FROM c GROUP BY 1, 2
 )
 SELECT event_type, bucket_start, n, k_distinct,
-  round(CAST(cmax AS DOUBLE) / CAST(n AS DOUBLE), 6) AS top_share,
-  round(1.0 - CAST(c2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
-    AS simpson,
-  round(CASE WHEN n >= 2 THEN
+  CAST(cmax AS DOUBLE) / CAST(n AS DOUBLE) AS top_share,
+  1.0 - CAST(c2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS simpson,
+  CASE WHEN n >= 2 THEN
     1.0 - CAST(cc1 AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
-  END, 6) AS pie
+  END AS pie
 FROM a ORDER BY 1, 2
 """,
         # trailing 7-day RANGE window over daily BIGINT sums: exact
@@ -6108,7 +6122,7 @@ SELECT event_type, bucket_start,
   CAST((max({'t': epoch_us(ts), 'e': event_id, 'v': v})).v AS BIGINT) AS close,
   CAST(sum(w) AS BIGINT) AS w_sum,
   CAST(sum(v * w) AS BIGINT) AS vw_sum,
-  round(CAST(sum(v * w) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 6) AS vwap
+  CAST(sum(v * w) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS vwap
 FROM base GROUP BY 1, 2 ORDER BY 1, 2
 """,
         # last point per series: one struct max, ties broken by event_id.
@@ -6137,9 +6151,9 @@ WITH base AS (
   FROM base GROUP BY 1, 2
 )
 SELECT event_type, bucket_start, n, n_good,
-  round(CAST(n_good AS DOUBLE) / CAST(n AS DOUBLE), 6) AS good_frac,
+  CAST(n_good AS DOUBLE) / CAST(n AS DOUBLE) AS good_frac,
   (CAST(n_good AS DOUBLE) / CAST(n AS DOUBLE)) < 0.55 AS breached,
-  round((1.0 - CAST(n_good AS DOUBLE) / CAST(n AS DOUBLE)) / {1.0 - 0.55!r}, 6)
+  (1.0 - CAST(n_good AS DOUBLE) / CAST(n AS DOUBLE)) / {1.0 - 0.55!r}
     AS burn_rate
 FROM a ORDER BY 1, 2
 """,
@@ -6260,8 +6274,7 @@ WITH base AS (
 SELECT event_type, bucket_start,
   any_value(n) AS n, any_value(n_trim) AS n_trim,
   count(*) AS n_kept,
-  round(CAST(sum(q) AS DOUBLE) / CAST(count(*) * 100 AS DOUBLE), 6)
-    AS trimmed_mean
+  CAST(sum(q) AS DOUBLE) / CAST(count(*) * 100 AS DOUBLE) AS trimmed_mean
 FROM k WHERE rk > n_trim AND rk <= n - n_trim
 GROUP BY 1, 2 ORDER BY 1, 2
 """,
@@ -6444,9 +6457,9 @@ SELECT series_a, series_b, CAST(b AS TIMESTAMP) AS bucket_start,
 FROM f ORDER BY 1, 2, 3
 """,
         # containment via shared aligned chunk hashes: exact integer
-        # counts from an equi-join on md5, one pinned division (ratios
-        # of small ints never land exactly midway at the 6th decimal,
-        # so the round is tie-free).
+        # counts from an equi-join on md5, ONE pinned UNROUNDED
+        # division (odd/128 lands exactly midway at the 6th decimal —
+        # rounding there is a cross-engine coin flip).
         "chunk_containment_docs": """
 WITH d AS (
   SELECT doc_id, coalesce(text, '') AS txt,
@@ -6467,7 +6480,7 @@ WITH d AS (
   GROUP BY 1, 2 HAVING count(*) >= 1
 )
 SELECT id_a, id_b, n_shared, sa.nc AS chunks_a, sb.nc AS chunks_b,
-  round(CAST(n_shared AS DOUBLE) / CAST(least(sa.nc, sb.nc) AS DOUBLE), 6)
+  CAST(n_shared AS DOUBLE) / CAST(least(sa.nc, sb.nc) AS DOUBLE)
     AS containment
 FROM p
 JOIN sz sa ON sa.doc_id = p.id_a

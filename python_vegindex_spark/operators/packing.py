@@ -280,5 +280,8 @@ def chunk_containment(
     ).cast("double")
     return out.select(
         "id_a", "id_b", "n_shared", "chunks_a", "chunks_b",
-        F.round(containment, 6).alias("containment"),
+        # UNROUNDED single division: a/b CAN be exactly midway at the
+        # 6th decimal (e.g. odd/128 = x.xxxxxx5), where round(.,6) is
+        # a cross-engine coin flip (SURVEY §8)
+        containment.alias("containment"),
     )
