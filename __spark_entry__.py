@@ -2968,6 +2968,111 @@ def q_chunk_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog approximate distinct users per day
+    (operators/sketches): the mergeable-cardinality rollup — at 10^12
+    turns exact per-bucket distincts re-scan raw data per tier, a
+    register sketch cascades like any other gold aggregate. Everything
+    checked here is integer-exact (md5-prefix hash, CASE-chain rank,
+    2^K-scaled harmonic denominator as BIGINT) except the one pinned
+    division producing est_raw; exact_distinct rides along so the
+    sketch's error is visible in the result."""
+    from python_vegindex_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id")
+    )
+    est = hll_estimate(hll_registers(ev, "user_id", ["day"], b=5), ["day"], b=5)
+    exact = ev.groupBy("day").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "day").orderBy("day")
+
+
+def q_hll_merge_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch mergeability as a checked result: weekly HLL registers
+    derived by max-merging DAILY register tables must be bit-identical
+    to registers built from raw rows (the property that lets the
+    hourly->daily->weekly cascade roll distinct counts without
+    re-scanning raw turns). Emits both scaled denominators plus the
+    equality flag; merged_eq_direct is the mergeability proof."""
+    from python_vegindex_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.date_trunc("week", F.col("ts")).alias("week"),
+            "user_id",
+        )
+    )
+    daily = hll_registers(ev, "user_id", ["day"], b=5)
+    merged = hll_estimate(
+        hll_merge(daily, {"week": F.date_trunc("week", F.col("day"))}),
+        ["week"],
+        b=5,
+    ).select(
+        "week",
+        F.col("s_scaled").alias("s_merged"),
+        F.col("est_raw").alias("est_merged"),
+    )
+    direct = hll_estimate(
+        hll_registers(ev, "user_id", ["week"], b=5), ["week"], b=5
+    ).select("week", F.col("s_scaled").alias("s_direct"))
+    return (
+        merged.join(direct, "week")
+        .withColumn(
+            "merged_eq_direct", F.col("s_merged") == F.col("s_direct")
+        )
+        .orderBy("week")
+    )
+
+
+def q_unigram_freq_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram corpus-frequency quality score per document
+    (operators/terms.unigram_freq_score): the log-free unigram-LM
+    signal — mean corpus frequency of a doc's tokens. Counts are exact
+    BIGINTs; the score is one product + one division of exactly-rounded
+    doubles (no sum(ln p): libm AND summation order both wobble
+    cross-engine)."""
+    from python_vegindex_spark.operators.terms import unigram_freq_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_freq_score(docs).orderBy("doc_id")
+
+
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (operators/fusion.hybrid_search_rrf): BM25
+    lexical leg (same 3-term query as bm25_search_docs) fused with the
+    cosine leg against embedding 0 by Reciprocal Rank Fusion. Ranks
+    are exact integers from each leg's pinned ordering; the fused
+    score is ONE division of small exact integers
+    ((2k0+r1+r2)/((k0+r1)(k0+r2))), so the output is bit-reproducible;
+    ties break on doc_id."""
+    from python_vegindex_spark.operators.fusion import hybrid_search_rrf
+
+    docs = _t(spark, sf_dir, "documents")
+    embs = _t(spark, sf_dir, "embeddings")
+    return hybrid_search_rrf(
+        docs,
+        embs,
+        ["spark", "stream", "vector"],
+        query_vec_id=0,
+        k=25,
+        pool=50,
+    ).orderBy("rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hourly_rollup_gapfill": q_hourly_rollup_gapfill,
@@ -3104,6 +3209,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_suppliers": q_pagerank_suppliers,
         "triangle_counts_users": q_triangle_counts_users,
         "bfs_blast_radius": q_bfs_blast_radius,
+        "hll_distinct_daily": q_hll_distinct_daily,
+        "hll_merge_weekly": q_hll_merge_weekly,
+        "unigram_freq_score_docs": q_unigram_freq_score_docs,
+        "hybrid_search_rrf": q_hybrid_search_rrf,
     }
 
 
@@ -3280,6 +3389,88 @@ dgc AS (
          cast(concat('0x', substr(md5(g), 9, 8)) AS BIGINT) AS gk2
   FROM dg
 )
+"""
+
+
+def _hll_base_ctes(b: int) -> str:
+    """Shared HLL oracle CTEs: day-keyed register table built from the
+    identical md5-prefix hash and the SAME generated rho CASE chain the
+    engine uses (operators/sketches.rho_sql — one definition, two
+    engines)."""
+    from python_vegindex_spark.operators.sketches import HASH_BITS, rho_sql
+
+    wbits = HASH_BITS - b
+    return f"""
+keyed AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), rw AS (
+  SELECT day, week, h >> {wbits} AS bucket,
+         h & ((1::BIGINT << {wbits}) - 1) AS w
+  FROM keyed
+), rhos AS (
+  SELECT day, week, bucket, {rho_sql('w', wbits)} AS rho FROM rw
+)"""
+
+
+def _hll_est_select(group: str, b: int, from_cte: str | None = None) -> str:
+    """Per-group (n_zero, s_scaled, est_raw) projection over the
+    register CTE ``from_cte`` (default ``regs_{group}``) — numerator
+    literal shared with the engine via hll_estimate_numerator."""
+    from python_vegindex_spark.operators.sketches import (
+        HASH_BITS,
+        hll_estimate_numerator,
+    )
+
+    m = 1 << b
+    K = HASH_BITS - b + 1
+    num = hll_estimate_numerator(b)
+    src = from_cte or f"regs_{group}"
+    return f"""
+  SELECT {group}, CAST({m} - count(*) AS INT) AS n_zero,
+    CAST(sum(1::BIGINT << ({K} - reg)) + ({m} - count(*)) * (1::BIGINT << {K}) AS BIGINT) AS s_scaled,
+    {num} / CAST(sum(1::BIGINT << ({K} - reg)) + ({m} - count(*)) * (1::BIGINT << {K}) AS DOUBLE) AS est_raw
+  FROM {src} GROUP BY 1"""
+
+
+def _hll_distinct_daily_oracle(b: int = 5) -> str:
+    m = 1 << b
+    return f"""
+WITH {_hll_base_ctes(b)},
+regs_day AS (
+  SELECT day, bucket, max(rho) AS reg FROM rhos GROUP BY 1, 2
+), est AS ({_hll_est_select('day', b)}
+), ex AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL GROUP BY 1
+)
+SELECT est.day, {m} AS m, n_zero, s_scaled, est_raw, exact_distinct
+FROM est JOIN ex USING (day) ORDER BY day
+"""
+
+
+def _hll_merge_weekly_oracle(b: int = 5) -> str:
+    return f"""
+WITH {_hll_base_ctes(b)},
+regs_daily AS (
+  SELECT day, week, bucket, max(rho) AS reg FROM rhos GROUP BY 1, 2, 3
+), regs_merged AS (
+  SELECT week, bucket, max(reg) AS reg FROM regs_daily GROUP BY 1, 2
+), regs_week AS (
+  SELECT week, bucket, max(rho) AS reg FROM rhos GROUP BY 1, 2
+), est_m AS (
+  SELECT week, s_scaled AS s_merged, est_raw AS est_merged FROM (
+  {_hll_est_select('week', b, from_cte='regs_merged')}
+  ) t
+), est_d AS (
+  SELECT week, s_scaled AS s_direct FROM ({_hll_est_select('week', b)}) t
+)
+SELECT est_m.week, s_merged, est_merged, s_direct,
+       s_merged = s_direct AS merged_eq_direct
+FROM est_m JOIN est_d USING (week) ORDER BY week
 """
 
 
@@ -6755,4 +6946,105 @@ FROM deg LEFT JOIN per USING (node)
 ORDER BY node
 """,
         "bfs_blast_radius": _bfs_oracle_sql(),
+        "hll_distinct_daily": _hll_distinct_daily_oracle(),
+        "hll_merge_weekly": _hll_merge_weekly_oracle(),
+        # integer-exact counts; score = one product + one division of
+        # exactly-rounded doubles (mirrors terms.unigram_freq_score)
+        "unigram_freq_score_docs": r"""
+WITH words AS (
+  SELECT doc_id AS id,
+    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+  FROM documents
+), w2 AS (
+  SELECT * FROM words WHERE length(term) >= 1
+), doc_tf AS (
+  SELECT id, term, count(*) AS tf FROM w2 GROUP BY 1, 2
+), vocab AS (
+  SELECT term, sum(tf) AS ctf FROM doc_tf GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(ctf) AS BIGINT) AS c FROM vocab
+), per AS (
+  SELECT id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         CAST(sum(tf * ctf) AS BIGINT) AS weighted
+  FROM doc_tf JOIN vocab USING (term) GROUP BY 1
+)
+SELECT id AS doc_id, n_tokens, weighted,
+  CAST(weighted AS DOUBLE)
+    / (CAST(n_tokens AS DOUBLE) * CAST(c AS DOUBLE)) AS mean_tok_freq
+FROM per CROSS JOIN tot ORDER BY doc_id
+""",
+        # both legs rank on pinned keys (bm25: order-pinned rounded
+        # score; cosine: rounded fold-ordered similarity); fused score
+        # is ONE division of exact small integers
+        "hybrid_search_rrf": r"""
+WITH words AS (
+  SELECT doc_id AS id,
+    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+  FROM documents
+), w2 AS (
+  SELECT * FROM words WHERE length(term) >= 1
+), doclen AS (
+  SELECT id, count(*) AS dl FROM w2 GROUP BY 1
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avglen
+  FROM doclen
+), hits AS (
+  SELECT id, term, count(*) AS tf FROM w2
+  WHERE term IN ('spark', 'stream', 'vector') GROUP BY 1, 2
+), dfv AS (
+  SELECT term, count(*) AS df FROM hits GROUP BY 1
+), ts AS (
+  SELECT h.id, d.dl, h.term, h.tf,
+    ln(1.0 + (s.n - CAST(f.df AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))
+      * (CAST(h.tf AS DOUBLE) * 2.2)
+      / (CAST(h.tf AS DOUBLE)
+         + 1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE) / s.avglen)) AS sc
+  FROM hits h
+  JOIN dfv f USING (term)
+  JOIN doclen d ON d.id = h.id
+  CROSS JOIN stats s
+), per_doc AS (
+  SELECT id,
+    round(coalesce(sum(CASE WHEN term = 'spark' THEN sc END), 0.0)
+        + coalesce(sum(CASE WHEN term = 'stream' THEN sc END), 0.0)
+        + coalesce(sum(CASE WHEN term = 'vector' THEN sc END), 0.0), 6) AS score
+  FROM ts GROUP BY 1
+), lex AS (
+  SELECT id AS doc_id,
+    CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS INT) AS rank_lex
+  FROM per_doc
+), qv AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0
+), cos AS (
+  SELECT e.vec_id AS doc_id,
+    round(list_dot_product(q.v, CAST(e.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(q.v, q.v))
+         * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                 CAST(e.embedding AS DOUBLE[])))), 6) AS cs
+  FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> 0
+), sem AS (
+  SELECT doc_id,
+    CAST(row_number() OVER (ORDER BY cs DESC, doc_id ASC) AS INT) AS rank_sem
+  FROM cos
+), fused AS (
+  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.rank_lex, s.rank_sem
+  FROM (SELECT * FROM lex WHERE rank_lex <= 50) l
+  FULL OUTER JOIN (SELECT * FROM sem WHERE rank_sem <= 50) s
+    ON l.doc_id = s.doc_id
+), scored AS (
+  SELECT doc_id, rank_lex, rank_sem,
+    CASE WHEN rank_lex IS NOT NULL AND rank_sem IS NOT NULL
+      THEN CAST(120 + rank_lex + rank_sem AS DOUBLE)
+           / CAST((60 + rank_lex) * (60 + rank_sem) AS DOUBLE)
+      ELSE 1.0 / CAST(60 + coalesce(rank_lex, rank_sem) AS DOUBLE)
+    END AS rrf_score
+  FROM fused
+)
+SELECT CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS rank,
+  doc_id, rank_lex, rank_sem, rrf_score
+FROM scored
+QUALIFY rank <= 25
+ORDER BY rank
+""",
     }

@@ -283,3 +283,60 @@ def cosine_pairs(
         .where(F.col("cos") >= float(min_cos))
         .select("id_a", "id_b", "dot", "norm2_a", "norm2_b", "cos")
     )
+
+
+def unigram_freq_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 1,
+) -> DataFrame:
+    """Mean corpus token frequency per document — the log-free unigram
+    language-model quality signal: high scores mean a document is built
+    from very common tokens (boilerplate / templated text), low scores
+    mean rare or garbled vocabulary. The integer-exact sibling of
+    unigram cross-entropy: corpus-frequency WEIGHTS are exact BIGINT
+    sums, and only the final ``weighted / (n_tokens * total_tokens)``
+    crosses into floats (two IEEE ops — one product of exactly-rounded
+    doubles, one division — deterministic cross-engine, unlike
+    ``sum(ln p)`` whose libm and summation order both wobble).
+
+    Output: (doc_id, n_tokens, weighted, mean_tok_freq) where
+    ``weighted = sum_t tf_dt * ctf_t`` (ctf = corpus term frequency)
+    and ``mean_tok_freq = weighted / (n_tokens * C)`` with C the corpus
+    token total, so a doc of average-frequency tokens scores ~mean
+    token probability. House whitespace tokenization (shared with
+    tfidf_top_terms / bm25_search / the decontam grams).
+
+    Scale shape: one corpus explode -> (doc, term) hash aggregate; the
+    vocab aggregate and the back-join run over (doc, term) TF rows (df
+    per term, not tf), so hot terms skew only the term-keyed join —
+    AQE skew handling applies; the corpus total rides a broadcast
+    scalar. Payload text never shuffles.
+    """
+    words = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "term"
+        ),
+    ).where(F.length("term") >= min_len)
+    doc_tf = words.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = doc_tf.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    totals = vocab.agg(F.sum("ctf").alias("_c"))
+    per_doc = (
+        doc_tf.join(vocab, "term")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("ctf")).cast("long").alias("weighted"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(totals)).select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        "weighted",
+        (
+            F.col("weighted").cast("double")
+            / (F.col("n_tokens").cast("double") * F.col("_c").cast("double"))
+        ).alias("mean_tok_freq"),
+    )
