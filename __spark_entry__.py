@@ -3073,6 +3073,63 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+def q_cms_heavy_hitters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters (operators/sketches.cms_build /
+    cms_estimate): a 4x1024 sum-mergeable counter sketch over the
+    corpus token stream, point-queried for the top-20 exact terms.
+    Everything is integer (md5-prefix column hashing, min-of-counters
+    estimate), so the one-sided guarantee est >= true is CHECKED in the
+    result (one_sided_ok), along with the overestimate each hot term
+    picks up from collisions."""
+    from python_vegindex_spark.operators.sketches import cms_build, cms_estimate
+
+    words = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("term")
+        )
+        .where(F.length("term") >= 1)
+    )
+    sketch = cms_build(words, "term", [], depth=4, width=1024)
+    top = (
+        words.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_tf"))
+        .orderBy(F.col("exact_tf").desc(), F.col("term").asc())
+        .limit(20)
+    )
+    est = cms_estimate(sketch, top, "term", depth=4, width=1024)
+    return est.select(
+        "term",
+        "exact_tf",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_tf")).alias("overestimate"),
+        (F.col("cms_est") >= F.col("exact_tf")).alias("one_sided_ok"),
+    ).orderBy(F.col("exact_tf").desc(), F.col("term").asc())
+
+
+def q_bottomk_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k sampling (operators/sketches.bottomk_sample): per
+    event_type, the 64 users with smallest md5-prefix hash — the
+    deterministic, mergeable, RNG-free distributed sample — and its
+    distinct-count estimator (k-1)*2^60/h_(k) (ONE pinned division;
+    underfull groups report the exact count). exact_distinct rides
+    along to expose the estimator's error."""
+    from python_vegindex_spark.operators.sketches import (
+        bottomk_distinct_estimate,
+        bottomk_sample,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    sample = bottomk_sample(ev, "user_id", k=64, group_cols=["event_type"])
+    est = bottomk_distinct_estimate(sample, k=64, group_cols=["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").orderBy("event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hourly_rollup_gapfill": q_hourly_rollup_gapfill,
@@ -3213,6 +3270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_merge_weekly": q_hll_merge_weekly,
         "unigram_freq_score_docs": q_unigram_freq_score_docs,
         "hybrid_search_rrf": q_hybrid_search_rrf,
+        "cms_heavy_hitters_docs": q_cms_heavy_hitters_docs,
+        "bottomk_distinct_users": q_bottomk_distinct_users,
     }
 
 
@@ -3471,6 +3530,75 @@ regs_daily AS (
 SELECT est_m.week, s_merged, est_merged, s_direct,
        s_merged = s_direct AS merged_eq_direct
 FROM est_m JOIN est_d USING (week) ORDER BY week
+"""
+
+
+def _cms_heavy_hitters_oracle(depth: int = 4, width: int = 1024) -> str:
+    """CMS oracle: identical md5-prefix salted hashing (row index ':'
+    key), counter build, and min-of-counters probe — all integer."""
+    return f"""
+WITH words AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+), w2 AS (
+  SELECT term FROM words WHERE length(term) >= 1
+), counters AS (
+  SELECT t.i AS row_idx,
+    CAST(concat('0x', substr(md5(concat(CAST(t.i AS VARCHAR), ':', term)), 1, 15)) AS BIGINT) % {width} AS col_idx,
+    count(*) AS counter
+  FROM w2 CROSS JOIN (SELECT unnest(range({depth})) AS i) t
+  GROUP BY 1, 2
+), top AS (
+  SELECT term, count(*) AS exact_tf FROM w2 GROUP BY 1
+  ORDER BY exact_tf DESC, term ASC LIMIT 20
+), probes AS (
+  SELECT top.term, top.exact_tf, t.i AS row_idx,
+    CAST(concat('0x', substr(md5(concat(CAST(t.i AS VARCHAR), ':', top.term)), 1, 15)) AS BIGINT) % {width} AS col_idx
+  FROM top CROSS JOIN (SELECT unnest(range({depth})) AS i) t
+), est AS (
+  SELECT p.term, p.exact_tf,
+    CAST(min(coalesce(c.counter, 0)) AS BIGINT) AS cms_est
+  FROM probes p LEFT JOIN counters c USING (row_idx, col_idx)
+  GROUP BY 1, 2
+)
+SELECT term, CAST(exact_tf AS BIGINT) AS exact_tf, cms_est,
+  cms_est - exact_tf AS overestimate,
+  cms_est >= exact_tf AS one_sided_ok
+FROM est ORDER BY exact_tf DESC, term ASC
+"""
+
+
+def _bottomk_distinct_oracle(k: int = 64) -> str:
+    from python_vegindex_spark.operators.sketches import HASH_BITS
+
+    num = repr(float((k - 1) * (2**HASH_BITS)))
+    return f"""
+WITH keyed AS (
+  SELECT DISTINCT event_type, user_id AS key FROM events
+  WHERE user_id IS NOT NULL
+), hashed AS (
+  SELECT event_type, key,
+    CAST(concat('0x', substr(md5(CAST(key AS VARCHAR)), 1, 15)) AS BIGINT) AS h60
+  FROM keyed
+), ranked AS (
+  SELECT event_type, h60,
+    row_number() OVER (PARTITION BY event_type ORDER BY h60 ASC, key ASC) AS rank
+  FROM hashed
+), sample AS (
+  SELECT * FROM ranked WHERE rank <= {k}
+), est AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_sampled,
+    max(CASE WHEN rank = {k} THEN h60 END) AS hk
+  FROM sample GROUP BY 1
+), ex AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+)
+SELECT est.event_type, n_sampled,
+  CASE WHEN hk IS NOT NULL THEN {num} / CAST(hk AS DOUBLE)
+       ELSE CAST(n_sampled AS DOUBLE) END AS est_distinct,
+  exact_distinct
+FROM est JOIN ex USING (event_type) ORDER BY event_type
 """
 
 
@@ -7047,4 +7175,6 @@ FROM scored
 QUALIFY rank <= 25
 ORDER BY rank
 """,
+        "cms_heavy_hitters_docs": _cms_heavy_hitters_oracle(),
+        "bottomk_distinct_users": _bottomk_distinct_oracle(),
     }

@@ -203,3 +203,167 @@ def hll_estimate_numerator(b: int) -> str:
     m = 1 << b
     K = HASH_BITS - b + 1
     return repr(float(alpha_m(m) * m * m * (2.0 ** K)))
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch: sum-mergeable frequency counters (Cormode &
+# Muthukrishnan, J. Algorithms 2005). The counter matrix is a DataFrame of
+# (group, row_idx, col_idx, counter) — d*w rows per group regardless of
+# key cardinality, merged across batches/tiers by plain SUM (vs HLL's
+# max). Everything is integer: hashes are independent md5 prefixes
+# (row index salted into the hashed string), estimates are MIN over d
+# counters, and the classic one-sided guarantee (est >= true count)
+# is assertable in-query.
+# --------------------------------------------------------------------------
+
+
+def cms_hash(key: Column, row_idx: int, width: int) -> Column:
+    """Column index of ``key`` in CMS row ``row_idx``: the 60-bit
+    md5-prefix hash of ``"{row_idx}:{key}"`` mod width — independent
+    rows via input salting, reproducible verbatim in any engine with
+    md5 (DuckDB twin: same concat, same substr, same mod)."""
+    return F.pmod(
+        hash60(F.concat(F.lit(f"{row_idx}:"), key.cast("string"))),
+        F.lit(width),
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str],
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Per-group CMS counter table ``group_cols + (row_idx, col_idx,
+    counter)`` counting occurrences of ``key_col``.
+
+    One pass: each input row lands in ``depth`` counters (a small
+    row-multiplying projection, NOT a shuffle per row — the single
+    shuffle is the (group, row, col) hash aggregate, bounded at
+    depth*width rows per group). Merge sketches across groups/batches
+    with ``groupBy(coarser, row_idx, col_idx).agg(sum(counter))``.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1 and width >= 2, got d={depth} w={width}")
+    k = F.col(key_col)
+    hashed = df.where(k.isNotNull()).select(
+        *group_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_idx"),
+                        cms_hash(k, i, width).alias("col_idx"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rc"),
+    )
+    return (
+        hashed.select(*group_cols, "rc.row_idx", "rc.col_idx")
+        .groupBy(*group_cols, "row_idx", "col_idx")
+        .agg(F.count(F.lit(1)).alias("counter"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-query the sketch for each candidate key: ``candidates``
+    columns + ``cms_est`` (the min over the d counters; missing
+    counters are true zeros). ``candidates`` is expected small (it is
+    broadcast against the fixed-size sketch)."""
+    probes = candidates.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_idx"),
+                        cms_hash(F.col(key_col), i, width).alias("col_idx"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rc"),
+    ).select("*", "rc.row_idx", "rc.col_idx").drop("rc")
+    joined = probes.join(F.broadcast(sketch), ["row_idx", "col_idx"], "left")
+    others = [c for c in candidates.columns]
+    return (
+        joined.groupBy(*others)
+        .agg(F.min(F.coalesce(F.col("counter"), F.lit(0))).alias("cms_est"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Bottom-k sample: the deterministic distributed uniform sample — keep
+# the k keys with the SMALLEST 60-bit hash (Cohen & Kaplan, "Summarizing
+# data using bottom-k sketches", PODC 2007). Mergeable (bottom-k of a
+# union = bottom-k of the parts' bottom-k sets), reproducible across
+# runs/engines (no RNG), and doubles as a distinct-count estimator:
+# (k-1) * 2^60 / h_(k) with h_(k) the k-th smallest hash.
+# --------------------------------------------------------------------------
+
+
+def bottomk_sample(
+    df: DataFrame,
+    key_col: str,
+    k: int = 64,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group bottom-k distinct sample: ``group_cols + (rank, key,
+    h60)`` for the k distinct keys with smallest hash. Distinct-first
+    (duplicates share a hash and must count once). Grouped: a per-group
+    window (each group's candidate stream shrinks to k). Ungrouped:
+    ``orderBy().limit(k)`` so Catalyst plans TakeOrderedAndProject —
+    per-partition heaps, never a single-partition global sort — and
+    the rank window then runs over only k rows."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    keyed = (
+        df.where(F.col(key_col).isNotNull())
+        .select(*group_cols, F.col(key_col).alias("key"))
+        .distinct()
+        .withColumn("h60", hash60(F.col("key")))
+    )
+    order = [F.col("h60").asc(), F.col("key").asc()]
+    if not group_cols:
+        keyed = keyed.orderBy(*order).limit(k)
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(*group_cols, "rank", "key", "h60")
+    )
+
+
+def bottomk_distinct_estimate(
+    sample: DataFrame, k: int, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Distinct-count estimate from a bottom-k sample: groups whose
+    sample is FULL (rank k exists) estimate (k-1)*2^60/h_(k) — one
+    pinned division; groups with fewer than k distinct keys report the
+    exact count (the sample IS the key set). Output: group_cols +
+    (n_sampled, est_distinct)."""
+    agg = sample.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.max(F.when(F.col("rank") == k, F.col("h60"))).alias("_hk"),
+    )
+    return agg.select(
+        *group_cols,
+        "n_sampled",
+        F.when(
+            F.col("_hk").isNotNull(),
+            F.lit(float((k - 1) * (2**HASH_BITS))) / F.col("_hk").cast("double"),
+        )
+        .otherwise(F.col("n_sampled").cast("double"))
+        .alias("est_distinct"),
+    )

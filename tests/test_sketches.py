@@ -124,3 +124,111 @@ def test_validation():
 def test_alpha_constants():
     assert alpha_m(16) == 0.673 and alpha_m(32) == 0.697
     assert abs(alpha_m(1024) - 0.7213 / (1 + 1.079 / 1024)) < 1e-15
+
+
+# ----------------------------- Count-Min ------------------------------
+
+
+def _py_cms(keys, depth, width):
+    from collections import Counter
+
+    counters = Counter()
+    for k in keys:
+        for i in range(depth):
+            h = int(
+                hashlib.md5(f"{i}:{k}".encode()).hexdigest()[:15], 16
+            ) % width
+            counters[(i, h)] += 1
+    return counters
+
+
+def test_cms_build_matches_python_mirror(spark):
+    from python_vegindex_spark.operators.sketches import cms_build
+
+    keys = [f"t{i % 37}" for i in range(700)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {
+        (r["row_idx"], r["col_idx"]): r["counter"]
+        for r in cms_build(df, "k", [], depth=3, width=64).collect()
+    }
+    assert got == dict(_py_cms(keys, 3, 64))
+
+
+def test_cms_estimate_one_sided_and_exact_when_wide(spark):
+    from python_vegindex_spark.operators.sketches import cms_build, cms_estimate
+
+    keys = [f"key{i % 11}" for i in range(550)]  # each true count = 50
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    sk = cms_build(df, "k", [], depth=4, width=1024)
+    cand = spark.createDataFrame([(f"key{i}",) for i in range(11)] + [("absent",)], "k string")
+    est = {r["k"]: r["cms_est"] for r in cms_estimate(sk, cand, "k", depth=4, width=1024).collect()}
+    for i in range(11):
+        assert est[f"key{i}"] >= 50  # one-sided guarantee
+        # 11 keys in 4x1024 counters: collisions effectively impossible
+        assert est[f"key{i}"] == 50
+    assert est["absent"] == 0
+
+
+def test_cms_merge_by_sum(spark):
+    from python_vegindex_spark.operators.sketches import cms_build
+
+    rows = [(i % 2, f"k{i % 13}") for i in range(400)]
+    df = spark.createDataFrame(rows, "half int, k string")
+    halves = cms_build(df, "k", ["half"], depth=2, width=32)
+    merged = {
+        (r["row_idx"], r["col_idx"]): r["s"]
+        for r in halves.groupBy("row_idx", "col_idx")
+        .agg(F.sum("counter").alias("s"))
+        .collect()
+    }
+    whole = {
+        (r["row_idx"], r["col_idx"]): r["counter"]
+        for r in cms_build(df, "k", [], depth=2, width=32).collect()
+    }
+    assert merged == whole
+
+
+# ----------------------------- bottom-k -------------------------------
+
+
+def test_bottomk_matches_python_and_merges(spark):
+    from python_vegindex_spark.operators.sketches import (
+        bottomk_distinct_estimate,
+        bottomk_sample,
+    )
+
+    keys = [f"u{i}" for i in range(300)]
+    df = spark.createDataFrame([(k,) for k in keys * 2], "k string")  # dups
+    got = bottomk_sample(df, "k", k=10).orderBy("rank").collect()
+    hs = sorted(
+        (int(hashlib.md5(k.encode()).hexdigest()[:15], 16), k) for k in keys
+    )[:10]
+    assert [(r["h60"], r["key"]) for r in got] == hs
+    assert [r["rank"] for r in got] == list(range(1, 11))
+    # merge property: bottom-k of the union of two parts' bottom-k
+    a = bottomk_sample(df.limit(300), "k", k=10)
+    b = bottomk_sample(df.subtract(df.limit(0)), "k", k=10)  # full set
+    uni = bottomk_sample(a.select("key").union(b.select("key")), "key", k=10)
+    assert [(r["h60"], r["key"]) for r in uni.orderBy("rank").collect()] == hs
+    # estimator: one pinned division, sane accuracy for k=64 over 300 keys
+    est = bottomk_distinct_estimate(
+        bottomk_sample(df, "k", k=64), k=64
+    ).collect()[0]
+    assert est["n_sampled"] == 64
+    exp = 63 * (2**60) / hs_k if (hs_k := sorted(
+        int(hashlib.md5(k.encode()).hexdigest()[:15], 16) for k in keys
+    )[63]) else None
+    assert est["est_distinct"] == exp
+    assert abs(est["est_distinct"] - 300) / 300 < 0.5
+
+
+def test_bottomk_underfull_group_reports_exact(spark):
+    from python_vegindex_spark.operators.sketches import (
+        bottomk_distinct_estimate,
+        bottomk_sample,
+    )
+
+    df = spark.createDataFrame([("a",), ("b",), ("c",)], "k string")
+    s = bottomk_sample(df, "k", k=10)
+    est = bottomk_distinct_estimate(s, k=10).collect()[0]
+    assert est["n_sampled"] == 3 and est["est_distinct"] == 3.0
