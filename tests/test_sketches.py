@@ -232,3 +232,48 @@ def test_bottomk_underfull_group_reports_exact(spark):
     s = bottomk_sample(df, "k", k=10)
     est = bottomk_distinct_estimate(s, k=10).collect()[0]
     assert est["n_sampled"] == 3 and est["est_distinct"] == 3.0
+
+
+# ------------------------- plan discipline ----------------------------
+
+
+def test_sketch_plans_jvm_only_single_shuffle(spark):
+    """HLL/CMS/bottom-k stay JVM-side: no Python eval anywhere; the
+    register/counter build is ONE shuffle (the group hash aggregate);
+    ungrouped bottom-k plans as TakeOrderedAndProject, not a global
+    sort."""
+    from python_vegindex_spark.operators.sketches import (
+        bottomk_sample,
+        cms_build,
+        hll_registers,
+    )
+    from python_vegindex_spark.plans.lint import (
+        assert_jvm_only,
+        assert_no_global_sort,
+        plan_report,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 3, f"k{i}") for i in range(200)], "g int, k string"
+    )
+    regs = hll_registers(df, "k", ["g"], b=5)
+    regs.collect()
+    assert_jvm_only(regs)
+    rep = plan_report(regs)
+    # one shuffle: count exchanges in the FINAL plan section only (an
+    # executed AdaptiveSparkPlan string appends the Initial Plan twin)
+    final = rep["plan"].split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1, final
+    assert not rep["has_window"]
+
+    cms = cms_build(df, "k", ["g"], depth=3, width=64)
+    cms.collect()
+    assert_jvm_only(cms)
+    cms_final = plan_report(cms)["plan"].split("== Initial Plan ==")[0]
+    assert cms_final.count("Exchange hashpartitioning") == 1
+
+    bk = bottomk_sample(df, "k", k=5)
+    bk.collect()
+    assert_jvm_only(bk)
+    assert_no_global_sort(bk)
+    assert plan_report(bk)["has_take_ordered"]
