@@ -193,6 +193,12 @@ def rollup_hll(
     ``hll_sketch_agg``). One hash aggregate; the sketch is a fixed-size
     binary column (~2^lg_config_k bytes), so a year of hourly sketches
     is megabytes, not the raw key stream.
+
+    The transparent sibling is ``operators/sketches.hll_registers``:
+    plain integer register rows instead of an opaque binary — larger,
+    but cross-engine value-checkable (DuckDB oracle, bit-exact) and
+    storable anywhere. Use this one for compactness, that one for
+    auditability.
     """
     d = df.where(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
     return d.groupBy(

@@ -13,6 +13,17 @@ same way the OHLC cascade coarsens bars: registers merge by elementwise
 algorithm" (AofA 2007) — public knowledge; no reference-counterpart
 (vegindex has no distinct aggregation, SURVEY §2.4).
 
+Relationship to ``operators/cascade.rollup_hll``: the cascade module
+wires Spark's NATIVE DataSketches HLL (``hll_sketch_agg`` /
+``hll_union_agg``) into the tier chain — the compact production path
+(one opaque binary column per bucket). This module is its transparent
+twin: registers live in plain (bucket, reg) integer rows, so the
+sketch state itself is portable, value-checkable against ANY engine
+with md5 (the DuckDB oracle checks it bit-for-bit — impossible for
+the DataSketches binary), storable in formats without binary columns,
+and inspectable. Same asymptotics, same merge algebra; pick by
+whether you need compactness (native) or auditability (this).
+
 Cross-engine float discipline (the house rule): everything up to the
 estimate is INTEGER-EXACT and oracle-checkable bit-for-bit —
   * the 60-bit hash is the first 15 hex chars of ``md5(key)`` (md5 is
