@@ -537,3 +537,58 @@ def streaming_ohlc_bars(
         "low",
         "close",
     )
+
+
+def streaming_hll_registers(
+    spark: SparkSession,
+    input_path: str,
+    tier: str = "hourly",
+    key_col: str = "conv_id",
+    b: int = 5,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of :func:`..operators.sketches.hll_registers`:
+    live turns -> closed per-bucket HLL register rows
+    ``(bucket_start, bucket, reg)``, emitted exactly once per time
+    bucket when the watermark passes (append mode).
+
+    Unlike the streaming percentile (approx-only, a documented
+    divergence), the distinct sketch is EXACT under streaming: register
+    state is a running MAX, which is trivially incrementally
+    maintainable, so a bucket closed by the stream is row-identical to
+    the batch ``hll_registers`` over the same input (pinned by
+    tests/test_streaming_chunks.py). Aggregation state is at most
+    ``2^b`` registers per open time bucket. Downstream, the streamed
+    register rows merge into coarser tiers with the ordinary batch
+    ``hll_merge`` — the streaming head feeds the same cascade.
+
+    Epoch-aligned tiers only ('hourly'/'daily'/'Nmin'); hour/day tiers
+    require a UTC session (same rule as every streaming aggregate
+    here).
+    """
+    from ..operators.sketches import HASH_BITS, _validate_b, hash60, rho_expr
+
+    _validate_b(b)
+    window_len = _window_length(tier)
+    if tier in ("hourly", "daily", "1day"):
+        _require_utc(spark)
+    wbits = HASH_BITS - b
+    stream = _turn_stream(spark, input_path)
+    h = hash60(F.col(key_col))
+    keyed = stream.where(
+        F.col("ts").isNotNull() & F.col(key_col).isNotNull()
+    ).select(
+        F.col("ts"),
+        F.shiftright(h, wbits).alias("bucket"),
+        rho_expr(h.bitwiseAND(F.lit((1 << wbits) - 1)), wbits)
+        .cast("int")
+        .alias("rho"),
+    )
+    agg = (
+        keyed.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_len).alias("w"), F.col("bucket"))
+        .agg(F.max("rho").alias("reg"))
+    )
+    return agg.select(
+        F.col("w.start").alias("bucket_start"), "bucket", "reg"
+    )

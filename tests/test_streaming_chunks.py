@@ -226,3 +226,64 @@ def test_streaming_ohlc_matches_batch_bars(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(g, b[cols], check_dtype=False)
+
+
+def test_streaming_hll_registers_match_batch(spark, tmp_path):
+    """Every bucket the stream closes must hold registers row-identical
+    to batch hll_registers over the same input — the distinct sketch is
+    EXACT under streaming (max state), not an approximation."""
+    from python_vegindex_spark.operators.sketches import hll_registers
+    from python_vegindex_spark.streaming.structured import (
+        run_available_now,
+        streaming_hll_registers,
+    )
+
+    turns = synth_turns(spark, n_convs=40, seed=11, span_days=14)
+    in_dir = str(tmp_path / "hll_in")
+    out_dir = str(tmp_path / "hll_out")
+    ckpt = str(tmp_path / "hll_ckpt")
+
+    first = turns.filter(F.col("ts") < "2023-12-05")
+    rest = turns.filter(F.col("ts") >= "2023-12-05")
+    first.write.mode("overwrite").parquet(in_dir)
+    run_available_now(
+        streaming_hll_registers(spark, in_dir, tier="hourly", b=5),
+        ckpt,
+        out_dir,
+    )
+    rest.write.mode("append").parquet(in_dir)
+    run_available_now(
+        streaming_hll_registers(spark, in_dir, tier="hourly", b=5),
+        ckpt,
+        out_dir,
+    )
+
+    got = spark.read.parquet(out_dir)
+    assert got.count() > 0
+    # exactly-once per (bucket_start, bucket)
+    assert (
+        got.groupBy("bucket_start", "bucket")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+        == 0
+    )
+    batch = hll_registers(
+        turns.select(
+            F.date_trunc("hour", "ts").alias("bucket_start"), "conv_id"
+        ),
+        "conv_id",
+        ["bucket_start"],
+        b=5,
+    )
+    cols = ["bucket_start", "bucket", "reg"]
+    g = got.select(*cols).toPandas().sort_values(cols).reset_index(drop=True)
+    closed = [r["bucket_start"] for r in got.select("bucket_start").distinct().collect()]
+    b_ = (
+        batch.filter(F.col("bucket_start").isin(closed))
+        .select(*cols)
+        .toPandas()
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(g, b_)
