@@ -3130,6 +3130,35 @@ def q_bottomk_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "event_type").orderBy("event_type")
 
 
+def q_dtw_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic Time Warping shape-similarity (operators/dtw.dtw_pairs)
+    between event types: each series is its first 30 daily sums of
+    floor(value*100) — integer points, so every DP cell is exact
+    BIGINT and the distance is bit-reproducible. The oracle walks the
+    identical recurrence as a generated anti-diagonal wave-CTE chain
+    (no floats anywhere). The 30-point clamp is the deterministic
+    bound that also fixes the oracle's unroll depth."""
+    from python_vegindex_spark.operators.dtw import dtw_pairs
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .where(
+            F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & ~F.isnan("value")
+        )
+        .groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("v")
+        )
+    )
+    return dtw_pairs(
+        daily, "event_type", "day", "v", max_points=30
+    ).orderBy("series_a", "series_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hourly_rollup_gapfill": q_hourly_rollup_gapfill,
@@ -3272,6 +3301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_rrf": q_hybrid_search_rrf,
         "cms_heavy_hitters_docs": q_cms_heavy_hitters_docs,
         "bottomk_distinct_users": q_bottomk_distinct_users,
+        "dtw_event_type_daily": q_dtw_event_type_daily,
     }
 
 
@@ -3530,6 +3560,63 @@ regs_daily AS (
 SELECT est_m.week, s_merged, est_merged, s_direct,
        s_merged = s_direct AS merged_eq_direct
 FROM est_m JOIN est_d USING (week) ORDER BY week
+"""
+
+
+def _dtw_oracle_sql(max_len: int = 30) -> str:
+    """DTW oracle: the exact integer DP unrolled as an anti-diagonal
+    wave-CTE chain — wave k computes cells with i+j = k from waves k-1
+    ((i-1,j), (i,j-1)) and k-2 ((i-1,j-1)); all-BIGINT. The unroll
+    depth 2*max_len matches the query's deterministic 30-point clamp,
+    so the chain covers every reachable cell at any scale factor."""
+    waves = []
+    for k in range(3, 2 * max_len + 1):
+        prev2 = f"SELECT * FROM w{k - 2}" if k > 3 else "SELECT * FROM w2 WHERE FALSE"
+        waves.append(
+            f"""w{k} AS MATERIALIZED (
+  SELECT c.sa, c.sb, c.i, c.j, CAST(c.cost + min(p.c) AS BIGINT) AS c
+  FROM cells c JOIN (SELECT * FROM w{k - 1} UNION ALL {prev2}) p
+    ON p.sa = c.sa AND p.sb = c.sb
+    AND ((p.i = c.i - 1 AND p.j = c.j) OR (p.i = c.i AND p.j = c.j - 1)
+         OR (p.i = c.i - 1 AND p.j = c.j - 1))
+  WHERE c.i + c.j = {k}
+  GROUP BY c.sa, c.sb, c.i, c.j, c.cost
+)"""
+        )
+    all_waves = " UNION ALL ".join(
+        f"SELECT * FROM w{k}" for k in range(2, 2 * max_len + 1)
+    )
+    return f"""
+WITH daily AS MATERIALIZED (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1, 2
+), idxed AS (
+  SELECT event_type,
+    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS INT) AS idx,
+    v
+  FROM daily QUALIFY idx <= {max_len}
+), pr AS (
+  SELECT a.event_type AS sa, b.event_type AS sb
+  FROM (SELECT DISTINCT event_type FROM idxed) a
+  JOIN (SELECT DISTINCT event_type FROM idxed) b ON a.event_type < b.event_type
+), cells AS MATERIALIZED (
+  SELECT p.sa, p.sb, ia.idx AS i, ib.idx AS j, abs(ia.v - ib.v) AS cost
+  FROM pr p
+  JOIN idxed ia ON ia.event_type = p.sa
+  JOIN idxed ib ON ib.event_type = p.sb
+), dims AS (
+  SELECT sa, sb, max(i) AS n, max(j) AS m FROM cells GROUP BY 1, 2
+), w2 AS (
+  SELECT sa, sb, i, j, CAST(cost AS BIGINT) AS c FROM cells WHERE i = 1 AND j = 1
+), {", ".join(waves)}
+SELECT d.sa AS series_a, d.sb AS series_b,
+  CAST(d.n AS INT) AS n_a, CAST(d.m AS INT) AS n_b, f.c AS dtw_dist
+FROM dims d JOIN ({all_waves}) f
+  ON f.sa = d.sa AND f.sb = d.sb AND f.i = d.n AND f.j = d.m
+ORDER BY 1, 2
 """
 
 
@@ -7177,4 +7264,5 @@ ORDER BY rank
 """,
         "cms_heavy_hitters_docs": _cms_heavy_hitters_oracle(),
         "bottomk_distinct_users": _bottomk_distinct_oracle(),
+        "dtw_event_type_daily": _dtw_oracle_sql(),
     }
