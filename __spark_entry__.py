@@ -3130,6 +3130,20 @@ def q_bottomk_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "event_type").orderBy("event_type")
 
 
+def q_bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.bpe_train,
+    Sennrich et al. ACL'16): the first 12 merges learned from the
+    documents corpus — ONE corpus pass collapses to the word-frequency
+    vocab, every merge step then works on the vocab only (the
+    production-trainer shape). Integer counts + string surgery, no
+    floats; the oracle re-runs the identical data-dependent loop
+    (argmax included) as generated unrolled CTE stages."""
+    from python_vegindex_spark.operators.bpe import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train(spark, docs, n_merges=12).orderBy("step")
+
+
 def q_dtw_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic Time Warping shape-similarity (operators/dtw.dtw_pairs)
     between event types: each series is its first 30 daily sums of
@@ -3302,6 +3316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters_docs": q_cms_heavy_hitters_docs,
         "bottomk_distinct_users": q_bottomk_distinct_users,
         "dtw_event_type_daily": q_dtw_event_type_daily,
+        "bpe_merges_docs": q_bpe_merges_docs,
     }
 
 
@@ -3560,6 +3575,54 @@ regs_daily AS (
 SELECT est_m.week, s_merged, est_merged, s_direct,
        s_merged = s_direct AS merged_eq_direct
 FROM est_m JOIN est_d USING (week) ORDER BY week
+"""
+
+
+def _bpe_oracle_sql(n_merges: int = 12) -> str:
+    """BPE-trainer oracle: the identical data-dependent loop unrolled —
+    per step, pair counts over the vocab state, the argmax under
+    (count DESC, left, right), and the greedy single-pass replace —
+    all generated from one Python loop so engine and oracle share the
+    conventions (overlap counting, tie-break, sentinel spacing)."""
+    steps = []
+    for k in range(1, n_merges + 1):
+        prev = f"s{k - 1}"
+        steps.append(
+            f"""p{k} AS MATERIALIZED (
+  SELECT p[1] AS l, p[2] AS r, CAST(sum(freq) AS BIGINT) AS pair_count
+  FROM (
+    SELECT unnest(list_zip(syms, syms[2:])) AS p, freq FROM (
+      SELECT list_filter(string_split(seq, ' '), x -> x != '') AS syms, freq
+      FROM {prev}
+    )
+  ) WHERE p[2] IS NOT NULL
+  GROUP BY 1, 2
+), b{k} AS MATERIALIZED (
+  SELECT l, r, pair_count FROM p{k}
+  ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1
+), s{k} AS MATERIALIZED (
+  SELECT replace(seq, ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' ') AS seq,
+         freq
+  FROM {prev} CROSS JOIN b{k} b
+)"""
+        )
+    finals = " UNION ALL ".join(
+        f'SELECT {k} AS step, l AS "left", r AS "right", l || r AS merged, pair_count FROM b{k}'
+        for k in range(1, n_merges + 1)
+    )
+    return f"""
+WITH wf AS MATERIALIZED (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+    FROM documents
+  ) WHERE regexp_matches(word, '^[a-z0-9]+$')
+  GROUP BY 1
+), s0 AS MATERIALIZED (
+  SELECT concat(' ', regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq, freq
+  FROM wf
+), {", ".join(steps)}
+SELECT CAST(step AS INT) AS step, "left", "right", merged, pair_count
+FROM ({finals}) ORDER BY step
 """
 
 
@@ -7265,4 +7328,5 @@ ORDER BY rank
         "cms_heavy_hitters_docs": _cms_heavy_hitters_oracle(),
         "bottomk_distinct_users": _bottomk_distinct_oracle(),
         "dtw_event_type_daily": _dtw_oracle_sql(),
+        "bpe_merges_docs": _bpe_oracle_sql(),
     }
