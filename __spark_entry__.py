@@ -3144,6 +3144,40 @@ def q_bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(spark, docs, n_merges=12).orderBy("step")
 
 
+def q_bpe_token_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-apply BPE (operators/bpe.bpe_segment): the 12 merges
+    from bpe_merges_docs replayed onto every document — per-doc BPE
+    token count, distinct-token count, and an order-free token
+    checksum (sum of xxhash-free md5-prefix hashes), so any wrong
+    segmentation anywhere flips the row. The merge list is a 12-row
+    driver collect (the tokenizer artifact); the apply pass is pure
+    JVM string surgery per word."""
+    from python_vegindex_spark.operators.bpe import bpe_segment, bpe_train
+    from python_vegindex_spark.operators.sketches import hash60
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(spark, docs, n_merges=12).orderBy("step").collect()
+    ]
+    seg = bpe_segment(docs, merges)
+    tok = seg.select(
+        "doc_id", F.explode("bpe_tokens").alias("tok")
+    )
+    return (
+        tok.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bpe_tokens"),
+            F.count_distinct("tok").alias("n_distinct_tokens"),
+            # mod keeps the per-doc sum far below BIGINT overflow
+            F.sum(F.pmod(hash60(F.col("tok")), F.lit(1 << 40)))
+            .cast("bigint")
+            .alias("token_checksum"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_dtw_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic Time Warping shape-similarity (operators/dtw.dtw_pairs)
     between event types: each series is its first 30 daily sums of
@@ -3317,6 +3351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bottomk_distinct_users": q_bottomk_distinct_users,
         "dtw_event_type_daily": q_dtw_event_type_daily,
         "bpe_merges_docs": q_bpe_merges_docs,
+        "bpe_token_counts_docs": q_bpe_token_counts_docs,
     }
 
 
@@ -3623,6 +3658,41 @@ WITH wf AS MATERIALIZED (
 ), {", ".join(steps)}
 SELECT CAST(step AS INT) AS step, "left", "right", merged, pair_count
 FROM ({finals}) ORDER BY step
+"""
+
+
+def _bpe_apply_oracle_sql(n_merges: int = 12) -> str:
+    """Train-then-apply oracle: the _bpe_oracle_sql training CTEs, then
+    every document word replayed through the learned merges (scalar
+    subqueries into the b_k stages — the same data-dependent values),
+    split to tokens and aggregated per doc with the modded md5-prefix
+    checksum."""
+    train = _bpe_oracle_sql(n_merges)
+    # reuse the WITH ... prefix of the training oracle, drop its final SELECT
+    prefix = train[: train.rindex("SELECT CAST(step AS INT)")]
+    seq = ("CASE WHEN regexp_matches(word, '^[a-z0-9]+$') "
+           "THEN concat(' ', regexp_replace(word, '(.)', '\\1 ', 'g')) "
+           "ELSE concat(' ', word, ' ') END")
+    for k in range(1, n_merges + 1):
+        seq = (f"replace({seq}, ' ' || (SELECT l FROM b{k}) || ' ' || "
+               f"(SELECT r FROM b{k}) || ' ', ' ' || (SELECT l FROM b{k}) || "
+               f"(SELECT r FROM b{k}) || ' ')")
+    return f"""{prefix.rstrip()}, docwords AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id,
+      unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+    FROM documents
+  ) WHERE word != ''
+), toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split({seq}, ' ')) AS tok FROM docwords
+  ) WHERE tok != ''
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_bpe_tokens,
+  CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens,
+  CAST(sum(CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % {1 << 40}) AS BIGINT) AS token_checksum
+FROM toks GROUP BY 1 ORDER BY doc_id
 """
 
 
@@ -7329,4 +7399,5 @@ ORDER BY rank
         "bottomk_distinct_users": _bottomk_distinct_oracle(),
         "dtw_event_type_daily": _dtw_oracle_sql(),
         "bpe_merges_docs": _bpe_oracle_sql(),
+        "bpe_token_counts_docs": _bpe_apply_oracle_sql(),
     }
