@@ -3390,6 +3390,67 @@ _ROLLUP_STATS = """
 
 # exact cosine top-k oracle, shared by ann_cosine_topk and ivf_topk (the
 # IVF query probes every centroid, so its contract is exact-search parity)
+def _bm25_scored_ctes(terms: tuple[str, ...] = ("spark", "stream", "vector")) -> str:
+    """The ONE BM25 oracle CTE block (tokenize -> doclen/stats -> hits ->
+    df -> per-term scores -> order-pinned per-doc score), shared by the
+    bm25_search_docs and hybrid_search_rrf oracles so the conventions
+    (k1/b, idf, rounding, tokenization) can never diverge between them."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    per_term = "\n        + ".join(
+        f"coalesce(sum(CASE WHEN term = '{t}' THEN sc END), 0.0)" for t in terms
+    )
+    return f"""words AS (
+  SELECT doc_id AS id,
+    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+), w2 AS (
+  SELECT * FROM words WHERE length(term) >= 1
+), doclen AS (
+  SELECT id, count(*) AS dl FROM w2 GROUP BY 1
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avglen
+  FROM doclen
+), hits AS (
+  SELECT id, term, count(*) AS tf FROM w2
+  WHERE term IN ({in_list}) GROUP BY 1, 2
+), dfv AS (
+  SELECT term, count(*) AS df FROM hits GROUP BY 1
+), ts AS (
+  SELECT h.id, d.dl, h.term, h.tf,
+    ln(1.0 + (s.n - CAST(f.df AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))
+      * (CAST(h.tf AS DOUBLE) * 2.2)
+      / (CAST(h.tf AS DOUBLE)
+         + 1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE) / s.avglen)) AS sc
+  FROM hits h
+  JOIN dfv f USING (term)
+  JOIN doclen d ON d.id = h.id
+  CROSS JOIN stats s
+), per_doc AS (
+  SELECT id, dl,
+    round({per_term}, 6) AS score,
+    count(*) AS n_terms_hit,
+    CAST(sum(tf) AS BIGINT) AS tf_total
+  FROM ts GROUP BY 1, 2
+)"""
+
+
+def _cosine_to_query_cte(query_vec_id: int = 0) -> str:
+    """The exact-cosine-leg oracle CTEs (query vector -> rounded
+    fold-ordered similarity, self excluded) — the _EXACT_TOPK_ORACLE
+    formula, shared with the hybrid fusion oracle."""
+    return f"""qv AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = {query_vec_id}
+), cos AS (
+  SELECT e.vec_id AS doc_id,
+    round(list_dot_product(q.v, CAST(e.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(q.v, q.v))
+         * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                 CAST(e.embedding AS DOUBLE[])))), 6) AS cs
+  FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> {query_vec_id}
+)"""
+
+
 _EXACT_TOPK_ORACLE = """
 WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)
@@ -3636,7 +3697,12 @@ def _bpe_oracle_sql(n_merges: int = 12) -> str:
   SELECT l, r, pair_count FROM p{k}
   ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1
 ), s{k} AS MATERIALIZED (
-  SELECT replace(seq, ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' ') AS seq,
+  -- greedy merge via the space-doubling replace (operators/bpe docstring)
+  SELECT replace(
+           replace(replace(seq, ' ', '  '),
+                   ' ' || b.l || '  ' || b.r || ' ',
+                   ' ' || b.l || b.r || ' '),
+           '  ', ' ') AS seq,
          freq
   FROM {prev} CROSS JOIN b{k} b
 )"""
@@ -3674,9 +3740,15 @@ def _bpe_apply_oracle_sql(n_merges: int = 12) -> str:
            "THEN concat(' ', regexp_replace(word, '(.)', '\\1 ', 'g')) "
            "ELSE concat(' ', word, ' ') END")
     for k in range(1, n_merges + 1):
-        seq = (f"replace({seq}, ' ' || (SELECT l FROM b{k}) || ' ' || "
-               f"(SELECT r FROM b{k}) || ' ', ' ' || (SELECT l FROM b{k}) || "
-               f"(SELECT r FROM b{k}) || ' ')")
+        # coalesce to an impossible needle (uppercase never occurs in
+        # [a-z0-9] symbols) so an early-exhausted training run leaves
+        # later steps as no-ops instead of NULL-poisoning the chain;
+        # greedy merge via the space-doubling replace
+        l_k = f"coalesce((SELECT l FROM b{k}), 'Z')"
+        r_k = f"coalesce((SELECT r FROM b{k}), 'Z')"
+        seq = (f"replace(replace(replace({seq}, ' ', '  '), "
+               f"' ' || {l_k} || '  ' || {r_k} || ' ', "
+               f"' ' || {l_k} || {r_k} || ' '), '  ', ' ')")
     return f"""{prefix.rstrip()}, docwords AS (
   SELECT doc_id, word FROM (
     SELECT doc_id,
@@ -6577,43 +6649,8 @@ ORDER BY gid, event_type, cohort
         # score adds its three term scores in sorted-term order (each
         # conditional sum holds <= 1 addend), matching the engine's
         # pinned composition; rank on (rounded score, id).
-        "bm25_search_docs": """
-WITH words AS (
-  SELECT doc_id AS id,
-    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
-  FROM documents
-), w2 AS (
-  SELECT * FROM words WHERE length(term) >= 1
-), doclen AS (
-  SELECT id, count(*) AS dl FROM w2 GROUP BY 1
-), stats AS (
-  SELECT CAST(count(*) AS DOUBLE) AS n,
-         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avglen
-  FROM doclen
-), hits AS (
-  SELECT id, term, count(*) AS tf FROM w2
-  WHERE term IN ('spark', 'stream', 'vector') GROUP BY 1, 2
-), dfv AS (
-  SELECT term, count(*) AS df FROM hits GROUP BY 1
-), ts AS (
-  SELECT h.id, d.dl, h.term, h.tf,
-    ln(1.0 + (s.n - CAST(f.df AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))
-      * (CAST(h.tf AS DOUBLE) * 2.2)
-      / (CAST(h.tf AS DOUBLE)
-         + 1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE) / s.avglen)) AS sc
-  FROM hits h
-  JOIN dfv f USING (term)
-  JOIN doclen d ON d.id = h.id
-  CROSS JOIN stats s
-), per_doc AS (
-  SELECT id, dl,
-    round(coalesce(sum(CASE WHEN term = 'spark' THEN sc END), 0.0)
-        + coalesce(sum(CASE WHEN term = 'stream' THEN sc END), 0.0)
-        + coalesce(sum(CASE WHEN term = 'vector' THEN sc END), 0.0), 6) AS score,
-    count(*) AS n_terms_hit,
-    CAST(sum(tf) AS BIGINT) AS tf_total
-  FROM ts GROUP BY 1, 2
-)
+        "bm25_search_docs": f"""
+WITH {_bm25_scored_ctes()}
 SELECT CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS INT) AS rank,
   id AS doc_id, score, n_terms_hit, tf_total, dl
 FROM per_doc
@@ -7324,62 +7361,20 @@ FROM per CROSS JOIN tot ORDER BY doc_id
         # both legs rank on pinned keys (bm25: order-pinned rounded
         # score; cosine: rounded fold-ordered similarity); fused score
         # is ONE division of exact small integers
-        "hybrid_search_rrf": r"""
-WITH words AS (
-  SELECT doc_id AS id,
-    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
-  FROM documents
-), w2 AS (
-  SELECT * FROM words WHERE length(term) >= 1
-), doclen AS (
-  SELECT id, count(*) AS dl FROM w2 GROUP BY 1
-), stats AS (
-  SELECT CAST(count(*) AS DOUBLE) AS n,
-         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avglen
-  FROM doclen
-), hits AS (
-  SELECT id, term, count(*) AS tf FROM w2
-  WHERE term IN ('spark', 'stream', 'vector') GROUP BY 1, 2
-), dfv AS (
-  SELECT term, count(*) AS df FROM hits GROUP BY 1
-), ts AS (
-  SELECT h.id, d.dl, h.term, h.tf,
-    ln(1.0 + (s.n - CAST(f.df AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))
-      * (CAST(h.tf AS DOUBLE) * 2.2)
-      / (CAST(h.tf AS DOUBLE)
-         + 1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE) / s.avglen)) AS sc
-  FROM hits h
-  JOIN dfv f USING (term)
-  JOIN doclen d ON d.id = h.id
-  CROSS JOIN stats s
-), per_doc AS (
-  SELECT id,
-    round(coalesce(sum(CASE WHEN term = 'spark' THEN sc END), 0.0)
-        + coalesce(sum(CASE WHEN term = 'stream' THEN sc END), 0.0)
-        + coalesce(sum(CASE WHEN term = 'vector' THEN sc END), 0.0), 6) AS score
-  FROM ts GROUP BY 1
-), lex AS (
+        "hybrid_search_rrf": f"""
+WITH {_bm25_scored_ctes()}, lex AS (
   SELECT id AS doc_id,
     CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS INT) AS rank_lex
   FROM per_doc
-), qv AS (
-  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0
-), cos AS (
-  SELECT e.vec_id AS doc_id,
-    round(list_dot_product(q.v, CAST(e.embedding AS DOUBLE[]))
-      / (sqrt(list_dot_product(q.v, q.v))
-         * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
-                                 CAST(e.embedding AS DOUBLE[])))), 6) AS cs
-  FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> 0
-), sem AS (
+), {_cosine_to_query_cte(0)}, sem AS (
   SELECT doc_id,
     CAST(row_number() OVER (ORDER BY cs DESC, doc_id ASC) AS INT) AS rank_sem
   FROM cos
 ), fused AS (
-  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.rank_lex, s.rank_sem
+  SELECT coalesce(l.doc_id, s2.doc_id) AS doc_id, l.rank_lex, s2.rank_sem
   FROM (SELECT * FROM lex WHERE rank_lex <= 50) l
-  FULL OUTER JOIN (SELECT * FROM sem WHERE rank_sem <= 50) s
-    ON l.doc_id = s.doc_id
+  FULL OUTER JOIN (SELECT * FROM sem WHERE rank_sem <= 50) s2
+    ON l.doc_id = s2.doc_id
 ), scored AS (
   SELECT doc_id, rank_lex, rank_sem,
     CASE WHEN rank_lex IS NOT NULL AND rank_sem IS NOT NULL

@@ -97,6 +97,10 @@ def dtw_pairs(
         .agg(
             F.transform(pts, lambda s: s["v"].cast("long")).alias("vals")
         )
+        # pin: the pair self-join consumes this twice — without the
+        # checkpoint the upstream rollup lineage executes once per side
+        # (the cosine_pairs multi-consumer discipline, SURVEY §8)
+        .localCheckpoint(eager=True)
     )
     pairs = (
         arrs.alias("a")

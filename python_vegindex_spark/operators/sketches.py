@@ -74,8 +74,11 @@ def alpha_m(m: int) -> float:
 
 
 def _validate_b(b: int) -> None:
-    if not 2 <= b <= 16:
-        raise ValueError(f"b (register index bits) must be in [2, 16], got {b}")
+    # m = 2^b >= 16: the Flajolet bias constants are defined for m >= 16
+    # only — smaller register counts would carry an uncorrected
+    # multiplicative bias
+    if not 4 <= b <= 16:
+        raise ValueError(f"b (register index bits) must be in [4, 16], got {b}")
 
 
 def hash60(key: Column) -> Column:
@@ -177,8 +180,7 @@ def hll_estimate(
     _validate_b(b)
     m = 1 << b
     K = HASH_BITS - b + 1
-    a = alpha_m(m)
-    numerator = float(a * m * m * (2.0 ** K))  # one shared double literal
+    numerator = _numerator(b)  # THE shared double literal (see below)
     est = registers.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("_n_present"),
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {K} - reg)")).alias(
@@ -207,13 +209,21 @@ def hll_estimate(
     return out
 
 
+def _numerator(b: int) -> float:
+    """The one estimate-numerator expression (alpha_m * m^2 * 2^K).
+    Engine (hll_estimate) and oracle (hll_estimate_numerator) both call
+    THIS — the bit-exact contract depends on there being exactly one
+    evaluation order of this product."""
+    m = 1 << b
+    K = HASH_BITS - b + 1
+    return float(alpha_m(m) * m * m * (2.0 ** K))
+
+
 def hll_estimate_numerator(b: int) -> str:
     """repr of the shared double numerator literal for oracle SQL —
     guarantees the oracle divides the IDENTICAL double."""
     _validate_b(b)
-    m = 1 << b
-    K = HASH_BITS - b + 1
-    return repr(float(alpha_m(m) * m * m * (2.0 ** K)))
+    return repr(_numerator(b))
 
 
 # --------------------------------------------------------------------------
@@ -289,7 +299,20 @@ def cms_estimate(
     """Point-query the sketch for each candidate key: ``candidates``
     columns + ``cms_est`` (the min over the d counters; missing
     counters are true zeros). ``candidates`` is expected small (it is
-    broadcast against the fixed-size sketch)."""
+    broadcast against the fixed-size sketch).
+
+    The sketch must be UNGROUPED — exactly (row_idx, col_idx, counter).
+    A grouped sketch (built with group_cols) would silently mix
+    counters across groups into a meaningless cross-group min; merge it
+    first (``groupBy('row_idx','col_idx').agg(sum('counter'))`` for the
+    total, or filter to one group)."""
+    extra = set(sketch.columns) - {"row_idx", "col_idx", "counter"}
+    if extra or set(sketch.columns) != {"row_idx", "col_idx", "counter"}:
+        raise ValueError(
+            "cms_estimate needs an ungrouped sketch with columns exactly "
+            f"(row_idx, col_idx, counter); got {sorted(sketch.columns)} — "
+            "sum-merge the group axis away first"
+        )
     probes = candidates.select(
         "*",
         F.explode(

@@ -52,6 +52,9 @@ DOCS = [
     (1, "lower lower newest newest newest"),
     (2, "newest newest newest widest widest"),
     (3, "the cat the hat"),
+    # XYXY/run-shaped words: the shared-delimiter overlap cases where a
+    # naive single replace diverges from greedy pairing
+    (4, "haha haha coco abab aaaa aaaaa"),
 ]
 
 
@@ -69,18 +72,33 @@ def test_bpe_train_matches_python_mirror(spark):
 
 
 def test_greedy_replace_overlap_edge_cross_engine(spark):
-    """' a a a ' under merge (a,a): single-pass replace must yield
-    ' aa a ' (greedy pairing) in BOTH engines."""
+    """The space-doubling merge must equal the greedy walker on the
+    overlap edges — in BOTH engines. ' h a h a ' -> ' ha ha ' (a naive
+    single replace yields ' ha h a '); ' a a a a a ' -> ' aa aa a '."""
     import duckdb
     from pyspark.sql import functions as F
 
-    s = spark.range(1).select(
-        F.replace(F.lit(" a a a "), F.lit(" a a "), F.lit(" aa ")).alias("x")
-    ).collect()[0]["x"]
+    from python_vegindex_spark.operators.bpe import _apply_merge
+
+    cases = [
+        (" h a h a ", "h", "a", " ha ha "),
+        (" a a a ", "a", "a", " aa a "),
+        (" a a a a a ", "a", "a", " aa aa a "),
+        (" x y ", "a", "b", " x y "),
+    ]
     con = duckdb.connect()
-    d = con.sql("SELECT replace(' a a a ', ' a a ', ' aa ')").fetchone()[0]
+    for raw, l, r, want in cases:
+        got_s = (
+            spark.range(1)
+            .select(_apply_merge(F.lit(raw), l, r).alias("x"))
+            .collect()[0]["x"]
+        )
+        got_d = con.sql(
+            f"""SELECT replace(replace(replace('{raw}', ' ', '  '),
+                 ' {l}  {r} ', ' {l}{r} '), '  ', ' ')"""
+        ).fetchone()[0]
+        assert got_s == got_d == want, (raw, l, r, got_s, got_d)
     con.close()
-    assert s == d == " aa a "
 
 
 def test_bpe_train_exhausts_and_stops(spark):
