@@ -137,3 +137,25 @@ def test_bpe_segment_roundtrip(spark):
     seg2 = bpe_segment(df, full_merges).collect()
     tokens0 = {r["doc_id"]: r["bpe_tokens"] for r in seg2}[0]
     assert tokens0 == ["low"] * 5
+
+
+def test_bpe_random_corpora_match_mirror(spark):
+    """Randomized corpora over a tiny alphabet maximize merge-order and
+    overlap stress; the trainer must match the greedy mirror exactly."""
+    import random
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        words = [
+            "".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+            for _ in range(40)
+        ]
+        text = " ".join(words)
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        wf = {r["word"]: r["freq"] for r in word_frequencies(df).collect()}
+        exp = _py_bpe(wf, 5)
+        got = [
+            (r["step"], r["left"], r["right"], r["merged"], r["pair_count"])
+            for r in bpe_train(spark, df, 5).orderBy("step").collect()
+        ]
+        assert got == exp, (seed, got, exp)
