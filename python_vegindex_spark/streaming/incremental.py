@@ -914,3 +914,91 @@ def read_tiered(
         out = raw if out is None else out.unionByName(raw)
     assert out is not None
     return out
+
+
+def incremental_hll(
+    spark: SparkSession,
+    turns: DataFrame,
+    store: RollupStore,
+    tier: str = "hourly",
+    key_col: str = "conv_id",
+    b: int = 5,
+    run_id: str | None = None,
+) -> dict:
+    """Checkpoint-resumable maintenance of a per-bucket HLL register
+    table (operators/sketches) — the distinct-count gold tier.
+
+    MONOTONE maintenance: register state is a max-semilattice, so
+    unlike :func:`incremental_rollup` this needs NO bucket
+    invalidation, no lag helpers and no open-bucket recompute — a late
+    or still-open bucket is handled by max-merging the new rows'
+    registers into gold on (bucket_start, bucket). ``increment ≡ full``
+    is an algebraic identity here; the test pins the PLUMBING
+    (watermark resume, greatest-merge upsert, idempotent no-op run,
+    lineage rows) rather than the algebra. Checkpoint/lineage rows use
+    tier name ``hll_<tier>`` so the sketch tier coexists with the
+    moment tiers in one store.
+
+    One bronze scan per run: the pruned (ts, key) slice is
+    localCheckpointed and feeds the row count, the register aggregate
+    and the new watermark.
+    """
+    from ..operators.sketches import hll_registers
+
+    t0 = time.perf_counter()
+    run_id = run_id or uuid.uuid4().hex[:12]
+    tname = f"hll_{tier}"
+    hw = _high_water(spark, store, tname)
+
+    sl = turns.where(F.col("ts").isNotNull() & F.col(key_col).isNotNull())
+    if hw is not None:
+        sl = sl.filter(F.col("ts") > F.lit(hw))
+    sl = sl.select("ts", key_col).localCheckpoint(eager=True)
+    rows_in = sl.count()
+    if rows_in == 0:
+        metrics = {
+            "run_id": run_id, "tier": tname, "rows_in": 0, "rows_out": 0,
+            "hw_old": hw, "hw_new": hw,
+            "wall_ms": int((time.perf_counter() - t0) * 1000),
+        }
+        _append_lineage(spark, store, metrics)
+        return metrics
+
+    keyed = sl.select(
+        F.to_timestamp(bucket_start(F.col("ts"), tier)).alias("bucket_start"),
+        key_col,
+    )
+    regs_new = hll_registers(keyed, key_col, ["bucket_start"], b=b)
+
+    existing = store.read_gold(spark, tname)
+    if existing is not None:
+        old = existing.select(
+            "bucket_start", "bucket", F.col("reg").alias("_reg_old")
+        )
+        regs_new = (
+            regs_new.join(old, ["bucket_start", "bucket"], "left")
+            .select(
+                "bucket_start",
+                "bucket",
+                F.greatest(F.col("reg"), F.coalesce("_reg_old", "reg")).alias(
+                    "reg"
+                ),
+            )
+        )
+    rows_out = store.upsert_gold(
+        spark, regs_new, tname, keys=["bucket_start", "bucket"]
+    )
+
+    hw_new = sl.agg(F.max("ts")).collect()[0][0] or hw
+    ck_row = spark.createDataFrame(
+        [(tname, hw_new, run_id)],
+        "tier string, high_water_ts timestamp, run_id string",
+    )
+    tableio.append(ck_row, store.checkpoint)
+    metrics = {
+        "run_id": run_id, "tier": tname, "rows_in": rows_in,
+        "rows_out": rows_out, "hw_old": hw, "hw_new": hw_new,
+        "wall_ms": int((time.perf_counter() - t0) * 1000),
+    }
+    _append_lineage(spark, store, metrics)
+    return metrics

@@ -314,3 +314,44 @@ def test_tableio_compact_small_files(spark, tmp_path):
 
     assert os.path.isdir(ppath + "/p=2")
     assert tableio.read(spark, ppath).count() == 10_000
+
+
+def test_incremental_hll_equals_full(spark, turns, tmp_path):
+    """Sketch-tier maintenance: three chronological ingests must leave
+    the register table identical to one full build; re-running is a
+    no-op; watermark/lineage rows land under the hll_<tier> name."""
+    from pyspark.sql import functions as F
+
+    from python_vegindex_spark.operators.sketches import hll_registers
+    from python_vegindex_spark.streaming.incremental import incremental_hll
+
+    store = RollupStore(str(tmp_path / "hll_store"))
+    cut1, cut2 = "2024-01-15", "2024-03-15"
+    m1 = incremental_hll(spark, turns.filter(F.col("ts") < cut1), store)
+    m2 = incremental_hll(spark, turns.filter(F.col("ts") < cut2), store)
+    m3 = incremental_hll(spark, turns, store)
+    assert m1["rows_in"] > 0 and m2["rows_in"] > 0 and m3["rows_in"] > 0
+    assert m1["hw_old"] is None and m2["hw_old"] == m1["hw_new"]
+
+    got = {
+        (r["bucket_start"], r["bucket"]): r["reg"]
+        for r in tableio.read(spark, store.gold("hll_hourly")).collect()
+    }
+    full = hll_registers(
+        turns.select(
+            F.to_timestamp(F.date_trunc("hour", "ts")).alias("bucket_start"),
+            "conv_id",
+        ),
+        "conv_id",
+        ["bucket_start"],
+        b=5,
+    )
+    exp = {
+        (r["bucket_start"], r["bucket"]): r["reg"] for r in full.collect()
+    }
+    assert got == exp
+
+    m4 = incremental_hll(spark, turns, store)
+    assert m4["rows_in"] == 0 and m4["hw_new"] == m3["hw_new"]
+    lin = tableio.read(spark, store.lineage).toPandas()
+    assert len(lin) == 4 and set(lin["tier"]) == {"hll_hourly"}
