@@ -58,6 +58,11 @@ def main() -> None:
                     help="rows per file group for the --zorder rewrite "
                          "(sizes how many groups — and therefore how "
                          "much pruning granularity — the layout gets)")
+    ap.add_argument("--hll", default=None, metavar="TIER[:KEY[:B]]",
+                    help="also maintain the distinct-count sketch tier: "
+                         "max-merge per-bucket HLL registers of KEY "
+                         "(default conv_id) at TIER grain into gold "
+                         "hll_<TIER> (monotone — no bucket invalidation)")
     ap.add_argument("--expire", default=None, metavar="TIER:KEEP",
                     help="instead of ingesting, expire all but the "
                          "newest KEEP snapshots of a gold tier (deletes "
@@ -141,6 +146,16 @@ def main() -> None:
     else:
         metrics = incremental_rollup_tiers(spark, turns, store, cfgs)
         metrics["mode"] = "incremental"
+
+    if args.hll:
+        from python_vegindex_spark.streaming.incremental import incremental_hll
+
+        tier, _, rest = args.hll.partition(":")
+        key, _, b_s = rest.partition(":")
+        metrics["hll"] = incremental_hll(
+            spark, turns, store, tier=tier or "hourly",
+            key_col=key or "conv_id", b=int(b_s) if b_s else 5,
+        )
 
     if args.chunks_through:
         from python_vegindex_spark.streaming.incremental import extend_chunks

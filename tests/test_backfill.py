@@ -243,3 +243,58 @@ def test_backfill_qc_failing_tail_delta_equals_full(spark, turns, tmp_path):
     all_rows2 = all_rows.unionByName(good)
     backfill_rollup(spark, all_rows2, good, store, cfg)
     _assert_gold_equals_full(spark, store, cfg, all_rows2)
+
+
+def test_incremental_job_cli_hll(spark, turns, tmp_path):
+    """--hll maintains the sketch tier alongside the moment tiers: two
+    chronological CLI runs leave gold hll_hourly register-identical to
+    a full build."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from python_vegindex_spark.operators.sketches import hll_registers
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    first = turns.filter(F.col("ts") < "2024-02-01")
+    p_first, p_all = str(tmp_path / "t1"), str(tmp_path / "t2")
+    first.write.parquet(p_first)
+    turns.write.parquet(p_all)
+    store_dir = str(tmp_path / "hstore")
+
+    def run(turns_path):
+        out = subprocess.run(
+            [sys.executable, os.path.join(repo, "scripts", "incremental_job.py"),
+             "--store", store_dir, "--tiers", "daily", "--hll", "hourly",
+             "--turns", turns_path],
+            capture_output=True, text=True, timeout=420,
+        )
+        lines = [
+            l for l in out.stdout.splitlines()
+            if l.startswith("INCREMENTAL_METRICS ")
+        ]
+        assert lines, out.stdout[-1500:] + out.stderr[-2500:]
+        return json.loads(lines[0][len("INCREMENTAL_METRICS "):])
+
+    m1 = run(p_first)
+    assert m1["hll"]["rows_in"] > 0 and m1["hll"]["tier"] == "hll_hourly"
+    m2 = run(p_all)
+    assert m2["hll"]["rows_in"] > 0
+
+    store = RollupStore(store_dir)
+    got = {
+        (r["bucket_start"], r["bucket"]): r["reg"]
+        for r in tableio.read(spark, store.gold("hll_hourly")).collect()
+    }
+    full = hll_registers(
+        turns.select(
+            F.to_timestamp(F.date_trunc("hour", "ts")).alias("bucket_start"),
+            "conv_id",
+        ),
+        "conv_id",
+        ["bucket_start"],
+        b=5,
+    )
+    exp = {(r["bucket_start"], r["bucket"]): r["reg"] for r in full.collect()}
+    assert got == exp
