@@ -106,6 +106,66 @@ def _stat_val(v):
     return str(v)
 
 
+# --- per-file-group Bloom filters (Delta bloom index / Iceberg
+# bloom-filter analog): point-lookup pruning on high-cardinality keys
+# where min/max zone maps are useless (a uniform conv_id key spans the
+# whole domain in every group). m=1024 bits, k=4 probes via
+# Kirsch-Mitzenmacher double hashing off the engine's shared md5-prefix
+# hash (operators/sketches.hash60), so the write-side Spark expressions
+# and the read-side Python probe computation are the same function of
+# str(value) — no false negatives by construction (property-tested).
+BLOOM_BITS = 1024
+BLOOM_K = 4
+_BLOOM_LANES = BLOOM_BITS // 64
+
+
+def _bloom_probes_py(value) -> list[int]:
+    """Read-side probe positions for ``value`` — must mirror the
+    write-side Spark expressions in ``_bloom_lane_exprs`` exactly."""
+    import hashlib
+
+    sv = str(value)
+    h1 = int(hashlib.md5(sv.encode()).hexdigest()[:15], 16)
+    h2 = int(hashlib.md5(("b:" + sv).encode()).hexdigest()[:15], 16)
+    return [(h1 + i * h2) % BLOOM_BITS for i in range(BLOOM_K)]
+
+
+def _bloom_group_lanes(written, col: str) -> list[int]:
+    """Write-side: the group's bloom filter as 16 64-bit lanes. The
+    probe positions are computed by Spark expressions (the same
+    hash60-based arithmetic as ``_bloom_probes_py``); at most
+    BLOOM_BITS distinct positions survive the distinct, so the collect
+    is O(1) per group regardless of row count."""
+    from ..operators.sketches import hash60
+
+    c = F.col(col)
+    h1 = hash60(c)
+    h2 = hash60(F.concat(F.lit("b:"), c.cast("string")))
+    idxs = F.array(
+        *[F.pmod(h1 + F.lit(i) * h2, F.lit(BLOOM_BITS)) for i in range(BLOOM_K)]
+    )
+    rows = (
+        written.where(c.isNotNull())
+        .select(F.explode(idxs).alias("p"))
+        .distinct()
+        .collect()
+    )
+    lanes = [0] * _BLOOM_LANES
+    for r in rows:
+        pos = int(r["p"])
+        lanes[pos // 64] |= 1 << (pos % 64)
+    return lanes
+
+
+def _bloom_may_contain(lanes: list[int], value) -> bool:
+    """True iff every probe bit for ``value`` is set (no false
+    negatives; false positives at the usual bloom rate)."""
+    for idx in _bloom_probes_py(value):
+        if not (lanes[idx // 64] >> (idx % 64)) & 1:
+            return False
+    return True
+
+
 class SnapshotTable:
     """A versioned parquet table with Iceberg-style snapshot semantics.
 
@@ -120,11 +180,13 @@ class SnapshotTable:
         root: str,
         partition_by: list[str] | None = None,
         stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
     ):
         self.spark = spark
         self.root = root
         self.partition_by = list(partition_by) if partition_by else None
         self.stats_cols = list(stats_cols) if stats_cols else None
+        self.bloom_cols = list(bloom_cols) if bloom_cols else None
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
 
@@ -281,11 +343,27 @@ class SnapshotTable:
                 {tuple(_norm(r[c]) for c in self.partition_by) for r in vals}
             )
             partitions = [list(t) for t in partitions]
+        bloom = None
+        bloom_present = [
+            c for c in (self.bloom_cols or []) if c in written.columns
+        ]
+        if bloom_present:
+            # string/integral keys only: the read-side probes hash
+            # str(value), which must equal Spark's cast-to-string —
+            # true for strings and integers, NOT for floats/timestamps
+            for c in bloom_present:
+                kind = dict(written.dtypes)[c]
+                if kind not in ("string", "bigint", "int", "smallint", "tinyint"):
+                    raise ValueError(
+                        f"bloom_cols supports string/integral columns; {c} is {kind}"
+                    )
+            bloom = {c: _bloom_group_lanes(written, c) for c in bloom_present}
         return {
             "group": group,
             "rows": rows,
             "partitions": partitions,
             "stats": stats,
+            "bloom": bloom,
             "schema_hash": _schema_hash(written.schema.json()),
             "_written_schema": written.schema.json(),  # stripped before commit
         }
@@ -697,6 +775,28 @@ class SnapshotTable:
 
         return [g for g in files if _keep(g)]
 
+    def _select_bloom(
+        self, files: list[dict], prune_bloom: dict | None
+    ) -> list[dict]:
+        """Bloom pruning: drop groups whose filter proves NONE of the
+        queried values can be present. Groups without a bloom for the
+        column are conservatively kept; false positives only enlarge
+        the scan, never the result (the read applies the exact filter
+        too)."""
+        if not prune_bloom:
+            return files
+
+        def _keep(g: dict) -> bool:
+            bl = g.get("bloom") or {}
+            for c, vals in prune_bloom.items():
+                if c not in bl:
+                    continue
+                if not any(_bloom_may_contain(bl[c], v) for v in vals):
+                    return False
+            return True
+
+        return [g for g in files if _keep(g)]
+
     def _select_groups(self, manifest: dict, prune: dict | None) -> list[dict]:
         files = manifest["files"]
         if not prune:
@@ -776,17 +876,20 @@ class SnapshotTable:
         prune: dict | None = None,
         prune_range: dict | None = None,
         as_of: float | None = None,
+        prune_bloom: dict | None = None,
     ) -> DataFrame | None:
         """Plan a scan of snapshot ``version`` (default: current), or of
         the newest snapshot committed at or before epoch seconds
         ``as_of`` (mutually exclusive with ``version``).
 
-        ``prune`` = ``{partition_col: [values...]}`` and ``prune_range``
-        = ``{stats_col: (lo, hi)}`` drop file groups at the manifest
-        level (partition sets / min-max zone maps); the matching row
-        filters are ALSO applied to the result (groups may mix
-        partitions, zone maps only bound), so the output equals a plain
-        filter — pruning only shrinks the scan.
+        ``prune`` = ``{partition_col: [values...]}``, ``prune_range``
+        = ``{stats_col: (lo, hi)}`` and ``prune_bloom`` =
+        ``{bloom_col: [values...]}`` drop file groups at the manifest
+        level (partition sets / min-max zone maps / per-group bloom
+        filters); the matching row filters are ALSO applied to the
+        result (groups may mix partitions, zone maps only bound, blooms
+        false-positive), so the output equals a plain filter — pruning
+        only shrinks the scan.
         """
         if as_of is not None:
             if version is not None:
@@ -796,8 +899,11 @@ class SnapshotTable:
         if v is None:
             return None
         manifest = self._manifest(v)
-        groups = self._select_range(
-            self._select_groups(manifest, prune), prune_range
+        groups = self._select_bloom(
+            self._select_range(
+                self._select_groups(manifest, prune), prune_range
+            ),
+            prune_bloom,
         )
         schema = StructType.fromJson(json.loads(manifest["schema"]))
         if not groups:
@@ -816,6 +922,9 @@ class SnapshotTable:
                     df = df.filter(F.col(c) >= F.lit(lo))
                 if hi is not None:
                     df = df.filter(F.col(c) <= F.lit(hi))
+        if prune_bloom:
+            for c, vals in prune_bloom.items():
+                df = df.filter(F.col(c).isin(list(vals)))
         return df
 
     # ---------------------------------------------------- metadata tables

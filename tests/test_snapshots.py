@@ -807,3 +807,73 @@ def test_zorder_null_and_degenerate_dims(spark, root):
     t.append(df)
     v = t.compact(target_rows_per_file=100, zorder_by=["x", "flat"])
     assert t.read(version=v).count() == 300
+
+
+def test_bloom_pruning(spark, tmp_path):
+    """Per-group bloom filters: point lookups skip file groups, never
+    lose rows (no false negatives), and the pruned read equals a plain
+    filter."""
+    import random
+
+    from python_vegindex_spark.sources.snapshots import (
+        SnapshotTable,
+        _bloom_may_contain,
+        _bloom_probes_py,
+    )
+
+    t = SnapshotTable(
+        spark,
+        str(tmp_path / "bloomtab"),
+        partition_by=["day"],
+        bloom_cols=["conv_id"],
+    )
+    # three appends with DISJOINT conv populations -> three file groups
+    pops = {}
+    for gi in range(3):
+        rows = [
+            (f"d{gi}", f"conv_{gi}_{i}", i) for i in range(200)
+        ]
+        pops[gi] = [r[1] for r in rows]
+        t.append(
+            spark.createDataFrame(rows, "day string, conv_id string, v long")
+        )
+    manifest = t._manifest(t.current_version())
+    files = manifest["files"]
+    assert len(files) == 3 and all(g.get("bloom") for g in files)
+
+    # a key from group 1 prunes to (usually) one group, never zero rows
+    key = pops[1][7]
+    kept = t._select_bloom(files, {"conv_id": [key]})
+    assert 1 <= len(kept) < 3
+    got = t.read(prune_bloom={"conv_id": [key]}).collect()
+    exp = t.read().filter(F.col("conv_id") == key).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+    assert len(got) == 1
+
+    # no-false-negative property over every present key
+    rng = random.Random(5)
+    for gi in range(3):
+        for key in rng.sample(pops[gi], 25):
+            bl = files[gi]["bloom"]["conv_id"]
+            assert _bloom_may_contain(bl, key), key
+    # absent keys: pruning to zero groups is allowed and returns empty
+    got = t.read(prune_bloom={"conv_id": ["never_seen"]})
+    assert got.count() == 0
+
+    # python/spark probe parity pinned on int-typed keys too
+    t2 = SnapshotTable(
+        spark, str(tmp_path / "bloomint"), bloom_cols=["uid"]
+    )
+    t2.append(spark.createDataFrame([(42,), (7,)], "uid long"))
+    bl = t2._manifest(t2.current_version())["files"][0]["bloom"]["uid"]
+    assert _bloom_may_contain(bl, 42) and _bloom_may_contain(bl, 7)
+    assert len(_bloom_probes_py(42)) == 4
+
+    # unsupported type fails loudly
+    import pytest as _pt
+
+    t3 = SnapshotTable(
+        spark, str(tmp_path / "bloomfloat"), bloom_cols=["x"]
+    )
+    with _pt.raises(ValueError):
+        t3.append(spark.createDataFrame([(1.5,)], "x double"))
