@@ -2968,6 +2968,56 @@ def q_chunk_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_bloom_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-indexed point lookup end-to-end (sources/snapshots
+    bloom_cols): three disjoint-population appends, then a read pruned
+    by the per-group bloom on user_id — the manifest-level skip that
+    min/max zone maps cannot give on a uniform high-cardinality key.
+    Pruning effectiveness is asserted IN-QUERY (an index regression
+    fails the gate); the result must equal the plain filter, checked
+    against the SQL oracle. Integer-exact output."""
+    import shutil
+    import tempfile
+
+    from python_vegindex_spark.session import scratch_dir
+    from python_vegindex_spark.sources.snapshots import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    keys = [5, 17, 29, 41, 53]
+    root = tempfile.mkdtemp(prefix="snap_b_", dir=scratch_dir())
+    try:
+        t = SnapshotTable(spark, root, bloom_cols=["user_id"])
+        # disjoint user populations per group (mod-3 of user_id)
+        for i in range(3):
+            t.append(ev.filter(F.pmod(F.col("user_id"), F.lit(3)) == i))
+        m = t._manifest(t.current_version())
+        picked = t._select_bloom(m["files"], {"user_id": keys})
+        # the 5 keys span at most 2 residue classes mod 3 -> the third
+        # group MUST be skipped (bloom false-positive rate at 200-ish
+        # keys/group is ~1e-4 per probe set; a layout/index regression
+        # fails here deterministically)
+        if len(m["files"]) == 3 and not len(picked) < 3:
+            raise AssertionError("bloom index failed to prune the lookup")
+        rows = (
+            t.read(prune_bloom={"user_id": keys})
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("event_id").cast("long").alias("id_sum"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    out = spark.createDataFrame(
+        [(r["user_id"], r["n"], r["id_sum"]) for r in rows],
+        "user_id long, n long, id_sum long",
+    )
+    return out.orderBy("user_id")
+
+
 def q_hll_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog approximate distinct users per day
     (operators/sketches): the mergeable-cardinality rollup — at 10^12
@@ -3330,6 +3380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_decompose_daily": q_seasonal_decompose_daily,
         "chunk_overlap_docs": q_chunk_overlap_docs,
         "snapshot_zorder_read": q_snapshot_zorder_read,
+        "snapshot_bloom_read": q_snapshot_bloom_read,
         "rolling_corr_daily": q_rolling_corr_daily,
         "chunk_containment_docs": q_chunk_containment_docs,
         "savgol_daily_smooth": q_savgol_daily_smooth,
@@ -7331,6 +7382,13 @@ FROM deg LEFT JOIN per USING (node)
 ORDER BY node
 """,
         "bfs_blast_radius": _bfs_oracle_sql(),
+        # the bloom-pruned read must equal the plain filter
+        "snapshot_bloom_read": """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(event_id) AS BIGINT) AS id_sum
+FROM events WHERE user_id IN (5, 17, 29, 41, 53)
+GROUP BY 1 ORDER BY user_id
+""",
         "hll_distinct_daily": _hll_distinct_daily_oracle(),
         "hll_merge_weekly": _hll_merge_weekly_oracle(),
         # integer-exact counts; score = one product + one division of

@@ -109,40 +109,44 @@ def _stat_val(v):
 # --- per-file-group Bloom filters (Delta bloom index / Iceberg
 # bloom-filter analog): point-lookup pruning on high-cardinality keys
 # where min/max zone maps are useless (a uniform conv_id key spans the
-# whole domain in every group). m=1024 bits, k=4 probes via
-# Kirsch-Mitzenmacher double hashing off the engine's shared md5-prefix
-# hash (operators/sketches.hash60), so the write-side Spark expressions
-# and the read-side Python probe computation are the same function of
+# whole domain in every group). k probes via Kirsch-Mitzenmacher double
+# hashing off the engine's shared md5-prefix hash
+# (operators/sketches.hash60), so the write-side Spark expressions and
+# the read-side Python probe computation are the same function of
 # str(value) — no false negatives by construction (property-tested).
-BLOOM_BITS = 1024
+# SIZE MATTERS: a bloom holding n keys in m bits saturates at m/n < ~5
+# bits per key (a 1024-bit filter over 500 keys passes ~half of all
+# lookups — measured here at sf0.1); default 8192 bits ≈ 16 bits/key
+# for 500-key groups, and m/k are RECORDED per manifest entry so reads
+# always probe with the writer's geometry.
+BLOOM_BITS = 8192
 BLOOM_K = 4
-_BLOOM_LANES = BLOOM_BITS // 64
 
 
-def _bloom_probes_py(value) -> list[int]:
+def _bloom_probes_py(value, m_bits: int, k: int) -> list[int]:
     """Read-side probe positions for ``value`` — must mirror the
-    write-side Spark expressions in ``_bloom_lane_exprs`` exactly."""
+    write-side Spark expressions in ``_bloom_group_lanes`` exactly."""
     import hashlib
 
     sv = str(value)
     h1 = int(hashlib.md5(sv.encode()).hexdigest()[:15], 16)
     h2 = int(hashlib.md5(("b:" + sv).encode()).hexdigest()[:15], 16)
-    return [(h1 + i * h2) % BLOOM_BITS for i in range(BLOOM_K)]
+    return [(h1 + i * h2) % m_bits for i in range(k)]
 
 
-def _bloom_group_lanes(written, col: str) -> list[int]:
-    """Write-side: the group's bloom filter as 16 64-bit lanes. The
+def _bloom_group_lanes(written, col: str, m_bits: int, k: int) -> list[int]:
+    """Write-side: the group's bloom filter as m/64 64-bit lanes. The
     probe positions are computed by Spark expressions (the same
-    hash60-based arithmetic as ``_bloom_probes_py``); at most
-    BLOOM_BITS distinct positions survive the distinct, so the collect
-    is O(1) per group regardless of row count."""
+    hash60-based arithmetic as ``_bloom_probes_py``); at most ``m_bits``
+    distinct positions survive the distinct, so the collect is O(m) per
+    group regardless of row count."""
     from ..operators.sketches import hash60
 
     c = F.col(col)
     h1 = hash60(c)
     h2 = hash60(F.concat(F.lit("b:"), c.cast("string")))
     idxs = F.array(
-        *[F.pmod(h1 + F.lit(i) * h2, F.lit(BLOOM_BITS)) for i in range(BLOOM_K)]
+        *[F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)]
     )
     rows = (
         written.where(c.isNotNull())
@@ -150,17 +154,19 @@ def _bloom_group_lanes(written, col: str) -> list[int]:
         .distinct()
         .collect()
     )
-    lanes = [0] * _BLOOM_LANES
+    lanes = [0] * (m_bits // 64)
     for r in rows:
         pos = int(r["p"])
         lanes[pos // 64] |= 1 << (pos % 64)
     return lanes
 
 
-def _bloom_may_contain(lanes: list[int], value) -> bool:
-    """True iff every probe bit for ``value`` is set (no false
-    negatives; false positives at the usual bloom rate)."""
-    for idx in _bloom_probes_py(value):
+def _bloom_may_contain(bloom: dict, col: str, value) -> bool:
+    """True iff every probe bit for ``value`` is set in the group's
+    recorded filter (no false negatives; false positives at the usual
+    bloom rate). ``bloom`` is the manifest entry {m, k, cols}."""
+    lanes = bloom["cols"][col]
+    for idx in _bloom_probes_py(value, bloom["m"], bloom["k"]):
         if not (lanes[idx // 64] >> (idx % 64)) & 1:
             return False
     return True
@@ -181,12 +187,21 @@ class SnapshotTable:
         partition_by: list[str] | None = None,
         stats_cols: list[str] | None = None,
         bloom_cols: list[str] | None = None,
+        bloom_bits: int = BLOOM_BITS,
+        bloom_k: int = BLOOM_K,
     ):
         self.spark = spark
         self.root = root
         self.partition_by = list(partition_by) if partition_by else None
         self.stats_cols = list(stats_cols) if stats_cols else None
         self.bloom_cols = list(bloom_cols) if bloom_cols else None
+        if bloom_bits % 64 != 0 or bloom_bits < 64 or bloom_k < 1:
+            raise ValueError(
+                f"bloom_bits must be a positive multiple of 64 and bloom_k >= 1 "
+                f"(got {bloom_bits}, {bloom_k})"
+            )
+        self.bloom_bits = bloom_bits
+        self.bloom_k = bloom_k
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
 
@@ -357,7 +372,16 @@ class SnapshotTable:
                     raise ValueError(
                         f"bloom_cols supports string/integral columns; {c} is {kind}"
                     )
-            bloom = {c: _bloom_group_lanes(written, c) for c in bloom_present}
+            bloom = {
+                "m": self.bloom_bits,
+                "k": self.bloom_k,
+                "cols": {
+                    c: _bloom_group_lanes(
+                        written, c, self.bloom_bits, self.bloom_k
+                    )
+                    for c in bloom_present
+                },
+            }
         return {
             "group": group,
             "rows": rows,
@@ -787,11 +811,13 @@ class SnapshotTable:
             return files
 
         def _keep(g: dict) -> bool:
-            bl = g.get("bloom") or {}
+            bl = g.get("bloom")
+            if not bl:
+                return True
             for c, vals in prune_bloom.items():
-                if c not in bl:
+                if c not in bl.get("cols", {}):
                     continue
-                if not any(_bloom_may_contain(bl[c], v) for v in vals):
+                if not any(_bloom_may_contain(bl, c, v) for v in vals):
                     return False
             return True
 

@@ -854,8 +854,7 @@ def test_bloom_pruning(spark, tmp_path):
     rng = random.Random(5)
     for gi in range(3):
         for key in rng.sample(pops[gi], 25):
-            bl = files[gi]["bloom"]["conv_id"]
-            assert _bloom_may_contain(bl, key), key
+            assert _bloom_may_contain(files[gi]["bloom"], "conv_id", key), key
     # absent keys: pruning to zero groups is allowed and returns empty
     got = t.read(prune_bloom={"conv_id": ["never_seen"]})
     assert got.count() == 0
@@ -865,9 +864,9 @@ def test_bloom_pruning(spark, tmp_path):
         spark, str(tmp_path / "bloomint"), bloom_cols=["uid"]
     )
     t2.append(spark.createDataFrame([(42,), (7,)], "uid long"))
-    bl = t2._manifest(t2.current_version())["files"][0]["bloom"]["uid"]
-    assert _bloom_may_contain(bl, 42) and _bloom_may_contain(bl, 7)
-    assert len(_bloom_probes_py(42)) == 4
+    bl = t2._manifest(t2.current_version())["files"][0]["bloom"]
+    assert _bloom_may_contain(bl, "uid", 42) and _bloom_may_contain(bl, "uid", 7)
+    assert len(_bloom_probes_py(42, bl["m"], bl["k"])) == 4
 
     # unsupported type fails loudly
     import pytest as _pt
