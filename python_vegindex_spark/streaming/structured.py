@@ -592,3 +592,65 @@ def streaming_hll_registers(
     return agg.select(
         F.col("w.start").alias("bucket_start"), "bucket", "reg"
     )
+
+
+def streaming_cms_counters(
+    spark: SparkSession,
+    input_path: str,
+    tier: str = "hourly",
+    key_expr: str = "conv_id",
+    depth: int = 4,
+    width: int = 1024,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of :func:`..operators.sketches.cms_build`: live
+    turns -> closed per-bucket Count-Min counter rows
+    ``(bucket_start, row_idx, col_idx, counter)``, emitted exactly once
+    per time bucket when the watermark passes (append mode).
+
+    Like the streaming HLL (max state) and unlike the streaming
+    percentile, this live aggregate is EXACT: counter state is a
+    running SUM, so a bucket closed by the stream is row-identical to
+    the batch ``cms_build`` over the same input (pinned by
+    tests/test_streaming_chunks.py), and closed buckets sum-merge into
+    coarser tiers with ordinary batch aggregation. State per open
+    bucket is at most depth*width counters.
+    """
+    from ..operators.sketches import cms_hash
+
+    if depth < 1 or width < 2:
+        raise ValueError(
+            f"need depth >= 1 and width >= 2, got d={depth} w={width}"
+        )
+    window_len = _window_length(tier)
+    if tier in ("hourly", "daily", "1day"):
+        _require_utc(spark)
+    stream = _turn_stream(spark, input_path)
+    k = F.expr(key_expr)
+    hashed = stream.where(F.col("ts").isNotNull() & k.isNotNull()).select(
+        F.col("ts"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_idx"),
+                        cms_hash(k, i, width).alias("col_idx"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rc"),
+    )
+    agg = (
+        hashed.select("ts", "rc.row_idx", "rc.col_idx")
+        .withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window_len).alias("w"),
+            F.col("row_idx"),
+            F.col("col_idx"),
+        )
+        .agg(F.count(F.lit(1)).alias("counter"))
+    )
+    return agg.select(
+        F.col("w.start").alias("bucket_start"), "row_idx", "col_idx", "counter"
+    )

@@ -287,3 +287,66 @@ def test_streaming_hll_registers_match_batch(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(g, b_)
+
+
+def test_streaming_cms_counters_match_batch(spark, tmp_path):
+    """Closed-bucket CMS counters from the stream must be row-identical
+    to batch cms_build over the same input (sum state is exact)."""
+    from python_vegindex_spark.operators.sketches import cms_build
+    from python_vegindex_spark.streaming.structured import (
+        run_available_now,
+        streaming_cms_counters,
+    )
+
+    turns = synth_turns(spark, n_convs=30, seed=3, span_days=10)
+    in_dir = str(tmp_path / "cms_in")
+    out_dir = str(tmp_path / "cms_out")
+    ckpt = str(tmp_path / "cms_ckpt")
+
+    first = turns.filter(F.col("ts") < "2023-12-04")
+    rest = turns.filter(F.col("ts") >= "2023-12-04")
+    first.write.mode("overwrite").parquet(in_dir)
+    run_available_now(
+        streaming_cms_counters(spark, in_dir, depth=3, width=64),
+        ckpt,
+        out_dir,
+    )
+    rest.write.mode("append").parquet(in_dir)
+    run_available_now(
+        streaming_cms_counters(spark, in_dir, depth=3, width=64),
+        ckpt,
+        out_dir,
+    )
+
+    got = spark.read.parquet(out_dir)
+    assert got.count() > 0
+    assert (
+        got.groupBy("bucket_start", "row_idx", "col_idx")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+        == 0
+    )
+    batch = cms_build(
+        turns.select(
+            F.date_trunc("hour", "ts").alias("bucket_start"), "conv_id"
+        ),
+        "conv_id",
+        ["bucket_start"],
+        depth=3,
+        width=64,
+    )
+    cols = ["bucket_start", "row_idx", "col_idx", "counter"]
+    g = got.select(*cols).toPandas().sort_values(cols).reset_index(drop=True)
+    closed = [
+        r["bucket_start"]
+        for r in got.select("bucket_start").distinct().collect()
+    ]
+    b = (
+        batch.filter(F.col("bucket_start").isin(closed))
+        .select(*cols)
+        .toPandas()
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(g, b)
