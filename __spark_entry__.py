@@ -3018,6 +3018,23 @@ def q_snapshot_bloom_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id")
 
 
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPS sampling (operators/sampling.weighted_bottomk_sample,
+    Ohlsson sequential Poisson '98): 30 documents sampled proportional
+    to n_chars — the deterministic weighted pick a data-mixture
+    pipeline uses for size-biased corpus draws. Priority = one IEEE
+    product + one division of exactly-representable inputs, so the
+    ranking reproduces bit-for-bit; nested in k; ties on key."""
+    from python_vegindex_spark.operators.sampling import (
+        weighted_bottomk_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_bottomk_sample(
+        docs, "doc_id", "n_chars", k=30
+    ).orderBy("rank")
+
+
 def q_hll_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog approximate distinct users per day
     (operators/sketches): the mergeable-cardinality rollup — at 10^12
@@ -3381,6 +3398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_overlap_docs": q_chunk_overlap_docs,
         "snapshot_zorder_read": q_snapshot_zorder_read,
         "snapshot_bloom_read": q_snapshot_bloom_read,
+        "weighted_sample_docs": q_weighted_sample_docs,
         "rolling_corr_daily": q_rolling_corr_daily,
         "chunk_containment_docs": q_chunk_containment_docs,
         "savgol_daily_smooth": q_savgol_daily_smooth,
@@ -7388,6 +7406,23 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n,
   CAST(sum(event_id) AS BIGINT) AS id_sum
 FROM events WHERE user_id IN (5, 17, 29, 41, 53)
 GROUP BY 1 ORDER BY user_id
+""",
+        # priority = double(h60) / (2^60 * double(w)) — one product,
+        # one division, both IEEE-deterministic; 2^60 is a power of two
+        "weighted_sample_docs": """
+WITH keyed AS (
+  SELECT DISTINCT doc_id AS key, CAST(n_chars AS BIGINT) AS weight
+  FROM documents
+  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
+), pri AS (
+  SELECT key, weight,
+    CAST(CAST(concat('0x', substr(md5(CAST(key AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+      / (1152921504606846976.0 * CAST(weight AS DOUBLE)) AS priority
+  FROM keyed
+)
+SELECT CAST(row_number() OVER (ORDER BY priority ASC, key ASC) AS INT) AS rank,
+  key, weight, priority
+FROM pri QUALIFY rank <= 30 ORDER BY rank
 """,
         "hll_distinct_daily": _hll_distinct_daily_oracle(),
         "hll_merge_weekly": _hll_merge_weekly_oracle(),

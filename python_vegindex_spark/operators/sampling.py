@@ -171,3 +171,68 @@ def cap_per_group(
         .where(F.col("grp_rank") <= cap)
         .drop("_draw", "_r1")
     )
+
+
+def weighted_bottomk_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    group_cols: Sequence[str] = (),
+    salt: str = "",
+) -> DataFrame:
+    """Probability-proportional-to-size sample without replacement:
+    keep the ``k`` keys with smallest priority ``u/w`` — Ohlsson's
+    sequential Poisson sampling (Ohlsson, "Sequential Poisson
+    sampling", J. Official Statistics 1998), the standard deterministic
+    PPS-WOR scheme. ``u`` is the 60-bit md5-prefix hash of
+    ``salt || key`` scaled to [0,1), so the sample is reproducible
+    across runs/engines and NESTED in ``k`` (the top-10 of k=10 is a
+    prefix of k=50's ranking); heavier rows are proportionally more
+    likely to survive.
+
+    Float discipline: the priority is ONE IEEE product + ONE division
+    of exactly-representable inputs (``double(h) / (2^60 * double(w))``
+    — 2^60 is a power of two), identical on any IEEE engine, so the
+    ranking reproduces bit-for-bit; ties (h collisions) break on key.
+
+    Rows with NULL or non-positive weight are excluded (a zero-weight
+    row has selection probability 0; negative weights are undefined).
+    Duplicate keys must carry one weight — enforce upstream or pass a
+    pre-aggregated frame. Output: group_cols + (rank, key, weight,
+    priority).
+
+    Scale shape: same as bottom-k — grouped: per-group window over the
+    distinct-key frame; ungrouped: TakeOrderedAndProject.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    from ..operators.sketches import HASH_BITS, hash60
+
+    w = F.col(weight_col)
+    keyed = (
+        df.where(F.col(key_col).isNotNull() & w.isNotNull() & (w > 0))
+        .select(
+            *group_cols,
+            F.col(key_col).alias("key"),
+            w.cast("long").alias("weight"),
+        )
+        .distinct()
+    )
+    h = hash60(F.concat(F.lit(salt), F.col("key").cast("string")))
+    keyed = keyed.withColumn(
+        "priority",
+        h.cast("double")
+        / (F.lit(float(2**HASH_BITS)) * F.col("weight").cast("double")),
+    )
+    order = [F.col("priority").asc(), F.col("key").asc()]
+    if not group_cols:
+        keyed = keyed.orderBy(*order).limit(k)
+    win = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        keyed.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select(*group_cols, "rank", "key", "weight", "priority")
+    )

@@ -223,3 +223,44 @@ def test_pack_rejects_bad_budget(docs):
     ):
         with pytest.raises(ValueError):
             fn()
+
+
+def test_weighted_bottomk_sample(spark):
+    """Ohlsson sequential-Poisson PPS sample: python-mirror parity,
+    weight bias, nesting in k, zero/NULL-weight exclusion."""
+    import hashlib
+
+    from python_vegindex_spark.operators.sampling import (
+        weighted_bottomk_sample,
+    )
+
+    rows = [(f"k{i}", (i % 10) + 1) for i in range(400)] + [
+        ("zero", 0),
+        ("neg", -5),
+    ]
+    df = spark.createDataFrame(rows, "key string, w long")
+    got = weighted_bottomk_sample(df, "key", "w", k=20).orderBy("rank").collect()
+
+    def prio(key, w):
+        h = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+        return h / (float(2**60) * float(w))
+
+    exp = sorted(
+        ((prio(k_, w_), k_, w_) for k_, w_ in rows if w_ > 0),
+    )[:20]
+    assert [(r["priority"], r["key"], r["weight"]) for r in got] == exp
+    assert {r["key"] for r in got}.isdisjoint({"zero", "neg"})
+
+    # nesting: k=5 ranking is a prefix of k=20's
+    small = weighted_bottomk_sample(df, "key", "w", k=5).orderBy("rank").collect()
+    assert [r["key"] for r in small] == [r["key"] for r in got[:5]]
+
+    # weight bias: the mean weight of a PPS sample exceeds the
+    # population mean (weights 1..10, uniform hash)
+    big = weighted_bottomk_sample(df, "key", "w", k=100).collect()
+    assert sum(r["weight"] for r in big) / 100 > 5.5
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        weighted_bottomk_sample(df, "key", "w", k=0)
