@@ -3035,6 +3035,59 @@ def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+def q_cms_merge_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS cascade mergeability as a checked result (the sum-merge
+    sibling of hll_merge_weekly): weekly Count-Min counters derived by
+    SUM-merging daily sketches must equal counters built from raw rows
+    — the property that lets per-bucket heavy-hitter sketches ride the
+    tier chain. Emits per-week matrix checksums from both paths plus
+    the equality flag; all integer."""
+    from python_vegindex_spark.operators.sketches import cms_build
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.date_trunc("week", F.col("ts")).alias("week"),
+            "user_id",
+        )
+    )
+    daily = cms_build(ev, "user_id", ["day", "week"], depth=3, width=256)
+    merged = (
+        daily.groupBy("week", "row_idx", "col_idx")
+        .agg(F.sum("counter").alias("counter"))
+        .groupBy("week")
+        .agg(
+            F.sum(
+                F.col("counter")
+                * (F.col("row_idx") * 256 + F.col("col_idx") + 1)
+            ).cast("long").alias("merged_checksum"),
+            F.sum("counter").cast("long").alias("merged_total"),
+        )
+    )
+    direct = (
+        cms_build(ev, "user_id", ["week"], depth=3, width=256)
+        .groupBy("week")
+        .agg(
+            F.sum(
+                F.col("counter")
+                * (F.col("row_idx") * 256 + F.col("col_idx") + 1)
+            ).cast("long").alias("direct_checksum"),
+            F.sum("counter").cast("long").alias("direct_total"),
+        )
+    )
+    return (
+        merged.join(direct, "week")
+        .withColumn(
+            "merged_eq_direct",
+            (F.col("merged_checksum") == F.col("direct_checksum"))
+            & (F.col("merged_total") == F.col("direct_total")),
+        )
+        .orderBy("week")
+    )
+
+
 def q_hll_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog approximate distinct users per day
     (operators/sketches): the mergeable-cardinality rollup — at 10^12
@@ -3399,6 +3452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_zorder_read": q_snapshot_zorder_read,
         "snapshot_bloom_read": q_snapshot_bloom_read,
         "weighted_sample_docs": q_weighted_sample_docs,
+        "cms_merge_weekly": q_cms_merge_weekly,
         "rolling_corr_daily": q_rolling_corr_daily,
         "chunk_containment_docs": q_chunk_containment_docs,
         "savgol_daily_smooth": q_savgol_daily_smooth,
@@ -7423,6 +7477,44 @@ WITH keyed AS (
 SELECT CAST(row_number() OVER (ORDER BY priority ASC, key ASC) AS INT) AS rank,
   key, weight, priority
 FROM pri QUALIFY rank <= 30 ORDER BY rank
+""",
+        # daily-sum-merged == direct weekly is an algebraic identity
+        # (counters are sums); the oracle computes BOTH from raw rows
+        # with the identical salted md5 hashing
+        "cms_merge_weekly": """
+WITH keyed AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(date_trunc('week', ts) AS TIMESTAMP) AS week, user_id
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), c AS (
+  SELECT day, week, t.i AS row_idx,
+    CAST(concat('0x', substr(md5(concat(CAST(t.i AS VARCHAR), ':', CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 256 AS col_idx,
+    count(*) AS counter
+  FROM keyed CROSS JOIN (SELECT unnest(range(3)) AS i) t
+  GROUP BY 1, 2, 3, 4
+), m AS (
+  SELECT week, row_idx, col_idx, sum(counter) AS counter
+  FROM c GROUP BY 1, 2, 3
+), mm AS (
+  SELECT week,
+    CAST(sum(counter * (row_idx * 256 + col_idx + 1)) AS BIGINT) AS merged_checksum,
+    CAST(sum(counter) AS BIGINT) AS merged_total
+  FROM m GROUP BY 1
+), d AS (
+  SELECT week, t.i AS row_idx,
+    CAST(concat('0x', substr(md5(concat(CAST(t.i AS VARCHAR), ':', CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 256 AS col_idx,
+    count(*) AS counter
+  FROM keyed CROSS JOIN (SELECT unnest(range(3)) AS i) t
+  GROUP BY 1, 2, 3
+), dd AS (
+  SELECT week,
+    CAST(sum(counter * (row_idx * 256 + col_idx + 1)) AS BIGINT) AS direct_checksum,
+    CAST(sum(counter) AS BIGINT) AS direct_total
+  FROM d GROUP BY 1
+)
+SELECT mm.week, merged_checksum, merged_total, direct_checksum, direct_total,
+  merged_checksum = direct_checksum AND merged_total = direct_total AS merged_eq_direct
+FROM mm JOIN dd ON mm.week = dd.week ORDER BY mm.week
 """,
         "hll_distinct_daily": _hll_distinct_daily_oracle(),
         "hll_merge_weekly": _hll_merge_weekly_oracle(),
