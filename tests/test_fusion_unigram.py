@@ -116,3 +116,39 @@ def test_validation(spark):
         rrf_fuse(lex, lex, k=0)
     with pytest.raises(ValueError):
         hybrid_search_rrf(None, None, ["x"], 0, k=10, pool=5)
+
+
+def test_new_query_plans(spark):
+    """Plan discipline for the newest families: unigram scoring and RRF
+    legs are JVM-only; weighted sampling plans TakeOrdered (never a
+    global single-partition sort)."""
+    from python_vegindex_spark.operators.sampling import (
+        weighted_bottomk_sample,
+    )
+    from python_vegindex_spark.plans.lint import (
+        assert_jvm_only,
+        assert_no_global_sort,
+        plan_report,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"spark stream doc {i} " * 3, 10 + i) for i in range(50)],
+        "doc_id long, text string, n_chars long",
+    )
+    u = unigram_freq_score(docs)
+    u.collect()
+    assert_jvm_only(u)
+
+    ws = weighted_bottomk_sample(docs, "doc_id", "n_chars", k=5)
+    ws.collect()
+    assert_jvm_only(ws)
+    assert_no_global_sort(ws)
+    assert plan_report(ws)["has_take_ordered"]
+
+    embs = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    hy = hybrid_search_rrf(docs, embs, ["spark"], query_vec_id=0, k=5, pool=10)
+    hy.collect()
+    assert_jvm_only(hy)
