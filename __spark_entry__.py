@@ -3088,6 +3088,54 @@ def q_cms_merge_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_edit1_typo_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy vocabulary join (operators/fuzzy.edit1_pairs, SymSpell
+    deletion-variant trick): term pairs at Levenshtein distance
+    exactly 1 — the typo/OCR-noise miner. The synthetic corpus has a
+    deliberately clean vocabulary (zero natural edit-1 pairs), so the
+    query PLANTS deterministic typos first: each real term of length
+    >= 5 contributes its first-character deletion as a freq-1
+    pseudo-term (anti-joined against the real vocab) — then the miner
+    must recover exactly those pairs. Candidates from the deletion-key
+    equi-join (exact recall), verified by the built-in levenshtein
+    (identical integer DP on both engines); vocabulary-sized
+    throughout."""
+    from python_vegindex_spark.operators.fuzzy import edit1_pairs
+
+    words = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("term")
+        )
+        .where(F.col("term").rlike("^[a-z0-9]{1,24}$"))
+    )
+    vocab = words.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    typos = (
+        vocab.where(F.length("term") >= 5)
+        .select(F.expr("substring(term, 2)").alias("term"))
+        .join(vocab.select("term"), "term", "left_anti")
+        .distinct()
+        .withColumn("freq", F.lit(1).cast("long"))
+    )
+    pairs = edit1_pairs(
+        vocab.unionByName(typos), min_len=4, max_len=24
+    )
+    w = Window.orderBy(
+        F.col("freq_hi").desc(),
+        F.col("freq_lo").desc(),
+        F.col("term_hi").asc(),
+        F.col("term_lo").asc(),
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 40)
+        .select("rank", "term_hi", "freq_hi", "term_lo", "freq_lo")
+        .orderBy("rank")
+    )
+
+
 def q_hll_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog approximate distinct users per day
     (operators/sketches): the mergeable-cardinality rollup — at 10^12
@@ -3453,6 +3501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_bloom_read": q_snapshot_bloom_read,
         "weighted_sample_docs": q_weighted_sample_docs,
         "cms_merge_weekly": q_cms_merge_weekly,
+        "edit1_typo_pairs_docs": q_edit1_typo_pairs_docs,
         "rolling_corr_daily": q_rolling_corr_daily,
         "chunk_containment_docs": q_chunk_containment_docs,
         "savgol_daily_smooth": q_savgol_daily_smooth,
@@ -7515,6 +7564,53 @@ WITH keyed AS (
 SELECT mm.week, merged_checksum, merged_total, direct_checksum, direct_total,
   merged_checksum = direct_checksum AND merged_total = direct_total AS merged_eq_direct
 FROM mm JOIN dd ON mm.week = dd.week ORDER BY mm.week
+""",
+        # SymSpell deletion join + exact levenshtein verify, both
+        # engines' built-in integer DP
+        "edit1_typo_pairs_docs": r"""
+WITH words AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+  FROM documents
+), vocab AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS freq FROM words
+  WHERE regexp_matches(term, '^[a-z0-9]{1,24}$') GROUP BY 1
+), typos AS (
+  SELECT DISTINCT substr(term, 2) AS term, CAST(1 AS BIGINT) AS freq
+  FROM vocab WHERE length(term) >= 5
+    AND substr(term, 2) NOT IN (SELECT term FROM vocab)
+), v2 AS (
+  SELECT * FROM vocab UNION ALL SELECT * FROM typos
+), keyed AS (
+  SELECT term, freq,
+    unnest(list_prepend(term,
+      list_transform(range(1, length(term) + 1),
+        i -> concat(substr(term, 1, i - 1),
+                    substr(term, i + 1, length(term) - i))))) AS key
+  FROM v2 WHERE length(term) BETWEEN 4 AND 24
+), cand AS (
+  SELECT DISTINCT a.term AS term_a, a.freq AS freq_a,
+                  b.term AS term_b, b.freq AS freq_b
+  FROM keyed a JOIN keyed b USING (key)
+  WHERE a.term < b.term
+), ver AS (
+  SELECT * FROM cand WHERE levenshtein(term_a, term_b) = 1
+), folded AS (
+  SELECT
+    CASE WHEN freq_a > freq_b OR (freq_a = freq_b AND term_a < term_b)
+         THEN term_a ELSE term_b END AS term_hi,
+    CASE WHEN freq_a > freq_b OR (freq_a = freq_b AND term_a < term_b)
+         THEN freq_a ELSE freq_b END AS freq_hi,
+    CASE WHEN freq_a > freq_b OR (freq_a = freq_b AND term_a < term_b)
+         THEN term_b ELSE term_a END AS term_lo,
+    CASE WHEN freq_a > freq_b OR (freq_a = freq_b AND term_a < term_b)
+         THEN freq_b ELSE freq_a END AS freq_lo
+  FROM ver
+)
+SELECT CAST(row_number() OVER (
+    ORDER BY freq_hi DESC, freq_lo DESC, term_hi ASC, term_lo ASC) AS INT) AS rank,
+  term_hi, freq_hi, term_lo, freq_lo
+FROM folded
+QUALIFY rank <= 40 ORDER BY rank
 """,
         "hll_distinct_daily": _hll_distinct_daily_oracle(),
         "hll_merge_weekly": _hll_merge_weekly_oracle(),
