@@ -3136,6 +3136,60 @@ def q_edit1_typo_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ranking_agreement_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranker-agreement evaluation (the retrieval-eval companion of
+    hybrid_search_rrf): overlap@k and Jaccard@k between the BM25 leg
+    and the cosine leg at k in {5, 10, 25} — the standard "are my two
+    retrievers seeing the same documents" monitor. Counts are exact
+    integers; each reported fraction is ONE division (overlap/k,
+    inter/union), so rows are bit-reproducible."""
+    from python_vegindex_spark.operators.fusion import hybrid_search_rrf  # noqa: F401
+    from python_vegindex_spark.operators.similarity import cosine_topk
+    from python_vegindex_spark.operators.terms import bm25_search
+
+    docs = _t(spark, sf_dir, "documents")
+    embs = _t(spark, sf_dir, "embeddings")
+    lex = bm25_search(docs, ["spark", "stream", "vector"], k=25).select(
+        F.col("doc_id"), F.col("rank").alias("rank_lex")
+    )
+    q = embs.where(F.col("vec_id") == 0)
+    sem = cosine_topk(embs, q, k=25).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("rank_sem")
+    )
+    joined = lex.join(sem, "doc_id", "full_outer").localCheckpoint(
+        eager=True
+    )
+    rows = []
+    for k in (5, 10, 25):
+        r = joined.agg(
+            F.count(
+                F.when(
+                    (F.col("rank_lex") <= k) & (F.col("rank_sem") <= k), 1
+                )
+            ).cast("long").alias("inter"),
+            F.count(
+                F.when(
+                    (F.col("rank_lex") <= k) | (F.col("rank_sem") <= k), 1
+                )
+            ).cast("long").alias("union_"),
+        ).collect()[0]
+        rows.append((k, r["inter"], r["union_"]))
+    out = spark.createDataFrame(
+        rows, "k int, inter long, union_n long"
+    )
+    return out.select(
+        "k",
+        "inter",
+        "union_n",
+        (F.col("inter").cast("double") / F.col("k").cast("double")).alias(
+            "overlap_at_k"
+        ),
+        (
+            F.col("inter").cast("double") / F.col("union_n").cast("double")
+        ).alias("jaccard_at_k"),
+    ).orderBy("k")
+
+
 def q_hll_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog approximate distinct users per day
     (operators/sketches): the mergeable-cardinality rollup — at 10^12
@@ -3502,6 +3556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_docs": q_weighted_sample_docs,
         "cms_merge_weekly": q_cms_merge_weekly,
         "edit1_typo_pairs_docs": q_edit1_typo_pairs_docs,
+        "ranking_agreement_metrics": q_ranking_agreement_metrics,
         "rolling_corr_daily": q_rolling_corr_daily,
         "chunk_containment_docs": q_chunk_containment_docs,
         "savgol_daily_smooth": q_savgol_daily_smooth,
@@ -7611,6 +7666,34 @@ SELECT CAST(row_number() OVER (
   term_hi, freq_hi, term_lo, freq_lo
 FROM folded
 QUALIFY rank <= 40 ORDER BY rank
+""",
+        # exact integer intersections over the two legs' top-25,
+        # one division per reported fraction; legs share the canonical
+        # CTE builders with bm25_search_docs / hybrid_search_rrf
+        "ranking_agreement_metrics": f"""
+WITH {_bm25_scored_ctes()}, lex AS (
+  SELECT id AS doc_id,
+    CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS INT) AS rank_lex
+  FROM per_doc
+), {_cosine_to_query_cte(0)}, sem AS (
+  SELECT doc_id,
+    CAST(row_number() OVER (ORDER BY cs DESC, doc_id ASC) AS INT) AS rank_sem
+  FROM cos
+), j AS (
+  SELECT coalesce(l.doc_id, s2.doc_id) AS doc_id, l.rank_lex, s2.rank_sem
+  FROM (SELECT * FROM lex WHERE rank_lex <= 25) l
+  FULL OUTER JOIN (SELECT * FROM sem WHERE rank_sem <= 25) s2
+    ON l.doc_id = s2.doc_id
+), ks AS (SELECT unnest([5, 10, 25]) AS k)
+SELECT CAST(k AS INT) AS k,
+  CAST(count(CASE WHEN rank_lex <= k AND rank_sem <= k THEN 1 END) AS BIGINT) AS inter,
+  CAST(count(CASE WHEN rank_lex <= k OR rank_sem <= k THEN 1 END) AS BIGINT) AS union_n,
+  CAST(count(CASE WHEN rank_lex <= k AND rank_sem <= k THEN 1 END) AS DOUBLE)
+    / CAST(k AS DOUBLE) AS overlap_at_k,
+  CAST(count(CASE WHEN rank_lex <= k AND rank_sem <= k THEN 1 END) AS DOUBLE)
+    / CAST(count(CASE WHEN rank_lex <= k OR rank_sem <= k THEN 1 END) AS DOUBLE) AS jaccard_at_k
+FROM ks CROSS JOIN j
+GROUP BY k ORDER BY k
 """,
         "hll_distinct_daily": _hll_distinct_daily_oracle(),
         "hll_merge_weekly": _hll_merge_weekly_oracle(),
