@@ -2994,12 +2994,14 @@ def q_snapshot_bloom_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             t.append(ev.filter(F.pmod(F.col("user_id"), F.lit(3)) == i))
         m = t._manifest(t.current_version())
         picked = t._select_bloom(m["files"], {"user_id": keys})
-        # the 5 keys span at most 2 residue classes mod 3 -> the third
-        # group MUST be skipped (bloom false-positive rate at 200-ish
-        # keys/group is ~1e-4 per probe set; a layout/index regression
-        # fails here deterministically)
-        if len(m["files"]) == 3 and not len(picked) < 3:
-            raise AssertionError("bloom index failed to prune the lookup")
+        # all 5 keys are ~ 2 (mod 3): they live in ONE group, so the
+        # bloom must prune BOTH other groups (false-positive odds at
+        # the 8192-bit default are ~1e-10 per lookup); a partial index
+        # regression that stops pruning even one group fails here
+        if len(m["files"]) == 3 and len(picked) != 1:
+            raise AssertionError(
+                f"bloom index failed to prune the lookup (kept {len(picked)}/3)"
+            )
         rows = (
             t.read(prune_bloom={"user_id": keys})
             .groupBy("user_id")
@@ -3156,26 +3158,31 @@ def q_ranking_agreement_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     sem = cosine_topk(embs, q, k=25).select(
         F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("rank_sem")
     )
-    joined = lex.join(sem, "doc_id", "full_outer").localCheckpoint(
-        eager=True
-    )
-    rows = []
-    for k in (5, 10, 25):
-        r = joined.agg(
+    joined = lex.join(sem, "doc_id", "full_outer")
+    # ONE aggregation computes all six counters (three jobs over the
+    # same frame would triple the legs' work inside the timed sweep)
+    ks = (5, 10, 25)
+    r = joined.agg(
+        *[
             F.count(
                 F.when(
                     (F.col("rank_lex") <= k) & (F.col("rank_sem") <= k), 1
                 )
-            ).cast("long").alias("inter"),
+            ).cast("long").alias(f"i{k}")
+            for k in ks
+        ],
+        *[
             F.count(
                 F.when(
                     (F.col("rank_lex") <= k) | (F.col("rank_sem") <= k), 1
                 )
-            ).cast("long").alias("union_"),
-        ).collect()[0]
-        rows.append((k, r["inter"], r["union_"]))
+            ).cast("long").alias(f"u{k}")
+            for k in ks
+        ],
+    ).collect()[0]
     out = spark.createDataFrame(
-        rows, "k int, inter long, union_n long"
+        [(k, r[f"i{k}"], r[f"u{k}"]) for k in ks],
+        "k int, inter long, union_n long",
     )
     return out.select(
         "k",

@@ -207,6 +207,16 @@ def weighted_bottomk_sample(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    kind = dict(df.dtypes).get(weight_col)
+    if kind not in ("bigint", "int", "smallint", "tinyint"):
+        # fractional weights would be silently floored by the long cast
+        # below (prob-shaped weights in (0,1) all floor to 0 and the
+        # "sample" degenerates to key order) — scale them to integers
+        # upstream instead
+        raise ValueError(
+            f"weight_col must be integral (got {weight_col}: {kind}); "
+            "scale fractional weights to integers first"
+        )
     from pyspark.sql import Window
 
     from ..operators.sketches import HASH_BITS, hash60

@@ -249,6 +249,29 @@ def cms_hash(key: Column, row_idx: int, width: int) -> Column:
     )
 
 
+def _validate_cms(depth: int, width: int) -> None:
+    if depth < 1 or width < 2:
+        raise ValueError(
+            f"need depth >= 1 and width >= 2, got d={depth} w={width}"
+        )
+
+
+def cms_probe_structs(key: Column, depth: int, width: int) -> Column:
+    """The (row_idx, col_idx) struct array a key lands in — THE one
+    definition of CMS geometry, shared by cms_build, cms_estimate and
+    the streaming counter aggregate (a salting change that touched only
+    one copy would silently break streaming==batch parity)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row_idx"),
+                cms_hash(key, i, width).alias("col_idx"),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
 def cms_build(
     df: DataFrame,
     key_col: str,
@@ -265,22 +288,11 @@ def cms_build(
     depth*width rows per group). Merge sketches across groups/batches
     with ``groupBy(coarser, row_idx, col_idx).agg(sum(counter))``.
     """
-    if depth < 1 or width < 2:
-        raise ValueError(f"need depth >= 1 and width >= 2, got d={depth} w={width}")
+    _validate_cms(depth, width)
     k = F.col(key_col)
     hashed = df.where(k.isNotNull()).select(
         *group_cols,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("row_idx"),
-                        cms_hash(k, i, width).alias("col_idx"),
-                    )
-                    for i in range(depth)
-                ]
-            )
-        ).alias("rc"),
+        F.explode(cms_probe_structs(k, depth, width)).alias("rc"),
     )
     return (
         hashed.select(*group_cols, "rc.row_idx", "rc.col_idx")
@@ -315,17 +327,7 @@ def cms_estimate(
         )
     probes = candidates.select(
         "*",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("row_idx"),
-                        cms_hash(F.col(key_col), i, width).alias("col_idx"),
-                    )
-                    for i in range(depth)
-                ]
-            )
-        ).alias("rc"),
+        F.explode(cms_probe_structs(F.col(key_col), depth, width)).alias("rc"),
     ).select("*", "rc.row_idx", "rc.col_idx").drop("rc")
     joined = probes.join(F.broadcast(sketch), ["row_idx", "col_idx"], "left")
     others = [c for c in candidates.columns]

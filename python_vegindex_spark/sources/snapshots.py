@@ -195,10 +195,14 @@ class SnapshotTable:
         self.partition_by = list(partition_by) if partition_by else None
         self.stats_cols = list(stats_cols) if stats_cols else None
         self.bloom_cols = list(bloom_cols) if bloom_cols else None
-        if bloom_bits % 64 != 0 or bloom_bits < 64 or bloom_k < 1:
+        if bloom_bits % 64 != 0 or bloom_bits < 64 or not 1 <= bloom_k <= 8:
+            # k <= 8: the write-side probe h1 + i*h2 must stay below
+            # 2^63 (h1, h2 < 2^60) or Spark's signed long wraps while
+            # the Python read mirror computes exactly — a silent
+            # false-negative source for non-power-of-two m
             raise ValueError(
-                f"bloom_bits must be a positive multiple of 64 and bloom_k >= 1 "
-                f"(got {bloom_bits}, {bloom_k})"
+                f"bloom_bits must be a positive multiple of 64 and "
+                f"bloom_k in [1, 8] (got {bloom_bits}, {bloom_k})"
             )
         self.bloom_bits = bloom_bits
         self.bloom_k = bloom_k

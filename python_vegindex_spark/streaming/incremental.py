@@ -950,6 +950,18 @@ def incremental_hll(
     tname = f"hll_{tier}"
     hw = _high_water(spark, store, tname)
 
+    # geometry guard FIRST (even a no-op run with mismatched b/key_col
+    # is a misconfiguration worth failing loudly on)
+    existing = store.read_gold(spark, tname)
+    if existing is not None:
+        meta = existing.select("b", "key_col").first()
+        if meta is not None and (meta["b"] != b or meta["key_col"] != key_col):
+            raise ValueError(
+                f"gold {tname} holds registers for b={meta['b']}, "
+                f"key_col={meta['key_col']!r}; refusing to merge a "
+                f"b={b}, key_col={key_col!r} run into it"
+            )
+
     sl = turns.where(F.col("ts").isNotNull() & F.col(key_col).isNotNull())
     if hw is not None:
         sl = sl.filter(F.col("ts") > F.lit(hw))
@@ -968,9 +980,17 @@ def incremental_hll(
         F.to_timestamp(bucket_start(F.col("ts"), tier)).alias("bucket_start"),
         key_col,
     )
-    regs_new = hll_registers(keyed, key_col, ["bucket_start"], b=b)
+    regs_new = hll_registers(keyed, key_col, ["bucket_start"], b=b).select(
+        "bucket_start",
+        "bucket",
+        "reg",
+        # geometry rides IN the gold table: registers from a different b
+        # or key column must never silently max-merge (rho values from
+        # different widths/domains give plausible-but-wrong estimates)
+        F.lit(b).alias("b"),
+        F.lit(key_col).alias("key_col"),
+    )
 
-    existing = store.read_gold(spark, tname)
     if existing is not None:
         old = existing.select(
             "bucket_start", "bucket", F.col("reg").alias("_reg_old")
@@ -983,6 +1003,8 @@ def incremental_hll(
                 F.greatest(F.col("reg"), F.coalesce("_reg_old", "reg")).alias(
                     "reg"
                 ),
+                "b",
+                "key_col",
             )
         )
     rows_out = store.upsert_gold(

@@ -616,12 +616,9 @@ def streaming_cms_counters(
     coarser tiers with ordinary batch aggregation. State per open
     bucket is at most depth*width counters.
     """
-    from ..operators.sketches import cms_hash
+    from ..operators.sketches import _validate_cms, cms_probe_structs
 
-    if depth < 1 or width < 2:
-        raise ValueError(
-            f"need depth >= 1 and width >= 2, got d={depth} w={width}"
-        )
+    _validate_cms(depth, width)
     window_len = _window_length(tier)
     if tier in ("hourly", "daily", "1day"):
         _require_utc(spark)
@@ -629,17 +626,7 @@ def streaming_cms_counters(
     k = F.expr(key_expr)
     hashed = stream.where(F.col("ts").isNotNull() & k.isNotNull()).select(
         F.col("ts"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("row_idx"),
-                        cms_hash(k, i, width).alias("col_idx"),
-                    )
-                    for i in range(depth)
-                ]
-            )
-        ).alias("rc"),
+        F.explode(cms_probe_structs(k, depth, width)).alias("rc"),
     )
     agg = (
         hashed.select("ts", "rc.row_idx", "rc.col_idx")

@@ -355,3 +355,15 @@ def test_incremental_hll_equals_full(spark, turns, tmp_path):
     assert m4["rows_in"] == 0 and m4["hw_new"] == m3["hw_new"]
     lin = tableio.read(spark, store.lineage).toPandas()
     assert len(lin) == 4 and set(lin["tier"]) == {"hll_hourly"}
+
+
+def test_incremental_hll_geometry_guard(spark, turns, tmp_path):
+    """A run with different sketch geometry must refuse to merge."""
+    from python_vegindex_spark.streaming.incremental import incremental_hll
+
+    store = RollupStore(str(tmp_path / "hll_geom"))
+    incremental_hll(spark, turns.limit(500), store, b=5)
+    with pytest.raises(ValueError, match="refusing to merge"):
+        incremental_hll(spark, turns, store, b=6)
+    with pytest.raises(ValueError, match="refusing to merge"):
+        incremental_hll(spark, turns, store, key_col="role")
