@@ -40,12 +40,38 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
-def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+def _rank_topk(scored: DataFrame, k: int, presalt_shards: int = 16) -> DataFrame:
     """Shared top-k tail: rank (query_id, neighbor_id, cos_sim) candidates
-    per query by (cos desc, id asc — deterministic ties) and keep k."""
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    per query by (cos desc, id asc — deterministic ties) and keep k.
+
+    Two-phase (the ``sampling.cap_per_group`` argument): a single
+    ``Window.partitionBy(query_id)`` would put each query's ENTIRE
+    scored candidate set into one task — for the brute-force path that
+    is a single-partition sort of the whole corpus per query. Instead:
+
+    1. shard-local rank within (query_id, shard) where shard =
+       pmod(crc32(neighbor_id), ``presalt_shards``): each shard keeps
+       its own smallest-``k`` by the ranking key — a window over
+       1/shards of the candidates,
+    2. final rank over the survivors (≤ shards × k rows per query —
+       bounded, tiny) keeps the global top ``k``.
+
+    Stage 1 can never evict a global top-``k`` row (its shard keeps its
+    own top ``k``, and the global winners number ≤ k in any shard), so
+    the two-phase result is EXACTLY the single-window result.
+    """
+    order = [F.desc("cos_sim"), F.asc("neighbor_id")]
+    shard = F.pmod(F.crc32(F.col("neighbor_id").cast("string")), F.lit(presalt_shards))
+    w1 = Window.partitionBy("query_id", "_shard").orderBy(*order)
+    survivors = (
+        scored.withColumn("_shard", shard)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_shard", "_r1")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        survivors.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
@@ -85,8 +111,8 @@ def cosine_topk(
 
     ``queries`` must be small (it is broadcast); the corpus streams
     through one whole-stage-codegen projection — no corpus shuffle, and
-    the final rank is a per-query window over k*|corpus| rows filtered
-    down by the rank predicate.
+    the rank is the two-phase shard-local top-k of :func:`_rank_topk`,
+    so no task ever sorts a query's full scored corpus.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")

@@ -121,7 +121,11 @@ def bm25_search(
     aggregate over the exploded token stream, which also yields doc
     lengths in the same pass family); the corpus-side work is one
     explode + two hash aggregates + a broadcast join — the payload
-    text never shuffles. N and avglen ride a broadcast scalar.
+    text never shuffles. N and avglen ride a broadcast scalar. The
+    final rank is two-phase: TakeOrderedAndProject (per-partition
+    bounded heaps, k rows per partition to the driver) selects the k
+    winners, and the row_number window runs over those k rows only —
+    no single-partition sort of the matching set ever happens.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -177,10 +181,19 @@ def bm25_search(
     per_doc = agg.withColumn("score", F.round(total, 6)).drop(
         *[f"_s{i}" for i in range(len(terms))]
     )
+    # Two-phase top-k: a bare orderBy().limit(k) plans as
+    # TakeOrderedAndProject — per-partition bounded top-k heaps merged
+    # on the driver (k rows per partition cross the wire, never the
+    # corpus) — then the dense 1..k rank is a window over ONLY the k
+    # survivors. The previous global row_number window sorted every
+    # matching document in ONE task (for a query containing any common
+    # term over a large corpus that is a single-partition sort of
+    # millions of rows; Spark prints the "Moving all data to a single
+    # partition" warning). Same ranking key, bit-identical output.
+    top = per_doc.orderBy(F.col("score").desc(), F.col("id").asc()).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
     return (
-        per_doc.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(w))
         .select(
             F.col("rank"),
             F.col("id").alias(id_col),

@@ -418,3 +418,68 @@ def test_chunk_containment_single_hash_join_no_python(spark, turns_path):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert marker not in plan, f"Python eval in containment plan: {marker}"
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_rank_is_take_ordered_no_global_sort(spark, turns_path):
+    """Round-4 scale fix: bm25_search's final rank must be planned as
+    TakeOrderedAndProject (per-partition bounded top-k heaps) rather
+    than a single-partition row_number window over every matching
+    document. The residual rank window runs over only the k survivors
+    of the limit."""
+    from python_vegindex_spark.operators.terms import bm25_search
+    from python_vegindex_spark.plans.lint import assert_no_global_sort
+
+    docs = read_turns(spark, turns_path, "2023-01-01", "2026-01-01").select(
+        F.col("conv_id").alias("doc_id"), "text"
+    )
+    out = bm25_search(docs, ["the", "a", "tool"], k=5)
+    out.collect()
+    plan = _executed_plan(out)
+    assert "TakeOrderedAndProject" in plan
+    assert_no_global_sort(out)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan
+
+
+def test_cosine_topk_rank_is_two_phase_sharded(spark):
+    """Round-4 scale fix: the brute-force rank must never sort a
+    query's full scored corpus in one task. Stage 1 is a window over
+    (query_id, _shard); stage 2 partitions by query_id over bounded
+    survivors — no SinglePartition exchange anywhere. Output must be
+    bit-identical to the naive single-window rank."""
+    import pandas as pd
+
+    from python_vegindex_spark.operators.similarity import cosine_topk
+
+    rng = __import__("random").Random(7)
+    vecs = pd.DataFrame(
+        {
+            "vec_id": [f"v{i:03d}" for i in range(120)],
+            "embedding": [
+                [rng.uniform(-1, 1) for _ in range(8)] for _ in range(120)
+            ],
+        }
+    )
+    corpus = spark.createDataFrame(vecs)
+    queries = spark.createDataFrame(vecs.head(4))
+    out = cosine_topk(corpus, queries, k=6)
+    got = out.toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    out.collect()
+    plan = _executed_plan(out)
+    assert "SinglePartition" not in plan, "per-query full-corpus sort resurfaced"
+    assert "_shard" in plan  # stage-1 shard-local window really planned
+
+    # equivalence vs a plain pandas top-k (cos desc, neighbor_id asc)
+    import numpy as np
+
+    m = np.array(vecs["embedding"].tolist())
+    norms = np.linalg.norm(m, axis=1)
+    for qi in range(4):
+        cos = np.round(m @ m[qi] / (norms * norms[qi]), 6)
+        order = sorted(
+            (i for i in range(120) if i != qi),
+            key=lambda i: (-cos[i], vecs["vec_id"][i]),
+        )[:6]
+        sub = got[got.query_id == vecs["vec_id"][qi]]
+        assert list(sub.neighbor_id) == [vecs["vec_id"][i] for i in order]
+        assert np.allclose(sub.cos_sim.to_numpy(), cos[order])
