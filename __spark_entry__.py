@@ -7648,7 +7648,7 @@ WITH words AS (
       list_transform(range(1, length(term) + 1),
         i -> concat(substr(term, 1, i - 1),
                     substr(term, i + 1, length(term) - i))))) AS key
-  FROM v2 WHERE length(term) BETWEEN 4 AND 24
+  FROM v2 WHERE length(term) BETWEEN 3 AND 25
 ), cand AS (
   SELECT DISTINCT a.term AS term_a, a.freq AS freq_a,
                   b.term AS term_b, b.freq AS freq_b
@@ -7656,6 +7656,7 @@ WITH words AS (
   WHERE a.term < b.term
 ), ver AS (
   SELECT * FROM cand WHERE levenshtein(term_a, term_b) = 1
+    AND (length(term_a) BETWEEN 4 AND 24 OR length(term_b) BETWEEN 4 AND 24)
 ), folded AS (
   SELECT
     CASE WHEN freq_a > freq_b OR (freq_a = freq_b AND term_a < term_b)

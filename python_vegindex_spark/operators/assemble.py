@@ -20,9 +20,9 @@ aggregation buffer: ``collect_list`` materializes the whole
 conversation per group before the slice (inherent to sort-after-
 collect; conversations are short relative to executor memory by the
 transcript data contract). For a corpus with adversarially long
-conversations, pre-filter upstream — e.g. ``turns.where(col("turn_idx")
-< N)`` when the order key is the 0-based turn index — which bounds the
-buffer itself.
+conversations pass ``max_buffer_turns`` — it pre-filters
+``order_cols[0] < N`` (0-based turn index) BEFORE the collect_list,
+bounding the buffer itself.
 
 All JVM built-ins (collect_list / array_sort / slice / transform /
 array_join) — no Python in the path, no window function.
@@ -45,6 +45,7 @@ def assemble_conversations(
     sep: str = "\n",
     role_sep: str = ": ",
     max_turns: int | None = None,
+    max_buffer_turns: int | None = None,
 ) -> DataFrame:
     """One document per conversation.
 
@@ -54,11 +55,33 @@ def assemble_conversations(
     role/text render as empty strings (a NULL payload must not
     blank the whole document). Rows with a NULL conversation id are
     dropped — they have no home document.
+
+    ``max_buffer_turns`` bounds the AGGREGATION BUFFER, not just the
+    output: rows with ``order_cols[0] >= max_buffer_turns`` are
+    filtered BEFORE the collect_list, so a pathological million-turn
+    conversation never materializes in one group buffer. It requires
+    the first order column to be a 0-based dense turn index (the
+    transcript contract's ``turn_idx``); when both bounds are given,
+    ``max_buffer_turns`` must be >= ``max_turns`` or the output would
+    be silently shorter than asked — that combination raises.
     """
     if max_turns is not None and max_turns < 1:
         raise ValueError(f"max_turns must be >= 1, got {max_turns}")
+    if max_buffer_turns is not None:
+        if max_buffer_turns < 1:
+            raise ValueError(
+                f"max_buffer_turns must be >= 1, got {max_buffer_turns}"
+            )
+        if max_turns is not None and max_buffer_turns < max_turns:
+            raise ValueError(
+                f"max_buffer_turns ({max_buffer_turns}) < max_turns "
+                f"({max_turns}): the buffer bound would truncate the "
+                "requested output"
+            )
     if not order_cols:
         raise ValueError("order_cols must be non-empty")
+    if max_buffer_turns is not None:
+        turns = turns.where(F.col(order_cols[0]) < max_buffer_turns)
     struct_cols = [F.col(c) for c in order_cols] + [
         F.coalesce(F.col(role_col).cast("string"), F.lit("")).alias("_r"),
         F.coalesce(F.col(text_col).cast("string"), F.lit("")).alias("_t"),

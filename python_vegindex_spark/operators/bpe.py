@@ -110,20 +110,86 @@ def _pair_counts(state: DataFrame) -> DataFrame:
     )
 
 
+MERGE_SCHEMA = "step int, left string, right string, merged string, pair_count bigint"
+
+
+def _train_in_driver(
+    word_freqs: dict[str, int], n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """In-memory merge loop over a driver-held (word, freq) table —
+    identical conventions to the distributed loop (overlapping
+    adjacencies counted, greedy left-to-right application, tie-break
+    count DESC / left ASC / right ASC; symbols are ASCII ``[a-z0-9]+``
+    so Python str ordering == Spark UTF8String binary ordering)."""
+    state: dict[tuple[str, ...], int] = {}
+    for w, f in word_freqs.items():
+        key = tuple(w)
+        state[key] = state.get(key, 0) + f
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in state.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (l, r), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, l, r, l + r, cnt))
+        new_state: dict[tuple[str, ...], int] = {}
+        for syms, f in state.items():
+            out: list[str] = []
+            i = 0
+            n = len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_state[key] = new_state.get(key, 0) + f
+        state = new_state
+    return merges
+
+
 def bpe_train(
     spark: SparkSession,
     docs: DataFrame,
     n_merges: int,
     text_col: str = "text",
     word_re: str = WORD_RE,
+    driver_vocab_rows: int | None = 2_000_000,
 ) -> DataFrame:
     """Train ``n_merges`` BPE merges; returns the ordered merge table
     (step, left, right, merged, pair_count) — the tokenizer artifact.
 
-    Stops early if no pair remains (fully merged vocabulary)."""
+    Stops early if no pair remains (fully merged vocabulary).
+
+    After the one corpus pass collapses to (word, freq), the merge loop
+    is vocabulary-sized work — and a production tokenizer is 30-50k
+    merges, so paying one Spark job + localCheckpoint per merge is tens
+    of thousands of driver round-trips of pure scheduling latency. When
+    the distinct vocabulary fits the driver (≤ ``driver_vocab_rows``;
+    real corpora collapse to a few million words), it is collected ONCE
+    and the merges run in-memory — bit-identical output (pinned by
+    ``test_bpe.py`` against the distributed loop), hours faster. The
+    distributed per-merge loop remains for genuinely giant vocabularies
+    (or ``driver_vocab_rows=None`` to force it)."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
-    state = _init_state(word_frequencies(docs, text_col, word_re))
+    words = word_frequencies(docs, text_col, word_re).localCheckpoint()
+    if (
+        driver_vocab_rows is not None
+        and words.count() <= driver_vocab_rows
+    ):
+        freqs = {r["word"]: r["freq"] for r in words.collect()}
+        return spark.createDataFrame(
+            _train_in_driver(freqs, n_merges), MERGE_SCHEMA
+        )
+    state = _init_state(words)
     state = state.localCheckpoint()
     merges: list[tuple[int, str, str, str, int]] = []
     for step in range(1, n_merges + 1):
@@ -144,9 +210,7 @@ def bpe_train(
         state = state.select(
             _apply_merge(F.col("seq"), l, r).alias("seq"), "freq"
         ).localCheckpoint()
-    return spark.createDataFrame(
-        merges, "step int, left string, right string, merged string, pair_count bigint"
-    )
+    return spark.createDataFrame(merges, MERGE_SCHEMA)
 
 
 def bpe_segment(

@@ -60,20 +60,28 @@ def edit1_pairs(
     min_len: int = 4,
     max_len: int = 24,
 ) -> DataFrame:
-    """All term pairs at Levenshtein distance exactly 1 within the
-    vocabulary, with both frequencies: (term_hi, freq_hi, term_lo,
-    freq_lo, len_hi, len_lo) where hi is the more frequent side
-    (frequency DESC, term ASC decides; a typo is the rare side).
+    """All term pairs at Levenshtein distance exactly 1 where at least
+    one side's length falls in [``min_len``, ``max_len``], with both
+    frequencies: (term_hi, freq_hi, term_lo, freq_lo) where hi is the
+    more frequent side (frequency DESC, term ASC decides; a typo is
+    the rare side).
 
     ``min_len`` drops short terms (edit-1 neighbors of 1-3 char terms
     are mostly legitimate words, and their deletion keys are the
-    hottest); ``max_len`` bounds the variant explode.
+    hottest); ``max_len`` bounds the variant explode. Because an edit-1
+    pair's lengths differ by at most one, the KEYING side admits
+    [min_len-1, max_len+1] and the range gate applies to the reported
+    PAIR — so a len-``min_len`` term still finds its len-``min_len``-1
+    deletion neighbor (pairs straddling the boundary are kept, not
+    silently dropped).
     """
     if not 1 <= min_len <= max_len:
         raise ValueError(f"need 1 <= min_len <= max_len, got {min_len}, {max_len}")
     t = F.col(term_col)
     base = vocab.where(
-        t.isNotNull() & (F.length(t) >= min_len) & (F.length(t) <= max_len)
+        t.isNotNull()
+        & (F.length(t) >= max(min_len - 1, 1))
+        & (F.length(t) <= max_len + 1)
     ).select(t.alias("term"), F.col(freq_col).alias("freq"))
     keyed = base.select(
         "term", "freq", F.explode(deletion_keys(F.col("term"))).alias("key")
@@ -94,9 +102,12 @@ def edit1_pairs(
         .select("term_a", "freq_a", "term_b", "freq_b")
         .distinct()
     )
+    def _in_range(c: Column) -> Column:
+        return (F.length(c) >= min_len) & (F.length(c) <= max_len)
+
     verified = cand.where(
         F.levenshtein(F.col("term_a"), F.col("term_b")) == 1
-    )
+    ).where(_in_range(F.col("term_a")) | _in_range(F.col("term_b")))
     hi_is_a = (F.col("freq_a") > F.col("freq_b")) | (
         (F.col("freq_a") == F.col("freq_b"))
         & (F.col("term_a") < F.col("term_b"))

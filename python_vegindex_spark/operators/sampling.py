@@ -148,28 +148,39 @@ def cap_per_group(
 
     Output: the input rows that survive, plus ``grp_rank`` (1-based
     rank by draw within the group — ``grp_rank <= cap`` for all
-    survivors).
+    survivors). ``grp_rank`` is an OUTPUT column: an input already
+    carrying that name would be silently overwritten, so it raises;
+    scratch columns use collision-proof internal names.
     """
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
     if presalt_shards < 1:
         raise ValueError(f"presalt_shards must be >= 1, got {presalt_shards}")
+    if "grp_rank" in df.columns:
+        raise ValueError(
+            "cap_per_group writes output column 'grp_rank'; rename the "
+            "input column of that name first"
+        )
     from pyspark.sql import Window
 
+    draw_col, r1_col = "__cap_draw__", "__cap_r1__"
+    for c in (draw_col, r1_col):
+        if c in df.columns:
+            raise ValueError(f"input column {c!r} collides with a scratch name")
     draw = sample_key(key_cols, salt=salt)
-    d = df.withColumn("_draw", draw)
-    order = [F.col("_draw").asc()] + [F.col(c).asc() for c in key_cols]
-    shard = F.pmod(F.crc32(F.col("_draw")), F.lit(presalt_shards))
+    d = df.withColumn(draw_col, draw)
+    order = [F.col(draw_col).asc()] + [F.col(c).asc() for c in key_cols]
+    shard = F.pmod(F.crc32(F.col(draw_col)), F.lit(presalt_shards))
     w1 = Window.partitionBy(
         *[F.col(c) for c in group_cols], shard
     ).orderBy(*order)
     w2 = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(*order)
     return (
-        d.withColumn("_r1", F.row_number().over(w1))
-        .where(F.col("_r1") <= cap)
+        d.withColumn(r1_col, F.row_number().over(w1))
+        .where(F.col(r1_col) <= cap)
         .withColumn("grp_rank", F.row_number().over(w2))
         .where(F.col("grp_rank") <= cap)
-        .drop("_draw", "_r1")
+        .drop(draw_col, r1_col)
     )
 
 
@@ -198,9 +209,11 @@ def weighted_bottomk_sample(
 
     Rows with NULL or non-positive weight are excluded (a zero-weight
     row has selection probability 0; negative weights are undefined).
-    Duplicate keys must carry one weight — enforce upstream or pass a
-    pre-aggregated frame. Output: group_cols + (rank, key, weight,
-    priority).
+    Duplicate (group, key) rows must agree on the weight — conflicting
+    weights RAISE at execution (``raise_error`` inside the dedup
+    aggregate, the same fail-loud contract as fractional weights; one
+    key must never occupy multiple sample slots). Output: group_cols +
+    (rank, key, weight, priority).
 
     Scale shape: same as bottom-k — grouped: per-group window over the
     distinct-key frame; ungrouped: TakeOrderedAndProject.
@@ -229,7 +242,25 @@ def weighted_bottomk_sample(
             F.col(key_col).alias("key"),
             w.cast("long").alias("weight"),
         )
-        .distinct()
+        .groupBy(*group_cols, "key")
+        .agg(F.min("weight").alias("_wmin"), F.max("weight").alias("_wmax"))
+        .select(
+            *group_cols,
+            "key",
+            F.when(F.col("_wmin") == F.col("_wmax"), F.col("_wmin"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "weighted_bottomk_sample: conflicting weights "
+                            "for key "
+                        ),
+                        F.col("key").cast("string"),
+                    )
+                )
+            )
+            .alias("weight"),
+        )
     )
     h = hash60(F.concat(F.lit(salt), F.col("key").cast("string")))
     keyed = keyed.withColumn(

@@ -192,7 +192,11 @@ def hll_estimate(
         F.lit(m).alias("m"),
         (F.lit(m) - F.col("_n_present")).cast("int").alias("n_zero"),
         (
-            F.col("_s_present")
+            # coalesce: a global (group_cols=[]) aggregate over an
+            # EMPTY register table yields one row with a NULL sum —
+            # the zero-cardinality answer is all-absent registers,
+            # s_scaled = m * 2^K, not NULL
+            F.coalesce(F.col("_s_present"), F.lit(0))
             + (F.lit(m) - F.col("_n_present")) * F.lit(1 << K)
         ).cast("bigint").alias("s_scaled"),
     ).withColumn(

@@ -84,3 +84,45 @@ def test_assemble_plan_python_and_window_free(turns):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF",
                    "mapInPandas", "Window"):
         assert marker not in plan, f"{marker} in assembly plan"
+
+
+def test_assemble_max_buffer_turns_filters_before_aggregate(spark, turns):
+    """Round-4: max_buffer_turns must bound the collect_list buffer by
+    filtering upstream of the aggregate — a pathological long
+    conversation is truncated pre-aggregate, not buffered."""
+    # a 10^6-turn conversation: build lazily via range, never collected raw
+    big = (
+        spark.range(1_000_000)
+        .select(
+            F.lit("huge").alias("conv_id"),
+            F.col("id").cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.lit("x").alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+        )
+    )
+    out = assemble_conversations(big, max_turns=3, max_buffer_turns=3)
+    # the pre-filter must reach the plan BELOW the aggregate
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Filter" in plan and "turn_idx" in plan
+    row = out.collect()[0]
+    assert row["n_turns"] == 3 and row["text"] == "user: x\nuser: x\nuser: x"
+
+    # semantics vs plain max_turns are identical when buffer >= output
+    a = {
+        (r["conv_id"], r["text"], r["n_turns"])
+        for r in assemble_conversations(turns, max_turns=2).collect()
+    }
+    b = {
+        (r["conv_id"], r["text"], r["n_turns"])
+        for r in assemble_conversations(
+            turns, max_turns=2, max_buffer_turns=50
+        ).collect()
+    }
+    assert a == b
+
+    with pytest.raises(ValueError, match="max_buffer_turns"):
+        assemble_conversations(turns, max_turns=5, max_buffer_turns=2)
+    with pytest.raises(ValueError, match="max_buffer_turns"):
+        assemble_conversations(turns, max_buffer_turns=0)

@@ -159,3 +159,27 @@ def test_bpe_random_corpora_match_mirror(spark):
             for r in bpe_train(spark, df, 5).orderBy("step").collect()
         ]
         assert got == exp, (seed, got, exp)
+
+
+def test_bpe_driver_local_equals_distributed(spark):
+    """Round-4: the driver-local merge loop (vocab collected once) must
+    be bit-identical to the distributed per-merge loop, including
+    pair_count and tie-breaks."""
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    fast = bpe_train(spark, df, 8).orderBy("step").collect()
+    dist = (
+        bpe_train(spark, df, 8, driver_vocab_rows=None)
+        .orderBy("step")
+        .collect()
+    )
+    assert len(fast) == 8
+    assert [tuple(r) for r in fast] == [tuple(r) for r in dist]
+
+
+def test_bpe_driver_threshold_respected(spark):
+    """A threshold below the vocab size must take the distributed path
+    (observable only via identical output — pin both)."""
+    df = spark.createDataFrame(DOCS[:2], ["doc_id", "text"])
+    fast = bpe_train(spark, df, 4, driver_vocab_rows=10**6).orderBy("step").collect()
+    dist = bpe_train(spark, df, 4, driver_vocab_rows=1).orderBy("step").collect()
+    assert [tuple(r) for r in fast] == [tuple(r) for r in dist]

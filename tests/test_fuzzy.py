@@ -71,3 +71,22 @@ def test_validation(spark):
         edit1_pairs(df, min_len=0)
     with pytest.raises(ValueError):
         edit1_pairs(df, min_len=10, max_len=5)
+
+
+def test_edit1_boundary_straddling_pairs_kept(spark):
+    """Round-4 (ADVICE): a len-min_len term must find its
+    len-(min_len-1) deletion neighbor — the pair straddles the length
+    boundary and used to be silently dropped."""
+    vocab = spark.createDataFrame(
+        [("word", 50), ("ord", 1), ("wor", 2), ("ab", 9)],
+        "term string, freq long",
+    )
+    out = {
+        (r["term_hi"], r["term_lo"])
+        for r in edit1_pairs(vocab, min_len=4, max_len=24).collect()
+    }
+    # both len-3 neighbors of 'word' are reported; the len-2/len-3
+    # pair ('ab' vs nothing) is not (neither side in range)
+    assert ("word", "ord") in out and ("word", "wor") in out
+    for hi, lo in out:
+        assert len(hi) >= 4 or len(lo) >= 4

@@ -277,3 +277,20 @@ def test_sketch_plans_jvm_only_single_shuffle(spark):
     assert_jvm_only(bk)
     assert_no_global_sort(bk)
     assert plan_report(bk)["has_take_ordered"]
+
+
+def test_hll_estimate_empty_global_is_zero_cardinality(spark):
+    """Round-4 (ADVICE): global estimate (group_cols=[]) over an empty
+    register table must degrade to the all-absent-registers answer
+    (s_scaled = m * 2^K, est_raw near 0-ish small), not NULL."""
+    from python_vegindex_spark.operators.sketches import HASH_BITS
+
+    empty = spark.createDataFrame([], "bucket int, reg int")
+    row = hll_estimate(empty, [], b=5, with_correction=True).collect()[0]
+    m, K = 32, HASH_BITS - 5 + 1
+    assert row["n_zero"] == m
+    assert row["s_scaled"] == m * (1 << K)
+    # raw estimate degenerates to alpha_m * m for all-absent registers
+    assert row["est_raw"] is not None and abs(row["est_raw"] - 22.304) < 0.01
+    # linear counting with n_zero = m: m * ln(m/m) = 0
+    assert row["est"] == 0.0

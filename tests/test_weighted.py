@@ -122,3 +122,57 @@ def test_weighted_percentile_property_vs_expansion(spark):
         assert got == want, (pairs, q100, got, want)
 
     check()
+
+
+def test_weighted_bottomk_conflicting_duplicate_weights_raise(spark):
+    """Round-4 (ADVICE): duplicate (group, key) rows with CONFLICTING
+    weights must raise (fail-loud, like fractional weights) instead of
+    occupying multiple sample slots; agreeing duplicates dedup."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from python_vegindex_spark.operators.sampling import (
+        weighted_bottomk_sample,
+    )
+
+    ok = spark.createDataFrame(
+        [("a", 5), ("a", 5), ("b", 1)], "key string, wt long"
+    )
+    out = weighted_bottomk_sample(ok, "key", "wt", k=10).collect()
+    assert sorted((r["key"], r["weight"]) for r in out) == [("a", 5), ("b", 1)]
+
+    bad = spark.createDataFrame(
+        [("a", 5), ("a", 7), ("b", 1)], "key string, wt long"
+    )
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)) as ei:
+        weighted_bottomk_sample(bad, "key", "wt", k=10).collect()
+    assert "conflicting weights" in str(ei.value)
+
+
+def test_cap_per_group_rejects_column_collisions(spark):
+    """Round-4 (ADVICE): inputs named like cap_per_group's output or
+    scratch columns must raise, not be silently corrupted."""
+    import pytest
+
+    from python_vegindex_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [("d", "k1", 3)], "grp string, key string, grp_rank int"
+    )
+    with pytest.raises(ValueError, match="grp_rank"):
+        cap_per_group(df, ["grp"], 1, ["key"])
+
+    df2 = spark.createDataFrame(
+        [("d", "k1", 3)], "grp string, key string, __cap_draw__ int"
+    )
+    with pytest.raises(ValueError, match="collides"):
+        cap_per_group(df2, ["grp"], 1, ["key"])
+
+    # a column literally named _draw (the OLD scratch name) passes
+    # through untouched now
+    df3 = spark.createDataFrame(
+        [("d", "k1", 3), ("d", "k2", 4)], "grp string, key string, _draw int"
+    )
+    out = cap_per_group(df3, ["grp"], 2, ["key"]).collect()
+    assert sorted(r["_draw"] for r in out) == [3, 4]
