@@ -127,3 +127,83 @@ def decode_image(raw: bytes) -> np.ndarray:
         f"no decoder for magic {raw[:2]!r} (PPM/BMP supported; JPEG/PNG "
         "need external codecs)"
     )
+
+
+# --------------------------------------------------------------------------
+# resize-to-mask resampling (the reference's resizeFlg path,
+# roitimeseries.py:426-433 / ir_roitimeseries.py:313-320: when image
+# dims != mask dims, `im.resize((xsize, ysize), Image.ANTIALIAS)`).
+# PIL's ANTIALIAS is a separable Lanczos-3 convolution; this is the same
+# algorithm (same support window, same centering, horizontal-then-
+# vertical with per-pass uint8 clamp) in plain numpy. Coefficients are
+# float64 where PIL uses 8.22 fixed point, so outputs can differ from a
+# given PIL build by +-1 DN on knife-edge pixels — inject the real PIL
+# resize via the `resize_fn` seam for bit parity on clusters that have
+# it.
+
+def _lanczos3(x: float) -> float:
+    if x <= -3.0 or x >= 3.0:
+        return 0.0
+    if x == 0.0:
+        return 1.0
+    import math
+
+    px = math.pi * x
+    return 3.0 * math.sin(px) * math.sin(px / 3.0) / (px * px)
+
+
+def _resample_axis_coeffs(in_size: int, out_size: int):
+    """Per-output-pixel (start, weights) for one axis — PIL
+    precompute_coeffs: center = (i + 0.5) * scale, window scaled by
+    max(scale, 1), weights normalized to sum 1."""
+    scale = in_size / out_size
+    filterscale = max(scale, 1.0)
+    support = 3.0 * filterscale
+    coeffs = []
+    for i in range(out_size):
+        center = (i + 0.5) * scale
+        xmin = max(int(center - support + 0.5), 0)
+        xmax = min(int(center + support + 0.5), in_size)
+        w = np.array(
+            [_lanczos3((x - center + 0.5) / filterscale) for x in range(xmin, xmax)],
+            dtype=np.float64,
+        )
+        s = w.sum()
+        if s != 0.0:
+            w /= s
+        coeffs.append((xmin, w))
+    return coeffs
+
+
+def resize_image(arr: np.ndarray, size_hw: tuple[int, int]) -> np.ndarray:
+    """Lanczos-3 resample of an HxW or HxWxC uint8 image to
+    ``(out_h, out_w)`` — the ANTIALIAS semantics of the reference's
+    resize-to-mask path. Horizontal pass then vertical, each clamped and
+    rounded to uint8 (mirroring PIL's two-pass 8-bit pipeline)."""
+    out_h, out_w = int(size_hw[0]), int(size_hw[1])
+    if out_h < 1 or out_w < 1:
+        raise ValueError(f"bad target size {size_hw}")
+    a = np.asarray(arr)
+    squeeze = a.ndim == 2
+    if squeeze:
+        a = a[:, :, None]
+    h, w = a.shape[:2]
+    if (h, w) == (out_h, out_w):
+        return arr
+    x = a.astype(np.float64)
+    if w != out_w:
+        cols = np.empty((h, out_w, x.shape[2]), dtype=np.float64)
+        for j, (start, wts) in enumerate(_resample_axis_coeffs(w, out_w)):
+            cols[:, j, :] = np.tensordot(
+                x[:, start : start + len(wts), :], wts, axes=([1], [0])
+            )
+        x = np.clip(np.rint(cols), 0, 255)
+    if h != out_h:
+        rows = np.empty((out_h, x.shape[1], x.shape[2]), dtype=np.float64)
+        for i, (start, wts) in enumerate(_resample_axis_coeffs(h, out_h)):
+            rows[i, :, :] = np.tensordot(
+                x[start : start + len(wts), :, :], wts, axes=([0], [0])
+            )
+        x = np.clip(np.rint(rows), 0, 255)
+    out = x.astype(np.uint8)
+    return out[:, :, 0] if squeeze else out

@@ -27,7 +27,11 @@ existing CSV. This module re-expresses both as Spark plans:
 Image and mask DECODING is injectable (no codec ships in this
 container): ``decode_fn(bytes) -> HxWx3 uint8`` and
 ``mask_load_fn(path) -> bool array`` (default loads ``.npy`` masks,
-True = excluded pixel).
+True = excluded pixel). ``resize_to_mask=True`` ports the reference's
+resizeFlg (roitimeseries.py:426-433): images whose dims differ from the
+mask are Lanczos-resampled to the mask dims before stats (injectable
+``resize_fn``); with the flag off such images are skipped, exactly as
+the reference's exception path does — never silently mis-masked.
 """
 
 from __future__ import annotations
@@ -134,6 +138,8 @@ def _tier1_stats_core(
     decode_fn: Callable[[bytes], np.ndarray] | None,
     mask_load_fn: Callable[[str], np.ndarray] | None,
     exclude_filenames: DataFrame | None,
+    resize_to_mask: bool = False,
+    resize_fn: Callable[[np.ndarray, tuple[int, int]], np.ndarray] | None = None,
 ) -> DataFrame:
     """Shared RGB/IR tier-1 core: archive listing -> one-pass mask-index
     assignment -> single binary scan -> per-image stats kernel ->
@@ -205,6 +211,8 @@ def _tier1_stats_core(
         id_col="filename",
         content_col="content",
         passthrough_cols=["ts", "mask_index"],
+        resize_to_mask=resize_to_mask,
+        resize_fn=resize_fn,
     ).withColumnRenamed("image_id", "filename")
 
     base = F.regexp_replace("filename", r"\.[^.]+$", "")
@@ -246,6 +254,8 @@ def generate_roi_stats(
     decode_fn: Callable[[bytes], np.ndarray] | None = None,
     mask_load_fn: Callable[[str], np.ndarray] | None = None,
     exclude_filenames: DataFrame | None = None,
+    resize_to_mask: bool = False,
+    resize_fn: Callable[[np.ndarray, tuple[int, int]], np.ndarray] | None = None,
 ) -> DataFrame:
     """Archive -> tier-1 roistats DataFrame in ROI_STATS_FIELDS order."""
     all_stats = _tier1_stats_core(
@@ -253,6 +263,7 @@ def generate_roi_stats(
         stats_table_fn=roi_stats_table, glob="*.jpg", ir=False,
         decode_fn=decode_fn, mask_load_fn=mask_load_fn,
         exclude_filenames=exclude_filenames,
+        resize_to_mask=resize_to_mask, resize_fn=resize_fn,
     )
     brt = F.col("r_mean") + F.col("g_mean") + F.col("b_mean")
     out = all_stats.select(
@@ -292,6 +303,8 @@ def generate_roi_ir_stats(
     decode_fn: Callable[[bytes], np.ndarray] | None = None,
     mask_load_fn: Callable[[str], np.ndarray] | None = None,
     exclude_filenames: DataFrame | None = None,
+    resize_to_mask: bool = False,
+    resize_fn: Callable[[np.ndarray, tuple[int, int]], np.ndarray] | None = None,
 ) -> DataFrame:
     """Archive -> tier-1 IR roistats in IR_ROI_STATS_FIELDS order — the
     generate_roi_ir_timeseries.py twin: same scan/mask/sidecar plumbing,
@@ -302,6 +315,7 @@ def generate_roi_ir_stats(
         stats_table_fn=roi_ir_stats_table, glob="*_IR_*.jpg", ir=True,
         decode_fn=decode_fn, mask_load_fn=mask_load_fn,
         exclude_filenames=exclude_filenames,
+        resize_to_mask=resize_to_mask, resize_fn=resize_fn,
     )
     out = all_stats.select(
         *_ts_label_cols(lat, lon, tzoffset),

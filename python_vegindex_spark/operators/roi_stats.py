@@ -174,6 +174,8 @@ def _stats_map_table(
     content_col: str,
     mask_index_col: str | None = None,
     passthrough_cols: list[str] | None = None,
+    resize_to_mask: bool = False,
+    resize_fn: Callable[[np.ndarray, tuple[int, int]], np.ndarray] | None = None,
 ) -> DataFrame:
     """Shared mapInPandas plumbing for the per-image stats kernels: the
     tiny mask(s) ship to executors inside the Arrow-batched closure (the
@@ -187,8 +189,20 @@ def _stats_map_table(
     appended after the stats columns — carrying tiny metadata (ts, mask
     index) THROUGH the stage saves the caller a re-join against the
     listing, i.e. a second listing scan plus a shuffle over O(archive)
-    rows."""
+    rows.
+
+    Mixed-resolution archives (cameras get swapped): when a decoded
+    image's dims differ from its mask, ``resize_to_mask=True`` resizes
+    the image to the mask dims before stats (the reference's resizeFlg,
+    roitimeseries.py:426-433 — ANTIALIAS; default
+    ``codecs.images.resize_image``, a Lanczos-3 twin, injectable via
+    ``resize_fn``). With the flag off, mismatched images are SKIPPED —
+    the reference's "Problem getting ROI stats ... Skipping this file"
+    path (roitimeseries.py:445-455: the masked-array constructor raises
+    and the row is dropped), never silently mis-masked."""
     decode = decode_fn or _decode_unavailable
+    if resize_fn is None:
+        from ..codecs.images import resize_image as resize_fn
     if isinstance(mask, dict):
         if mask_index_col is None:
             raise ValueError("mask dict requires mask_index_col")
@@ -206,17 +220,24 @@ def _stats_map_table(
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             mis = pdf[mask_index_col] if mask_index_col else [0] * len(pdf)
-            rows = []
-            for image_id, raw, mi in zip(pdf[id_col], pdf[content_col], mis):
+            rows, kept = [], []
+            for pos, (image_id, raw, mi) in enumerate(
+                zip(pdf[id_col], pdf[content_col], mis)
+            ):
                 arr = decode(bytes(raw))
-                stats = stats_fn(
-                    arr[..., 0], arr[..., 1], arr[..., 2], masks[int(mi)]
-                )
+                m = masks[int(mi)]
+                if arr.shape[:2] != m.shape:
+                    if resize_to_mask:
+                        arr = resize_fn(arr, m.shape)
+                    else:
+                        continue  # reference skips mismatched files
+                stats = stats_fn(arr[..., 0], arr[..., 1], arr[..., 2], m)
                 stats["image_id"] = str(image_id)
                 rows.append(stats)
+                kept.append(pos)
             out = pd.DataFrame(rows, columns=stat_names)
             for c in passthrough:
-                out[c] = pdf[c].to_numpy()
+                out[c] = pdf[c].to_numpy()[kept]
             yield out
 
     return images.select(*in_cols).mapInPandas(_batches, schema=out_schema)
@@ -230,12 +251,15 @@ def roi_stats_table(
     content_col: str = "content",
     mask_index_col: str | None = None,
     passthrough_cols: list[str] | None = None,
+    resize_to_mask: bool = False,
+    resize_fn: Callable[[np.ndarray, tuple[int, int]], np.ndarray] | None = None,
 ) -> DataFrame:
     """Distributed roistats: (image_id, content: binary) -> one stats row
     per image (generate_roi_timeseries main loop re-expressed)."""
     return _stats_map_table(
         images, mask, roi_stats_arrays, ROI_STATS_SCHEMA,
         decode_fn, id_col, content_col, mask_index_col, passthrough_cols,
+        resize_to_mask, resize_fn,
     )
 
 
@@ -247,10 +271,15 @@ def roi_ir_stats_table(
     content_col: str = "content",
     mask_index_col: str | None = None,
     passthrough_cols: list[str] | None = None,
+    resize_to_mask: bool = False,
+    resize_fn: Callable[[np.ndarray, tuple[int, int]], np.ndarray] | None = None,
 ) -> DataFrame:
     """Distributed IR roistats: the generate_roi_ir_timeseries inner loop
-    (ir_roitimeseries.py create_row) as the same streaming plan."""
+    (ir_roitimeseries.py create_row) as the same streaming plan. Same
+    resize-to-mask semantics as :func:`roi_stats_table`
+    (ir_roitimeseries.py:313-320)."""
     return _stats_map_table(
         images, mask, roi_ir_stats_arrays, IR_STATS_SCHEMA,
         decode_fn, id_col, content_col, mask_index_col, passthrough_cols,
+        resize_to_mask, resize_fn,
     )

@@ -84,13 +84,16 @@ def build_props(
 
 
 def build_tier1_props(
-    args, existing_props: dict[str, str] | None = None
+    args, existing_props: dict[str, str] | None = None, resize: bool = False
 ) -> dict[str, str]:
     """Tier-1 header family (roitimeseries.py:746-755 /
     ir_roitimeseries.py:498-506 / generate_ndvi_timeseries.py:265-273):
-    identity + location + Resize Flag + Version, no QC-threshold keys."""
+    identity + location + Resize Flag + Version, no QC-threshold keys.
+    The Resize Flag round-trips: persisted on generate
+    (roitimeseries.py:754), honored on update when re-read from the
+    existing header (roitimeseries.py:871-874)."""
     p = _site_props(args)
-    p.update({"Resize Flag": "False", "Version": "1"})
+    p.update({"Resize Flag": str(bool(resize)), "Version": "1"})
     p.update(_stamps(existing_props))
     return p
 
@@ -166,6 +169,12 @@ def main(argv: list[str] | None = None) -> str:
     ap.add_argument("--elev", type=float, default=None, help="site elevation (header)")
     ap.add_argument("--tzoffset", type=float, default=0.0)
     ap.add_argument(
+        "--resize", action="store_true",
+        help="resize images to mask dims when they differ (reference "
+             "resizeFlg, roitimeseries.py:426-433); persisted in the CSV "
+             "header as 'Resize Flag' and re-read on update jobs",
+    )
+    ap.add_argument(
         "--codec", choices=["none", "fake"], default="none",
         help="image codec for roi jobs: 'fake' = deterministic seed codec "
              "(tests); 'none' requires decode injection via the API",
@@ -236,6 +245,7 @@ def main(argv: list[str] | None = None) -> str:
         decode = fake_decode if args.codec == "fake" else None
         kw = dict(
             lat=args.lat, lon=args.lon, tzoffset=args.tzoffset, decode_fn=decode,
+            resize_to_mask=args.resize,
         )
         is_ir = args.job.endswith("-ir")
         gen = generate_roi_ir_stats if is_ir else generate_roi_stats
@@ -246,7 +256,12 @@ def main(argv: list[str] | None = None) -> str:
         if args.job.startswith("generate"):
             out = gen(spark, args.archive, args.site, args.roi, **kw)
         else:
-            existing, _ = get(spark, args.archive, args.site, args.roi)
+            existing, existing_props = get(spark, args.archive, args.site, args.roi)
+            # the existing header wins (roitimeseries.py:871-874: readCSV
+            # sets resizeFlg from the 'Resize Flag' comment; the update
+            # script then processes new images under that regime)
+            if "Resize Flag" in (existing_props or {}):
+                kw["resize_to_mask"] = existing_props["Resize Flag"] == "True"
             out = upd(existing, spark, args.archive, args.site, args.roi, **kw)
         out = out.drop("ts")
         suffix = "IR_roistats" if is_ir else "roistats"
@@ -299,7 +314,12 @@ def main(argv: list[str] | None = None) -> str:
         "generate-ndvi": f"NDVI statistics timeseries for {args.site}",
     }
     if args.job in tier1_jobs:
-        props = build_tier1_props(args, existing_props)
+        resolved_resize = args.resize
+        if args.job in ("update-roi", "update-ir") and "Resize Flag" in (
+            existing_props or {}
+        ):
+            resolved_resize = existing_props["Resize Flag"] == "True"
+        props = build_tier1_props(args, existing_props, resize=resolved_resize)
     else:
         props = build_props(args, args.nday, existing_props)
 

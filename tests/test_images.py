@@ -118,3 +118,41 @@ def test_multimodal_features_with_real_decoder(spark):
     assert row["feat_mean"] == pytest.approx(float(a.mean()))
     assert row["feat_std"] == pytest.approx(float(a.std()))
     assert len(row["feat"]) == 16
+
+
+def test_resize_image_basic_properties():
+    """Lanczos-3 resampler (round-4 resize-to-mask port): identity at
+    same dims, constant-preserving (weights sum to 1), correct output
+    shape both directions, grayscale passthrough."""
+    import numpy as np
+
+    from python_vegindex_spark.codecs.images import resize_image
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 256, (40, 60, 3)).astype(np.uint8)
+    assert resize_image(a, (40, 60)) is a  # identity short-circuit
+    down = resize_image(a, (20, 30))
+    assert down.shape == (20, 30, 3) and down.dtype == np.uint8
+    up = resize_image(a, (80, 120))
+    assert up.shape == (80, 120, 3)
+    const = np.full((33, 47, 3), 119, np.uint8)
+    assert np.unique(resize_image(const, (12, 18))).tolist() == [119]
+    gray = rng.integers(0, 256, (24, 24)).astype(np.uint8)
+    g2 = resize_image(gray, (12, 12))
+    assert g2.shape == (12, 12)
+    with __import__("pytest").raises(ValueError):
+        resize_image(a, (0, 10))
+
+
+def test_resize_image_downscale_averages_locally():
+    """2x downscale of a half-black/half-white image keeps the halves
+    pure away from the edge (local support) and lands mid-values only
+    at the boundary."""
+    import numpy as np
+
+    from python_vegindex_spark.codecs.images import resize_image
+
+    a = np.zeros((32, 32, 3), np.uint8)
+    a[:, 16:] = 255
+    d = resize_image(a, (16, 16))
+    assert (d[:, :5] == 0).all() and (d[:, 11:] == 255).all()

@@ -231,3 +231,90 @@ def test_tier1_single_binary_scan(spark, archive):
     assert out.count() == 6  # force AQE final plan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan binaryFile") == 1, plan
+
+
+def _make_mixed_res_decode():
+    """Images 1 and 4 decode at double resolution (camera swap); the
+    rest at mask dims. Built as a closure so cloudpickle ships it by
+    VALUE (a test-module-level function would be pickled by reference
+    and fail to import on executors)."""
+
+    def decode(raw: bytes):
+        i = int.from_bytes(raw[:4], "big")
+        if i in (1, 4):
+            return fake_decode(raw, h=2 * H, w=2 * W)
+        return fake_decode(raw)
+
+    return decode
+
+
+def test_mixed_resolution_skips_without_resize(spark, archive):
+    """Round-4 (resize-to-mask port): with the flag OFF, images whose
+    dims differ from the mask are skipped — the reference's 'Problem
+    getting ROI stats ... Skipping this file' path — never silently
+    mis-masked."""
+    root = archive[0]
+    out = generate_roi_stats(
+        spark, root, SITE, "DB_0001",
+        lat=42.5378, lon=-72.1715, tzoffset=-5.0,
+        decode_fn=_make_mixed_res_decode(),
+    )
+    rows = {r["filename"]: r for r in out.collect()}
+    assert len(rows) == 4
+    assert f"{SITE}_2022_06_02_120000.jpg" not in rows  # image 1
+    assert f"{SITE}_2022_07_01_090000.jpg" not in rows  # image 4
+
+
+def test_mixed_resolution_resizes_to_mask(spark, archive):
+    """With resize_to_mask=True the mismatched images are Lanczos-
+    resampled to mask dims (roitimeseries.py:426-433 ANTIALIAS) and
+    their stats equal the array-level kernel over the resized pixels."""
+    from python_vegindex_spark.codecs.images import resize_image
+
+    root, paths, m1, m2 = archive
+    out = generate_roi_stats(
+        spark, root, SITE, "DB_0001",
+        lat=42.5378, lon=-72.1715, tzoffset=-5.0,
+        decode_fn=_make_mixed_res_decode(), resize_to_mask=True,
+    )
+    rows = {r["filename"]: r for r in out.collect()}
+    assert len(rows) == 6
+    # image 1 (June 2 -> mask 1): stats over the RESIZED array
+    arr = resize_image(
+        fake_decode(int(1).to_bytes(4, "big"), h=2 * H, w=2 * W), (H, W)
+    )
+    exp = roi_stats_arrays(arr[..., 0], arr[..., 1], arr[..., 2], m1)
+    got = rows[f"{SITE}_2022_06_02_120000.jpg"]
+    assert got["r_mean"] == pytest.approx(exp["r_mean"], rel=1e-12)
+    assert got["b_std"] == pytest.approx(exp["b_std"], rel=1e-12)
+    assert got["g_50_qtl"] == pytest.approx(exp["g_50_qtl"], rel=1e-12)
+    # matched-dims images are untouched by the flag
+    arr0 = fake_decode(int(0).to_bytes(4, "big"))
+    exp0 = roi_stats_arrays(arr0[..., 0], arr0[..., 1], arr0[..., 2], m1)
+    assert rows[f"{SITE}_2022_06_01_093000.jpg"]["r_mean"] == pytest.approx(
+        exp0["r_mean"], rel=1e-12
+    )
+
+
+def test_resize_flag_header_roundtrip(spark, archive):
+    """CLI: generate-roi --resize persists 'Resize Flag: True'
+    (roitimeseries.py:754); update-roi WITHOUT --resize re-reads the
+    header flag and keeps it (roitimeseries.py:871-874)."""
+    import vegindex_job
+
+    from python_vegindex_spark.sources.catalog import get_roi_timeseries
+
+    root = archive[0]
+    common = [
+        "--archive", root, "--site", SITE, "--roi", "DB_0001",
+        "--lat", "42.5378", "--lon", "-72.1715", "--tzoffset", "-5",
+        "--codec", "fake", "--master", "local[4]",
+    ]
+    vegindex_job.main(["generate-roi", *common, "--resize"])
+    back, props = get_roi_timeseries(spark, root, SITE, "DB_0001")
+    assert props["Resize Flag"] == "True"
+    n_before = back.count()
+    vegindex_job.main(["update-roi", *common])  # no --resize: header wins
+    back2, props2 = get_roi_timeseries(spark, root, SITE, "DB_0001")
+    assert props2["Resize Flag"] == "True"
+    assert back2.count() == n_before
