@@ -144,7 +144,7 @@ def main(argv: list[str] | None = None) -> str:
         choices=[
             "gcc-summary", "ndvi-summary", "update-gcc", "update-ndvi",
             "generate-roi", "update-roi", "generate-ir", "update-ir",
-            "generate-ndvi",
+            "generate-ndvi", "plot-roistats",
         ],
     )
     ap.add_argument("--archive", required=True)
@@ -178,6 +178,10 @@ def main(argv: list[str] | None = None) -> str:
         "--codec", choices=["none", "fake"], default="none",
         help="image codec for roi jobs: 'fake' = deterministic seed codec "
              "(tests); 'none' requires decode injection via the API",
+    )
+    ap.add_argument(
+        "--width", type=int, default=1600,
+        help="plot-roistats: M4 pre-reduction width in device pixels",
     )
     ap.add_argument("--out", default=None)
     ap.add_argument("--master", default=None)
@@ -266,6 +270,23 @@ def main(argv: list[str] | None = None) -> str:
         out = out.drop("ts")
         suffix = "IR_roistats" if is_ir else "roistats"
         default = f"{args.site}_{args.roi}_{suffix}.csv"
+    elif args.job == "plot-roistats":
+        # plot_roistats.py twin: chart-ready (layer, series, ts, gcc)
+        # table — good/low-sun/brightness-filtered scatter partitions
+        # M4-pre-reduced, plus the 3-day gcc_90 line; a PNG would need
+        # matplotlib (absent here), the CSV renders anywhere
+        from python_vegindex_spark.operators.plot_export import plot_roistats_table
+
+        roistats, _ = catalog.get_roi_timeseries(spark, args.archive, args.site, args.roi)
+        summary, _ = catalog.get_gcc_timeseries(
+            spark, args.archive, args.site, args.roi, nday=args.nday
+        )
+        out = plot_roistats_table(
+            roistats, summary, width=args.width,
+            sunelev_min=args.sunelev_min, brt_min=args.brt_min,
+            brt_max=args.brt_max,
+        )
+        default = f"{args.site}_{args.roi}_roistats_plot.csv"
     elif args.job == "generate-ndvi":
         # tier-1.5: RGB + IR roistats -> NDVI timeseries
         # (generate_ndvi_timeseries.py twin; it has no update twin in the
@@ -278,12 +299,35 @@ def main(argv: list[str] | None = None) -> str:
         )
         out = generate_ndvi_table(rgb, ir).drop("ts")
         default = f"{args.site}_{args.roi}_NDVI_roistats.csv"
+    elif args.job == "plot-roistats":
+        # plot_roistats.py twin: chart-ready (layer, series, ts, gcc)
+        # table — good/low-sun/brightness-filtered scatter partitions
+        # M4-pre-reduced, plus the 3-day gcc_90 line; a PNG would need
+        # matplotlib (absent in this container; the reference hard-
+        # requires it), the CSV renders anywhere
+        from python_vegindex_spark.operators.plot_export import plot_roistats_table
+
+        roistats, _ = catalog.get_roi_timeseries(spark, args.archive, args.site, args.roi)
+        summary, _ = catalog.get_gcc_timeseries(
+            spark, args.archive, args.site, args.roi, nday=args.nday
+        )
+        out = plot_roistats_table(
+            roistats, summary, width=args.width,
+            sunelev_min=args.sunelev_min, brt_min=args.brt_min,
+            brt_max=args.brt_max,
+        )
+        default = f"{args.site}_{args.roi}_roistats_plot.csv"
 
     path = args.out or os.path.join(roi_dir, default)
     tier1_jobs = (
         "generate-roi", "update-roi", "generate-ir", "update-ir", "generate-ndvi",
     )
-    sort_cols = ["date", "local_std_time"] if args.job in tier1_jobs else ["date"]
+    if args.job == "plot-roistats":
+        sort_cols = ["layer", "series", "ts"]
+    elif args.job in tier1_jobs:
+        sort_cols = ["date", "local_std_time"]
+    else:
+        sort_cols = ["date"]
     # per-family fixed formats: RGB and IR quantiles render as integers
     # (roitimeseries.py:662-689 / ir_roitimeseries.py format_csvrow
     # '{:.0f}'); the NDVI CSV is uniformly %.4f
@@ -312,8 +356,18 @@ def main(argv: list[str] | None = None) -> str:
         "generate-ir": f"ROI IR statistics timeseries for {args.site}",
         "update-ir": f"ROI IR statistics timeseries for {args.site}",
         "generate-ndvi": f"NDVI statistics timeseries for {args.site}",
+        "plot-roistats": f"gcc plot export for {args.site} (M4 width {args.width})",
     }
-    if args.job in tier1_jobs:
+    if args.job == "plot-roistats":
+        props = _site_props(args)
+        props.update({
+            "Solar Elevation Min": str(args.sunelev_min),
+            "ROI Brightness Min": str(int(args.brt_min)),
+            "ROI Brightness Max": str(int(args.brt_max)),
+            "M4 Width": str(args.width),
+        })
+        props.update(_stamps(None))
+    elif args.job in tier1_jobs:
         resolved_resize = args.resize
         if args.job in ("update-roi", "update-ir") and "Resize Flag" in (
             existing_props or {}
