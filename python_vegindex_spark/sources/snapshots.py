@@ -17,10 +17,12 @@ design Iceberg uses (spec v2, all public knowledge):
   older snapshots stay correct while writers commit.
 * **Manifest-based commits.** A snapshot is a JSON manifest listing
   its file groups (+ per-group row counts and partition-value sets —
-  the stats Iceberg keeps per data file). Commit = write the manifest
-  COMPLETE to a tmp name, then ``os.link`` it to
-  ``snapshots/v%08d.json`` (the optimistic lock: two writers racing on
-  the same parent — only one link succeeds, the loser gets
+  the stats Iceberg keeps per data file). Commit = create-exclusive of
+  ``snapshots/v%08d.json`` through the :class:`LocalManifestIO` seam
+  (local FS: write COMPLETE to a tmp name + ``os.link``; object store:
+  a conditional PUT — a backend subclass, not an engine change). The
+  create-exclusive is the optimistic lock: two writers racing on
+  the same parent — only one succeeds, the loser gets
   :class:`CommitConflict` and retries on the new state). The manifest
   listing IS the commit log: ``current_version`` is the max manifest
   number, so a writer crashing at any point leaves either a stray tmp
@@ -66,6 +68,120 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
+
+
+class LocalManifestIO:
+    """Metadata (manifest/pointer) I/O backend — the commit protocol's
+    storage seam.
+
+    Exactly TWO primitives carry correctness (everything else is plain
+    read/list/delete):
+
+    * :meth:`create_exclusive` — create a key that must not exist;
+      raise ``FileExistsError`` if it does. This IS the optimistic
+      lock: two writers racing the same snapshot version — one wins.
+      Local: write-complete-to-tmp + ``os.link`` (POSIX-atomic, fails
+      EEXIST). Object store: a conditional PUT (S3 ``If-None-Match: *``
+      / GCS ``ifGenerationMatch=0``) — a config-change subclass, no
+      engine change.
+    * :meth:`swap` — atomically replace a key's full contents (the
+      advisory VERSION pointer / PENDING_GC list). Local:
+      ``os.replace``. Object store: a plain single-key PUT, which is
+      atomic by the store's own semantics.
+
+    Data file groups are NOT routed through this seam: Spark writes
+    them through its own Hadoop filesystem connectors, which already
+    speak local/S3/GCS; only the tiny JSON metadata needs the custom
+    atomic protocol.
+    """
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def read_text(self, path: str) -> str:
+        with open(path) as f:
+            return f.read()
+
+    def create_exclusive(self, path: str, data: str) -> None:
+        tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(data)
+        try:
+            os.link(tmp, path)
+        finally:
+            os.unlink(tmp)
+
+    def swap(self, path: str, data: str) -> None:
+        tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(data)
+        os.replace(tmp, path)
+
+    def list_names(self, dirpath: str) -> list[str]:
+        try:
+            return os.listdir(dirpath)
+        except FileNotFoundError:
+            return []
+
+    def remove(self, path: str) -> None:
+        os.remove(path)
+
+    def mtime(self, path: str) -> float:
+        return os.path.getmtime(path)
+
+
+class InMemoryManifestIO(LocalManifestIO):
+    """Dict-backed backend with conditional-put semantics — the mock
+    that proves the seam: the full snapshot suite runs through it
+    (tests/test_snapshots.py), and it doubles as the template for an
+    object-store subclass (create_exclusive == conditional PUT)."""
+
+    def __init__(self) -> None:
+        import threading
+
+        self._store: dict[str, tuple[str, float]] = {}
+        self._lock = threading.Lock()
+
+    def makedirs(self, path: str) -> None:
+        pass
+
+    def exists(self, path: str) -> bool:
+        return path in self._store
+
+    def read_text(self, path: str) -> str:
+        if path not in self._store:
+            raise FileNotFoundError(path)
+        return self._store[path][0]
+
+    def create_exclusive(self, path: str, data: str) -> None:
+        with self._lock:  # genuine compare-and-set, like the store's
+            if path in self._store:
+                raise FileExistsError(path)
+            self._store[path] = (data, time.time())
+
+    def swap(self, path: str, data: str) -> None:
+        self._store[path] = (data, time.time())
+
+    def list_names(self, dirpath: str) -> list[str]:
+        prefix = dirpath.rstrip("/") + "/"
+        return [
+            p[len(prefix):]
+            for p in self._store
+            if p.startswith(prefix) and "/" not in p[len(prefix):]
+        ]
+
+    def remove(self, path: str) -> None:
+        if path not in self._store:
+            raise FileNotFoundError(path)
+        del self._store[path]
+
+    def mtime(self, path: str) -> float:
+        if path not in self._store:
+            raise OSError(f"no such key: {path}")
+        return self._store[path][1]
 
 
 class CommitConflict(RuntimeError):
@@ -189,9 +305,14 @@ class SnapshotTable:
         bloom_cols: list[str] | None = None,
         bloom_bits: int = BLOOM_BITS,
         bloom_k: int = BLOOM_K,
+        io: LocalManifestIO | None = None,
     ):
         self.spark = spark
         self.root = root
+        #: manifest/pointer storage backend (the commit-protocol seam);
+        #: default local FS — pass an object-store subclass to run the
+        #: identical protocol against S3/GCS conditional puts
+        self.io = io or LocalManifestIO()
         self.partition_by = list(partition_by) if partition_by else None
         self.stats_cols = list(stats_cols) if stats_cols else None
         self.bloom_cols = list(bloom_cols) if bloom_cols else None
@@ -206,8 +327,11 @@ class SnapshotTable:
             )
         self.bloom_bits = bloom_bits
         self.bloom_k = bloom_k
+        # data groups are written by Spark itself (local FS here; its
+        # own Hadoop connectors on a real store), so the data dir stays
+        # a plain directory; only metadata routes through self.io
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
-        os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
+        self.io.makedirs(os.path.join(root, "snapshots"))
 
     # ---------------------------------------------------------- metadata
     def _version_file(self) -> str:
@@ -230,7 +354,11 @@ class SnapshotTable:
             SnapshotTable._MANIFEST_RE = re.compile(r"^v(\d{8,})\.json$")
         snapdir = os.path.join(self.root, "snapshots")
         return sorted(
-            (n for n in os.listdir(snapdir) if SnapshotTable._MANIFEST_RE.match(n)),
+            (
+                n
+                for n in self.io.list_names(snapdir)
+                if SnapshotTable._MANIFEST_RE.match(n)
+            ),
             key=lambda n: int(n[1:-5]),
         )
 
@@ -250,12 +378,12 @@ class SnapshotTable:
 
     def _manifest(self, version: int) -> dict:
         path = self._manifest_path(version)
-        if not os.path.exists(path):
+        try:
+            return json.loads(self.io.read_text(path))
+        except FileNotFoundError:
             raise KeyError(
                 f"snapshot v{version} is not retained (expired or never existed)"
-            )
-        with open(path) as f:
-            return json.load(f)
+            ) from None
 
     def history(self) -> list[dict]:
         """Commit log of retained snapshots, oldest first (version,
@@ -264,8 +392,7 @@ class SnapshotTable:
         out = []
         snapdir = os.path.join(self.root, "snapshots")
         for name in self._manifest_names():
-            with open(os.path.join(snapdir, name)) as f:
-                m = json.load(f)
+            m = json.loads(self.io.read_text(os.path.join(snapdir, name)))
             out.append(
                 {
                     "version": m["version"],
@@ -305,30 +432,22 @@ class SnapshotTable:
             "summary": summary,
         }
         path = self._manifest_path(new_version)
-        # write the manifest COMPLETE to a tmp name, then os.link() it to
-        # its final name: link fails with EEXIST if another writer won
-        # (the optimistic lock), and a manifest that exists is always
-        # whole — a writer crashing at any point leaves either a stray
-        # tmp (ignored by _manifest_names) or a fully committed snapshot,
-        # never a truncated manifest or a wedged table.
-        tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
+        # create-exclusive through the backend seam: the manifest lands
+        # COMPLETE or not at all (local: tmp + os.link; object store:
+        # conditional PUT), and an existing key means another writer won
+        # (the optimistic lock) — a writer crashing at any point leaves
+        # either a stray tmp (ignored by _manifest_names) or a fully
+        # committed snapshot, never a truncated manifest or wedged table.
         try:
-            os.link(tmp, path)
+            self.io.create_exclusive(path, json.dumps(manifest))
         except FileExistsError:
             raise CommitConflict(
                 f"snapshot v{new_version} was committed concurrently; "
                 "re-read and retry"
             ) from None
-        finally:
-            os.unlink(tmp)
         # VERSION is an informational hint for humans/tools; correctness
         # derives from the manifest listing (current_version)
-        vtmp = self._version_file() + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(vtmp, "w") as f:
-            f.write(str(new_version))
-        os.replace(vtmp, self._version_file())
+        self.io.swap(self._version_file(), str(new_version))
         return new_version
 
     # ------------------------------------------------------- write paths
@@ -889,8 +1008,7 @@ class SnapshotTable:
         snapdir = os.path.join(self.root, "snapshots")
         best = None
         for name in self._manifest_names():
-            with open(os.path.join(snapdir, name)) as f:
-                m = json.load(f)
+            m = json.loads(self.io.read_text(os.path.join(snapdir, name)))
             at = m.get("committed_at")
             if at is not None and at <= ts and (
                 best is None or m["version"] > best
@@ -1029,14 +1147,19 @@ class SnapshotTable:
 
         live_groups: set[str] = set()
         for name in retained:
-            with open(os.path.join(snapdir, name)) as f:
-                live_groups.update(g["group"] for g in json.load(f)["files"])
+            live_groups.update(
+                g["group"]
+                for g in json.loads(
+                    self.io.read_text(os.path.join(snapdir, name))
+                )["files"]
+            )
 
         now = time.time()
         pending_path = os.path.join(self.root, "PENDING_GC")
         try:
-            with open(pending_path) as f:
-                pending: dict[str, float] = json.load(f)
+            pending: dict[str, float] = json.loads(
+                self.io.read_text(pending_path)
+            )
         except (FileNotFoundError, ValueError):
             pending = {}
 
@@ -1053,23 +1176,20 @@ class SnapshotTable:
                 removed_groups += 1
             else:
                 new_pending[rel] = first_seen
-        tmp = pending_path + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump(new_pending, f)
-        os.replace(tmp, pending_path)
+        self.io.swap(pending_path, json.dumps(new_pending))
 
         for name in expired:
-            os.remove(os.path.join(snapdir, name))
+            self.io.remove(os.path.join(snapdir, name))
         removed_tmp = 0
-        for name in os.listdir(snapdir):
+        for name in self.io.list_names(snapdir):
             if ".json.tmp-" in name:
                 full = os.path.join(snapdir, name)
                 try:
-                    old = now - os.path.getmtime(full) >= grace_s
+                    old = now - self.io.mtime(full) >= grace_s
                 except OSError:
                     continue
                 if old:
-                    os.remove(full)
+                    self.io.remove(full)
                     removed_tmp += 1
         return {
             "expired_snapshots": len(expired),

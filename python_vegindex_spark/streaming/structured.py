@@ -199,8 +199,7 @@ def snapshot_batch_writer(
     def _high_water() -> int | None:
         best = None
         try:
-            with open(marker) as f:
-                best = json.load(f)["last_batch_id"]
+            best = json.loads(table.io.read_text(marker))["last_batch_id"]
         except (FileNotFoundError, ValueError, KeyError):
             pass
         # newest-first manifest scan, stopping at this sink's FIRST hit
@@ -210,8 +209,9 @@ def snapshot_batch_writer(
         # a crash between commit and the sidecar update above.
         snapdir = os.path.join(table.root, "snapshots")
         for name in reversed(table._manifest_names()):
-            with open(os.path.join(snapdir, name)) as f:
-                summary = json.load(f).get("summary", {})
+            summary = json.loads(
+                table.io.read_text(os.path.join(snapdir, name))
+            ).get("summary", {})
             b = summary.get("stream_batch_id")
             if b is not None and summary.get("stream_sink_id") == sink_id:
                 return b if best is None else max(best, b)
@@ -226,10 +226,9 @@ def snapshot_batch_writer(
             table.append(batch_df, summary_extra=extra)
         else:
             table.upsert(batch_df, keys=keys, summary_extra=extra)
-        tmp = marker + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump({"sink_id": sink_id, "last_batch_id": batch_id}, f)
-        os.replace(tmp, marker)
+        table.io.swap(
+            marker, json.dumps({"sink_id": sink_id, "last_batch_id": batch_id})
+        )
 
     return _write
 

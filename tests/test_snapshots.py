@@ -7,11 +7,35 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from python_vegindex_spark.sources.snapshots import CommitConflict, SnapshotTable
+from python_vegindex_spark.sources import snapshots as snapmod
+from python_vegindex_spark.sources.snapshots import (
+    CommitConflict,
+    InMemoryManifestIO,
+    SnapshotTable,
+)
 
 
 def _mk(spark, rows):
     return spark.createDataFrame(rows, "id long, day string, v double")
+
+
+@pytest.fixture(params=["localfs", "memory"], autouse=True)
+def manifest_backend(request, monkeypatch):
+    """Round-4: the WHOLE suite runs twice — once on the local-FS
+    backend, once through the injected in-memory conditional-put mock —
+    proving the commit protocol only touches storage through the
+    LocalManifestIO seam (an S3 backend is the same injection)."""
+    if request.param == "memory":
+        stores: dict[str, InMemoryManifestIO] = {}
+        real_init = SnapshotTable.__init__
+
+        def patched(self, spark, root, *a, **kw):
+            # handles of the same root share one store, like a bucket
+            kw.setdefault("io", stores.setdefault(root, InMemoryManifestIO()))
+            real_init(self, spark, root, *a, **kw)
+
+        monkeypatch.setattr(snapmod.SnapshotTable, "__init__", patched)
+    return request.param
 
 
 @pytest.fixture()
@@ -201,10 +225,13 @@ def test_incremental_store_on_snapshots(spark, tmp_path):
     pd.testing.assert_frame_equal(got_rb, exp1[got_rb.columns.tolist()], check_exact=False, rtol=1e-12)
 
 
-def test_incremental_job_cli_snapshots(spark, tmp_path):
+def test_incremental_job_cli_snapshots(spark, tmp_path, manifest_backend):
     """incremental_job.py --snapshots end-to-end: two runs commit two
     snapshot versions; --history lists them; --rollback restores run 1's
     gold; --expire prunes to the newest snapshots."""
+    if manifest_backend == "memory":
+        pytest.skip("drives a separate subprocess — the injected "
+                    "in-memory backend cannot cross the process boundary")
     import json
     import os
     import subprocess
@@ -597,18 +624,16 @@ def test_crashed_writer_does_not_wedge(spark, root):
         "files": m1["files"] + [{k: v for k, v in g.items() if not k.startswith("_")}],
         "summary": {},
     }
-    with open(t._manifest_path(2), "w") as f:
-        _json.dump(manifest, f)
+    t.io.create_exclusive(t._manifest_path(2), _json.dumps(manifest))
     # VERSION hint still says 1; the manifest listing is the truth
-    with open(t._version_file()) as f:
-        assert f.read().strip() == "1"
+    assert t.io.read_text(t._version_file()).strip() == "1"
     assert t.current_version() == 2
     assert sorted(r["id"] for r in t.read().collect()) == [1, 2]
     # the next writer proceeds normally on top of the crashed commit
     v3 = t.append(_mk(spark, [(3, "c", 3.0)]))
     assert v3 == 3 and t.read().count() == 3
     # stray tmp manifests are ignored by the listing
-    open(t._manifest_path(9) + ".tmp-dead", "w").write("{not json")
+    t.io.swap(t._manifest_path(9) + ".tmp-dead", "{not json")
     assert t.current_version() == 3
 
 
