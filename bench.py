@@ -131,6 +131,13 @@ def main() -> None:
         "minhash_near_dups",
         "ann_cosine_topk",
         "tpch_pricing_summary",
+        # LLM-pipeline / documents family (round-4: round-over-round
+        # perf tracking for the corpus half of the engine, including
+        # the post-fix TakeOrdered BM25 rank)
+        "corpus_funnel",
+        "bm25_search_docs",
+        "cosine_pairs_docs",
+        "bpe_merges_docs",
     ):
         run(name, lambda name=name: qs[name](spark, SF_DIR))
 

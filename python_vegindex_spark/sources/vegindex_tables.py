@@ -35,6 +35,7 @@ driver.
 
 from __future__ import annotations
 
+import json
 from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
@@ -376,3 +377,52 @@ def scan_archive(
         .filter(F.col("ts").between(start_dt, end_dt))
         .orderBy("path")
     )
+
+
+SITE_INFO_URL = "https://phenocam.nau.edu/webcam/sites/{0}/info/"
+
+
+def get_site_info(
+    spark: SparkSession,
+    sitename: str,
+    csv_path: str | None = None,
+    url_template: str | None = SITE_INFO_URL,
+    fetch_fn=None,
+    timeout_s: float = 10.0,
+) -> dict | None:
+    """The reference's ``getsiteinfo`` (utils.py:219-252): try the
+    site-info JSON URL first, fall back to the local CSV.
+
+    ``fetch_fn(url) -> str`` injects the HTTP client (tests; custom
+    auth); the default is stdlib urllib with ``timeout_s``. ANY fetch
+    failure — no network (this sandbox), HTTP error, bad JSON — falls
+    through to the CSV exactly like the reference's bare
+    ``except RequestException``. Pass ``url_template=None`` to skip the
+    network path entirely (air-gapped clusters). The CSV fallback
+    raises ``FileNotFoundError`` when ``csv_path`` is unreadable
+    (reference exits -1 there) and returns ``None`` for an unknown
+    site (reference's IndexError -> None).
+    """
+    if url_template is not None:
+        url = url_template.format(sitename)
+        try:
+            if fetch_fn is not None:
+                body = fetch_fn(url)
+            else:
+                from urllib.request import urlopen
+
+                with urlopen(url, timeout=timeout_s) as resp:
+                    body = resp.read().decode("utf-8")
+            info = json.loads(body)
+            if isinstance(info, dict):
+                return info
+        except Exception:
+            pass  # any failure -> CSV fallback, like the reference
+    if csv_path is None:
+        raise FileNotFoundError(
+            "site-info URL unavailable and no csv_path fallback given"
+        )
+    rows = (
+        read_site_info(spark, csv_path, sitename=sitename).limit(1).collect()
+    )
+    return rows[0].asDict() if rows else None
