@@ -3436,6 +3436,42 @@ def q_dtw_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("series_a", "series_b")
 
 
+def q_plot_partitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """plot_roistats twin partition split (operators/plot_export.
+    roistats_plot_partitions — the reference script's boolean masks,
+    plot_roistats.py:88-101) over a roistats-shaped frame derived
+    deterministically from events: solar_elev = value - 200 (spans the
+    10-degree gate), band means r=value / g=0.8v / b=0.6v (brt = 2.4v
+    spans the [100, 665] brightness window). Reports per-partition
+    exact counts plus order-free extremes — no float summation order
+    anywhere."""
+    from python_vegindex_spark.operators.plot_export import (
+        roistats_plot_partitions,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.select(
+        "event_id",
+        "ts",
+        (F.col("value") - F.lit(200.0)).alias("solar_elev"),
+        F.col("value").alias("r_mean"),
+        (F.col("value") * F.lit(0.8)).alias("g_mean"),
+        (F.col("value") * F.lit(0.6)).alias("b_mean"),
+    )
+    parts = roistats_plot_partitions(stats)
+    return (
+        parts.groupBy("series")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("brt"), 6).alias("brt_min"),
+            F.round(F.max("brt"), 6).alias("brt_max"),
+            F.round(F.min("solar_elev"), 6).alias("solar_min"),
+            F.round(F.max("solar_elev"), 6).alias("solar_max"),
+        )
+        .orderBy("series")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hourly_rollup_gapfill": q_hourly_rollup_gapfill,
@@ -3482,6 +3518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_verify": q_ngram_jaccard_verify,
         "simhash_docs": q_simhash_docs,
         "solar_gate_features": q_solar_gate_features,
+        "plot_partitions_events": q_plot_partitions_events,
         "codec_roundtrip_rollup": q_codec_roundtrip_rollup,
         "ann_lsh_topk": q_ann_lsh_topk,
         "media_stub_features": q_media_stub_features,
@@ -7629,6 +7666,29 @@ FROM mm JOIN dd ON mm.week = dd.week ORDER BY mm.week
 """,
         # SymSpell deletion join + exact levenshtein verify, both
         # engines' built-in integer DP
+        "plot_partitions_events": r"""
+WITH stats AS (
+  SELECT event_id, ts,
+    value - 200.0 AS solar_elev,
+    value AS r_mean, value * 0.8 AS g_mean, value * 0.6 AS b_mean,
+    value + value * 0.8 + value * 0.6 AS brt
+  FROM events
+), tagged AS (
+  SELECT *,
+    CASE
+      WHEN solar_elev < 10.0 THEN 'low_sun'
+      WHEN solar_elev >= 10.0 AND (brt < 100.0 OR brt > 665.0) THEN 'brt_filtered'
+      WHEN solar_elev >= 10.0 AND brt >= 100.0 AND brt <= 665.0 THEN 'good'
+    END AS series
+  FROM stats
+)
+SELECT series, CAST(count(*) AS BIGINT) AS n,
+  round(min(brt), 6) AS brt_min, round(max(brt), 6) AS brt_max,
+  round(min(solar_elev), 6) AS solar_min,
+  round(max(solar_elev), 6) AS solar_max
+FROM tagged WHERE series IS NOT NULL
+GROUP BY series ORDER BY series
+""",
         "edit1_typo_pairs_docs": r"""
 WITH words AS (
   SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
