@@ -74,19 +74,45 @@ def contamination_hits(
 
     ``doc_grams`` counts the doc's distinct n-grams, ``hit_grams`` how
     many of them appear anywhere in the benchmark set; docs with zero
-    hits are absent (join is inner against the broadcast key set)."""
-    keys = benchmark_ngram_keys(bench, n, text_col)
-    doc_grams = _spread(
-        docs.select(
-            F.col(id_col).alias("id"),
+    hits are absent (join is inner against the broadcast key set).
+
+    The join key is the raw gram STRING (round-4, bench-found): the
+    previous md5-half keying paid one md5 digest per corpus gram —
+    ~10M digests on a 5k-doc batch, the stage's dominant cost — only to
+    build a key the broadcast hash join would re-hash anyway. String
+    equality is exactly as cross-engine-deterministic, strictly MORE
+    exact (no 64-bit collision window), and the broadcast grows only
+    from 16 bytes to the gram text (benchmark sets are small by
+    definition). ``benchmark_ngram_keys`` remains for callers that want
+    the compact md5 key form."""
+    keys = (
+        bench.select(
+            F.explode(
+                F.array_distinct(_exact_word_ngrams(F.col(text_col), n))
+            ).alias("g")
+        )
+        .distinct()
+    )
+    # _spread BEFORE the gram projection (round-4, bench-found): Spark
+    # evaluates projection expressions on the MAP side of the
+    # repartition they feed, so spreading the already-built gram arrays
+    # still computed every gram on however few partitions the corpus
+    # arrived in (1 small file = 1 task doing all the n-gram work).
+    # Spreading the raw (id, text) rows first puts the heavy
+    # build-distinct-explode work after the exchange, on all cores —
+    # the minhash_signatures discipline (dedup.py:161).
+    doc_grams = (
+        _spread(
+            docs.select(F.col(id_col).alias("id"), F.col(text_col)), parallelism
+        )
+        .select(
+            "id",
             F.array_distinct(_exact_word_ngrams(F.col(text_col), n)).alias("_gs"),
-        ),
-        parallelism,
-    ).select("id", F.size("_gs").alias("doc_grams"), F.explode("_gs").alias("g"))
+        )
+        .select("id", F.size("_gs").alias("doc_grams"), F.explode("_gs").alias("g"))
+    )
     hits = (
-        doc_grams.withColumn("gk1", _md5_half(F.col("g"), 0))
-        .withColumn("gk2", _md5_half(F.col("g"), 1))
-        .join(F.broadcast(keys), ["gk1", "gk2"])
+        doc_grams.join(F.broadcast(keys), "g")
         .groupBy("id", "doc_grams")
         .agg(F.count(F.lit(1)).alias("hit_grams"))
     )

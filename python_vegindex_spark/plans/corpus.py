@@ -141,26 +141,67 @@ def corpus_funnel(
     decontam_n: int = 4,
 ) -> DataFrame:
     """One row per pipeline stage: (stage, n_docs, chars) — the
-    retention funnel a pipeline owner monitors per ingest batch."""
-    kept_ids = gopher_flags(docs, min_words=min_words).filter("keep").select(
-        F.col("id").alias("doc_id")
-    )
-    quality = docs.join(kept_ids, "doc_id", "left_semi")
-    stages = [("1_input", docs), ("2_quality", quality)]
-    prev = quality
-    if bench is not None:
-        prev = decontaminate(prev, bench, n=decontam_n)
-        stages.append(("3_decontam", prev))
-    stages.append(("4_dedup", _dedup_exact_keep(prev)))
+    retention funnel a pipeline owner monitors per ingest batch.
 
-    out = None
-    for name, df in stages:
-        row = df.agg(
+    One-pass shape (round-4, bench-found): the stage frames NEST, so
+    aggregating each of them separately re-executes the shared prefix —
+    4 corpus scans, 3× the quality gate, 2× decontamination (warm time
+    ≈ cold time: nothing was reused). Both gates are PER-DOC predicates
+    (a doc's Gopher flags and its benchmark-gram hits don't depend on
+    other corpus docs), so instead each gate runs ONCE over the corpus
+    into boolean flag columns on a slim (doc_id, n_chars, fingerprint)
+    table — pinned with one localCheckpoint, no text retained — and
+    every stage row is a filtered aggregate of that table. The dedup
+    stage keeps its pool semantics exactly: the canonical lowest-id
+    survivor per fingerprint is chosen AMONG the quality∧decontam
+    survivors (min(struct(id, chars)) per fingerprint — id is unique,
+    so the struct min is the id min carrying its own chars). Counts,
+    char sums and the survivor set are bit-identical to the staged
+    formulation; the oracle is unchanged."""
+    q = gopher_flags(docs, min_words=min_words).select(
+        F.col("id").alias("doc_id"), F.col("keep").alias("_pass_q")
+    )
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    slim = (
+        docs.select("doc_id", "n_chars", F.md5(norm).alias("_fp"))
+        .join(q, "doc_id", "left")
+    )
+    if bench is not None:
+        from ..operators.decontam import contamination_hits
+
+        bad = (
+            contamination_hits(docs, bench, decontam_n)
+            .filter(F.col("hit_grams") >= 1)
+            .select(F.col("id").alias("doc_id"), F.lit(True).alias("_hit"))
+        )
+        slim = slim.join(bad, "doc_id", "left").withColumn(
+            "_pass_d", F.col("_hit").isNull()
+        ).drop("_hit")
+    else:
+        slim = slim.withColumn("_pass_d", F.lit(True))
+    slim = slim.localCheckpoint(eager=True)
+
+    def _stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
             F.lit(name).alias("stage"),
             F.count(F.lit(1)).alias("n_docs"),
             F.coalesce(F.sum("n_chars").cast("long"), F.lit(0)).alias("chars"),
         )
-        out = row if out is None else out.unionByName(row)
+
+    clean = slim.filter(F.col("_pass_q") & F.col("_pass_d"))
+    winners = clean.groupBy("_fp").agg(
+        F.min(F.struct(F.col("doc_id"), F.col("n_chars"))).alias("_w")
+    ).select(F.col("_w.n_chars").alias("n_chars"))
+    stages = [
+        _stage("1_input", slim),
+        _stage("2_quality", slim.filter("_pass_q")),
+    ]
+    if bench is not None:
+        stages.append(_stage("3_decontam", clean))
+    stages.append(_stage("4_dedup", winners))
+    out = stages[0]
+    for row in stages[1:]:
+        out = out.unionByName(row)
     return out.orderBy("stage")
 
 

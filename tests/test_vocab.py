@@ -290,3 +290,45 @@ def test_sequence_ngrams_property_vs_bruteforce(spark):
                 want.setdefault(g, []).append(u)
         want_d = {g: (len(us), len(set(us))) for g, us in want.items()}
         assert got == want_d, f"n={n}"
+
+
+def test_cosine_pairs_dense_path_equals_postings(spark):
+    """Round-4 (bench-found): the dense-vocabulary broadcast-NLJ path
+    must be bit-identical to the postings self-join — same pair
+    universe (share >= 1 term), same integer dot/norms, same floats."""
+    import random
+
+    from python_vegindex_spark.operators.terms import cosine_pairs
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = spark.createDataFrame(
+        [
+            (f"d{i:03d}", " ".join(rng.choices(vocab, k=rng.randint(3, 30))))
+            for i in range(80)
+        ],
+        "doc_id string, text string",
+    )
+
+    def rows(df):
+        return sorted(
+            (r["id_a"], r["id_b"], r["dot"], r["norm2_a"], r["norm2_b"], r["cos"])
+            for r in df.collect()
+        )
+
+    for mc in (0.0, 0.5, 0.9):
+        dense = rows(cosine_pairs(docs, min_cos=mc))
+        postings = rows(cosine_pairs(docs, min_cos=mc, dense_vocab_max=0))
+        assert dense == postings and (mc > 0.5 or len(dense) > 0)
+
+    # a vocab larger than the threshold falls back to postings (same
+    # result either way — this pins the guard is consulted)
+    assert rows(cosine_pairs(docs, min_cos=0.5, dense_vocab_max=3)) == rows(
+        cosine_pairs(docs, min_cos=0.5, dense_vocab_max=0)
+    )
+
+    # the dense plan is a broadcast nested-loop join with NO pair
+    # shuffle (the only exchanges feed the tiny vector build)
+    out = cosine_pairs(docs, min_cos=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
