@@ -68,8 +68,9 @@ def dedup_exact(
     )
 
 
-def _spread(df: DataFrame, parallelism: int | None) -> DataFrame:
-    """Repartition an (id, ...) projection by id so per-shingle hashing
+def _spread(df: DataFrame, parallelism: int | None, key: str = "id") -> DataFrame:
+    """Repartition an (id, ...) projection by its ``key`` column so
+    per-shingle hashing
     parallelizes even when the source arrives in FEWER partitions than
     cores (e.g. one small parquet file). Widen-only by default: a corpus
     already at or above the target partition count is left untouched —
@@ -83,8 +84,8 @@ def _spread(df: DataFrame, parallelism: int | None) -> DataFrame:
         target = df.sparkSession.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() >= target:
             return df
-        return df.repartition(target, "id")
-    return df.repartition(parallelism, "id")
+        return df.repartition(target, key)
+    return df.repartition(parallelism, key)
 
 
 def _md5_half(col, half: int):

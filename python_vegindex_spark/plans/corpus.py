@@ -158,6 +158,10 @@ def corpus_funnel(
     so the struct min is the id min carrying its own chars). Counts,
     char sums and the survivor set are bit-identical to the staged
     formulation; the oracle is unchanged."""
+    # (measured: pre-spreading the raw batch here is a slight net loss —
+    # contamination_hits spreads internally before its gram stage, the
+    # dominant cost, and the extra text exchange outweighs
+    # parallelizing the cheap Gopher projection)
     q = gopher_flags(docs, min_words=min_words).select(
         F.col("id").alias("doc_id"), F.col("keep").alias("_pass_q")
     )
