@@ -293,7 +293,11 @@ def cosine_pairs(
             .limit(int(dense_vocab_max) + 1)
             .collect()
         ]
-        if len(vocab) <= dense_vocab_max and (
+        # 0 < check: an empty vocabulary (all docs empty / filtered)
+        # cannot densify — F.array() of zero elements is NullType and
+        # fails analysis; the postings path returns the correct empty
+        # result for free
+        if 0 < len(vocab) <= dense_vocab_max and (
             tf.select("id").distinct().limit(int(dense_docs_max) + 1).count()
             <= dense_docs_max
         ):

@@ -332,3 +332,15 @@ def test_cosine_pairs_dense_path_equals_postings(spark):
     out = cosine_pairs(docs, min_cos=0.5)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_cosine_pairs_empty_vocabulary(spark):
+    """All-empty / whitespace-only docs: no terms survive, so the dense
+    path must not be taken (a zero-element array is NullType and fails
+    analysis) — the result is simply empty."""
+    from python_vegindex_spark.operators.terms import cosine_pairs
+
+    empty = spark.createDataFrame(
+        [("d1", ""), ("d2", "   ")], "doc_id string, text string"
+    )
+    assert cosine_pairs(empty, min_cos=0.5).count() == 0
