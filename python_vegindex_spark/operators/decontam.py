@@ -5,20 +5,23 @@ The Pile, LLaMA): a training document is *contaminated* if it shares at
 least one word n-gram (n typically 8-13) with any benchmark/eval
 document. This module implements it Spark-first:
 
-* benchmark side -> a DISTINCT set of 64-bit n-gram keys (grams hashed
-  via the portable md5-half base hash from operators/dedup, so DuckDB
-  reproduces every key bit-identically for the oracle);
-* corpus side -> explode each doc's distinct grams ONCE, hash each
-  once, semi-join against the (small, broadcast) benchmark key set.
-  Keys are BOTH 32-bit md5 halves (64 bits total) — collision odds stay
-  negligible at corpus scale, and one digest feeds both halves.
+* benchmark side -> a DISTINCT set of n-grams, broadcast;
+* corpus side -> explode each doc's distinct grams ONCE, equi-join on
+  the RAW GRAM STRING against the broadcast set. The broadcast hash
+  join hashes the key internally, so pre-hashing every corpus gram
+  (the earlier md5-half design) paid one digest per gram for nothing —
+  string equality is exactly as cross-engine-deterministic and has no
+  collision window. :func:`benchmark_ngram_keys` still exposes the
+  compact 64-bit md5-half key form for callers that persist or ship
+  key sets.
 
 Scale shape: the benchmark set is the tiny side by construction (eval
 suites are MBs against a 100-TB corpus) — ``F.broadcast`` keeps the
 corpus un-shuffled; the only wide exchange is the per-doc hit-count
 aggregate on the (uniform) doc id, and only for docs that hit at all.
-Hashing grams to one long before the join means broadcast bytes and
-probe cost are 8 B/gram regardless of n.
+The heavy gram build/explode runs after a widen-only repartition of
+the raw (id, text) rows, so a narrowly-partitioned batch still uses
+every core.
 
 Not in the reference (it has no text pipeline); extends the engine for
 the training-data use case alongside operators/dedup.

@@ -68,9 +68,8 @@ def dedup_exact(
     )
 
 
-def _spread(df: DataFrame, parallelism: int | None, key: str = "id") -> DataFrame:
-    """Repartition an (id, ...) projection by its ``key`` column so
-    per-shingle hashing
+def _spread(df: DataFrame, parallelism: int | None) -> DataFrame:
+    """Repartition an (id, ...) projection by id so per-shingle hashing
     parallelizes even when the source arrives in FEWER partitions than
     cores (e.g. one small parquet file). Widen-only by default: a corpus
     already at or above the target partition count is left untouched —
@@ -84,8 +83,8 @@ def _spread(df: DataFrame, parallelism: int | None, key: str = "id") -> DataFram
         target = df.sparkSession.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() >= target:
             return df
-        return df.repartition(target, key)
-    return df.repartition(parallelism, key)
+        return df.repartition(target, "id")
+    return df.repartition(parallelism, "id")
 
 
 def _md5_half(col, half: int):

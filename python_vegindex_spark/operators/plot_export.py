@@ -58,11 +58,25 @@ def roistats_plot_partitions(
     (plot_roistats.py:95-101): adds ``brt`` (r+g+b means, :88) and
     ``series`` in {'low_sun', 'brt_filtered', 'good'}; rows matching no
     partition (ND solar_elev; day rows with ND brightness) are dropped,
-    matching the pandas boolean-mask behavior on NaN."""
-    brt = F.col("r_mean") + F.col("g_mean") + F.col("b_mean")
-    day = F.col("solar_elev") >= F.lit(float(sunelev_min))
+    matching the pandas boolean-mask behavior on NaN.
+
+    Float NaN is normalized to NULL first: Spark orders NaN GREATER
+    than every number (so ``NaN >= 10`` is true and a NaN-solar row
+    would land in 'good', ``NaN > 665`` true and a NaN-brt day row in
+    'brt_filtered'), whereas the reference's pandas masks evaluate
+    every NaN comparison as False and drop the row — NULL falls through
+    the when-chain here exactly like that."""
+    from ..functions.quantile import nan_to_null
+
+    solar = nan_to_null(F.col("solar_elev"))
+    brt = (
+        nan_to_null(F.col("r_mean"))
+        + nan_to_null(F.col("g_mean"))
+        + nan_to_null(F.col("b_mean"))
+    )
+    day = solar >= F.lit(float(sunelev_min))
     series = (
-        F.when(F.col("solar_elev") < F.lit(float(sunelev_min)), "low_sun")
+        F.when(solar < F.lit(float(sunelev_min)), "low_sun")
         .when(day & ((brt < F.lit(float(brt_min))) | (brt > F.lit(float(brt_max)))), "brt_filtered")
         .when(day & (brt >= F.lit(float(brt_min))) & (brt <= F.lit(float(brt_max))), "good")
     )
@@ -119,10 +133,13 @@ def plot_roistats_table(
         )
         .distinct()
     )
-    line = summary.where(F.col("gcc_90").isNotNull()).select(
+    from ..functions.quantile import nan_to_null
+
+    g90 = nan_to_null(F.col("gcc_90").cast("double"))
+    line = summary.where(g90.isNotNull()).select(
         F.lit("line").alias("layer"),
         F.lit("gcc_90").alias("series"),
         F.to_timestamp(F.concat(F.col("date").cast("string"), F.lit(" 12:00:00"))).alias("ts"),
-        F.col("gcc_90").cast("double").alias("gcc"),
+        g90.alias("gcc"),
     )
     return scatter.unionByName(line)

@@ -39,12 +39,21 @@ from ..operators.packing import pack_chunks
 from ..operators.quality_filter import gopher_flags
 
 
+def _norm_fp(text_col: str = "text"):
+    """The dedup identity: md5 of whitespace-normalized lowercased text.
+    ONE definition — _dedup_exact_keep and corpus_funnel's '4_dedup'
+    stage must count the same survivor set or the funnel silently
+    drifts from the operator it reports on."""
+    return F.md5(
+        F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    )
+
+
 def _dedup_exact_keep(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Lowest-id survivor per exact normalized text (md5 fingerprint so
     any engine can reproduce the key); payload rejoins by id only."""
-    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     keep = (
-        docs.select(F.col(id_col), F.md5(norm).alias("_fp"))
+        docs.select(F.col(id_col), _norm_fp().alias("_fp"))
         .groupBy("_fp")
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
@@ -165,9 +174,8 @@ def corpus_funnel(
     q = gopher_flags(docs, min_words=min_words).select(
         F.col("id").alias("doc_id"), F.col("keep").alias("_pass_q")
     )
-    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     slim = (
-        docs.select("doc_id", "n_chars", F.md5(norm).alias("_fp"))
+        docs.select("doc_id", "n_chars", _norm_fp().alias("_fp"))
         .join(q, "doc_id", "left")
     )
     if bench is not None:

@@ -183,7 +183,6 @@ def snapshot_batch_writer(
     import hashlib
     import json
     import os
-    import uuid
 
     if mode not in ("append", "upsert"):
         raise ValueError(f"mode must be 'append' or 'upsert', got {mode!r}")

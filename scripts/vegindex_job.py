@@ -299,24 +299,6 @@ def main(argv: list[str] | None = None) -> str:
         )
         out = generate_ndvi_table(rgb, ir).drop("ts")
         default = f"{args.site}_{args.roi}_NDVI_roistats.csv"
-    elif args.job == "plot-roistats":
-        # plot_roistats.py twin: chart-ready (layer, series, ts, gcc)
-        # table — good/low-sun/brightness-filtered scatter partitions
-        # M4-pre-reduced, plus the 3-day gcc_90 line; a PNG would need
-        # matplotlib (absent in this container; the reference hard-
-        # requires it), the CSV renders anywhere
-        from python_vegindex_spark.operators.plot_export import plot_roistats_table
-
-        roistats, _ = catalog.get_roi_timeseries(spark, args.archive, args.site, args.roi)
-        summary, _ = catalog.get_gcc_timeseries(
-            spark, args.archive, args.site, args.roi, nday=args.nday
-        )
-        out = plot_roistats_table(
-            roistats, summary, width=args.width,
-            sunelev_min=args.sunelev_min, brt_min=args.brt_min,
-            brt_max=args.brt_max,
-        )
-        default = f"{args.site}_{args.roi}_roistats_plot.csv"
 
     path = args.out or os.path.join(roi_dir, default)
     tier1_jobs = (

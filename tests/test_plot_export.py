@@ -148,3 +148,25 @@ def test_plot_roistats_cli_end_to_end(spark, tmp_path):
         back[back.layer == "points"].series
     )
     assert (back[back.layer == "line"].series == "gcc_90").all()
+
+
+def test_partitions_nan_rows_dropped_like_pandas(spark):
+    """Round-4 review: Spark orders NaN GREATER than every number, so
+    un-normalized NaN solar/brt rows would land in 'good'/'brt_filtered'
+    — the reference's pandas masks drop them. Pin the drop."""
+    pdf = pd.DataFrame(
+        {
+            "filename": ["nan_solar.jpg", "nan_brt.jpg", "ok.jpg"],
+            "solar_elev": [np.nan, 45.0, 45.0],
+            "r_mean": [80.0, np.nan, 80.0],
+            "g_mean": [80.0, 80.0, 80.0],
+            "b_mean": [80.0, 80.0, 80.0],
+            "gcc": [0.33, 0.33, 0.33],
+            "ts": [dt.datetime(2022, 6, 1, 12)] * 3,
+        }
+    )
+    got = roistats_plot_partitions(spark.createDataFrame(pdf)).collect()
+    assert [(r["filename"], r["series"]) for r in got] == [("ok.jpg", "good")]
+    # matches the reference masks exactly
+    low, brt_f, good = _reference_split(pdf)
+    assert len(low) == 0 and len(brt_f) == 0 and list(good.filename) == ["ok.jpg"]
