@@ -3472,6 +3472,34 @@ def q_plot_partitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_plot_export_points_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full plot_roistats export composition (operators/plot_export.
+    plot_roistats_table): partition split -> per-series M4 pre-reduction
+    -> 4-corner unpivot + distinct scatter, plus the summary line layer
+    — over the same events-derived roistats frame as
+    plot_partitions_events, with gcc = value/500 (one IEEE division)
+    and a daily-MAX gcc line (order-free exact double, no percentile
+    float hazards). The DuckDB oracle replays the identical M4
+    bucketing/tie-break rules (the m4_downsample oracle conventions)."""
+    from python_vegindex_spark.operators.plot_export import plot_roistats_table
+
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.select(
+        "ts",
+        (F.col("value") - F.lit(200.0)).alias("solar_elev"),
+        F.col("value").alias("r_mean"),
+        (F.col("value") * F.lit(0.8)).alias("g_mean"),
+        (F.col("value") * F.lit(0.6)).alias("b_mean"),
+        (F.col("value") / F.lit(500.0)).alias("gcc"),
+    )
+    summary = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        F.max(F.col("value") / F.lit(500.0)).alias("gcc_90")
+    )
+    return plot_roistats_table(stats, summary, width=16).orderBy(
+        "layer", "series", "ts", "gcc"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hourly_rollup_gapfill": q_hourly_rollup_gapfill,
@@ -3519,6 +3547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": q_simhash_docs,
         "solar_gate_features": q_solar_gate_features,
         "plot_partitions_events": q_plot_partitions_events,
+        "plot_export_points_events": q_plot_export_points_events,
         "codec_roundtrip_rollup": q_codec_roundtrip_rollup,
         "ann_lsh_topk": q_ann_lsh_topk,
         "media_stub_features": q_media_stub_features,
@@ -7688,6 +7717,69 @@ SELECT series, CAST(count(*) AS BIGINT) AS n,
   round(max(solar_elev), 6) AS solar_max
 FROM tagged WHERE series IS NOT NULL
 GROUP BY series ORDER BY series
+""",
+        "plot_export_points_events": r"""
+WITH stats AS (
+  SELECT ts, value - 200.0 AS solar_elev,
+    value + value * 0.8 + value * 0.6 AS brt,
+    value / 500.0 AS gcc
+  FROM events
+), tagged AS (
+  SELECT ts, gcc,
+    CASE
+      WHEN solar_elev < 10.0 THEN 'low_sun'
+      WHEN solar_elev >= 10.0 AND (brt < 100.0 OR brt > 665.0) THEN 'brt_filtered'
+      WHEN solar_elev >= 10.0 AND brt >= 100.0 AND brt <= 665.0 THEN 'good'
+    END AS series
+  FROM stats
+), pts0 AS (
+  SELECT series, epoch_us(ts) AS tus, gcc AS v
+  FROM tagged WHERE series IS NOT NULL AND gcc IS NOT NULL AND ts IS NOT NULL
+), bounds AS (
+  SELECT min(tus) AS t0, max(tus) AS t1 FROM pts0
+), bk AS (
+  SELECT series, tus, v,
+    CASE WHEN t1 > t0
+         THEN least(((tus - t0) * 16) // (t1 - t0), 15)
+         ELSE 0 END AS px
+  FROM pts0, bounds
+), a1 AS (
+  SELECT series, px,
+    min(tus) AS tf, max(tus) AS tl, min(v) AS vmin, max(v) AS vmax
+  FROM bk GROUP BY 1, 2
+), m4 AS (
+  SELECT b.series, b.px,
+    min(CASE WHEN b.tus = a.tf THEN b.v END) AS vf,
+    max(CASE WHEN b.tus = a.tl THEN b.v END) AS vl,
+    min(CASE WHEN b.v = a.vmin THEN b.tus END) AS t_min_us,
+    min(CASE WHEN b.v = a.vmax THEN b.tus END) AS t_max_us,
+    any_value(a.tf) AS tf, any_value(a.tl) AS tl,
+    any_value(a.vmin) AS vmin, any_value(a.vmax) AS vmax
+  FROM bk b JOIN a1 a USING (series, px)
+  GROUP BY 1, 2
+), scatter AS (
+  SELECT DISTINCT 'points' AS layer, series, ts, gcc FROM (
+    SELECT series, make_timestamp(tf) AS ts, round(vf, 6) AS gcc FROM m4
+    UNION ALL
+    SELECT series, make_timestamp(tl), round(vl, 6) FROM m4
+    UNION ALL
+    SELECT series, make_timestamp(t_min_us), round(vmin, 6) FROM m4
+    UNION ALL
+    SELECT series, make_timestamp(t_max_us), round(vmax, 6) FROM m4
+  )
+), line AS (
+  SELECT 'line' AS layer, 'gcc_90' AS series,
+    CAST(CAST(d AS VARCHAR) || ' 12:00:00' AS TIMESTAMP) AS ts,
+    g90 AS gcc
+  FROM (
+    SELECT CAST(ts AS DATE) AS d, max(value / 500.0) AS g90
+    FROM events GROUP BY 1
+  ) WHERE g90 IS NOT NULL
+)
+SELECT * FROM scatter
+UNION ALL
+SELECT * FROM line
+ORDER BY layer, series, ts, gcc
 """,
         "edit1_typo_pairs_docs": r"""
 WITH words AS (
