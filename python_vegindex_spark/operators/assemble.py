@@ -35,6 +35,12 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+_INT_TYPES = frozenset({"tinyint", "smallint", "int", "bigint"})
+
+# sentinel: "derive the buffer bound from max_turns when safe" — distinct
+# from an explicit None (= unbounded buffer, the pre-round-5 behavior)
+_AUTO = object()
+
 
 def assemble_conversations(
     turns: DataFrame,
@@ -45,7 +51,7 @@ def assemble_conversations(
     sep: str = "\n",
     role_sep: str = ": ",
     max_turns: int | None = None,
-    max_buffer_turns: int | None = None,
+    max_buffer_turns=_AUTO,
 ) -> DataFrame:
     """One document per conversation.
 
@@ -64,9 +70,33 @@ def assemble_conversations(
     transcript contract's ``turn_idx``); when both bounds are given,
     ``max_buffer_turns`` must be >= ``max_turns`` or the output would
     be silently shorter than asked — that combination raises.
+
+    The safe path is the DEFAULT: when ``max_turns`` is set and the
+    first order column is integer-typed, the buffer bound defaults to
+    ``max_turns`` (under the 0-based dense-index contract the two are
+    output-equivalent, and the group buffer is bounded too). Pass
+    ``max_buffer_turns=None`` explicitly to opt back into an unbounded
+    buffer (order indices that are integer but NOT dense from 0 — the
+    prefix of the full sort could then differ from the pre-filtered
+    one). A non-integer first order column (e.g. a timestamp) never
+    auto-bounds: ``order < max_turns`` would be a meaningless
+    cross-type comparison there.
+
+    Rows whose first order column is NULL are KEPT under the buffer
+    bound (``< N OR IS NULL``) — ``array_sort`` orders them before all
+    non-NULL turns (ascending NULLS FIRST), exactly where the
+    unbounded path puts them, so opting into the bound never silently
+    drops NULL-indexed turns.
     """
     if max_turns is not None and max_turns < 1:
         raise ValueError(f"max_turns must be >= 1, got {max_turns}")
+    if max_buffer_turns is _AUTO:
+        first_type = dict(turns.dtypes).get(order_cols[0] if order_cols else "")
+        max_buffer_turns = (
+            max_turns
+            if max_turns is not None and first_type in _INT_TYPES
+            else None
+        )
     if max_buffer_turns is not None:
         if max_buffer_turns < 1:
             raise ValueError(
@@ -81,7 +111,10 @@ def assemble_conversations(
     if not order_cols:
         raise ValueError("order_cols must be non-empty")
     if max_buffer_turns is not None:
-        turns = turns.where(F.col(order_cols[0]) < max_buffer_turns)
+        turns = turns.where(
+            (F.col(order_cols[0]) < max_buffer_turns)
+            | F.col(order_cols[0]).isNull()
+        )
     struct_cols = [F.col(c) for c in order_cols] + [
         F.coalesce(F.col(role_col).cast("string"), F.lit("")).alias("_r"),
         F.coalesce(F.col(text_col).cast("string"), F.lit("")).alias("_t"),

@@ -213,7 +213,8 @@ def cosine_pairs(
     text_col: str = "text",
     min_len: int = 1,
     dense_vocab_max: int = 256,
-    dense_docs_max: int = 100_000,
+    dense_docs_max: int = 25_000,
+    dense_cost_ratio: float = 16.0,
     pair_partitions: int = 64,
 ) -> DataFrame:
     """Exact all-pairs document cosine similarity over sparse TF
@@ -255,8 +256,25 @@ def cosine_pairs(
     state, parallelism = ``pair_partitions``. Output is bit-identical
     (integer dot, same float expression; ``dot > 0`` re-imposes the
     postings "share ≥ 1 term" pair universe). Big sparse corpora take
-    the postings path exactly as before — the regime test costs two
-    metadata-cheap jobs on the checkpointed TF table.
+    the postings path exactly as before — the regime test costs three
+    cheap jobs on the checkpointed TF table.
+
+    REGIME SELECTION IS COST-GATED (round-5, ADVICE): counts alone
+    (vocab ≤ 256, docs ≤ cap) would admit a broadcast streaming
+    docs²/2 nested-loop pairs each doing a |vocab|-element interpreted
+    lambda — ~10⁹ element-ops per 2.8k docs × 256 terms, extremely
+    expensive for a regime meant for tiny corpora. The gate compares
+    the two paths' dominant terms: dense element-ops ``docs² · vocab``
+    vs postings shuffle candidates ``Σ_t df(t)²``; dense is taken only
+    when ``docs² · vocab ≤ dense_cost_ratio · Σ df²`` (AND the count
+    caps hold — ``dense_docs_max`` stays a hard broadcast-size safety
+    bound, default 25k docs ≈ a ~25 MB vector broadcast at vocab 256).
+    ``dense_cost_ratio`` is the measured per-unit cost gap: one
+    shuffled+hash-aggregated postings candidate costs ~16× one
+    interpreted zip_with element-op on this engine (BENCH.md §1p —
+    re-measure if the lambda evaluator ever gets codegen). The df
+    aggregate that feeds the gate runs only once vocab ≤ 256 is
+    already known, so big-vocabulary corpora never pay it.
 
     Output: (id_a, id_b, dot, norm2_a, norm2_b, cos) with id_a < id_b.
     """
@@ -297,13 +315,28 @@ def cosine_pairs(
         # cannot densify — F.array() of zero elements is NullType and
         # fails analysis; the postings path returns the correct empty
         # result for free
-        if 0 < len(vocab) <= dense_vocab_max and (
-            tf.select("id").distinct().limit(int(dense_docs_max) + 1).count()
-            <= dense_docs_max
-        ):
-            return _cosine_pairs_dense(
-                tf, sorted(vocab), float(min_cos), int(pair_partitions)
+        if 0 < len(vocab) <= dense_vocab_max:
+            # limit(cap+1).count() is EXACT when <= cap (early-exits
+            # the scan when over), so n_docs doubles as the gate input
+            n_docs = (
+                tf.select("id")
+                .distinct()
+                .limit(int(dense_docs_max) + 1)
+                .count()
             )
+            if n_docs <= dense_docs_max:
+                sum_df2 = (
+                    tf.groupBy("term")
+                    .agg(F.count(F.lit(1)).alias("_df"))
+                    .agg(F.sum(F.col("_df") * F.col("_df")))
+                    .collect()[0][0]
+                )
+                if n_docs * n_docs * len(vocab) <= float(
+                    dense_cost_ratio
+                ) * float(sum_df2):
+                    return _cosine_pairs_dense(
+                        tf, sorted(vocab), float(min_cos), int(pair_partitions)
+                    )
 
     norms = tf.groupBy("id").agg(
         F.sum(F.col("tf") * F.col("tf")).cast("long").alias("norm2")

@@ -149,12 +149,14 @@ class InMemoryManifestIO(LocalManifestIO):
         pass
 
     def exists(self, path: str) -> bool:
-        return path in self._store
+        with self._lock:
+            return path in self._store
 
     def read_text(self, path: str) -> str:
-        if path not in self._store:
-            raise FileNotFoundError(path)
-        return self._store[path][0]
+        with self._lock:
+            if path not in self._store:
+                raise FileNotFoundError(path)
+            return self._store[path][0]
 
     def create_exclusive(self, path: str, data: str) -> None:
         with self._lock:  # genuine compare-and-set, like the store's
@@ -162,26 +164,34 @@ class InMemoryManifestIO(LocalManifestIO):
                 raise FileExistsError(path)
             self._store[path] = (data, time.time())
 
+    # every mutator/reader holds the same lock — the class advertises
+    # store-like single-key atomicity, so swap/remove/mtime/list must
+    # be consistent with create_exclusive's compare-and-set, not just
+    # GIL-incidentally safe (concurrent-writer tests race them)
     def swap(self, path: str, data: str) -> None:
-        self._store[path] = (data, time.time())
+        with self._lock:
+            self._store[path] = (data, time.time())
 
     def list_names(self, dirpath: str) -> list[str]:
         prefix = dirpath.rstrip("/") + "/"
-        return [
-            p[len(prefix):]
-            for p in self._store
-            if p.startswith(prefix) and "/" not in p[len(prefix):]
-        ]
+        with self._lock:
+            return [
+                p[len(prefix):]
+                for p in self._store
+                if p.startswith(prefix) and "/" not in p[len(prefix):]
+            ]
 
     def remove(self, path: str) -> None:
-        if path not in self._store:
-            raise FileNotFoundError(path)
-        del self._store[path]
+        with self._lock:
+            if path not in self._store:
+                raise FileNotFoundError(path)
+            del self._store[path]
 
     def mtime(self, path: str) -> float:
-        if path not in self._store:
-            raise OSError(f"no such key: {path}")
-        return self._store[path][1]
+        with self._lock:
+            if path not in self._store:
+                raise OSError(f"no such key: {path}")
+            return self._store[path][1]
 
 
 class CommitConflict(RuntimeError):

@@ -394,10 +394,14 @@ def get_site_info(
     site-info JSON URL first, fall back to the local CSV.
 
     ``fetch_fn(url) -> str`` injects the HTTP client (tests; custom
-    auth); the default is stdlib urllib with ``timeout_s``. ANY fetch
-    failure — no network (this sandbox), HTTP error, bad JSON — falls
-    through to the CSV exactly like the reference's bare
-    ``except RequestException``. Pass ``url_template=None`` to skip the
+    auth); the default is stdlib urllib with ``timeout_s``. I/O-shaped
+    fetch failures — no network (this sandbox), HTTP error, bad JSON —
+    fall through to the CSV like the reference's
+    ``except RequestException``; that is ``OSError`` (urllib's error
+    hierarchy) and ``ValueError`` (``json.JSONDecodeError``'s base),
+    NOT a bare ``except`` — a programming error inside an injected
+    ``fetch_fn`` (TypeError etc.) propagates instead of silently
+    degrading to stale CSV data. Pass ``url_template=None`` to skip the
     network path entirely (air-gapped clusters). The CSV fallback
     raises ``FileNotFoundError`` when ``csv_path`` is unreadable
     (reference exits -1 there) and returns ``None`` for an unknown
@@ -416,8 +420,8 @@ def get_site_info(
             info = json.loads(body)
             if isinstance(info, dict):
                 return info
-        except Exception:
-            pass  # any failure -> CSV fallback, like the reference
+        except (OSError, ValueError):
+            pass  # I/O / parse failure -> CSV fallback, like the reference
     if csv_path is None:
         raise FileNotFoundError(
             "site-info URL unavailable and no csv_path fallback given"

@@ -305,7 +305,10 @@ def main(argv: list[str] | None = None) -> str:
         "generate-roi", "update-roi", "generate-ir", "update-ir", "generate-ndvi",
     )
     if args.job == "plot-roistats":
-        sort_cols = ["layer", "series", "ts"]
+        # gcc included: two points in one pixel can share (layer,
+        # series, ts) with different gcc (same-timestamp rows), so the
+        # export ordering must be total for byte-identical re-runs
+        sort_cols = ["layer", "series", "ts", "gcc"]
     elif args.job in tier1_jobs:
         sort_cols = ["date", "local_std_time"]
     else:

