@@ -270,9 +270,12 @@ def cosine_pairs(
     caps hold — ``dense_docs_max`` stays a hard broadcast-size safety
     bound, default 25k docs ≈ a ~25 MB vector broadcast at vocab 256).
     ``dense_cost_ratio`` is the measured per-unit cost gap: one
-    shuffled+hash-aggregated postings candidate costs ~16× one
-    interpreted zip_with element-op on this engine (BENCH.md §1p —
-    re-measure if the lambda evaluator ever gets codegen). The df
+    shuffled+hash-aggregated postings candidate costs 18–50× one
+    interpreted zip_with element-op on this engine (flat ~2.4 M
+    candidates/s vs ~124 M element-ops/s once job overhead amortizes;
+    BENCH.md §1p, ``scripts/measure_dense_cosine.py``). The default 16
+    is the conservative floor of every measured break-even ≥ 2k docs —
+    the gate never picks a dense plan that measured slower. The df
     aggregate that feeds the gate runs only once vocab ≤ 256 is
     already known, so big-vocabulary corpora never pay it.
 
