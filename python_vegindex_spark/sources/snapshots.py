@@ -194,6 +194,244 @@ class InMemoryManifestIO(LocalManifestIO):
             return self._store[path][1]
 
 
+class S3ManifestIO(LocalManifestIO):
+    """Object-store ManifestIO over the S3 API (boto3) — the round-4
+    seam's production backend: the snapshot commit protocol running
+    against real conditional PUTs instead of POSIX ``os.link``.
+
+    Key mapping: the engine passes POSIX-style paths rooted at the
+    table root; this backend uses ``path.lstrip('/')`` as the object
+    key inside ``bucket`` — point the table root at
+    ``s3://bucket/...``-mounted storage for the DATA files (Spark's
+    own Hadoop S3A connector writes those) and this class for the
+    metadata protocol.
+
+    Protocol mapping (S3 conditional writes, GA since 2024-08):
+
+    * :meth:`create_exclusive` → ``PutObject`` with
+      ``If-None-Match: *``. HTTP 412 ``PreconditionFailed`` = the key
+      already exists → ``FileExistsError`` (the optimistic-lock loss,
+      exactly LocalManifestIO's ``os.link`` EEXIST). HTTP 409
+      ``ConditionalRequestConflict`` = another conditional writer was
+      in flight on the same key: back off, re-check existence (the
+      other writer may have won), retry the conditional put — the
+      loser always surfaces ``FileExistsError``, never a false win.
+    * :meth:`swap` → plain ``PutObject``: a single-key PUT is atomic
+      under S3's consistency model (readers see the old or the new
+      body, never a torn write) — the same contract ``os.replace``
+      gives locally.
+    * Transient faults (HTTP 5xx, ``SlowDown`` throttling, connection
+      resets) retry with exponential backoff on EVERY operation;
+      ``sleep_fn`` is injectable so tests drive the schedule without
+      wall-clock sleeps.
+
+    ``client`` is an injectable boto3-style S3 client (tests pass a
+    fake that raises real ``botocore.exceptions.ClientError``s; prod
+    passes ``boto3.client("s3")`` or nothing to build one lazily).
+    """
+
+    #: error codes that indicate a retryable, transient store fault
+    _TRANSIENT = frozenset(
+        {
+            "InternalError",
+            "ServiceUnavailable",
+            "SlowDown",
+            "Throttling",
+            "ThrottlingException",
+            "RequestTimeout",
+            "503",
+            "500",
+        }
+    )
+
+    def __init__(
+        self,
+        bucket: str,
+        client=None,
+        max_attempts: int = 5,
+        backoff_s: float = 0.05,
+        sleep_fn=time.sleep,
+    ):
+        if max_attempts < 1:
+            raise ValueError(f"max_attempts must be >= 1, got {max_attempts}")
+        if client is None:  # pragma: no cover - needs AWS credentials
+            import boto3
+
+            client = boto3.client("s3")
+        self.bucket = bucket
+        self.client = client
+        self.max_attempts = int(max_attempts)
+        self.backoff_s = float(backoff_s)
+        self.sleep_fn = sleep_fn
+
+    @staticmethod
+    def _code(err) -> str:
+        resp = getattr(err, "response", None) or {}
+        code = str((resp.get("Error") or {}).get("Code", ""))
+        if not code:
+            code = str(
+                (resp.get("ResponseMetadata") or {}).get("HTTPStatusCode", "")
+            )
+        return code
+
+    def _retry(self, op):
+        """Run ``op()`` retrying transient store faults with
+        exponential backoff; non-transient errors propagate on first
+        sight, the last transient error propagates after
+        ``max_attempts``."""
+        from botocore.exceptions import ClientError
+
+        for attempt in range(self.max_attempts):
+            try:
+                return op()
+            except ClientError as e:
+                if (
+                    self._code(e) not in self._TRANSIENT
+                    or attempt == self.max_attempts - 1
+                ):
+                    raise
+                self.sleep_fn(self.backoff_s * (2**attempt))
+
+    def _key(self, path: str) -> str:
+        return path.lstrip("/")
+
+    def makedirs(self, path: str) -> None:
+        pass  # object stores have no directories
+
+    def exists(self, path: str) -> bool:
+        from botocore.exceptions import ClientError
+
+        def head():
+            try:
+                self.client.head_object(
+                    Bucket=self.bucket, Key=self._key(path)
+                )
+                return True
+            except ClientError as e:
+                if self._code(e) in ("404", "NoSuchKey", "NotFound"):
+                    return False
+                raise
+
+        return self._retry(head)
+
+    def read_text(self, path: str) -> str:
+        from botocore.exceptions import ClientError
+
+        def get():
+            try:
+                obj = self.client.get_object(
+                    Bucket=self.bucket, Key=self._key(path)
+                )
+            except ClientError as e:
+                if self._code(e) in ("404", "NoSuchKey", "NotFound"):
+                    raise FileNotFoundError(path) from e
+                raise
+            body = obj["Body"]
+            data = body.read()
+            return data.decode("utf-8") if isinstance(data, bytes) else data
+
+        return self._retry(get)
+
+    def create_exclusive(self, path: str, data: str) -> None:
+        from botocore.exceptions import ClientError
+
+        key = self._key(path)
+        last: Exception | None = None
+        for attempt in range(self.max_attempts):
+            try:
+                self.client.put_object(
+                    Bucket=self.bucket,
+                    Key=key,
+                    Body=data.encode("utf-8"),
+                    IfNoneMatch="*",
+                )
+                return
+            except ClientError as e:
+                code = self._code(e)
+                if code in ("412", "PreconditionFailed"):
+                    # definitive: the key exists — optimistic-lock loss
+                    raise FileExistsError(path) from e
+                if code in ("409", "ConditionalRequestConflict"):
+                    # another conditional writer was concurrently in
+                    # flight on this key; if it won, we lost — else
+                    # retry our own conditional put
+                    last = e
+                    self.sleep_fn(self.backoff_s * (2**attempt))
+                    if self.exists(path):
+                        raise FileExistsError(path) from e
+                    continue
+                if code in self._TRANSIENT and attempt < self.max_attempts - 1:
+                    last = e
+                    self.sleep_fn(self.backoff_s * (2**attempt))
+                    # a transient fault after the store accepted the
+                    # write must not read as a lost race: re-check
+                    if self.exists(path) and self.read_text(path) == data:
+                        return
+                    continue
+                raise
+        raise last if last is not None else RuntimeError("unreachable")
+
+    def swap(self, path: str, data: str) -> None:
+        self._retry(
+            lambda: self.client.put_object(
+                Bucket=self.bucket,
+                Key=self._key(path),
+                Body=data.encode("utf-8"),
+            )
+        )
+
+    def list_names(self, dirpath: str) -> list[str]:
+        prefix = self._key(dirpath).rstrip("/") + "/"
+
+        def page():
+            names: list[str] = []
+            token = None
+            while True:
+                kw = dict(
+                    Bucket=self.bucket, Prefix=prefix, Delimiter="/"
+                )
+                if token:
+                    kw["ContinuationToken"] = token
+                resp = self.client.list_objects_v2(**kw)
+                for item in resp.get("Contents", []) or []:
+                    names.append(item["Key"][len(prefix):])
+                if not resp.get("IsTruncated"):
+                    return names
+                token = resp.get("NextContinuationToken")
+
+        return self._retry(page)
+
+    def remove(self, path: str) -> None:
+        # S3 DeleteObject is idempotent (204 on missing keys); the seam
+        # contract raises on missing like POSIX unlink, so check first
+        # (GC races between check and delete are benign — both writers
+        # wanted the key gone)
+        if not self.exists(path):
+            raise FileNotFoundError(path)
+        self._retry(
+            lambda: self.client.delete_object(
+                Bucket=self.bucket, Key=self._key(path)
+            )
+        )
+
+    def mtime(self, path: str) -> float:
+        from botocore.exceptions import ClientError
+
+        def head():
+            try:
+                resp = self.client.head_object(
+                    Bucket=self.bucket, Key=self._key(path)
+                )
+            except ClientError as e:
+                if self._code(e) in ("404", "NoSuchKey", "NotFound"):
+                    raise OSError(f"no such key: {path}") from e
+                raise
+            lm = resp["LastModified"]
+            return lm if isinstance(lm, (int, float)) else lm.timestamp()
+
+        return self._retry(head)
+
+
 class CommitConflict(RuntimeError):
     """Another writer committed the same version first (optimistic
     concurrency). Re-read the table state and retry the operation."""

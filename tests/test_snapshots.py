@@ -11,6 +11,7 @@ from python_vegindex_spark.sources import snapshots as snapmod
 from python_vegindex_spark.sources.snapshots import (
     CommitConflict,
     InMemoryManifestIO,
+    S3ManifestIO,
     SnapshotTable,
 )
 
@@ -19,19 +20,115 @@ def _mk(spark, rows):
     return spark.createDataFrame(rows, "id long, day string, v double")
 
 
-@pytest.fixture(params=["localfs", "memory"], autouse=True)
+class FakeS3Client:
+    """boto3-S3-shaped fake: a locked dict honoring conditional PUT
+    (``IfNoneMatch='*'``), raising REAL ``botocore`` ``ClientError``s,
+    with an injectable fault schedule — ``faults[op]`` is a list of
+    error codes raised (and consumed) before the op is allowed through,
+    so tests drive exact transient/conflict sequences."""
+
+    def __init__(self, faults: dict | None = None):
+        import threading
+
+        self._lock = threading.Lock()
+        self._objs: dict[str, tuple[bytes, float]] = {}
+        self.faults = faults or {}
+        self.calls: list[str] = []
+
+    def _maybe_fault(self, op: str):
+        from botocore.exceptions import ClientError
+
+        self.calls.append(op)
+        sched = self.faults.get(op)
+        if sched:
+            code = sched.pop(0)
+            if code is not None:
+                raise ClientError(
+                    {"Error": {"Code": code, "Message": f"injected {code}"}},
+                    op,
+                )
+
+    @staticmethod
+    def _err(code: str, op: str):
+        from botocore.exceptions import ClientError
+
+        return ClientError(
+            {"Error": {"Code": code, "Message": code}}, op
+        )
+
+    def put_object(self, Bucket, Key, Body, IfNoneMatch=None, **kw):
+        import time as _time
+
+        self._maybe_fault("put_object")
+        data = Body if isinstance(Body, bytes) else Body.encode()
+        with self._lock:
+            if IfNoneMatch == "*" and Key in self._objs:
+                raise self._err("PreconditionFailed", "PutObject")
+            self._objs[Key] = (data, _time.time())
+        return {}
+
+    def get_object(self, Bucket, Key, **kw):
+        import io
+
+        self._maybe_fault("get_object")
+        with self._lock:
+            if Key not in self._objs:
+                raise self._err("NoSuchKey", "GetObject")
+            return {"Body": io.BytesIO(self._objs[Key][0])}
+
+    def head_object(self, Bucket, Key, **kw):
+        self._maybe_fault("head_object")
+        with self._lock:
+            if Key not in self._objs:
+                raise self._err("404", "HeadObject")
+            return {"LastModified": self._objs[Key][1]}
+
+    def list_objects_v2(self, Bucket, Prefix="", Delimiter=None, **kw):
+        self._maybe_fault("list_objects_v2")
+        with self._lock:
+            keys = sorted(
+                k
+                for k in self._objs
+                if k.startswith(Prefix)
+                and (Delimiter is None or Delimiter not in k[len(Prefix):])
+            )
+        return {
+            "Contents": [{"Key": k} for k in keys],
+            "IsTruncated": False,
+        }
+
+    def delete_object(self, Bucket, Key, **kw):
+        self._maybe_fault("delete_object")
+        with self._lock:
+            self._objs.pop(Key, None)  # S3 delete is idempotent
+        return {}
+
+
+def _s3_io(client=None, **kw):
+    kw.setdefault("sleep_fn", lambda s: None)  # no wall-clock in tests
+    return S3ManifestIO("test-bucket", client=client or FakeS3Client(), **kw)
+
+
+@pytest.fixture(params=["localfs", "memory", "s3"], autouse=True)
 def manifest_backend(request, monkeypatch):
-    """Round-4: the WHOLE suite runs twice — once on the local-FS
-    backend, once through the injected in-memory conditional-put mock —
-    proving the commit protocol only touches storage through the
-    LocalManifestIO seam (an S3 backend is the same injection)."""
-    if request.param == "memory":
-        stores: dict[str, InMemoryManifestIO] = {}
+    """Round-4/5: the WHOLE suite runs three times — local FS, the
+    in-memory conditional-put mock, and the real S3 backend driven
+    against a boto3-shaped fake — proving the commit protocol only
+    touches storage through the ManifestIO seam."""
+    if request.param in ("memory", "s3"):
+        stores: dict[str, object] = {}
         real_init = SnapshotTable.__init__
+
+        def make_io():
+            return (
+                InMemoryManifestIO()
+                if request.param == "memory"
+                else _s3_io()
+            )
 
         def patched(self, spark, root, *a, **kw):
             # handles of the same root share one store, like a bucket
-            kw.setdefault("io", stores.setdefault(root, InMemoryManifestIO()))
+            kw.setdefault("io", stores.setdefault(root, make_io()))
             real_init(self, spark, root, *a, **kw)
 
         monkeypatch.setattr(snapmod.SnapshotTable, "__init__", patched)
@@ -229,9 +326,9 @@ def test_incremental_job_cli_snapshots(spark, tmp_path, manifest_backend):
     """incremental_job.py --snapshots end-to-end: two runs commit two
     snapshot versions; --history lists them; --rollback restores run 1's
     gold; --expire prunes to the newest snapshots."""
-    if manifest_backend == "memory":
-        pytest.skip("drives a separate subprocess — the injected "
-                    "in-memory backend cannot cross the process boundary")
+    if manifest_backend in ("memory", "s3"):
+        pytest.skip("drives a separate subprocess — an injected "
+                    "in-process backend cannot cross the process boundary")
     import json
     import os
     import subprocess
@@ -901,3 +998,134 @@ def test_bloom_pruning(spark, tmp_path):
     )
     with _pt.raises(ValueError):
         t3.append(spark.createDataFrame([(1.5,)], "x double"))
+
+
+# --- round-5: S3ManifestIO protocol semantics under injected faults ---
+# (these run once, not per-backend: they drive the backend class
+# directly against scheduled ClientError sequences)
+
+
+def test_s3_create_exclusive_loses_to_existing_key():
+    io = _s3_io()
+    io.create_exclusive("/tbl/snapshots/v1.json", "a")
+    with pytest.raises(FileExistsError):
+        io.create_exclusive("/tbl/snapshots/v1.json", "b")
+    assert io.read_text("/tbl/snapshots/v1.json") == "a"  # winner intact
+
+
+def test_s3_transient_faults_are_retried_with_backoff():
+    client = FakeS3Client(
+        faults={
+            "put_object": ["InternalError", "SlowDown"],
+            "get_object": ["503"],
+            "head_object": ["ServiceUnavailable"],
+        }
+    )
+    sleeps: list[float] = []
+    io = S3ManifestIO(
+        "b", client=client, backoff_s=0.01, sleep_fn=sleeps.append
+    )
+    io.swap("/p/VERSION", "7")          # survives two 5xx
+    assert io.read_text("/p/VERSION") == "7"   # survives one 503
+    assert io.exists("/p/VERSION")      # survives one 503
+    assert sleeps == [0.01, 0.02, 0.01, 0.01]  # exponential per-op
+
+
+def test_s3_transient_fault_exhaustion_propagates():
+    from botocore.exceptions import ClientError
+
+    client = FakeS3Client(faults={"get_object": ["503", "503", "503"]})
+    io = S3ManifestIO(
+        "b", client=client, max_attempts=3, sleep_fn=lambda s: None
+    )
+    client.put_object(Bucket="b", Key="k", Body=b"x")
+    with pytest.raises(ClientError):
+        io.read_text("/k")
+    # non-transient errors never retry: exactly one call
+    client2 = FakeS3Client()
+    io2 = _s3_io(client2)
+    with pytest.raises(FileNotFoundError):
+        io2.read_text("/missing")
+    assert client2.calls.count("get_object") == 1
+
+
+def test_s3_conditional_conflict_loser_sees_file_exists():
+    """409 ConditionalRequestConflict with a racer that WINS during the
+    backoff: the retry must surface FileExistsError, not overwrite."""
+    client = FakeS3Client(
+        faults={"put_object": ["ConditionalRequestConflict"]}
+    )
+    io = _s3_io(client)
+
+    real_sleep = io.sleep_fn
+
+    def racing_sleep(s):
+        # the concurrent writer lands its conditional put mid-backoff
+        client.put_object(
+            Bucket="test-bucket",
+            Key="tbl/snapshots/v2.json",
+            Body=b"winner",
+            IfNoneMatch="*",
+        )
+        real_sleep(s)
+
+    io.sleep_fn = racing_sleep
+    with pytest.raises(FileExistsError):
+        io.create_exclusive("/tbl/snapshots/v2.json", "loser")
+    assert io.read_text("/tbl/snapshots/v2.json") == "winner"
+
+
+def test_s3_conditional_conflict_then_clear_retry_wins():
+    """409 with NO racer: the conditional put retries and wins."""
+    client = FakeS3Client(
+        faults={"put_object": ["ConditionalRequestConflict"]}
+    )
+    io = _s3_io(client)
+    io.create_exclusive("/tbl/snapshots/v3.json", "mine")
+    assert io.read_text("/tbl/snapshots/v3.json") == "mine"
+
+
+def test_s3_accepted_write_then_transient_is_not_a_lost_race():
+    """The store accepts the conditional put but the response is lost
+    to a 5xx AFTER acceptance: the retry path must recognize its own
+    body and report success, not FileExistsError."""
+    client = FakeS3Client()
+    io = _s3_io(client)
+
+    real_put = client.put_object
+    state = {"first": True}
+
+    def flaky_put(Bucket, Key, Body, IfNoneMatch=None, **kw):
+        if state["first"]:
+            state["first"] = False
+            real_put(Bucket=Bucket, Key=Key, Body=Body,
+                     IfNoneMatch=IfNoneMatch, **kw)
+            raise FakeS3Client._err("InternalError", "PutObject")
+        return real_put(Bucket=Bucket, Key=Key, Body=Body,
+                        IfNoneMatch=IfNoneMatch, **kw)
+
+    client.put_object = flaky_put
+    io.create_exclusive("/tbl/snapshots/v4.json", "payload")
+    assert io.read_text("/tbl/snapshots/v4.json") == "payload"
+
+
+def test_s3_remove_and_mtime_contract():
+    io = _s3_io()
+    with pytest.raises(FileNotFoundError):
+        io.remove("/nope")
+    with pytest.raises(OSError):
+        io.mtime("/nope")
+    io.swap("/tbl/PENDING", "[]")
+    assert io.mtime("/tbl/PENDING") > 0
+    io.remove("/tbl/PENDING")
+    assert not io.exists("/tbl/PENDING")
+
+
+def test_s3_list_names_is_one_level():
+    io = _s3_io()
+    io.swap("/tbl/snapshots/v1.json", "a")
+    io.swap("/tbl/snapshots/v2.json", "b")
+    io.swap("/tbl/snapshots/nested/deep.json", "c")
+    io.swap("/tbl/VERSION", "2")
+    assert io.list_names("/tbl/snapshots") == ["v1.json", "v2.json"]
+    assert io.list_names("/tbl/empty") == []
