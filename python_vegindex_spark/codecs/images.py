@@ -1,11 +1,13 @@
-"""Zero-dependency image decoders: binary PPM (P6) and 24-bit BMP.
+"""Image decoders: native PPM/BMP plus an optional-import Pillow path.
 
-The container has no PIL/libjpeg (verified; JPEG stays honestly stubbed
-in operators/multimodal.py and operators/roi_stats.py), but the two
-classic uncompressed formats need nothing beyond numpy — the formats
-are public specs: netpbm P6 (magic + ASCII dims/maxval + raw RGB) and
-the Windows BITMAPINFOHEADER BMP (BI_RGB, 24 bpp, BGR rows padded to 4
-bytes, bottom-up unless height < 0).
+The two classic uncompressed formats need nothing beyond numpy — the
+formats are public specs: netpbm P6 (magic + ASCII dims/maxval + raw
+RGB) and the Windows BITMAPINFOHEADER BMP (BI_RGB, 24 bpp, BGR rows
+padded to 4 bytes, bottom-up unless height < 0). JPEG/TIFF/PNG — what
+a real phenocam archive actually contains — decode through Pillow WHEN
+IMPORTABLE (round-5; this container has no PIL, so those paths are
+exercised via an injected stand-in and skipif-gated parity tests, and
+degrade to a clearly-named ``NotImplementedError`` otherwise).
 
 This turns the engine's injectable decode seams into a REAL path:
 
@@ -115,17 +117,74 @@ def decode_bmp(raw: bytes) -> np.ndarray:
     return rgb.copy()
 
 
+def pil_available() -> bool:
+    """True when Pillow is importable (optional dependency — absent in
+    this container, present on real archive-migration clusters)."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+def _pil_decode(raw: bytes) -> np.ndarray | None:
+    """Decode via Pillow when importable; ``None`` when Pillow is
+    absent (the caller falls through to its no-codec error). A
+    present-but-failing Pillow decode RAISES — a corrupt JPEG on a
+    cluster that has the codec is a data error, not a missing-codec
+    condition, and must not be silently re-labelled as one."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    import io
+
+    with Image.open(io.BytesIO(raw)) as im:
+        # convert() covers palette/greyscale/CMYK/16-bit inputs; the
+        # engine's pixel-stats contract is HxWx3 uint8 RGB, matching
+        # the reference's `Image.open(...).convert('RGB')` ingest
+        # (roitimeseries.py:97-227)
+        arr = np.asarray(im.convert("RGB"), dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"PIL decode produced shape {arr.shape}, not HxWx3")
+    return arr
+
+
 def decode_image(raw: bytes) -> np.ndarray:
-    """Sniff-and-decode: P6 PPM or 24-bit BMP -> HxWx3 uint8 RGB.
-    Unknown magics raise — JPEG/PNG need codecs this container lacks
-    (inject a richer decoder where available)."""
+    """Sniff-and-decode -> HxWx3 uint8 RGB. P6 PPM and 24-bit BMP
+    decode natively (zero-dependency, always available); any other
+    magic (JPEG/TIFF/PNG...) goes through Pillow WHEN IMPORTABLE — the
+    optional-import path a real phenocam archive (JPEG images, TIFF
+    masks — roitimeseries.py:97-227, roimask.py:55-70) needs. Without
+    Pillow, unknown magics raise ``NotImplementedError`` naming the
+    seam, exactly as before."""
     if raw[:2] == b"P6":
         return decode_ppm(raw)
     if raw[:2] == b"BM":
         return decode_bmp(raw)
+    arr = _pil_decode(raw)
+    if arr is not None:
+        return arr
     raise NotImplementedError(
-        f"no decoder for magic {raw[:2]!r} (PPM/BMP supported; JPEG/PNG "
-        "need external codecs)"
+        f"no decoder for magic {raw[:2]!r} (PPM/BMP decode natively; "
+        "JPEG/TIFF/PNG decode via Pillow when installed, or inject "
+        "decode_fn)"
+    )
+
+
+def pil_resize(arr: np.ndarray, size_hw: tuple[int, int]) -> np.ndarray:
+    """Pillow Lanczos resize with this module's (height, width) seam
+    signature — bit-parity with the reference's
+    ``im.resize((xsize, ysize), Image.ANTIALIAS)``
+    (roitimeseries.py:426-433; ANTIALIAS *is* LANCZOS in modern PIL).
+    Raises ImportError when Pillow is absent — callers pick the seam
+    via :func:`pil_available`, default :func:`resize_image`."""
+    from PIL import Image
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w = size_hw
+    return np.asarray(
+        Image.fromarray(a).resize((w, h), Image.LANCZOS), dtype=np.uint8
     )
 
 

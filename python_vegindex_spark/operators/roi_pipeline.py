@@ -118,13 +118,23 @@ def read_meta_sidecars(spark: SparkSession, meta_paths) -> DataFrame:
 
 
 def _default_mask_load(path: str) -> np.ndarray:
+    """Mask raster loader seam: ``.npy`` natively; TIFF (the
+    reference's mask format, roimask.py:55-70) through Pillow when
+    importable — nonzero pixels = masked-out, matching the reference's
+    ``asarray(Image.open(...)) != 0`` ingest."""
     if path.endswith(".npy"):
         return np.load(path).astype(bool)
-    raise NotImplementedError(
-        "no image codec in this environment for mask rasters; inject "
-        "mask_load_fn(path) -> bool HxW array (PIL on a real cluster), "
-        "or ship .npy masks"
-    )
+    try:
+        from PIL import Image
+    except ImportError:
+        raise NotImplementedError(
+            "no image codec importable for mask rasters; install "
+            "Pillow, inject mask_load_fn(path) -> bool HxW array, or "
+            "ship .npy masks"
+        ) from None
+    with Image.open(path) as im:
+        arr = np.asarray(im.convert("L"))
+    return arr != 0
 
 
 def _tier1_stats_core(

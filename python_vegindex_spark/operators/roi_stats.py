@@ -154,14 +154,14 @@ def roi_ir_stats_arrays(
     return out
 
 
-def _decode_unavailable(raw: bytes) -> np.ndarray:
-    raise NotImplementedError(
-        "no JPEG codec in this environment; inject decode_fn(bytes) -> "
-        "HxWx3 uint8 array (e.g. PIL/imageio on a real cluster; for "
-        "PPM/BMP archives ..codecs.images.decode_image works here — "
-        "zero-dependency, tests/test_images.py runs this pipeline "
-        "un-stubbed over real pixels)"
-    )
+def _default_decode(raw: bytes) -> np.ndarray:
+    """Default codec seam (round-5): PPM/BMP decode natively, anything
+    else (JPEG/TIFF — the real archive formats) through Pillow when it
+    is importable; otherwise a clearly-named NotImplementedError.
+    ``decode_fn`` still overrides for custom codecs."""
+    from ..codecs.images import decode_image
+
+    return decode_image(raw)
 
 
 def _stats_map_table(
@@ -184,8 +184,10 @@ def _stats_map_table(
     one array, or a dict keyed by mask index with ``mask_index_col``
     naming the per-row index column — the multi-mask form lets a whole
     archive flow through ONE binary scan instead of one scan per mask.
-    ``decode_fn`` injects the codec (absent here -> NotImplementedError,
-    honestly stubbed). ``passthrough_cols`` ride along unchanged and are
+    ``decode_fn`` injects the codec (default: native PPM/BMP, Pillow
+    for JPEG/TIFF when importable, else NotImplementedError — see
+    ``codecs.images.decode_image``). ``passthrough_cols`` ride along
+    unchanged and are
     appended after the stats columns — carrying tiny metadata (ts, mask
     index) THROUGH the stage saves the caller a re-join against the
     listing, i.e. a second listing scan plus a shuffle over O(archive)
@@ -200,7 +202,7 @@ def _stats_map_table(
     the reference's "Problem getting ROI stats ... Skipping this file"
     path (roitimeseries.py:445-455: the masked-array constructor raises
     and the row is dropped), never silently mis-masked."""
-    decode = decode_fn or _decode_unavailable
+    decode = decode_fn or _default_decode
     if resize_fn is None:
         from ..codecs.images import resize_image as resize_fn
     if isinstance(mask, dict):

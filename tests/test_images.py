@@ -68,11 +68,163 @@ def test_bmp_decode_both_orientations_and_padding():
 
 
 def test_decode_image_sniffing():
+    from python_vegindex_spark.codecs.images import pil_available
+
     a = _img(4, 6, 3)
     assert np.array_equal(decode_image(encode_ppm(a)), a)
     assert np.array_equal(decode_image(_bmp_bytes(a)), a)
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+    if not pil_available():
+        # without Pillow, unknown magics name the seam
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+    else:
+        # with Pillow, corrupt bytes are a DATA error, not missing-codec
+        with pytest.raises(Exception) as ei:
+            decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+        assert not isinstance(ei.value, NotImplementedError)
+
+
+# --- round-5: the optional-import Pillow path -----------------------------
+# The container has no Pillow, so the dispatch plumbing is exercised
+# against a faithful stand-in injected into sys.modules (driver-side
+# logic only — no Spark workers involved), and bit-parity tests against
+# the REAL Pillow are skipif-gated for clusters that have it.
+
+
+class _FakePILImage:
+    """Minimal PIL.Image.Image stand-in: context manager + convert +
+    numpy protocol, backed by an ndarray."""
+
+    def __init__(self, arr):
+        self._arr = arr
+
+    def convert(self, mode):
+        if mode == "RGB":
+            a = self._arr
+            if a.ndim == 2:
+                a = np.stack([a] * 3, axis=-1)
+            return _FakePILImage(a[..., :3])
+        if mode == "L":
+            a = self._arr
+            return _FakePILImage(a if a.ndim == 2 else a[..., 0])
+        raise ValueError(mode)
+
+    def __array__(self, dtype=None, copy=None):
+        a = np.asarray(self._arr)
+        return a.astype(dtype) if dtype is not None else a
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+    def close(self):
+        pass
+
+
+def _install_fake_pil(monkeypatch):
+    """A PIL stand-in whose 'JPEG format' is b'\\xff\\xd8FAKE' + PPM
+    and whose 'TIFF mask' is a path ending .tif holding raw PPM."""
+    import sys
+    import types
+
+    def _open(fp):
+        raw = fp.read() if hasattr(fp, "read") else open(fp, "rb").read()
+        if raw[:6] == b"\xff\xd8FAKE":
+            return _FakePILImage(decode_ppm(raw[6:]))
+        if raw[:2] == b"P6":
+            return _FakePILImage(decode_ppm(raw))
+        raise OSError("cannot identify image file")
+
+    image_mod = types.ModuleType("PIL.Image")
+    image_mod.open = _open
+    image_mod.LANCZOS = 1
+    pil_mod = types.ModuleType("PIL")
+    pil_mod.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil_mod)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+
+
+def test_decode_image_dispatches_to_pil_when_importable(monkeypatch):
+    _install_fake_pil(monkeypatch)
+    a = _img(5, 7, 9)
+    fake_jpeg = b"\xff\xd8FAKE" + encode_ppm(a)
+    assert np.array_equal(decode_image(fake_jpeg), a)
+    # native formats still bypass PIL entirely
+    assert np.array_equal(decode_image(encode_ppm(a)), a)
+    # a greyscale source is converted to HxWx3 RGB by the contract
+    grey = np.stack([a[..., 0]] * 3, axis=-1)
+    fake_grey = b"\xff\xd8FAKE" + encode_ppm(grey)
+    assert decode_image(fake_grey).shape == (5, 7, 3)
+
+
+def test_pil_decode_failure_is_data_error_not_missing_codec(monkeypatch):
+    _install_fake_pil(monkeypatch)
+    with pytest.raises(OSError, match="cannot identify"):
+        decode_image(b"\xff\xd8\xff\xe0 corrupt")
+
+
+def test_default_mask_load_uses_pil_for_tif(monkeypatch, tmp_path):
+    from python_vegindex_spark.operators.roi_pipeline import _default_mask_load
+
+    _install_fake_pil(monkeypatch)
+    m = np.zeros((4, 6, 3), dtype=np.uint8)
+    m[:2, :, :] = 255  # nonzero = masked-out
+    p = tmp_path / "mask_01.tif"
+    p.write_bytes(encode_ppm(m))
+    got = _default_mask_load(str(p))
+    assert got.dtype == bool and got.shape == (4, 6)
+    assert got[:2].all() and not got[2:].any()
+    # .npy stays the native path even with PIL present
+    np.save(tmp_path / "m.npy", m[..., 0] != 0)
+    assert _default_mask_load(str(tmp_path / "m.npy")).shape == (4, 6)
+
+
+def test_default_mask_load_without_pil_names_the_seam(monkeypatch, tmp_path):
+    import builtins
+
+    from python_vegindex_spark.operators.roi_pipeline import _default_mask_load
+
+    real_import = builtins.__import__
+
+    def no_pil(name, *a, **kw):
+        if name == "PIL" or name.startswith("PIL."):
+            raise ImportError("No module named 'PIL'")
+        return real_import(name, *a, **kw)
+
+    monkeypatch.setattr(builtins, "__import__", no_pil)
+    p = tmp_path / "mask.tif"
+    p.write_bytes(b"II*\x00junk")
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        _default_mask_load(str(p))
+
+
+def test_real_pil_parity_native_decoders():
+    """With the REAL Pillow installed: our native PPM/BMP decoders and
+    its decode agree byte-for-byte (skips where Pillow is absent)."""
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    a = _img(9, 11, 21)
+    for raw in (encode_ppm(a), _bmp_bytes(a), _bmp_bytes(a, bottom_up=False)):
+        theirs = np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
+        assert np.array_equal(decode_image(raw), theirs)
+
+
+def test_real_pil_resize_parity():
+    """With the REAL Pillow: pil_resize matches Pillow directly, and the
+    native Lanczos twin stays within ±1 DN of it (the documented
+    fixed-point-vs-float64 bound)."""
+    Image = pytest.importorskip("PIL.Image")
+    from python_vegindex_spark.codecs.images import pil_resize, resize_image
+
+    a = _img(16, 24, 33)
+    out = pil_resize(a, (8, 12))
+    theirs = np.asarray(Image.fromarray(a).resize((12, 8), Image.LANCZOS))
+    assert np.array_equal(out, theirs)
+    ours = resize_image(a, (8, 12))
+    assert int(np.abs(ours.astype(int) - out.astype(int)).max()) <= 1
 
 
 def test_roi_stats_over_real_ppm_archive(spark):

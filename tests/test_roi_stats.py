@@ -103,9 +103,13 @@ def test_roi_stats_table_with_fake_decoder(spark):
 
 
 def test_roi_stats_table_stub_raises(spark):
+    """An undecodable payload with no injected decode_fn fails loudly:
+    NotImplementedError naming the seam when Pillow is absent (this
+    container), or Pillow's cannot-identify error when present — never
+    a silent skip."""
     pdf = pd.DataFrame({"image_id": ["x"], "content": [b"1234"]})
     df = roi_stats_table(spark.createDataFrame(pdf), mask=_mask())
-    with pytest.raises(Exception, match="no JPEG codec"):
+    with pytest.raises(Exception, match="no decoder for magic|identify"):
         df.collect()
 
 
