@@ -483,3 +483,63 @@ def test_cosine_topk_rank_is_two_phase_sharded(spark):
         sub = got[got.query_id == vecs["vec_id"][qi]]
         assert list(sub.neighbor_id) == [vecs["vec_id"][i] for i in order]
         assert np.allclose(sub.cos_sim.to_numpy(), cos[order])
+
+
+def test_postings_cosine_skew_join_splits_hot_term(spark):
+    """Round-5 (VERDICT stretch): on the SPARSE postings path (vocab
+    above the dense-regime cap), a hot term is a hot shuffle key in the
+    postings self-join — AQE's skew-join rule must split that partition
+    at runtime (`SortMergeJoin(skew=true)` in the final adaptive plan).
+    Thresholds are lowered to make a test-sized corpus legible to the
+    detector; on production sizes the defaults trigger the same rule.
+    Broadcast demotion is disabled because at test scale AQE would
+    otherwise (correctly) turn the join into a broadcast join, which
+    has no skew problem by construction."""
+    import random
+    import string
+
+    from python_vegindex_spark.operators.terms import cosine_pairs
+
+    rng = random.Random(3)
+    vocab = [f"t{i:03d}" for i in range(400)]  # 400 > dense_vocab_max
+
+    def did(i):  # fat ids so the hot partition exceeds the threshold
+        return f"d{i:05d}_" + "".join(rng.choices(string.ascii_letters, k=120))
+
+    docs = spark.createDataFrame(
+        [
+            (did(i), " ".join(["hot"] + rng.choices(vocab, k=5)))
+            for i in range(6000)
+        ],
+        "doc_id string, text string",
+    )
+    tuned = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8k",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        out = cosine_pairs(docs, min_cos=0.99)
+        out.collect()  # AQE decides from runtime stats: must execute
+        plan = _executed_plan(out)
+        final = plan.split("== Initial Plan ==")[0]
+        assert "SortMergeJoin(skew=true)" in final, final[:2000]
+        # and it is the TERM join that split (the hot-key site), not an
+        # unrelated downstream join
+        skew_line = next(
+            l for l in final.splitlines() if "SortMergeJoin(skew=true)" in l
+        )
+        assert "term#" in skew_line, skew_line
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
