@@ -71,16 +71,20 @@ def assemble_conversations(
     ``max_buffer_turns`` must be >= ``max_turns`` or the output would
     be silently shorter than asked — that combination raises.
 
-    The safe path is the DEFAULT: when ``max_turns`` is set and the
-    first order column is integer-typed, the buffer bound defaults to
-    ``max_turns`` (under the 0-based dense-index contract the two are
-    output-equivalent, and the group buffer is bounded too). Pass
-    ``max_buffer_turns=None`` explicitly to opt back into an unbounded
-    buffer (order indices that are integer but NOT dense from 0 — the
-    prefix of the full sort could then differ from the pre-filtered
-    one). A non-integer first order column (e.g. a timestamp) never
-    auto-bounds: ``order < max_turns`` would be a meaningless
-    cross-type comparison there.
+    The safe path is the DEFAULT — narrowly: when ``max_turns`` is set
+    AND the first order column is the integer-typed contract column
+    ``turn_idx`` (whose documented semantics are a 0-based dense index
+    — sources/synth, the input_hint schema), the buffer bound defaults
+    to ``max_turns``; under that contract the two are
+    output-equivalent, and the group buffer is bounded too. Any OTHER
+    order column — a timestamp, an event id, an integer that might be
+    1-based or gapped — never auto-bounds, because a static
+    ``order < max_turns`` filter is only prefix-equivalent for dense
+    0-based indices (for ``turn_idx`` values 1..N it would drop the
+    last turn; for global-id ordering it could drop whole
+    conversations). Pass ``max_buffer_turns`` explicitly to bound
+    those, or ``max_buffer_turns=None`` to force the unbounded
+    pre-round-5 behavior even for ``turn_idx``.
 
     Rows whose first order column is NULL are KEPT under the buffer
     bound (``< N OR IS NULL``) — ``array_sort`` orders them before all
@@ -91,10 +95,13 @@ def assemble_conversations(
     if max_turns is not None and max_turns < 1:
         raise ValueError(f"max_turns must be >= 1, got {max_turns}")
     if max_buffer_turns is _AUTO:
-        first_type = dict(turns.dtypes).get(order_cols[0] if order_cols else "")
+        first = order_cols[0] if order_cols else ""
+        first_type = dict(turns.dtypes).get(first)
         max_buffer_turns = (
             max_turns
-            if max_turns is not None and first_type in _INT_TYPES
+            if max_turns is not None
+            and first == "turn_idx"
+            and first_type in _INT_TYPES
             else None
         )
     if max_buffer_turns is not None:

@@ -119,9 +119,13 @@ def read_meta_sidecars(spark: SparkSession, meta_paths) -> DataFrame:
 
 def _default_mask_load(path: str) -> np.ndarray:
     """Mask raster loader seam: ``.npy`` natively; TIFF (the
-    reference's mask format, roimask.py:55-70) through Pillow when
-    importable — nonzero pixels = masked-out, matching the reference's
-    ``asarray(Image.open(...)) != 0`` ingest."""
+    reference's mask format) through Pillow when importable. Matches
+    the reference's RAW boolean cast ``np.asarray(mask_img,
+    dtype=np.bool8)`` (roimask.py:62-69) — no luminance conversion, so
+    a pixel is masked-out iff its raw value is nonzero. Multi-band
+    rasters reduce any-channel-nonzero to HxW (the reference would
+    return a 3-D mask there and fail downstream; single-band masks are
+    the contract)."""
     if path.endswith(".npy"):
         return np.load(path).astype(bool)
     try:
@@ -133,8 +137,8 @@ def _default_mask_load(path: str) -> np.ndarray:
             "ship .npy masks"
         ) from None
     with Image.open(path) as im:
-        arr = np.asarray(im.convert("L"))
-    return arr != 0
+        mask = np.asarray(im).astype(bool)
+    return mask.any(axis=-1) if mask.ndim == 3 else mask
 
 
 def _tier1_stats_core(

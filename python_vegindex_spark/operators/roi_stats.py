@@ -204,7 +204,13 @@ def _stats_map_table(
     and the row is dropped), never silently mis-masked."""
     decode = decode_fn or _default_decode
     if resize_fn is None:
-        from ..codecs.images import resize_image as resize_fn
+        # bit-parity preference (round-5): the reference resizes via
+        # PIL (roitimeseries.py:426-433), so when Pillow is importable
+        # the seam defaults to it — the native Lanczos twin (±1 DN on
+        # knife-edge pixels) covers Pillow-less environments
+        from ..codecs.images import pil_available, pil_resize, resize_image
+
+        resize_fn = pil_resize if pil_available() else resize_image
     if isinstance(mask, dict):
         if mask_index_col is None:
             raise ValueError("mask dict requires mask_index_col")

@@ -213,7 +213,8 @@ def cosine_pairs(
     text_col: str = "text",
     min_len: int = 1,
     dense_vocab_max: int = 256,
-    dense_docs_max: int = 25_000,
+    dense_docs_max: int = 100_000,
+    dense_broadcast_bytes_max: int = 64 << 20,
     dense_cost_ratio: float = 16.0,
     pair_partitions: int = 64,
 ) -> DataFrame:
@@ -266,9 +267,14 @@ def cosine_pairs(
     expensive for a regime meant for tiny corpora. The gate compares
     the two paths' dominant terms: dense element-ops ``docs² · vocab``
     vs postings shuffle candidates ``Σ_t df(t)²``; dense is taken only
-    when ``docs² · vocab ≤ dense_cost_ratio · Σ df²`` (AND the count
-    caps hold — ``dense_docs_max`` stays a hard broadcast-size safety
-    bound, default 25k docs ≈ a ~25 MB vector broadcast at vocab 256).
+    when ``docs² · vocab ≤ dense_cost_ratio · Σ df²``, AND the
+    broadcast fits: ``docs · vocab · 8 ≤ dense_broadcast_bytes_max``
+    (default 64 MB — the broadcast cap is BYTE-denominated and so
+    scales with the actual vocabulary: ~31k docs at vocab 256, ~260k
+    at vocab 31; a flat doc cap would wrongly force a 30k-doc 31-term
+    corpus — round-4's own catastrophic shape — back onto the hot-key
+    postings plan), AND ``docs ≤ dense_docs_max`` as the row-count
+    backstop.
     ``dense_cost_ratio`` is the measured per-unit cost gap: one
     shuffled+hash-aggregated postings candidate costs 18–50× one
     interpreted zip_with element-op on this engine (flat ~2.4 M
@@ -327,7 +333,10 @@ def cosine_pairs(
                 .limit(int(dense_docs_max) + 1)
                 .count()
             )
-            if n_docs <= dense_docs_max:
+            if (
+                n_docs <= dense_docs_max
+                and n_docs * len(vocab) * 8 <= dense_broadcast_bytes_max
+            ):
                 sum_df2 = (
                     tf.groupBy("term")
                     .agg(F.count(F.lit(1)).alias("_df"))

@@ -263,6 +263,27 @@ class S3ManifestIO(LocalManifestIO):
         self.max_attempts = int(max_attempts)
         self.backoff_s = float(backoff_s)
         self.sleep_fn = sleep_fn
+        # connection-level faults (TCP resets, read timeouts, mid-body
+        # streaming failures) are NOT ClientErrors — they carry no HTTP
+        # code and are always retryable; resolve the classes that exist
+        # in this botocore version once
+        from botocore import exceptions as _be
+
+        self._conn_errors = tuple(
+            c
+            for c in (
+                getattr(_be, n, None)
+                for n in (
+                    "ConnectionError",
+                    "HTTPClientError",
+                    "ReadTimeoutError",
+                    "ConnectTimeoutError",
+                    "ResponseStreamingError",
+                    "IncompleteReadError",
+                )
+            )
+            if c is not None
+        )
 
     @staticmethod
     def _code(err) -> str:
@@ -289,6 +310,10 @@ class S3ManifestIO(LocalManifestIO):
                     self._code(e) not in self._TRANSIENT
                     or attempt == self.max_attempts - 1
                 ):
+                    raise
+                self.sleep_fn(self.backoff_s * (2**attempt))
+            except self._conn_errors:
+                if attempt == self.max_attempts - 1:
                     raise
                 self.sleep_fn(self.backoff_s * (2**attempt))
 
@@ -369,6 +394,16 @@ class S3ManifestIO(LocalManifestIO):
                         return
                     continue
                 raise
+            except self._conn_errors as e:
+                # connection-level fault: same ambiguity as a 5xx — the
+                # PUT may have been accepted before the link dropped
+                if attempt == self.max_attempts - 1:
+                    raise
+                last = e
+                self.sleep_fn(self.backoff_s * (2**attempt))
+                if self.exists(path) and self.read_text(path) == data:
+                    return
+                continue
         raise last if last is not None else RuntimeError("unreachable")
 
     def swap(self, path: str, data: str) -> None:

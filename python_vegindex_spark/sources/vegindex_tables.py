@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 from datetime import datetime
+from http.client import HTTPException
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -398,8 +399,10 @@ def get_site_info(
     fetch failures — no network (this sandbox), HTTP error, bad JSON —
     fall through to the CSV like the reference's
     ``except RequestException``; that is ``OSError`` (urllib's error
-    hierarchy) and ``ValueError`` (``json.JSONDecodeError``'s base),
-    NOT a bare ``except`` — a programming error inside an injected
+    hierarchy), ``http.client.HTTPException`` (malformed responses —
+    BadStatusLine, IncompleteRead — which urllib raises unwrapped) and
+    ``ValueError`` (``json.JSONDecodeError``'s base), NOT a bare
+    ``except`` — a programming error inside an injected
     ``fetch_fn`` (TypeError etc.) propagates instead of silently
     degrading to stale CSV data. Pass ``url_template=None`` to skip the
     network path entirely (air-gapped clusters). The CSV fallback
@@ -420,7 +423,7 @@ def get_site_info(
             info = json.loads(body)
             if isinstance(info, dict):
                 return info
-        except (OSError, ValueError):
+        except (OSError, ValueError, HTTPException):
             pass  # I/O / parse failure -> CSV fallback, like the reference
     if csv_path is None:
         raise FileNotFoundError(

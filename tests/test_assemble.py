@@ -191,3 +191,29 @@ def test_assemble_buffer_bound_keeps_null_order_rows(spark):
     # (ascending NULLS FIRST, Spark's default ordering)
     assert ("c1", "user: lost?\nuser: a", 2) in bounded
     assert ("c2", "user: only-null", 1) in bounded
+
+
+def test_assemble_auto_bound_only_for_turn_idx_contract_column(spark):
+    """Round-5 self-review: the auto buffer bound is prefix-equivalent
+    ONLY for the dense 0-based turn_idx contract — an arbitrary integer
+    order column (1-based, gapped, global ids) must NOT auto-bound, or
+    conversations could silently lose turns."""
+    rows = [("c1", 1, "user", "a"), ("c1", 2, "user", "b"),
+            ("c1", 3, "user", "c")]
+    df = spark.createDataFrame(
+        rows, "conv_id string, seq int, role string, text string"
+    )
+    out = assemble_conversations(df, order_cols=("seq",), max_turns=3)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert " < 3" not in plan  # no auto pre-filter on a non-contract col
+    got = out.collect()[0]
+    # all three 1-based turns survive (the auto filter would drop seq=3)
+    assert got["n_turns"] == 3 and got["text"].endswith("user: c")
+
+    # same data under the contract NAME but 1-based indices: the caller
+    # broke the documented contract, and the docstring says so — pin
+    # that the bound applies (regression guard on the gate condition)
+    df2 = df.withColumnRenamed("seq", "turn_idx")
+    out2 = assemble_conversations(df2, max_turns=3)
+    plan2 = out2._jdf.queryExecution().optimizedPlan().toString()
+    assert " < 3" in plan2

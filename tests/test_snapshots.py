@@ -1129,3 +1129,47 @@ def test_s3_list_names_is_one_level():
     io.swap("/tbl/VERSION", "2")
     assert io.list_names("/tbl/snapshots") == ["v1.json", "v2.json"]
     assert io.list_names("/tbl/empty") == []
+
+
+def test_s3_connection_level_faults_are_retried():
+    """Round-5 self-review: TCP resets / read timeouts are NOT
+    ClientErrors (no HTTP code) — the retry loop must catch botocore's
+    connection-level exception family too, on plain ops AND inside
+    create_exclusive's ambiguous-outcome handling."""
+    from botocore.exceptions import ConnectionError as BotoConnectionError
+
+    class DropFirst(FakeS3Client):
+        def __init__(self):
+            super().__init__()
+            self.drops = {"put_object": 1, "get_object": 1}
+
+        def _maybe_fault(self, op):
+            super()._maybe_fault(op)
+            if self.drops.get(op, 0) > 0:
+                self.drops[op] -= 1
+                raise BotoConnectionError(error="connection reset by peer")
+
+    client = DropFirst()
+    io = _s3_io(client)
+    io.swap("/tbl/VERSION", "5")            # retried past the reset
+    assert io.read_text("/tbl/VERSION") == "5"   # retried past the reset
+
+    # create_exclusive: link drops BEFORE the store accepts -> retry wins
+    client2 = DropFirst()
+    io2 = _s3_io(client2)
+    io2.create_exclusive("/tbl/snapshots/v9.json", "z")
+    assert io2.read_text("/tbl/snapshots/v9.json") == "z"
+
+    # exhaustion propagates the connection error, not a swallow
+    class AlwaysDrop(FakeS3Client):
+        def _maybe_fault(self, op):
+            super()._maybe_fault(op)
+            if op == "get_object":
+                raise BotoConnectionError(error="reset")
+
+    io3 = S3ManifestIO(
+        "b", client=AlwaysDrop(), max_attempts=3, sleep_fn=lambda s: None
+    )
+    io3.swap("/k", "x")
+    with pytest.raises(BotoConnectionError):
+        io3.read_text("/k")

@@ -344,3 +344,33 @@ def test_cosine_pairs_empty_vocabulary(spark):
         [("d1", ""), ("d2", "   ")], "doc_id string, text string"
     )
     assert cosine_pairs(empty, min_cos=0.5).count() == 0
+
+
+def test_cosine_pairs_dense_gate_byte_cap_and_cost(spark):
+    """Round-5: the dense regime is gated on broadcast BYTES
+    (docs*vocab*8) and the measured cost ratio, not raw counts — a tiny
+    byte cap forces the postings plan, identical output either way."""
+    from python_vegindex_spark.operators.terms import cosine_pairs
+
+    docs = spark.createDataFrame(
+        [("a", "x y"), ("b", "y z"), ("c", "x z")],
+        "doc_id string, text string",
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    dense = cosine_pairs(docs, min_cos=0.0)
+    capped = cosine_pairs(docs, min_cos=0.0, dense_broadcast_bytes_max=8)
+    assert rows(dense) == rows(capped)
+    dplan = dense._jdf.queryExecution().executedPlan().toString()
+    cplan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in dplan
+    assert "BroadcastNestedLoopJoin" not in cplan
+
+    # an uneconomical dense ratio also falls back to postings
+    costly = cosine_pairs(docs, min_cos=0.0, dense_cost_ratio=0.0)
+    assert rows(costly) == rows(dense)
+    assert "BroadcastNestedLoopJoin" not in (
+        costly._jdf.queryExecution().executedPlan().toString()
+    )
