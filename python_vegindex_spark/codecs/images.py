@@ -118,13 +118,17 @@ def decode_bmp(raw: bytes) -> np.ndarray:
 
 
 def pil_available() -> bool:
-    """True when Pillow is importable (optional dependency — absent in
-    this container, present on real archive-migration clusters)."""
+    """True when a FUNCTIONAL Pillow is importable (optional dependency
+    — absent in this container, present on real archive-migration
+    clusters). Capability-checked, not just importable: a module merely
+    named PIL (a namespace collision, or the bare stub some tools
+    install so PIL-importing code can load) must not flip the engine's
+    decode/resize seams onto a Pillow that cannot actually decode."""
     try:
-        import PIL.Image  # noqa: F401
+        from PIL import Image
     except ImportError:
         return False
-    return True
+    return all(hasattr(Image, a) for a in ("open", "fromarray", "LANCZOS"))
 
 
 def _pil_decode(raw: bytes) -> np.ndarray | None:
@@ -137,6 +141,8 @@ def _pil_decode(raw: bytes) -> np.ndarray | None:
         from PIL import Image
     except ImportError:
         return None
+    if not hasattr(Image, "open"):  # importable-but-broken PIL: treat
+        return None                 # as absent, keep the seam's error
     import io
 
     with Image.open(io.BytesIO(raw)) as im:

@@ -131,11 +131,14 @@ def _default_mask_load(path: str) -> np.ndarray:
     try:
         from PIL import Image
     except ImportError:
+        Image = None
+    if Image is None or not hasattr(Image, "open"):
+        # absent OR importable-but-broken (name collision / bare stub)
         raise NotImplementedError(
             "no image codec importable for mask rasters; install "
             "Pillow, inject mask_load_fn(path) -> bool HxW array, or "
             "ship .npy masks"
-        ) from None
+        )
     with Image.open(path) as im:
         mask = np.asarray(im).astype(bool)
     return mask.any(axis=-1) if mask.ndim == 3 else mask

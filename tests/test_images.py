@@ -203,7 +203,11 @@ def test_default_mask_load_without_pil_names_the_seam(monkeypatch, tmp_path):
 def test_real_pil_parity_native_decoders():
     """With the REAL Pillow installed: our native PPM/BMP decoders and
     its decode agree byte-for-byte (skips where Pillow is absent)."""
-    Image = pytest.importorskip("PIL.Image")
+    from python_vegindex_spark.codecs.images import pil_available
+
+    if not pil_available():
+        pytest.skip("functional Pillow not installed")
+    from PIL import Image
     import io
 
     a = _img(9, 11, 21)
@@ -216,8 +220,15 @@ def test_real_pil_resize_parity():
     """With the REAL Pillow: pil_resize matches Pillow directly, and the
     native Lanczos twin stays within ±1 DN of it (the documented
     fixed-point-vs-float64 bound)."""
-    Image = pytest.importorskip("PIL.Image")
-    from python_vegindex_spark.codecs.images import pil_resize, resize_image
+    from python_vegindex_spark.codecs.images import (
+        pil_available,
+        pil_resize,
+        resize_image,
+    )
+
+    if not pil_available():
+        pytest.skip("functional Pillow not installed")
+    from PIL import Image
 
     a = _img(16, 24, 33)
     out = pil_resize(a, (8, 12))

@@ -327,8 +327,15 @@ def test_e1_over_real_jpeg_archive_with_pil(spark, tmp_path):
     reference's actual archive formats (roitimeseries.py:97-227,
     roimask.py:55-70). Skips where Pillow is absent (this container);
     the injectable seam and native PPM/BMP paths are tested above
-    either way."""
-    Image = pytest.importorskip("PIL.Image")
+    either way. Gated on pil_available(), not importorskip — another
+    test file legitimately leaves a bare PIL stub in sys.modules for
+    the reference package's import, which importorskip would mistake
+    for the real thing."""
+    from python_vegindex_spark.codecs.images import pil_available
+
+    if not pil_available():
+        pytest.skip("functional Pillow not installed")
+    from PIL import Image
 
     root = str(tmp_path)
     rng = np.random.default_rng(17)
